@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object QueryDefs {
+  /** The driver contract's query-function shape: (session, sfDir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+}
+
+/** Determinism helpers (SURVEY.md §7.3): every declared query must end in a
+  * total order with a unique tie-break key, and every aggregated double must
+  * be rounded so Spark and the DuckDB oracle hash-match on written parquet.
+  */
+object D {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.round
+  def r2(c: Column): Column = round(c, 2)
+  def r6(c: Column): Column = round(c, 6)
+}

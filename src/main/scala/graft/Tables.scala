@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders for the driver-generated parquet test data.
+  *
+  * One parquet file per table per scale-factor directory (TESTDATA.md).
+  * All access goes through here so the `events.ts` nanos fix (SURVEY.md §1)
+  * is applied exactly once: Spark 4.1.2 refuses parquet TIMESTAMP(NANOS)
+  * unless `spark.sql.legacy.parquet.nanosAsLong=true`, after which the
+  * column arrives as LongType nanos and is converted to a proper
+  * microsecond TimestampType with integer division (no double round-trip,
+  * which would lose precision above 2^53 ns).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, table: String): String = s"$sfDir/$table.parquet"
+
+  /** events with `ts` converted to TimestampType (microsecond precision). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(sfDir, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(path(sfDir, name))
+
+  /** Register every table as a temp view (for SQL-form queries). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}

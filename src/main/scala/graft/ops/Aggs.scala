@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 aggregations. Stock `HashAggregateExec` two-phase
+  * (partial + final) aggregation throughout — map-side combine is automatic,
+  * which is the property that keeps these shuffles small at 100 TB: only one
+  * row per (partition × group) crosses the wire.
+  */
+object Aggs {
+
+  val queries: Map[String, Q] = Map(
+    /** Flagship: TPC-H Q1 shape — scan → filter → hash agg → sort. */
+    "agg_pricing_summary" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          D.r2(sum("l_quantity")).as("sum_qty"),
+          D.r2(sum("l_extendedprice")).as("sum_base_price"),
+          D.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price"),
+          D.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+                   (lit(1) + col("l_tax")))).as("sum_charge"),
+          D.r2(avg("l_quantity")).as("avg_qty"),
+          D.r2(avg("l_extendedprice")).as("avg_price"),
+          D.r2(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_distinct_count" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")),
+
+    "agg_multi_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"),
+             countDistinct(to_date(col("ts"))).as("days"))
+        .orderBy("event_type")),
+
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name, CAST(year(l_shipdate) AS INT) AS yr,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY GROUPING SETS ((n_name, CAST(year(l_shipdate) AS INT)), (n_name), ())
+          |ORDER BY n_name ASC NULLS FIRST, yr ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      val nation = Tables.table(s, dir, "nation")
+      val region = Tables.table(s, dir, "region")
+      // NB: rollup("name", ...) (String overload) after a join trips Spark
+      // 4.1's ambiguous-self-join detection; the Column overload with
+      // functions.col (no dataset-id metadata) resolves cleanly.
+      nation.join(region, nation("n_regionkey") === region("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "agg_cube" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(D.r2(sum("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    "agg_stats" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          D.r2(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          D.r2(var_samp(col("l_quantity"))).as("var_qty"),
+          D.r6(corr(col("l_extendedprice"), col("l_quantity"))).as("corr_pq"),
+          D.r6(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"))
+        .orderBy("l_returnflag")),
+
+    "agg_median_percentile" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(D.r2(median(col("o_totalprice"))).as("med"),
+             D.r2(percentile(col("o_totalprice"), lit(0.9))).as("p90"))
+        .orderBy("o_orderstatus")),
+
+    /** no-oracle: approximate (HLL++), engine-specific values; deterministic
+      * because HLL register merge is order-independent. Internal test asserts
+      * within ±5% of exact. */
+    "agg_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    "agg_collect_sorted" -> ((s, dir) => {
+      val supplier = Tables.table(s, dir, "supplier")
+      val nation = Tables.table(s, dir, "nation")
+      supplier.join(nation, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_sort(collect_list(col("s_name"))).as("names"))
+        .orderBy("n_name")
+    }),
+
+    "agg_top_groups_having" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 100)
+        .orderBy("event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "round(sum(l_quantity), 2) AS sum_qty, " +
+       "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+       "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+       "round(avg(l_quantity), 2) AS avg_qty, " +
+       "round(avg(l_extendedprice), 2) AS avg_price, " +
+       "round(avg(l_discount), 2) AS avg_disc, " +
+       "count(*) AS count_order " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' " +
+       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "agg_distinct_count" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS users FROM events " +
+       "GROUP BY event_type ORDER BY event_type"),
+    "agg_multi_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS users, " +
+       "count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS days " +
+       "FROM events GROUP BY event_type ORDER BY event_type"),
+    "agg_grouping_sets" ->
+      ("SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS yr, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+       "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "GROUP BY GROUPING SETS ((n_name, CAST(year(l_shipdate) AS INTEGER)), (n_name), ()) " +
+       "ORDER BY n_name ASC NULLS FIRST, yr ASC NULLS FIRST"),
+    "agg_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS cnt FROM nation " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "GROUP BY ROLLUP(r_name, n_name) " +
+       "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"),
+    "agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty " +
+       "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+       "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "agg_stats" ->
+      ("SELECT l_returnflag, round(stddev_samp(l_quantity), 2) AS sd_qty, " +
+       "round(var_samp(l_quantity), 2) AS var_qty, " +
+       "round(corr(l_extendedprice, l_quantity), 6) AS corr_pq, " +
+       "round(covar_samp(l_quantity, l_discount), 6) AS cov_qd " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_median_percentile" ->
+      ("SELECT o_orderstatus, round(median(o_totalprice), 2) AS med, " +
+       "round(quantile_cont(o_totalprice, 0.9), 2) AS p90 " +
+       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "agg_collect_sorted" ->
+      ("SELECT n_name, list(s_name ORDER BY s_name) AS names FROM supplier " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "GROUP BY n_name ORDER BY n_name"),
+    "agg_top_groups_having" ->
+      ("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type " +
+       "HAVING count(*) > 100 ORDER BY event_type")
+  )
+}

@@ -1,0 +1,199 @@
+package graft.ops
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1 scans/sources, §2.2 projection/filter, §2.6 sort/limit/set
+  * ops. All stock DataFrame API — Catalyst handles pushdown/pruning; every
+  * query ends in a total order (§7.3).
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // §2.1 ------------------------------------------------------------
+    "scan_project" -> ((s, dir) =>
+      Tables.table(s, dir, "nation").orderBy("n_nationkey")),
+
+    "scan_pushdown" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("2001-06-01").cast("timestamp") &&
+               col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // output TIMESTAMP (not DATE) on both sides — avoids date/timestamp
+    // representation drift in the driver's hash compare
+    "scan_events_ns" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day")),
+
+    "source_json_lines" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .where(col("k") < 10)
+        .orderBy("event_id")),
+
+    // §2.2 ------------------------------------------------------------
+    // Per-row double arithmetic is IEEE-identical across engines when the
+    // expression tree matches, so emit it UNROUNDED: rounding a per-row
+    // double actually introduces cross-engine drift (Spark rounds the
+    // shortest decimal repr, DuckDB the exact binary value) while the raw
+    // product is bitwise equal. Round only aggregates (§7.3).
+    "project_expr" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+                 (lit(1) + col("l_tax"))).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "filter_compound" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .where(col("o_orderstatus") === "F" &&
+               col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+               col("o_totalprice").between(1000, 200000) &&
+               !col("o_orderpriority").like("3%"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                col("o_totalprice").as("total"))
+        .orderBy("o_orderkey")),
+
+    "filter_null_semantics" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+                expr("nullif(o_orderstatus, 'P')").as("st"))
+        .select(col("o_orderkey"), col("st"),
+                col("st").isNull.as("st_is_null"),
+                col("st").eqNullSafe(lit("F")).as("st_eq_f"))
+        .orderBy("o_orderkey")),
+
+    "case_when_coalesce" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+                when(col("o_totalprice") < 50000, "small")
+                  .when(col("o_totalprice") < 150000, "medium")
+                  .otherwise("large").as("bucket"),
+                coalesce(expr("nullif(o_orderstatus, 'P')"), lit("none"))
+                  .as("st"))
+        .orderBy("o_orderkey")),
+
+    // §2.6 ------------------------------------------------------------
+    "sort_multikey" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+                col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_returnflag").asc, col("price").desc,
+                 col("l_orderkey").asc, col("l_linenumber").asc)),
+
+    "limit_global" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice").as("total"))),
+
+    "set_union_all" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .unionAll(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    "set_union_distinct" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .union(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .distinct()
+        .orderBy("o_custkey")
+    }),
+
+    "set_intersect" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    "set_intersect_all" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .intersectAll(o.where(col("o_orderstatus") === "O")
+          .select("o_custkey"))
+        .orderBy("o_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_project" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_pushdown" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '2001-06-01' AND l_quantity < 10 " +
+       "ORDER BY l_orderkey, l_linenumber"),
+    "scan_events_ns" ->
+      ("SELECT date_trunc('day', ts) AS day, count(*) AS cnt " +
+       "FROM events GROUP BY 1 ORDER BY 1"),
+    "source_json_lines" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+       "FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) < 10 " +
+       "ORDER BY event_id"),
+    "project_expr" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+       "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "filter_compound" ->
+      ("SELECT o_orderkey, o_orderpriority, o_totalprice AS total " +
+       "FROM orders WHERE o_orderstatus = 'F' " +
+       "AND o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+       "AND o_totalprice BETWEEN 1000 AND 200000 " +
+       "AND o_orderpriority NOT LIKE '3%' ORDER BY o_orderkey"),
+    "filter_null_semantics" ->
+      ("SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st, " +
+       "(nullif(o_orderstatus, 'P') IS NULL) AS st_is_null, " +
+       "(nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F') AS st_eq_f " +
+       "FROM orders ORDER BY o_orderkey"),
+    "case_when_coalesce" ->
+      ("SELECT o_orderkey, " +
+       "CASE WHEN o_totalprice < 50000 THEN 'small' " +
+       "WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS bucket, " +
+       "coalesce(nullif(o_orderstatus, 'P'), 'none') AS st " +
+       "FROM orders ORDER BY o_orderkey"),
+    "sort_multikey" ->
+      ("SELECT l_returnflag, l_extendedprice AS price, " +
+       "l_orderkey, l_linenumber FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '2001-01-01' " +
+       "ORDER BY l_returnflag, price DESC, l_orderkey, l_linenumber"),
+    "limit_global" ->
+      ("SELECT o_orderkey, o_totalprice AS total FROM orders " +
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "set_union_all" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' UNION ALL " +
+       "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+       "ORDER BY o_custkey"),
+    "set_union_distinct" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' UNION " +
+       "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+       "ORDER BY o_custkey"),
+    "set_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT " +
+       "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+       "ORDER BY o_custkey"),
+    "set_except" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' EXCEPT " +
+       "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+       "ORDER BY o_custkey"),
+    "set_intersect_all" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT ALL " +
+       "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+       "ORDER BY o_custkey")
+  )
+}
