@@ -43,17 +43,22 @@ object Aggs {
              countDistinct(to_date(col("ts"))).as("days"))
         .orderBy("event_type")),
 
+    // DataFrame groupingSets API (Spark 4) — no temp-view registration, and
+    // the two dimension joins stay broadcast-eligible at any fact-side scale.
     "agg_grouping_sets" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
-      s.sql(
-        """SELECT n_name, CAST(year(l_shipdate) AS INT) AS yr,
-          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-          |FROM lineitem
-          |JOIN supplier ON l_suppkey = s_suppkey
-          |JOIN nation ON s_nationkey = n_nationkey
-          |GROUP BY GROUPING SETS ((n_name, CAST(year(l_shipdate) AS INT)), (n_name), ())
-          |ORDER BY n_name ASC NULLS FIRST, yr ASC NULLS FIRST
-          |""".stripMargin)
+      val li = Tables.table(s, dir, "lineitem")
+      val sup = Tables.table(s, dir, "supplier")
+      val nat = Tables.table(s, dir, "nation")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("l_shipdate")).cast("int").as("yr"),
+                (col("l_extendedprice") * (lit(1) - col("l_discount")))
+                  .as("rev"))
+        .groupingSets(
+          Seq(Seq(col("n_name"), col("yr")), Seq(col("n_name")), Seq()),
+          col("n_name"), col("yr"))
+        .agg(D.r2(sum(col("rev"))).as("revenue"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("yr"))
     }),
 
     "agg_rollup" -> ((s, dir) => {
@@ -101,12 +106,15 @@ object Aggs {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
+    // Serialized to a pipe-joined string: the driver's pandas hasher cannot
+    // hash array cells, so declared queries never output array/map/struct.
     "agg_collect_sorted" -> ((s, dir) => {
       val supplier = Tables.table(s, dir, "supplier")
       val nation = Tables.table(s, dir, "nation")
       supplier.join(nation, col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(array_sort(collect_list(col("s_name"))).as("names"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), "|")
+          .as("names"))
         .orderBy("n_name")
     }),
 
@@ -165,8 +173,8 @@ object Aggs {
        "round(quantile_cont(o_totalprice, 0.9), 2) AS p90 " +
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "agg_collect_sorted" ->
-      ("SELECT n_name, list(s_name ORDER BY s_name) AS names FROM supplier " +
-       "JOIN nation ON s_nationkey = n_nationkey " +
+      ("SELECT n_name, array_to_string(list(s_name ORDER BY s_name), '|') AS names " +
+       "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
        "GROUP BY n_name ORDER BY n_name"),
     "agg_top_groups_having" ->
       ("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type " +

@@ -1,0 +1,249 @@
+package graft.ops
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2.3 joins — one declared query per join family/algorithm.
+  *
+  * Algorithm choice is pinned with hints (`broadcast`, `shuffle_hash`,
+  * `merge`) so each key exercises its named physical operator regardless of
+  * table statistics. At 100 TB the same hints encode the right plan: dims
+  * (nation/region/supplier/part-subset) are broadcast — zero shuffle of the
+  * fact side; the two large-side joins (orders⋈lineitem) shuffle both sides
+  * on the join key, which is unavoidable and scales linearly; the theta join
+  * broadcasts its (filtered, small) build side under a nested-loop — never
+  * the fact side; the as-of join is a single shuffle on the entity key plus
+  * a per-key sorted window — no join explosion at all.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // Fact → three broadcast dims; revenue of ASIA nations (TPC-H Q5 shape).
+    "join_broadcast" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val sup = Tables.table(s, dir, "supplier")
+      val nat = Tables.table(s, dir, "nation")
+      val reg = Tables.table(s, dir, "region").where(col("r_name") === "ASIA")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(D.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // Two large sides, forced ShuffledHashJoinExec (no sort, hash build on
+    // the smaller shuffled side — the right pick when one side fits a
+    // per-partition hash table but not a broadcast).
+    "join_shuffle_hash" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      val l = Tables.table(s, dir, "lineitem")
+      o.hint("shuffle_hash").join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+             D.r2(sum("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Same shape, forced SortMergeJoinExec (spillable — the safe default
+    // when both sides are huge and skew-prone).
+    "join_sort_merge" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      val l = Tables.table(s, dir, "lineitem")
+      o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+             D.r2(avg("l_extendedprice")).as("avg_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // count(o_orderkey) counts only matched rows → zero-order customers
+    // survive with n_orders = 0 and no null columns reach the output.
+    "join_left_outer" -> ((s, dir) => {
+      val c = Tables.table(s, dir, "customer")
+      val o = Tables.table(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_right_outer" -> ((s, dir) => {
+      val c = Tables.table(s, dir, "customer")
+      val o = Tables.table(s, dir, "orders")
+      o.join(c, col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(D.r2(sum(coalesce(col("o_totalprice"), lit(0.0))))
+          .as("spend"))
+        .orderBy("c_custkey")
+    }),
+
+    // Distinct custkey sets of F-orders vs O-orders, full outer; output is
+    // null-free (membership booleans) so the driver's hasher never sees a
+    // numeric NaN.
+    "join_full_outer" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      val f = o.where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("f_ck")).distinct()
+      val op = o.where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("o_ck")).distinct()
+      f.join(op, col("f_ck") === col("o_ck"), "full")
+        .select(coalesce(col("f_ck"), col("o_ck")).as("ck"),
+                col("f_ck").isNotNull.as("in_f"),
+                col("o_ck").isNotNull.as("in_o"))
+        .orderBy("ck")
+    }),
+
+    "join_left_semi" -> ((s, dir) => {
+      val c = Tables.table(s, dir, "customer")
+      val o = Tables.table(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_left_anti" -> ((s, dir) => {
+      val c = Tables.table(s, dir, "customer")
+      val o = Tables.table(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Bounded 5×25 cartesian → BroadcastNestedLoopJoinExec.
+    "join_cross" -> ((s, dir) =>
+      Tables.table(s, dir, "region").select("r_name")
+        .crossJoin(Tables.table(s, dir, "nation").select("n_name"))
+        .orderBy("r_name", "n_name")),
+
+    // Banded non-equi join: small filtered build side is broadcast under a
+    // nested loop; the fact side streams — the only theta-join plan that
+    // survives a 100× fact-side scale-up.
+    "join_theta_range" -> ((s, dir) => {
+      val p = Tables.table(s, dir, "part").where(col("p_size") <= 6)
+        .select("p_partkey", "p_size")
+      val l = Tables.table(s, dir, "lineitem")
+        .where(col("l_quantity") < 10 &&
+               col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+        .select("l_quantity")
+      broadcast(p).join(
+          l, col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("cnt"), D.r2(avg("l_quantity")).as("avg_qty"))
+        .orderBy("p_size")
+    }),
+
+    // Interval join: purchases matched to signup windows [ts, ts+1h] of the
+    // same user. The equi user_id key makes this a hash join with the range
+    // as residual — no nested loop even at scale. Timestamps compared at
+    // second granularity on both engines (Spark stores micros, DuckDB nanos;
+    // sub-second deltas must not decide membership — §7.3).
+    "join_interval" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("tss", date_trunc("second", col("ts")))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+                col("tss").as("p_ts"))
+      val sg = e.where(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+                col("tss").as("s_ts"))
+      p.join(sg, col("user_id") === col("s_user") &&
+                 col("p_ts") >= col("s_ts") &&
+                 col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+        .select("p_id", "s_id")
+        .orderBy("p_id", "s_id")
+    }),
+
+    // As-of: each purchase gets the user's most recent prior (<=) signup.
+    // No native asof in Spark — union the two event kinds, one window pass
+    // per user carrying the last signup ts forward. Single shuffle on
+    // user_id, per-key sort; state is one timestamp per row. At equal
+    // truncated seconds the signup sorts first ('signup' > 'purchase'
+    // descending), matching ASOF's inclusive >= bound.
+    "join_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"),
+                date_trunc("second", col("ts")).as("tss"), col("event_type"))
+        .withColumn("sig_ts",
+          when(col("event_type") === "signup", col("tss")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tss").asc, col("event_type").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev_signup", last("sig_ts", ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase" &&
+               col("prev_signup").isNotNull)
+        .select(col("event_id").as("p_id"), col("user_id"),
+                col("prev_signup"))
+        .orderBy("p_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_broadcast" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+       "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+    "join_shuffle_hash" ->
+      ("SELECT o_orderpriority, count(*) AS cnt, " +
+       "round(sum(l_extendedprice), 2) AS sum_price " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "join_sort_merge" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+       "round(avg(l_extendedprice), 2) AS avg_price " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "join_left_outer" ->
+      ("SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer " +
+       "LEFT JOIN orders ON c_custkey = o_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "join_right_outer" ->
+      ("SELECT c_custkey, round(sum(coalesce(o_totalprice, 0)), 2) AS spend " +
+       "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "join_full_outer" ->
+      ("SELECT coalesce(f.f_ck, o.o_ck) AS ck, " +
+       "f.f_ck IS NOT NULL AS in_f, o.o_ck IS NOT NULL AS in_o " +
+       "FROM (SELECT DISTINCT o_custkey AS f_ck FROM orders WHERE o_orderstatus = 'F') f " +
+       "FULL JOIN (SELECT DISTINCT o_custkey AS o_ck FROM orders WHERE o_orderstatus = 'O') o " +
+       "ON f.f_ck = o.o_ck ORDER BY ck"),
+    "join_left_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+       "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
+    "join_left_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "join_cross" ->
+      ("SELECT r_name, n_name FROM region CROSS JOIN nation " +
+       "ORDER BY r_name, n_name"),
+    "join_theta_range" ->
+      ("SELECT p_size, count(*) AS cnt, round(avg(l_quantity), 2) AS avg_qty " +
+       "FROM part JOIN lineitem ON l_quantity BETWEEN p_size - 2 AND p_size + 2 " +
+       "WHERE p_size <= 6 AND l_quantity < 10 " +
+       "AND l_shipdate >= TIMESTAMP '2001-06-01' " +
+       "GROUP BY p_size ORDER BY p_size"),
+    "join_interval" ->
+      ("SELECT p.event_id AS p_id, s.event_id AS s_id " +
+       "FROM (SELECT event_id, user_id, date_trunc('second', ts) AS tss " +
+       "FROM events WHERE event_type = 'purchase') p " +
+       "JOIN (SELECT event_id, user_id, date_trunc('second', ts) AS tss " +
+       "FROM events WHERE event_type = 'signup') s " +
+       "ON p.user_id = s.user_id AND p.tss >= s.tss " +
+       "AND p.tss <= s.tss + INTERVAL 1 HOUR ORDER BY p_id, s_id"),
+    "join_asof" ->
+      ("SELECT p.event_id AS p_id, p.user_id AS user_id, s.tss AS prev_signup " +
+       "FROM (SELECT event_id, user_id, date_trunc('second', ts) AS tss " +
+       "FROM events WHERE event_type = 'purchase') p " +
+       "ASOF JOIN (SELECT user_id, date_trunc('second', ts) AS tss " +
+       "FROM events WHERE event_type = 'signup') s " +
+       "ON p.user_id = s.user_id AND p.tss >= s.tss ORDER BY p_id")
+  )
+}
