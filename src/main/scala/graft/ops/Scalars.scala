@@ -1,0 +1,203 @@
+package graft.ops
+
+import graft.Tables
+import graft.QueryDefs.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+/** SURVEY.md §2.7 scalar-function packs, one themed query per pack.
+  *
+  * All expressions are Spark built-ins (codegen'd, whole-stage fused — no
+  * UDFs), so each query is a single scan→project→sort pipeline with the
+  * projection pushed into the vectorized Parquet reader. The work here is
+  * dialect pinning (§7.3 item 6), the main cross-engine traps being:
+  *   - day-of-week numbering: Spark `weekday` is 0=Monday, DuckDB `isodow`
+  *     is 1=Monday → emit weekday+1.
+  *   - integer widths: DuckDB `year`/`length`/`date_diff` return BIGINT
+  *     where Spark returns INT → cast the Spark side to long.
+  *   - `floor`/`ceil`: Spark returns BIGINT, DuckDB DOUBLE → cast DuckDB.
+  *   - double→int casts: Spark truncates, DuckDB rounds → oracle uses
+  *     CAST(trunc(x) AS BIGINT).
+  *   - libm functions (ln, log10, sqrt): not guaranteed bitwise-equal
+  *     across runtimes → round(x, 6); per-row +-*× arithmetic is IEEE-exact
+  *     and stays unrounded.
+  */
+object Scalars {
+
+  private val propsMap = MapType(StringType, IntegerType)
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, dir) =>
+      Tables.table(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        length(col("c_name")).cast("long").as("len"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat(col("c_mktsegment"), lit("#"), col("c_name")).as("cat"),
+        regexp_replace(col("c_name"), "Customer#", "C").as("repl"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("pad"),
+        col("c_name").startsWith("Customer").as("sw"),
+        col("c_mktsegment").endsWith("RY").as("ew"))
+        .orderBy("c_custkey")),
+
+    "fn_date" -> ((s, dir) =>
+      Tables.table(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("dow_iso"),
+        date_trunc("month", col("o_orderdate")).as("mon_ts"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd")
+          .as("plus30"),
+        datediff(to_date(col("o_orderdate")),
+                 lit("1995-01-01").cast("date")).cast("long")
+          .as("days_since"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("absd"),
+        floor(col("l_extendedprice")).as("flr"),
+        ceil(col("l_extendedprice")).as("cl"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqp"),
+        round(log(col("l_extendedprice")), 6).as("lnp"),
+        round(log10(col("l_extendedprice")), 6).as("l10"),
+        pow(col("l_quantity"), 2).as("qsq"),
+        (col("l_orderkey") % 7).as("m7"),
+        signum(col("l_discount") - 0.05).cast("int").as("sgn"),
+        greatest(col("l_tax"), col("l_discount")).as("gr"),
+        least(col("l_tax"), col("l_discount")).as("ls"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_array" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.table(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        array_contains(toks, "data").as("has_data"),
+        element_at(array_sort(toks), 1).as("first_tok"),
+        array_join(slice(array_sort(toks), 1, 3), ",").as("first3"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .as("sum_len"),
+        size(filter(toks, x => length(x) > 4)).cast("long").as("n_long"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+        .orderBy("doc_id")
+    }),
+
+    "fn_map" -> ((s, dir) => {
+      val m = from_json(col("props"), propsMap)
+      Tables.events(s, dir).select(
+        col("event_id"),
+        array_join(map_keys(m), ",").as("keys"),
+        element_at(m, "k").cast("long").as("kval"),
+        array_join(transform(map_values(m), v => v.cast("string")), ",")
+          .as("vals"))
+        .orderBy("event_id")
+    }),
+
+    "fn_json" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        to_json(struct(get_json_object(col("props"), "$.k").cast("int")
+          .as("k"))).as("rt"))
+        .orderBy("event_id")),
+
+    // try_cast of a non-numeric string → null, surfaced via coalesce so the
+    // declared output stays null-free for the hash compare.
+    "fn_cast_conditional" -> ((s, dir) =>
+      Tables.table(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("long").as("price_int"),
+        col("o_orderkey").cast("double").as("key_dbl"),
+        col("o_orderkey").cast("string").as("key_str"),
+        coalesce(expr("try_cast(o_orderpriority AS INTEGER)"), lit(-1))
+          .cast("long").as("bad_int"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INTEGER)")
+          .cast("long").as("pri_num"))
+        .orderBy("o_orderkey")),
+
+    // Generator shape: one row → many token rows (GenerateExec), then the
+    // usual two-phase count — the heavy explode happens before the shuffle,
+    // only (token, partial count) pairs cross the wire.
+    "explode_udtf_shape" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      ("SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo, " +
+       "CAST(length(c_name) AS BIGINT) AS len, " +
+       "substring(c_name, 1, 8) AS sub, " +
+       "c_mktsegment || '#' || c_name AS cat, " +
+       "replace(c_name, 'Customer#', 'C') AS repl, " +
+       "regexp_extract(c_name, '([0-9]+)', 1) AS digits, " +
+       "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad, " +
+       "starts_with(c_name, 'Customer') AS sw, " +
+       "ends_with(c_mktsegment, 'RY') AS ew " +
+       "FROM customer ORDER BY c_custkey"),
+    "fn_date" ->
+      ("SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
+       "day(o_orderdate) AS dom, isodow(o_orderdate) AS dow_iso, " +
+       "date_trunc('month', o_orderdate) AS mon_ts, " +
+       "strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30, " +
+       "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since, " +
+       "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom, " +
+       "CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s " +
+       "FROM orders ORDER BY o_orderkey"),
+    "fn_math" ->
+      ("SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS absd, " +
+       "CAST(floor(l_extendedprice) AS BIGINT) AS flr, " +
+       "CAST(ceil(l_extendedprice) AS BIGINT) AS cl, " +
+       "round(sqrt(l_extendedprice), 6) AS sqp, " +
+       "round(ln(l_extendedprice), 6) AS lnp, " +
+       "round(log10(l_extendedprice), 6) AS l10, " +
+       "power(l_quantity, 2) AS qsq, l_orderkey % 7 AS m7, " +
+       "CAST(sign(l_discount - 0.05) AS INTEGER) AS sgn, " +
+       "greatest(l_tax, l_discount) AS gr, least(l_tax, l_discount) AS ls " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "fn_array" ->
+      ("SELECT doc_id, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       "list_contains(string_split(text, ' '), 'data') AS has_data, " +
+       "list_sort(string_split(text, ' '))[1] AS first_tok, " +
+       "array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), ',') AS first3, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_len, " +
+       "CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS BIGINT) AS n_long, " +
+       "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq " +
+       "FROM documents ORDER BY doc_id"),
+    "fn_map" ->
+      ("SELECT event_id, array_to_string(json_keys(props), ',') AS keys, " +
+       "CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval, " +
+       "array_to_string(list_transform(json_keys(props), " +
+       "k -> json_extract_string(props, '$.' || k)), ',') AS vals " +
+       "FROM events ORDER BY event_id"),
+    "fn_json" ->
+      ("SELECT event_id, " +
+       "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+       "CAST(to_json({'k': CAST(json_extract_string(props, '$.k') AS INTEGER)}) AS VARCHAR) AS rt " +
+       "FROM events ORDER BY event_id"),
+    "fn_cast_conditional" ->
+      ("SELECT o_orderkey, " +
+       "CAST(trunc(o_totalprice) AS BIGINT) AS price_int, " +
+       "CAST(o_orderkey AS DOUBLE) AS key_dbl, " +
+       "CAST(o_orderkey AS VARCHAR) AS key_str, " +
+       "CAST(coalesce(TRY_CAST(o_orderpriority AS INTEGER), -1) AS BIGINT) AS bad_int, " +
+       "CAST(TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS BIGINT) AS pri_num " +
+       "FROM orders ORDER BY o_orderkey"),
+    "explode_udtf_shape" ->
+      ("SELECT token, count(*) AS cnt FROM " +
+       "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+       "GROUP BY token ORDER BY cnt DESC, token LIMIT 20")
+  )
+}
