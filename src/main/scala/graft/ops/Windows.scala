@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2.5 window functions.
+  *
+  * Every window's orderBy ends in a unique tie-break key (§7.3) so rank /
+  * ntile / frame contents are total-order deterministic, which is what the
+  * driver's hash compare requires. Scale shape: a window = one shuffle on
+  * the partition key + a per-partition sort; `win_range_frame` pre-aggregates
+  * to one row per day before its (necessarily global) ordered frame, so the
+  * single-partition window only ever sees ~one row per day regardless of
+  * fact-table size.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+    "win_row_number_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+                col("o_totalprice").as("total"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // rank vs dense_rank on price alone (ties share a rank — that is the
+    // semantics under test); output order is made total by p_partkey.
+    "win_rank_dense" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc)
+      Tables.table(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"),
+                col("p_retailprice").as("price"),
+                rank().over(w).as("rnk"),
+                dense_rank().over(w).as("drnk"))
+        .orderBy("p_brand", "p_partkey")
+    }),
+
+    "win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tss"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .select(col("event_id"), col("user_id"),
+          coalesce(unix_timestamp(col("tss")) -
+                   unix_timestamp(lag("tss", 1).over(w)), lit(-1L))
+            .as("gap_prev"),
+          coalesce(unix_timestamp(lead("tss", 1).over(w)) -
+                   unix_timestamp(col("tss")), lit(-1L))
+            .as("gap_next"))
+        .orderBy("event_id")
+    }),
+
+    // Rows-frame running sum: additions happen in the same deterministic
+    // order on both engines, so the rounded sums are bitwise stable.
+    "win_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+                D.r2(sum("o_totalprice").over(w)).as("run"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // 7-day trailing average of daily revenue. Pre-aggregate to one row per
+    // day first — the global range-frame window then runs over ~2.4k rows,
+    // not the fact table, which is what keeps an unpartitioned ordered
+    // window viable at any input scale.
+    "win_range_frame" -> ((s, dir) => {
+      val daily = Tables.table(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum("o_totalprice").as("rev"))
+        .withColumn("d",
+          datediff(col("day"), lit("1995-01-01").cast("date")))
+      val w = Window.orderBy("d").rangeBetween(-6, 0)
+      daily.select(col("day").cast("timestamp").as("day_ts"),
+                   D.r2(avg("rev").over(w)).as("avg7"))
+        .orderBy("day_ts")
+    }),
+
+    "win_ntile_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.table(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quart"),
+          first("c_acctbal").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("top_bal"),
+          last("c_acctbal").over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            .as("bot_bal"))
+        .orderBy("c_mktsegment", "c_custkey")
+    })
+  )
+
+  private val eventsW = "PARTITION BY user_id ORDER BY tss, event_id"
+  private val custW =
+    "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey"
+
+  val oracles: Map[String, String] = Map(
+    "win_row_number_topk" ->
+      ("SELECT o_custkey, rn, o_orderkey, total FROM " +
+       "(SELECT o_custkey, o_orderkey, o_totalprice AS total, " +
+       "row_number() OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+       "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "win_rank_dense" ->
+      ("SELECT p_brand, p_partkey, p_retailprice AS price, " +
+       "rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk, " +
+       "dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk " +
+       "FROM part ORDER BY p_brand, p_partkey"),
+    "win_lag_lead" ->
+      ("WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss FROM events) " +
+       "SELECT event_id, user_id, " +
+       s"coalesce(CAST(epoch(tss) AS BIGINT) - CAST(epoch(lag(tss) OVER ($eventsW)) AS BIGINT), -1) AS gap_prev, " +
+       s"coalesce(CAST(epoch(lead(tss) OVER ($eventsW)) AS BIGINT) - CAST(epoch(tss) AS BIGINT), -1) AS gap_next " +
+       "FROM e ORDER BY event_id"),
+    "win_running_sum" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "round(sum(o_totalprice) OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_orderdate, o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run " +
+       "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "win_range_frame" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+       "sum(o_totalprice) AS rev, " +
+       "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d " +
+       "FROM orders GROUP BY 1, 3) " +
+       "SELECT CAST(day AS TIMESTAMP) AS day_ts, " +
+       "round(avg(rev) OVER (ORDER BY d " +
+       "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS avg7 " +
+       "FROM daily ORDER BY day_ts"),
+    "win_ntile_firstlast" ->
+      ("SELECT c_mktsegment, c_custkey, c_acctbal, " +
+       s"ntile(4) OVER ($custW) AS quart, " +
+       s"first_value(c_acctbal) OVER ($custW " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_bal, " +
+       s"last_value(c_acctbal) OVER ($custW " +
+       "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bot_bal " +
+       "FROM customer ORDER BY c_mktsegment, c_custkey")
+  )
+}
