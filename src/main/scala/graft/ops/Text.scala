@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 text-analysis + dedup operators over `documents`.
+  *
+  * Scale notes: every operator is explode→two-phase-aggregate or
+  * hash-aggregate shaped — the heavy per-document work (tokenize, shingle,
+  * hash) happens map-side before any shuffle, and only (key, partial)
+  * pairs cross the wire. `dedup_minhash` is banded LSH: candidate pairs are
+  * generated ONLY inside (band_id, band_hash) buckets — never an all-pairs
+  * self-join — which is the property that lets it run on a corpus that
+  * doesn't fit one machine.
+  */
+object Text {
+
+  /** MinHash parameters: 32 seeded xxhash64 min-hashes, 8 bands × 4 rows.
+    * Fixed seeds ⇒ fully deterministic signatures (§7.4 risk 6). */
+  private val NumHashes = 32
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows
+
+  val queries: Map[String, Q] = Map(
+    "text_wordcount" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))),
+
+    // tf·idf with idf = ln((N+1)/(df+1)); the corpus size N is joined in as
+    // a broadcast one-row aggregate, not collected at the driver.
+    "text_tfidf" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("term"))
+        .limit(100)
+    }),
+
+    "text_stats" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+             D.r2(avg("n_chars")).as("avg_chars"),
+             D.r2(avg(size(split(col("text"), " ")))).as("avg_toks"))
+        .orderBy("lang", "source")),
+
+    "dedup_exact" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .groupBy("lang")
+        .agg(countDistinct(lower(trim(col("text")))).as("uniq_docs"),
+             count(lit(1)).as("total_docs"))
+        .orderBy("lang")),
+
+    /** no-oracle: MinHash/LSH near-dup pairs (est. Jaccard ≥ 0.9 over token
+      * sets). Property-tested internally (estimate vs exact Jaccard). */
+    "dedup_minhash" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+                array_distinct(split(lower(col("text")), " ")).as("shingles"))
+      // 32-component MinHash signature, each component the min over the
+      // shingle set of a distinctly-seeded xxhash64.
+      val sig = array((0 until NumHashes).map(i =>
+        array_min(transform(col("shingles"), sh => xxhash64(sh, lit(i))))): _*)
+      val signed = docs.select(col("doc_id"), sig.as("sig"))
+      // LSH banding: one hash per 4-component band; docs sharing any band
+      // hash become candidates. groupJoin happens per (band_id, band_hash)
+      // bucket — never across the whole corpus.
+      def banded = signed.select(col("doc_id"), col("sig"),
+        explode(array((0 until NumBands).map { b =>
+          struct(lit(b).as("band_id"),
+            xxhash64((BandRows * b until BandRows * (b + 1))
+              .map(j => col("sig")(j)): _*).as("band_hash"))
+        }: _*)).as("band"))
+        .select(col("doc_id"), col("sig"),
+                col("band.band_id").as("band_id"),
+                col("band.band_hash").as("band_hash"))
+      val l = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+                            col("band_id"), col("band_hash"))
+      val r = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+                            col("band_id").as("band_id_r"),
+                            col("band_hash").as("band_hash_r"))
+      l.join(r, col("band_id") === col("band_id_r") &&
+                col("band_hash") === col("band_hash_r") &&
+                col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+        .withColumn("matches",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
+        .withColumn("est_jac", round(col("matches") / NumHashes.toDouble, 6))
+        .where(col("est_jac") >= 0.9)
+        .select("doc_a", "doc_b", "est_jac")
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_wordcount" ->
+      ("SELECT token, count(*) AS cnt FROM " +
+       "(SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) " +
+       "GROUP BY token ORDER BY cnt DESC, token"),
+    "text_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term " +
+       "FROM documents), " +
+       "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), " +
+       "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+       "n AS (SELECT count(*) AS n FROM documents) " +
+       "SELECT doc_id, term, round(tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score " +
+       "FROM tf JOIN df USING (term) CROSS JOIN n " +
+       "ORDER BY score DESC, doc_id, term LIMIT 100"),
+    "text_stats" ->
+      ("SELECT lang, source, count(*) AS n_docs, " +
+       "round(avg(n_chars), 2) AS avg_chars, " +
+       "round(avg(len(string_split(text, ' '))), 2) AS avg_toks " +
+       "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+    "dedup_exact" ->
+      ("SELECT lang, count(DISTINCT lower(trim(text))) AS uniq_docs, " +
+       "count(*) AS total_docs FROM documents GROUP BY lang ORDER BY lang")
+  )
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2.10 embedding-similarity operators over `embeddings`
+  * (fixed-dim 64 float vectors).
+  *
+  * All similarity math is built-in higher-order functions (zip_with /
+  * transform / aggregate) over array<double> — codegen-friendly, no UDFs.
+  * Scale shape: the probe set is always the SMALL side and is broadcast, so
+  * cost is O(|probes| × |corpus|) with the corpus streaming partition-local —
+  * never a corpus × corpus self-join. Ranking happens per-probe on the
+  * 6-dp-rounded similarity with vec_id tie-break (§7.3 determinism).
+  */
+object Vector {
+
+  /** Σ aᵢ·bᵢ as a left fold in index order (deterministic summation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** embeddings with the float vector widened to array<double> once. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+
+  /** Broadcast `probes` (q_id, q) against the corpus, rank neighbors by
+    * rounded cosine, keep top k per probe. */
+  private def topK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "embed_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))
+      topK(e, probes, 5)
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    /** no-oracle: kNN label prediction (k=10, majority vote, smaller label
+      * wins ties) for the 100 held-out ids vec_id < 100 against the rest of
+      * the corpus. Deterministic; accuracy asserted in internal tests. */
+    "embed_knn_label" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))
+      val corpus = e.where(col("vec_id") >= 100)
+      val votes = topK(corpus, probes, 10)
+        .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+      val best = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("r", row_number().over(best))
+        .where(col("r") === 1)
+        .select(col("q_id").as("vec_id"), col("label").as("predicted"),
+                col("votes"))
+        .orderBy("vec_id")
+    }),
+
+    // "Multimodal columns": text + embedding vector joined into one
+    // relation, mixed-type analytics per label.
+    "multimodal_join" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val e = Tables.table(s, dir, "embeddings")
+      docs.join(e, col("doc_id") === col("vec_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+             D.r2(avg("n_chars")).as("avg_chars"),
+             D.r2(avg(size(split(col("text"), " ")))).as("avg_toks"))
+        .orderBy("label")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "embed_cosine_topk" ->
+      ("WITH p AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q " +
+       "FROM embeddings WHERE vec_id < 10), " +
+       "sims AS (SELECT p.q_id, e.vec_id, " +
+       "round(list_cosine_similarity(p.q, CAST(e.embedding AS DOUBLE[])), 6) AS sim " +
+       "FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.q_id), " +
+       "r AS (SELECT q_id, vec_id, sim, " +
+       "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk " +
+       "FROM sims) " +
+       "SELECT q_id, rnk, vec_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"),
+    "multimodal_join" ->
+      ("SELECT label, count(*) AS n, round(avg(n_chars), 2) AS avg_chars, " +
+       "round(avg(len(string_split(text, ' '))), 2) AS avg_toks " +
+       "FROM documents JOIN embeddings ON doc_id = vec_id " +
+       "GROUP BY label ORDER BY label")
+  )
+}
