@@ -73,26 +73,35 @@ object Text {
         array_min(transform(col("shingles"), sh => xxhash64(sh, lit(i))))): _*)
       val signed = docs.select(col("doc_id"), sig.as("sig"))
       // LSH banding: one hash per 4-component band; docs sharing any band
-      // hash become candidates. groupJoin happens per (band_id, band_hash)
-      // bucket — never across the whole corpus.
-      def banded = signed.select(col("doc_id"), col("sig"),
+      // hash become candidates. The bucket join carries ONLY doc ids —
+      // dragging the 32-long signature arrays through the join and then
+      // distinct-ing on them forces a sort-based aggregate over wide rows
+      // (arrays aren't hash-aggregatable) and was 27× slower at sf0.1.
+      // Narrow (doc_a, doc_b) pairs dedup in a primitive hash aggregate;
+      // signatures are re-attached afterwards with two id-keyed joins.
+      val banded = signed.select(col("doc_id"),
         explode(array((0 until NumBands).map { b =>
           struct(lit(b).as("band_id"),
             xxhash64((BandRows * b until BandRows * (b + 1))
               .map(j => col("sig")(j)): _*).as("band_hash"))
         }: _*)).as("band"))
-        .select(col("doc_id"), col("sig"),
+        .select(col("doc_id"),
                 col("band.band_id").as("band_id"),
                 col("band.band_hash").as("band_hash"))
-      val l = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      val l = banded.select(col("doc_id").as("doc_a"),
                             col("band_id"), col("band_hash"))
-      val r = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      val r = banded.select(col("doc_id").as("doc_b"),
                             col("band_id").as("band_id_r"),
                             col("band_hash").as("band_hash_r"))
-      l.join(r, col("band_id") === col("band_id_r") &&
+      val cand = l.join(r, col("band_id") === col("band_id_r") &&
                 col("band_hash") === col("band_hash_r") &&
                 col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(signed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+              "doc_a")
+        .join(signed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+              "doc_b")
         .withColumn("matches",
           aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Buffer for the weighted-average Aggregator: running numerator/denominator. */
+case class WAvgBuf(num: Double, den: Double)
+
+/** Typed UDAF (§2.9): weighted average of discount with quantity as the
+  * weight. Partial aggregation comes for free — `reduce` runs map-side per
+  * partition, `merge` combines the per-partition buffers, so one tiny
+  * buffer per group crosses the shuffle exactly like a built-in agg.
+  */
+object WeightedAvg extends Aggregator[(Double, Double), WAvgBuf, Double] {
+  def zero: WAvgBuf = WAvgBuf(0.0, 0.0)
+  def reduce(b: WAvgBuf, in: (Double, Double)): WAvgBuf =
+    WAvgBuf(b.num + in._1 * in._2, b.den + in._2)
+  def merge(a: WAvgBuf, b: WAvgBuf): WAvgBuf =
+    WAvgBuf(a.num + b.num, a.den + b.den)
+  def finish(b: WAvgBuf): Double = b.num / b.den
+  def bufferEncoder: Encoder[WAvgBuf] = Encoders.product[WAvgBuf]
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** SURVEY.md §2.9 user-defined function surface: scalar UDF, typed
+  * Aggregator UDAF, and the one-to-many generator (UDTF) shape.
+  *
+  * These deliberately use the extension APIs rather than built-ins — the
+  * point of the keys is the extension mechanism. Scale note: a Scala UDF
+  * breaks whole-stage codegen at the call site but still runs fully
+  * distributed; the Aggregator keeps map-side partial aggregation; the
+  * flatMap generator is a narrow transformation (no shuffle until the
+  * downstream groupBy).
+  */
+object Udx {
+
+  /** Customer tier from account balance — the scalar UDF under test. */
+  private val tierUdf = udf((bal: Double) =>
+    if (bal < 0) "debt"
+    else if (bal < 3000) "low"
+    else if (bal < 7000) "mid"
+    else "high")
+
+  val queries: Map[String, Q] = Map(
+
+    "udf_scalar" -> ((s, dir) => {
+      Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), tierUdf(col("c_acctbal")).as("tier"))
+        .orderBy("c_custkey")
+    }),
+
+    // Weighted-average discount (weight = quantity) per return flag via the
+    // typed Aggregator, registered through functions.udaf.
+    "udaf_aggregator" -> ((s, dir) => {
+      val wavg = udaf(WeightedAvg)
+      Tables.table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(D.r6(wavg(col("l_discount"), col("l_quantity")))
+          .as("wavg_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Generator/UDTF shape: one row in → many rows out via Dataset.flatMap
+    // (the typed flatMap lowers to the same Generate/SerializeFromObject
+    // plan family a custom Catalyst Generator would produce). Char 3-grams
+    // over document text, top-20 by frequency with the gram as tie-break.
+    "udtf_generator" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (_, t) =>
+          val x = t.toLowerCase
+          (0 to x.length - 3).map(i => x.substring(i, i + 3))
+        }
+        .toDF("gram")
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "udf_scalar" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_acctbal < 0 THEN 'debt'
+        |            WHEN c_acctbal < 3000 THEN 'low'
+        |            WHEN c_acctbal < 7000 THEN 'mid'
+        |            ELSE 'high' END AS tier
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "udaf_aggregator" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_discount * l_quantity) / sum(l_quantity), 6)
+        |         AS wavg_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "udtf_generator" ->
+      """WITH g AS (
+        |  SELECT substring(lower(text), CAST(t.i AS INTEGER), 3) AS gram
+        |  FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i))
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin
+  )
+}

@@ -73,15 +73,24 @@ object Windows {
     // day first — the global range-frame window then runs over ~2.4k rows,
     // not the fact table, which is what keeps an unpartitioned ordered
     // window viable at any input scale.
+    // Daily revenue is summed in exact integer cents (a double sum's value
+    // depends on partition order, and a 7-day average of it once landed on
+    // a .xx5 rounding boundary — cent-exact inputs make the divide+round
+    // bit-identical between Spark and the DuckDB oracle).
     "win_range_frame" -> ((s, dir) => {
       val daily = Tables.table(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum("o_totalprice").as("rev"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("rev_cents"))
         .withColumn("d",
           datediff(col("day"), lit("1995-01-01").cast("date")))
+      // No round() at all: long/long `/` is IEEE double division of exact
+      // integers, bit-identical in Spark and DuckDB — round(x, 2) on a
+      // true .xx5 boundary is engine-dependent and flaked twice here.
       val w = Window.orderBy("d").rangeBetween(-6, 0)
       daily.select(col("day").cast("timestamp").as("day_ts"),
-                   D.r2(avg("rev").over(w)).as("avg7"))
+                   (sum("rev_cents").over(w) / count(lit(1)).over(w) / 100)
+                     .as("avg7"))
         .orderBy("day_ts")
     }),
 
@@ -131,13 +140,14 @@ object Windows {
        "FROM orders ORDER BY o_custkey, o_orderkey"),
     "win_range_frame" ->
       ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
-       "sum(o_totalprice) AS rev, " +
+       "sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS rev_cents, " +
        "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d " +
        "FROM orders GROUP BY 1, 3) " +
        "SELECT CAST(day AS TIMESTAMP) AS day_ts, " +
-       "round(avg(rev) OVER (ORDER BY d " +
-       "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS avg7 " +
-       "FROM daily ORDER BY day_ts"),
+       "CAST(sum(rev_cents) OVER w AS DOUBLE) / count(*) OVER w / 100 " +
+       "AS avg7 FROM daily " +
+       "WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+       "ORDER BY day_ts"),
     "win_ntile_firstlast" ->
       ("SELECT c_mktsegment, c_custkey, c_acctbal, " +
        s"ntile(4) OVER ($custW) AS quart, " +

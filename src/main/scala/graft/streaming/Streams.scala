@@ -1,0 +1,234 @@
+package graft.streaming
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Per-user running count emitted by the stateful stream (§2.8). */
+case class UserCount(user_id: Long, cnt: Long)
+
+/** SURVEY.md §2.8 Structured Streaming.
+  *
+  * Declared queries run REAL micro-batch streams: the `events` parquet is
+  * read as a file-source stream, drained with `Trigger.AvailableNow` into
+  * a memory sink, and the sink table is returned (so the driver contract's
+  * `(SparkSession, sfDir) => DataFrame` shape holds). On a full drain the
+  * stream result equals the batch result, which is what gives five of the
+  * six keys a DuckDB oracle; `stream_watermark_late` is engine-temporal
+  * (watermark-dependent emission) and stays no-oracle, covered by the
+  * stream-vs-batch containment test in `StreamingSpec`.
+  *
+  * Scale shape: every aggregation here is a keyed state-store aggregation —
+  * state is partitioned by group key across executors exactly like a batch
+  * shuffle, and the watermark bounds state size (windows older than
+  * max(ts)-1h are evicted). Nothing is collected to the driver; the memory
+  * sink holds only final aggregates (O(groups), not O(events)).
+  */
+object Streams {
+
+  /** Raw schema of the events parquet under nanosAsLong: `ts` arrives as
+    * LongType nanoseconds (see Tables.events for the batch-side twin). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val sinkId = new AtomicLong(0)
+
+  /** Spark's file stream source lists a DIRECTORY for new files, so the
+    * single-file `events.parquet` is staged (copied once per sf dir) into
+    * a tmpdir directory — the same place Spark puts its own temp stream
+    * checkpoints. Idempotent and cheap (one file copy per JVM per sf). */
+  def stageDir(path: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(path)
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src",
+      java.lang.Long.toHexString(path.hashCode.toLong & 0xffffffffL))
+    Files.createDirectories(dir)
+    val dst = dir.resolve(src.getFileName)
+    if (!Files.exists(dst))
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  /** File-source stream over a DIRECTORY of events parquet files, with
+    * microsecond TimestampType ts. `maxFiles` bounds files per micro-batch —
+    * StreamingSpec uses it with a multi-file copy to exercise multi-batch
+    * incremental state; declared queries leave it unset (single file →
+    * single micro-batch → deterministic full drain). */
+  def eventsStreamDir(s: SparkSession, srcDir: String,
+                      maxFiles: Option[Int] = None): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = s.readStream.schema(rawSchema)
+    maxFiles.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** `events` as a file-source stream (stages the single file first). */
+  def eventsStream(s: SparkSession, path: String): DataFrame =
+    eventsStreamDir(s, stageDir(path))
+
+  /** Drain a streaming DataFrame to completion into a memory sink and
+    * return the sink contents as a batch DataFrame. */
+  def drain(out: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_sink_${sinkId.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    out.sparkSession.table(name)
+  }
+
+  /** Running per-user counter with an event-time timeout: the
+    * flatMapGroupsWithState contract (§2.8). Emits the updated count on
+    * every invocation; when the watermark passes an idle user's timeout it
+    * emits the final count and drops the state — the state-cleanup path a
+    * live unbounded stream needs. (Event-time, not processing-time,
+    * timeout: wall-clock timers keep an AvailableNow drain alive waiting
+    * for them, which would hang a bounded run.)
+    */
+  def countUpdates(uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+                   state: GroupState[Long]): Iterator[UserCount] = {
+    if (state.hasTimedOut) {
+      val c = state.get; state.remove()
+      Iterator.single(UserCount(uid, c))
+    } else {
+      val c = state.getOption.getOrElse(0L) + rows.size
+      state.update(c)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600000L)
+      Iterator.single(UserCount(uid, c))
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // 1-hour tumbling event-time counts per event_type. Complete mode: the
+    // sink holds every window, so full drain == batch date_trunc('hour').
+    "stream_tumbling" -> ((s, dir) => {
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count()
+      drain(out, OutputMode.Complete())
+        .select(unix_timestamp(col("window.start")).as("ws"),
+                col("event_type"), col("count").as("n"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // 1-hour window sliding every 15 min: each event lands in 4 windows.
+    "stream_sliding" -> ((s, dir) => {
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      drain(out, OutputMode.Complete())
+        .select(unix_timestamp(col("window.start")).as("ws"),
+                D.r6(col("avg_value")).as("avg_value"), col("n"))
+        .orderBy("ws")
+    }),
+
+    // Per-user session windows, 30-min gap. session_window is the same
+    // operator in batch and streaming; the declared query uses the batch
+    // form (SURVEY §2.8) — StreamingSpec runs the streaming twin and
+    // asserts equality on full drain.
+    "stream_session" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+        .select(col("user_id"),
+                unix_micros(col("session_window.start")).as("start_us"),
+                col("n_events"),
+                (unix_micros(col("mx")) -
+                 unix_micros(col("session_window.start"))).as("dur_us"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // Watermark semantics: append mode only emits a window once the 1-hour
+    // watermark passes its end, so rows later than the watermark are
+    // dropped from state. No-oracle (emission depends on the engine's
+    // watermark progression, not just the data); StreamingSpec asserts
+    // output ⊆ batch and exact equality on an in-order full drain.
+    "stream_watermark_late" -> ((s, dir) => {
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count()
+      drain(out, OutputMode.Append())
+        .select(unix_timestamp(col("window.start")).as("ws"),
+                col("event_type"), col("count").as("n"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // Streaming dedup on (user_id, event_type) within a 1-hour watermark.
+    // Full drain emits exactly the distinct pairs (first occurrence wins;
+    // projecting only the key columns makes that set-deterministic).
+    "stream_dedup" -> ((s, dir) => {
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      drain(out, OutputMode.Append())
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Arbitrary stateful processing: running per-user event counter via
+    // flatMapGroupsWithState with a processing-time timeout. Each batch
+    // emits the running count; max(cnt) per user is the final counter, so
+    // the declared result is drain-schedule-independent and equals the
+    // batch groupBy count.
+    "stream_stateful_count" -> ((s, dir) => {
+      import s.implicits._
+      // ts is kept through the select: the event-time timeout requires the
+      // watermark column to reach the stateful operator.
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(countUpdates)
+      drain(out.toDF(), OutputMode.Append())
+        .groupBy("user_id").agg(max(col("cnt")).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_sliding" ->
+      """WITH slid AS (
+        |  SELECT CAST(floor(epoch(ts)/900)*900 - k.k*900 AS BIGINT) AS ws, value
+        |  FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k))
+        |SELECT ws, round(avg(value), 6) AS avg_value, count(*) AS n
+        |FROM slid GROUP BY ws ORDER BY ws""".stripMargin,
+    "stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |       count(*) AS n_events,
+        |       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "stream_stateful_count" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

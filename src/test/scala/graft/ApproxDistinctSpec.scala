@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.4: agg_approx_distinct is declared no-oracle, so its
+  * correctness contract lives here — HLL++ estimate within ±5% of the
+  * exact distinct count (the rsd the query requests). */
+class ApproxDistinctSpec extends AnyFunSuite {
+  import TestSpark._
+
+  for ((table, column) <- Seq("orders" -> "o_custkey",
+                              "lineitem" -> "l_partkey",
+                              "events" -> "user_id"))
+    test(s"approx_count_distinct($table.$column) within 5% of exact") {
+      val row = Tables.table(spark, sf, table)
+        .agg(approx_count_distinct(col(column), 0.05).as("approx"),
+             countDistinct(col(column)).as("exact"))
+        .head()
+      val (approx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+      assert(math.abs(approx - exact) <= 0.05 * exact,
+        s"approx=$approx exact=$exact off by more than 5%")
+    }
+
+  test("declared agg_approx_distinct query runs and is plausible") {
+    val out = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
+    assert(out.nonEmpty)
+  }
+}

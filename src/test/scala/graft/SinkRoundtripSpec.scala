@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1: csv / json / parquet sink round-trips — write a query
+  * result, read it back with the written schema, get the same rows. */
+class SinkRoundtripSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val result =
+    SparkEntry.queries("agg_pricing_summary")(spark, sf).cache()
+
+  private def tmp(suffix: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sink_$suffix").toString + "/out"
+
+  test("parquet sink round-trip") {
+    val p = tmp("parquet")
+    result.write.mode("overwrite").parquet(p)
+    assert(rowSet(spark.read.parquet(p)) === rowSet(result))
+  }
+
+  test("csv sink round-trip") {
+    val p = tmp("csv")
+    result.write.mode("overwrite").option("header", "true").csv(p)
+    val back = spark.read.schema(result.schema).option("header", "true").csv(p)
+    assert(rowSet(back) === rowSet(result))
+  }
+
+  test("json sink round-trip") {
+    val p = tmp("json")
+    result.write.mode("overwrite").json(p)
+    val back = spark.read.schema(result.schema).json(p)
+    assert(rowSet(back) === rowSet(result))
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.8 / §5: stream-vs-batch equality for the streaming keys, run
+  * as REAL multi-micro-batch streams (3 source files, maxFilesPerTrigger=1)
+  * so incremental state, not just a single-batch drain, is what's tested.
+  *
+  * Equality vs containment per key follows the semantics:
+  *  - complete-mode aggregation and the stateful counter see every row
+  *    regardless of batch order => exact equality with batch.
+  *  - append-mode watermarked queries may drop rows that arrive after the
+  *    watermark passed (file order is not time order) => output ⊆ batch.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** events split into 3 parquet files (raw nanos Long ts, like the
+    * source file) so maxFilesPerTrigger=1 yields 3 micro-batches. */
+  private lazy val srcDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_multi").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(Tables.path(sf, "events"))
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def stream3(maxFiles: Int = 1): DataFrame =
+    Streams.eventsStreamDir(spark, srcDir, Some(maxFiles))
+
+  test("multi-batch tumbling (complete mode) equals batch windows") {
+    val out = Streams.drain(
+      stream3().groupBy(window(col("ts"), "1 hour"), col("event_type")).count(),
+      OutputMode.Complete())
+      .select(col("window.start").as("ws"), col("event_type"), col("count"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type")).count()
+      .select(col("w.start").as("ws"), col("event_type"), col("count"))
+    assert(rowSet(out) === rowSet(batch))
+  }
+
+  private def statefulCounts(maxFiles: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Streams.drain(
+      stream3(maxFiles)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+          Streams.countUpdates).toDF(),
+      OutputMode.Append())
+      .groupBy("user_id").agg(max(col("cnt")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("stateful counter: single-batch equals batch; multi-batch drops only late rows") {
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full drain in one batch: no row is late => exact equality
+    assert(statefulCounts(maxFiles = 3) === batch)
+    // 3 unordered batches: the watermark legitimately drops rows that
+    // arrive after it passed, never invents them
+    val multi = statefulCounts(maxFiles = 1)
+    assert(multi.keySet === batch.keySet)
+    multi.foreach { case (u, n) =>
+      assert(n <= batch(u) && n > 0, s"user $u stream=$n batch=${batch(u)}")
+    }
+  }
+
+  test("multi-batch streaming dedup is a subset of batch DISTINCT, non-trivial") {
+    val out = Streams.drain(
+      stream3()
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      OutputMode.Append())
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+    val (o, b) = (rowSet(out), rowSet(batch))
+    assert(o.subsetOf(b))
+    assert(o.nonEmpty)
+  }
+
+  test("watermarked append windows are a subset of batch, equal when in order") {
+    def agg(df: DataFrame) = df
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+      .select(col("window.start").as("ws"), col("event_type"), col("count"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type")).count()
+      .select(col("w.start").as("ws"), col("event_type"), col("count"))
+    val batchMap = batch.collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    // out-of-order multi-batch: every emitted window exists in batch with a
+    // count <= the batch count (late rows are dropped, never invented)
+    val multi = Streams.drain(agg(stream3()), OutputMode.Append()).collect()
+    assert(multi.nonEmpty)
+    multi.foreach { r =>
+      val k = (r.get(0).toString, r.getString(1))
+      assert(batchMap.contains(k), s"window $k not in batch result")
+      assert(r.getLong(2) <= batchMap(k), s"window $k overcounted")
+    }
+    // single full drain: nothing is late; only windows newer than the final
+    // watermark (max ts - 1h) may be withheld
+    val single = Streams.drain(
+      agg(Streams.eventsStream(spark, Tables.path(sf, "events"))),
+      OutputMode.Append())
+    val missing = rowSet(batch) -- rowSet(single)
+    assert(rowSet(single).subsetOf(rowSet(batch)))
+    val maxTs = Tables.events(spark, sf).agg(max("ts")).head().getTimestamp(0)
+    val cut = maxTs.getTime - 3600 * 1000L
+    missing.foreach { row =>
+      val ws = java.sql.Timestamp.valueOf(row.head.replace("T", " "))
+      assert(ws.getTime + 3600 * 1000L > cut,
+        s"window $ws was finalized but not emitted")
+    }
+  }
+
+  test("streaming session_window equals batch session_window on drain") {
+    val out = Streams.drain(
+      stream3(maxFiles = 3) // one batch: in-order => every session finalized
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n")),
+      OutputMode.Append())
+      .select(col("user_id"), col("sw.start").as("st"), col("n"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("st"), col("n"))
+    val (o, b) = (rowSet(out), rowSet(batch))
+    assert(o.subsetOf(b))
+    // everything except sessions still open at the final watermark is out
+    assert(o.size >= b.size - 50, s"stream=${o.size} batch=${b.size}")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.10 / §5: differential tests for the embedding-similarity
+  * operators. The distributed broadcast-topK implementation is checked
+  * against a naive in-memory brute force over the collected vectors —
+  * feasible because sf0.001 is ~1k vectors; the property generalizes
+  * because the operator under test is scale-invariant in its semantics.
+  */
+class VectorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private lazy val vecs: Map[Long, (Array[Double], Int)] =
+    Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toArray, r.getInt(2)))
+      .toMap
+
+  test("cosine HOF: self-similarity is 1") {
+    val sims = Tables.table(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+      .select(graft.ops.Vector.cosine(col("v"), col("v")).as("s"))
+      .collect().map(_.getDouble(0))
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("embed_cosine_topk matches in-memory brute force exactly") {
+    val got = SparkEntry.queries("embed_cosine_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // Reference: same contract — probes vec_id<10, exclude self, rank by
+    // round(cos, 6) desc then vec_id asc, top 5.
+    val want = vecs.keys.filter(_ < 10).toSeq.sorted.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, (v, _)) =>
+          (id, BigDecimal(cosine(vecs(q)._1, v))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, i + 1, id) }
+    }
+    assert(got.toSeq.sorted === want.sorted)
+  }
+
+  test("embed_knn_label matches in-memory brute-force kNN vote") {
+    val got = SparkEntry.queries("embed_knn_label")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val corpus = vecs.filter(_._1 >= 100).toSeq
+    val want = vecs.keys.filter(_ < 100).map { q =>
+      val neigh = corpus
+        .map { case (id, (v, lab)) =>
+          (id, lab, BigDecimal(cosine(vecs(q)._1, v))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, _, s) => (-s, id) }
+        .take(10)
+      // majority vote, smaller label wins ties
+      val pred = neigh.groupBy(_._2).toSeq
+        .map { case (lab, xs) => (lab, xs.size) }
+        .sortBy { case (lab, n) => (-n, lab) }.head._1
+      q -> pred
+    }.toMap
+    assert(got.size === 100)
+    assert(got === want)
+  }
+}
