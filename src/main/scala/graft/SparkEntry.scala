@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggs.queries ++ Joins.queries ++
       Scalars.queries ++ Windows.queries ++ Text.queries ++ Vector.queries ++
-      Udx.queries ++ graft.streaming.Streams.queries
+      Udx.queries ++ graft.streaming.Streams.queries ++
+      TextQuality.queries ++ Dedup.queries ++ Ann.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Aggs.oracles ++ Joins.oracles ++
       Scalars.oracles ++ Windows.oracles ++ Text.oracles ++ Vector.oracles ++
-      Udx.oracles ++ graft.streaming.Streams.oracles
+      Udx.oracles ++ graft.streaming.Streams.oracles ++
+      TextQuality.oracles ++ Dedup.oracles ++ Ann.oracles ++ Multimodal.oracles
 }

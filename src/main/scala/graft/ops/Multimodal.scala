@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media record as it would arrive from a lakehouse media table: opaque
+  * payload bytes plus typed metadata. */
+case class MediaRec(doc_id: Long, fmt: String, width: Int, height: Int,
+                    payload: Array[Byte])
+
+/** Decoded features for one media item. */
+case class MediaFeat(doc_id: Long, fmt: String, n_bytes: Int,
+                     brightness: Double, entropy8: Double)
+
+/** Multimodal-column plumbing (training-data-pipeline surface): treat
+  * image/audio/video as opaque `binary` columns with typed metadata, and
+  * run the decode / feature-extract step as a distributed per-partition
+  * batch job.
+  *
+  * The REAL parts — schema (binary payload + metadata struct), partition
+  * batch shape (`Dataset[MediaRec].mapPartitions`, the Scala analog of
+  * `mapInPandas`: one iterator per partition, decoder state amortized
+  * across the batch), and the downstream relational aggregation — are
+  * genuine and tested. The codec itself is a STUB: no image/audio libs
+  * exist in this environment, so `decodeStub` computes deterministic
+  * byte-level "features" (mean byte value, 8-bucket byte entropy) standing
+  * in for pixel decode + embedding. Swap `decodeStub` for a real codec
+  * (JNI/javacv) without touching the plumbing.
+  */
+object Multimodal {
+
+  /** Stand-in for the real media decoder. Deterministic, pure,
+    * per-partition instantiable (a real codec would be constructed once
+    * per partition right here, before the iterator is consumed). */
+  def decodeStub(r: MediaRec): MediaFeat = {
+    val bytes = r.payload
+    val n = bytes.length
+    val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xFF).toDouble).sum / n
+    val hist = new Array[Long](8)
+    bytes.foreach(b => hist((b & 0xFF) >> 5) += 1)
+    val ent = -hist.filter(_ > 0).map { c =>
+      val p = c.toDouble / n; p * math.log(p) / math.log(2)
+    }.sum
+    MediaFeat(r.doc_id, r.fmt, n,
+      math.rint(mean * 1e6) / 1e6, math.rint(ent * 1e6) / 1e6)
+  }
+
+  /** The `documents` table dressed as a media table: payload = UTF-8 bytes
+    * of the text (a deterministic fake for image bytes), metadata derived
+    * from doc fields. Partitioned by doc_id so downstream batches are
+    * balanced regardless of source skew. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+        (col("n_chars") % 640 + 1).cast("int").as("width"),
+        (col("n_chars") % 480 + 1).cast("int").as("height"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .repartition(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    /** no-oracle: decode+featurize the media batch, then per-format stats.
+      * Internally tested (schema, determinism, entropy bounds). */
+    "mm_media_features" -> ((s, dir) => {
+      import s.implicits._
+      mediaTable(s, dir).as[MediaRec]
+        .mapPartitions(_.map(decodeStub))
+        .toDF()
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum("n_bytes").as("sum_bytes"),
+          D.r6(avg("brightness")).as("avg_brightness"),
+          D.r6(avg("entropy8")).as("avg_entropy"))
+        .orderBy("fmt")
+    }),
+
+    // Metadata-only path: binary payload size + metadata aggregation stays
+    // entirely relational (no decode), the common "filter by metadata
+    // before decoding" pattern — at scale this prunes the expensive decode
+    // stage to the selected subset.
+    "mm_metadata_stats" -> ((s, dir) =>
+      mediaTable(s, dir)
+        .where(col("width") > 100)
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("sum_bytes"),
+          D.r2(avg("width")).as("avg_w"),
+          D.r2(avg("height")).as("avg_h"))
+        .orderBy("fmt"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_metadata_stats" ->
+      ("WITH m AS (SELECT doc_id, ['png','jpeg','wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt, " +
+        "CAST(n_chars % 640 + 1 AS INT) AS width, CAST(n_chars % 480 + 1 AS INT) AS height, " +
+        "encode(text) AS payload FROM documents) " +
+        "SELECT fmt, count(*) AS n, sum(octet_length(payload)) AS sum_bytes, " +
+        "round(avg(width), 2) AS avg_w, round(avg(height), 2) AS avg_h " +
+        "FROM m WHERE width > 100 GROUP BY fmt ORDER BY fmt")
+  )
+}

@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Training-data text-analysis operators over `documents` (SURVEY.md §2.10
+  * north-star extensions): language identification, quality scoring, token
+  * counting, and document fingerprinting.
+  *
+  * Scale shape: every query is a narrow map over documents followed by a
+  * small groupBy — the per-document work (tokenize, intersect, fold) is
+  * all built-in higher-order functions running map-side inside whole-stage
+  * codegen; only (key, partial-agg) pairs cross the shuffle. No UDFs, no
+  * driver-side collection, so each op scales linearly with corpus bytes.
+  */
+object TextQuality {
+
+  /** Fixed per-language keyword lists. The synthetic corpus shares one
+    * vocabulary across langs, so these grade the MECHANICS (deterministic
+    * intersect-score + argmax with a fixed tie-break), not real-world
+    * accuracy; swap in real stopword lists for production use.
+    */
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "scan", "filter", "sort"),
+    "de" -> Seq("der", "die", "das", "und", "agg"),
+    "fr" -> Seq("le", "la", "et", "join", "merge"),
+    "es" -> Seq("el", "la", "y", "group", "window"))
+
+  private def lit_arr(xs: Seq[String]): Column = array(xs.map(lit): _*)
+
+  /** Distinct lower-cased whitespace tokens. */
+  private val toks: Column = array_distinct(split(lower(col("text")), " "))
+
+  /** Polynomial rolling hash of a token (fold over char codes, mod 1e9+7). */
+  private def tokenHash(t: Column): Column =
+    aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
+      lit(0L), (a, b) => (a * 31 + b) % 1000000007L)
+
+  val queries: Map[String, Q] = Map(
+
+    // Language-ID: score = |distinct tokens ∩ lang keyword list|, predicted
+    // = argmax with fixed tie-break order (de, en, es, else fr — mirrored
+    // exactly in the oracle CASE). Output is the lang × predicted confusion
+    // matrix, which stays small no matter the corpus size.
+    "text_langid" -> ((s, dir) => {
+      val scored = Tables.table(s, dir, "documents")
+        .select(col("lang") +:
+          langWords.map { case (l, ws) =>
+            size(array_intersect(toks, lit_arr(ws))).as(s"s_$l")
+          }: _*)
+      val g = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+      scored
+        .withColumn("predicted",
+          when(g === col("s_de"), "de")
+            .when(g === col("s_en"), "en")
+            .when(g === col("s_es"), "es")
+            .otherwise("fr"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Quality scoring: length window, average word length, stopword ratio,
+    // symbol ratio → weighted score → low/medium/high buckets per source.
+    "text_quality" -> ((s, dir) => {
+      val nToks = size(split(lower(col("text")), " "))
+      val stopRatio = size(array_intersect(toks,
+        lit_arr(Seq("the", "a", "and", "of", "to")))).cast("double") / nToks
+      val symRatio =
+        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+          .cast("double") / col("n_chars")
+      val avgWordLen = col("n_chars").cast("double") / nToks
+      val score =
+        when(col("n_chars").between(50, 5000), lit(0.4)).otherwise(lit(0.0)) +
+          when(avgWordLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
+          when(stopRatio > 0.01, lit(0.2)).otherwise(lit(0.0)) +
+          when(symRatio < 0.1, lit(0.1)).otherwise(lit(0.0))
+      Tables.table(s, dir, "documents")
+        .withColumn("q", round(score, 2))
+        .withColumn("bucket",
+          when(col("q") >= 0.8, "high")
+            .when(col("q") >= 0.5, "medium")
+            .otherwise("low"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n"), D.r2(avg(col("q"))).as("avg_q"))
+        .orderBy("source", "bucket")
+    }),
+
+    // Token counting: whitespace tokens vs a BPE-ish regex lex
+    // ([a-z]+ | digit runs | single symbols), aggregated per lang.
+    "text_tokens" -> ((s, dir) => {
+      val ws = size(split(col("text"), " "))
+      val re = size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      Tables.table(s, dir, "documents")
+        .select(col("lang"), ws.as("ws_toks"), re.as("re_toks"))
+        .groupBy("lang")
+        .agg(sum("ws_toks").as("sum_ws"),
+          sum("re_toks").as("sum_re"),
+          D.r2(avg("ws_toks")).as("avg_ws"))
+        .orderBy("lang")
+    }),
+
+    // Document fingerprint: nested polynomial rolling hash — per-token char
+    // fold, then a fold over token hashes. One deterministic BIGINT per
+    // document; byte-identical re-runs make it usable as a cheap content
+    // key for incremental dedup at any scale.
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(
+            transform(split(lower(col("text")), " "), tokenHash(_)),
+            lit(0L), (a, b) => (a * 131 + b) % 1000000007L).as("fp"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" ->
+      ("WITH toks AS (SELECT lang, list_distinct(string_split(lower(text), ' ')) AS t FROM documents), " +
+        "scored AS (SELECT lang, " +
+        "len(list_intersect(t, ['the','a','scan','filter','sort'])) AS s_en, " +
+        "len(list_intersect(t, ['der','die','das','und','agg'])) AS s_de, " +
+        "len(list_intersect(t, ['le','la','et','join','merge'])) AS s_fr, " +
+        "len(list_intersect(t, ['el','la','y','group','window'])) AS s_es FROM toks), " +
+        "arg AS (SELECT lang, CASE greatest(s_en, s_de, s_fr, s_es) " +
+        "WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es' ELSE 'fr' END AS predicted " +
+        "FROM scored) " +
+        "SELECT lang, predicted, count(*) AS n FROM arg GROUP BY lang, predicted " +
+        "ORDER BY lang, predicted"),
+    "text_quality" ->
+      ("WITH m AS (SELECT source, n_chars, " +
+        "len(string_split(lower(text), ' ')) AS n_toks, " +
+        "len(list_intersect(list_distinct(string_split(lower(text), ' ')), " +
+        "['the','a','and','of','to'])) AS n_stop, " +
+        "len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_sym FROM documents), " +
+        "q AS (SELECT source, round(" +
+        "(CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END) + " +
+        "(CASE WHEN n_chars * 1.0 / n_toks BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END) + " +
+        "(CASE WHEN n_stop * 1.0 / n_toks > 0.01 THEN 0.2 ELSE 0.0 END) + " +
+        "(CASE WHEN n_sym * 1.0 / n_chars < 0.1 THEN 0.1 ELSE 0.0 END), 2) AS q FROM m) " +
+        "SELECT source, CASE WHEN q >= 0.8 THEN 'high' WHEN q >= 0.5 THEN 'medium' " +
+        "ELSE 'low' END AS bucket, count(*) AS n, round(avg(q), 2) AS avg_q " +
+        "FROM q GROUP BY 1, 2 ORDER BY 1, 2"),
+    "text_tokens" ->
+      ("SELECT lang, sum(len(string_split(text, ' '))) AS sum_ws, " +
+        "sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS sum_re, " +
+        "round(avg(len(string_split(text, ' '))), 2) AS avg_ws " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "text_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(lower(text), ' '), " +
+        "t -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007))), " +
+        "(a, b) -> (a * 131 + b) % 1000000007) AS fp FROM documents ORDER BY doc_id")
+  )
+}
