@@ -49,8 +49,7 @@ object Multimodal {
 
   /** The `documents` table dressed as a media table: payload = UTF-8 bytes
     * of the text (a deterministic fake for image bytes), metadata derived
-    * from doc fields. Partitioned by doc_id so downstream batches are
-    * balanced regardless of source skew. */
+    * from doc fields. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
       .select(col("doc_id"),
@@ -59,14 +58,16 @@ object Multimodal {
         (col("n_chars") % 640 + 1).cast("int").as("width"),
         (col("n_chars") % 480 + 1).cast("int").as("height"),
         encode(col("text"), "UTF-8").as("payload"))
-      .repartition(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
     /** no-oracle: decode+featurize the media batch, then per-format stats.
       * Internally tested (schema, determinism, entropy bounds). */
     "mm_media_features" -> ((s, dir) => {
       import s.implicits._
-      mediaTable(s, dir).as[MediaRec]
+      // Repartition by doc_id before the decode stage only: balanced
+      // batches for the expensive step regardless of source skew, while
+      // metadata-only queries skip the shuffle entirely.
+      mediaTable(s, dir).repartition(col("doc_id")).as[MediaRec]
         .mapPartitions(_.map(decodeStub))
         .toDF()
         .groupBy("fmt")
