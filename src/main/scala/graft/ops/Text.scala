@@ -70,13 +70,18 @@ object Text {
     /** no-oracle: MinHash/LSH near-dup pairs (est. Jaccard ≥ 0.9 over token
       * sets). Property-tested internally (estimate vs exact Jaccard). */
     "dedup_minhash" -> ((s, dir) => {
+      // Each shingle STRING is xxhash64'd ONCE; the 32 signature
+      // components are mins over cheap re-hashes of that 8-byte long with
+      // the component index as seed material. Hashing a fixed-width long
+      // 32× beats hashing variable-length strings 32× map-side (the
+      // string pass dominates), with the same fixed-seed determinism.
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
-                array_distinct(split(lower(col("text")), " ")).as("shingles"))
-      // 32-component MinHash signature, each component the min over the
-      // shingle set of a distinctly-seeded xxhash64.
-      val sig = array((0 until NumHashes).map(i =>
-        array_min(transform(col("shingles"), sh => xxhash64(sh, lit(i))))): _*)
+          transform(array_distinct(split(lower(col("text")), " ")),
+            sh => xxhash64(sh)).as("th"))
+      val sig = array((0 until NumHashes).map { i =>
+        array_min(transform(col("th"), h => xxhash64(h, lit(i))))
+      }: _*)
       val signed = docs.select(col("doc_id"), sig.as("sig"))
       // LSH banding: one hash per 4-component band; docs sharing any band
       // hash become candidates. The bucket join carries ONLY doc ids —

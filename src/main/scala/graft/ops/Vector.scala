@@ -25,8 +25,16 @@ object Vector {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Built-in-HOF cosine: same left-to-right summation as [[cosine]];
+    * kept as the reference implementation for the parity spec. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the native codegen'd Catalyst expression
+    * ([[org.apache.spark.sql.graft.CosineSim]]) — bit-identical to
+    * [[cosineHof]], one fused loop per row instead of three lambda folds. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSim(a, b)
 
   /** embeddings with the float vector widened to array<double> once. */
   private def emb(s: SparkSession, dir: String): DataFrame =
