@@ -180,6 +180,32 @@ object Joins {
         .select(col("event_id").as("p_id"), col("user_id"),
                 col("prev_signup"))
         .orderBy("p_id")
+    }),
+
+    // Salted join — the hot-key mitigation for when one join key carries a
+    // disproportionate share of the fact table (AQE's skew-join splits
+    // post-shuffle partitions, but salting is the portable fix that also
+    // works mid-pipeline and under bucketing). The fact side gets a
+    // deterministic salt in [0,8) derived from its ROW identity (not the
+    // key — that's the point: rows of one hot key spread over 8 shuffle
+    // partitions); the dim side is replicated once per salt via a
+    // sequence-explode. Join on (key, salt) ⇒ identical result to the
+    // plain equi-join (the oracle IS the plain join), 8× the dim rows
+    // shuffled (cheap — dims are small) in exchange for an 8-way fan-out
+    // of every hot fact key.
+    "join_skew_salted" -> ((s, dir) => {
+      val Salts = 8
+      val e = Tables.events(s, dir)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(Salts)))
+      val c = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(sequence(lit(0), lit(Salts - 1))).as("salt"))
+      e.join(c, col("user_id") === col("c_custkey") &&
+          e("salt") === c("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          D.r2(sum("value")).as("sum_value"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -190,6 +216,11 @@ object Joins {
        "JOIN nation ON s_nationkey = n_nationkey " +
        "JOIN region ON n_regionkey = r_regionkey " +
        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+    "join_skew_salted" ->
+      ("SELECT c_mktsegment, count(*) AS n_events, " +
+       "round(sum(value), 2) AS sum_value " +
+       "FROM events JOIN customer ON user_id = c_custkey " +
+       "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "join_shuffle_hash" ->
       ("SELECT o_orderpriority, count(*) AS cnt, " +
        "round(sum(l_extendedprice), 2) AS sum_price " +

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-guard plan audit: assert the physical-plan properties that keep
+  * each query viable at 100 TB, so a refactor that silently degrades a
+  * plan (lost pushdown, surprise cartesian, dropped broadcast) fails CI
+  * rather than a production run.
+  *
+  * Only plans (queryExecution.executedPlan) are inspected — nothing is
+  * executed — so the whole audit is cheap. Streaming keys are excluded:
+  * invoking them RUNS the stream (AvailableNow drain) and the returned
+  * batch result's plan is just the memory-sink scan.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val streamingKeys =
+    graft.streaming.Streams.queries.keySet
+  // These intentionally build cross/nested-loop products: the cross-join
+  // key itself, the theta/interval joins, and every embedding op that
+  // broadcasts a small probe/centroid set against the corpus.
+  private val crossOk = Set("join_cross", "join_theta_range", "join_interval",
+    "embed_cosine_topk", "embed_knn_label", "embed_neardup", "embed_ann_ivf",
+    "text_tfidf")
+
+  private lazy val plans: Map[String, String] =
+    (SparkEntry.queries.keySet -- streamingKeys).map { k =>
+      k -> SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan.toString
+    }.toMap
+
+  test("no query falls back to an unbounded CartesianProduct") {
+    val offenders = plans.collect {
+      case (k, p) if p.contains("CartesianProduct") && !crossOk(k) => k
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
+  }
+
+  test("broadcast-nested-loop only where the build side is provably small") {
+    val offenders = plans.collect {
+      case (k, p) if p.contains("BroadcastNestedLoopJoin") && !crossOk(k) => k
+    }
+    assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
+  }
+
+  test("pinned join algorithms survive planning") {
+    assert(plans("join_broadcast").contains("BroadcastHashJoin"))
+    assert(plans("join_shuffle_hash").contains("ShuffledHashJoin"))
+    assert(plans("join_sort_merge").contains("SortMergeJoin"))
+    assert(plans("join_skew_salted").contains("BroadcastHashJoin") ||
+      plans("join_skew_salted").contains("SortMergeJoin") ||
+      plans("join_skew_salted").contains("ShuffledHashJoin"))
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    // Non-trivial (beyond IsNotNull) filters must appear in PushedFilters.
+    for (k <- Seq("scan_pushdown", "filter_compound", "embed_neardup"))
+      assert(plans(k).matches("(?s).*PushedFilters: \\[[^\\]]*(GreaterThan|LessThan|EqualTo|In\\().*"),
+        s"$k scan has no pushed comparison filter")
+  }
+
+  test("column pruning: projection-only queries do not read full rows") {
+    // lineitem has 16 columns; the pricing summary needs 7.
+    val read = "ReadSchema: [^\\n]*".r
+      .findFirstIn(plans("agg_pricing_summary")).getOrElse("")
+    assert(read.split(",").length <= 8, s"scan too wide: $read")
+  }
+
+  test("aggregations are two-phase (map-side partial before the shuffle)") {
+    for (k <- Seq("agg_pricing_summary", "text_stats", "join_broadcast")) {
+      val p = plans(k)
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$k is not a partial+final aggregate")
+    }
+  }
+
+  test("global top-k uses TakeOrderedAndProject, not a full sort") {
+    assert(plans("limit_global").contains("TakeOrderedAndProject"))
+  }
+}
