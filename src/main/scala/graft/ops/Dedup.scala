@@ -39,7 +39,10 @@ object Dedup {
     * own projection so each token is xxhash64'd ONCE, not once per bit —
     * the 64 bit-sums then fold over the cached hash array. */
   def simhashed(s: SparkSession, dir: String): DataFrame =
+    // Repartition the scan first — few parquet splits at test SF would
+    // otherwise serialize the 64-bit-sum fold onto one core.
     Tables.table(s, dir, "documents")
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         transform(array_distinct(split(lower(col("text")), " ")),
           t => xxhash64(t)).as("th"))
@@ -85,7 +88,11 @@ object Dedup {
     // gram sets. ⌈0.8·s⌉ uses exact arithmetic (floor((4s+4)/5)) — a float
     // ceil can overshoot and silently shorten the prefix (= missed pairs).
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // Repartition the scan first — the prefix self-join streams against
+      // a broadcast index, so its parallelism equals the input partition
+      // count, which a single small parquet split would pin to 1.
       val grams = Tables.table(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
         .where(size(col("t")) >= 3)
         .select(col("doc_id"),

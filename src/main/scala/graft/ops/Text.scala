@@ -75,6 +75,11 @@ object Text {
       // the component index as seed material. Hashing a fixed-width long
       // 32× beats hashing variable-length strings 32× map-side (the
       // string pass dominates), with the same fixed-seed determinism.
+      // NOTE on partitioning: unlike the other dedup ops, no up-front
+      // repartition — the signature subtree is referenced four times in
+      // this plan (two band sides + two sig re-attach sides), so an added
+      // shuffle multiplies; measured slower at sf0.1, and at scale the
+      // corpus arrives in many splits anyway.
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           transform(array_distinct(split(lower(col("text")), " ")),
