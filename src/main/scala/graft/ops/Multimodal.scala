@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
 case class MediaRec(doc_id: Long, fmt: String, width: Int, height: Int,
                     payload: Array[Byte])
 
-/** Decoded features for one media item. */
+/** Decoded features for one media item, including the resize-to-fit-224
+  * output geometry. */
 case class MediaFeat(doc_id: Long, fmt: String, n_bytes: Int,
-                     brightness: Double, entropy8: Double)
+                     brightness: Double, entropy8: Double,
+                     out_w: Int, out_h: Int)
 
 /** Multimodal-column plumbing (training-data-pipeline surface): treat
   * image/audio/video as opaque `binary` columns with typed metadata, and
@@ -33,7 +35,9 @@ object Multimodal {
 
   /** Stand-in for the real media decoder. Deterministic, pure,
     * per-partition instantiable (a real codec would be constructed once
-    * per partition right here, before the iterator is consumed). */
+    * per partition right here, before the iterator is consumed). The
+    * "resize" is the standard fit-within-224 geometry computation — real
+    * arithmetic on the metadata; only the pixel work is faked. */
   def decodeStub(r: MediaRec): MediaFeat = {
     val bytes = r.payload
     val n = bytes.length
@@ -43,8 +47,11 @@ object Multimodal {
     val ent = -hist.filter(_ > 0).map { c =>
       val p = c.toDouble / n; p * math.log(p) / math.log(2)
     }.sum
+    val scale = math.min(1.0, 224.0 / math.max(1, math.max(r.width, r.height)))
     MediaFeat(r.doc_id, r.fmt, n,
-      math.rint(mean * 1e6) / 1e6, math.rint(ent * 1e6) / 1e6)
+      math.rint(mean * 1e6) / 1e6, math.rint(ent * 1e6) / 1e6,
+      math.max(1, math.rint(r.width * scale).toInt),
+      math.max(1, math.rint(r.height * scale).toInt))
   }
 
   /** The `documents` table dressed as a media table: payload = UTF-8 bytes
@@ -74,7 +81,30 @@ object Multimodal {
         .agg(count(lit(1)).as("n"),
           sum("n_bytes").as("sum_bytes"),
           D.r6(avg("brightness")).as("avg_brightness"),
-          D.r6(avg("entropy8")).as("avg_entropy"))
+          D.r6(avg("entropy8")).as("avg_entropy"),
+          D.r2(avg("out_w")).as("avg_out_w"),
+          D.r2(avg("out_h")).as("avg_out_h"))
+        .orderBy("fmt")
+    }),
+
+    // Frame sampling — the video-shaped access pattern: slice the payload
+    // into fixed 64-byte frames, keep every 2nd, fingerprint each sampled
+    // frame (md5 over the raw bytes) and aggregate per format. All
+    // byte-level work is genuine binary-column processing (Column.substr
+    // on binary, md5 of the slice); a real codec would replace the
+    // fixed-stride slicer with keyframe offsets from the container index.
+    "mm_frame_sample" -> ((s, dir) => {
+      val F = 64
+      mediaTable(s, dir)
+        .withColumn("nf", ceil(length(col("payload")) / lit(F.toDouble)).cast("int"))
+        .select(col("fmt"), col("payload"),
+          explode(sequence(lit(0), col("nf") - 1, lit(2))).as("frame_idx"))
+        .withColumn("frame",
+          col("payload").substr(col("frame_idx") * F + 1, lit(F)))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("frames_sampled"),
+          countDistinct(md5(col("frame"))).as("uniq_frames"),
+          sum(length(col("frame"))).as("bytes_sampled"))
         .orderBy("fmt")
     }),
 
@@ -94,6 +124,18 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // The oracle frames the VARCHAR, Spark frames the BINARY payload —
+    // identical bytes because this corpus is pure ASCII (verified: 0 docs
+    // where octet_length(encode(text)) <> length(text) at every SF) and
+    // md5 hashes the underlying UTF-8 bytes in both engines.
+    "mm_frame_sample" ->
+      ("WITH m AS (SELECT ['png','jpeg','wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt, " +
+        "text AS p, CAST(ceil(length(text) / 64.0) AS INT) AS nf FROM documents), " +
+        "fr AS (SELECT fmt, md5(substring(p, i * 64 + 1, 64)) AS fhash, " +
+        "length(substring(p, i * 64 + 1, 64)) AS fbytes " +
+        "FROM m, LATERAL (SELECT unnest(range(0, nf, 2)) AS i)) " +
+        "SELECT fmt, count(*) AS frames_sampled, count(DISTINCT fhash) AS uniq_frames, " +
+        "sum(fbytes) AS bytes_sampled FROM fr GROUP BY fmt ORDER BY fmt"),
     "mm_metadata_stats" ->
       ("WITH m AS (SELECT doc_id, ['png','jpeg','wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt, " +
         "CAST(n_chars % 640 + 1 AS INT) AS width, CAST(n_chars % 480 + 1 AS INT) AS height, " +

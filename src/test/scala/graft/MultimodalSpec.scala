@@ -50,5 +50,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.n_bytes === 4)
     assert(f.brightness === 48.0)
     assert(f.entropy8 === 2.0)
+    assert(f.out_w === 1 && f.out_h === 1, "no upscale below 224")
+  }
+
+  test("resize stub: fit-within-224 preserves aspect ratio") {
+    val f = ops.Multimodal.decodeStub(
+      ops.MediaRec(2L, "jpeg", 448, 224, Array[Byte](1)))
+    assert(f.out_w === 224 && f.out_h === 112)
   }
 }
