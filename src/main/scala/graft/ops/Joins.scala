@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{D, Tables}
 import graft.QueryDefs.Q
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -206,8 +207,49 @@ object Joins {
         .agg(count(lit(1)).as("n_events"),
           D.r2(sum("value")).as("sum_value"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Bucketed co-located join — the "pre-shuffle once, join many times
+    // for free" pattern: orders and lineitem are persisted bucketed by
+    // their join key into the same bucket count, so the sort-merge join
+    // reads co-located buckets with NO Exchange on either side (asserted
+    // by PlanAuditSpec). At 100 TB this is how a fact table that joins on
+    // the same key in every pipeline run amortizes its shuffle to zero.
+    "join_bucketed" -> ((s, dir) => {
+      Joins.ensureBucketed(s, dir)
+      val o = s.table(bucketedName(dir, "orders"))
+      val l = s.table(bucketedName(dir, "lineitem"))
+      // merge hint pins SortMergeJoinExec (at tiny test SFs AQE would
+      // broadcast instead and never exercise the bucketed path).
+      o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          D.r2(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy("o_orderstatus")
     })
   )
+
+  private val Buckets = 8
+
+  private def bucketedName(dir: String, table: String): String =
+    s"graft_bkt_${java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)}_$table"
+
+  /** Persist orders/lineitem bucketed by join key (once per session+sf):
+    * external tables under the JVM tmpdir, `bucketBy(8, key)` +
+    * `sortBy(key)` so bucket files are also key-sorted. */
+  def ensureBucketed(s: SparkSession, dir: String): Unit = synchronized {
+    for ((t, key) <- Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")) {
+      val name = bucketedName(dir, t)
+      if (!s.catalog.tableExists(name)) {
+        val loc = java.nio.file.Paths
+          .get(sys.props("java.io.tmpdir"), "graft_bucketed", name).toString
+        Tables.table(s, dir, t).write
+          .bucketBy(Buckets, key).sortBy(key)
+          .option("path", loc).mode("overwrite").format("parquet")
+          .saveAsTable(name)
+      }
+    }
+  }
 
   val oracles: Map[String, String] = Map(
     "join_broadcast" ->
@@ -216,6 +258,11 @@ object Joins {
        "JOIN nation ON s_nationkey = n_nationkey " +
        "JOIN region ON n_regionkey = r_regionkey " +
        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+    "join_bucketed" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+       "round(sum(l_quantity), 2) AS sum_qty " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "join_skew_salted" ->
       ("SELECT c_mktsegment, count(*) AS n_events, " +
        "round(sum(value), 2) AS sum_value " +

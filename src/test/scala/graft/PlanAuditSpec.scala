@@ -77,4 +77,15 @@ class PlanAuditSpec extends AnyFunSuite {
   test("global top-k uses TakeOrderedAndProject, not a full sort") {
     assert(plans("limit_global").contains("TakeOrderedAndProject"))
   }
+
+  test("bucketed join is co-located: no exchange feeds the join") {
+    val p = plans("join_bucketed")
+    assert(p.contains("SortMergeJoin"), "bucketed join should sort-merge")
+    // The only shuffles allowed are the ones AFTER the join (final agg +
+    // output sort); the join inputs must come straight from bucketed scans.
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val preJoin = p.substring(joinIdx)
+    assert(!preJoin.contains("Exchange hashpartitioning"),
+      "bucketed join inputs were re-shuffled — bucketing not picked up")
+  }
 }
