@@ -46,8 +46,13 @@ object Streams {
   def stageDir(path: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(path)
+    // Stage key includes the source's size+mtime: a regenerated testdata
+    // tree lands in a fresh directory instead of silently reusing a stale
+    // copy (which would make every stream diverge from the batch oracle).
+    val fp = path.hashCode.toLong ^ Files.size(src) ^
+      Files.getLastModifiedTime(src).toMillis
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src",
-      java.lang.Long.toHexString(path.hashCode.toLong & 0xffffffffL))
+      java.lang.Long.toHexString(fp & 0xffffffffffffL))
     Files.createDirectories(dir)
     val dst = dir.resolve(src.getFileName)
     if (!Files.exists(dst))
