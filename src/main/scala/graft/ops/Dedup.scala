@@ -112,6 +112,11 @@ object Dedup {
       //    kept in exact integer form (9·min(sz−pos) ≥ 4·(sz_a+sz_b)).
       // Measured at sf0.1 these drop candidates ~220k → ~30k for the same
       // exact result, and the expensive array_intersect runs per survivor.
+      // (Tried: joining on xxhash64(gram) instead of the string — lossless
+      // because collisions only add candidates the exact verification
+      // rejects — but measured ~2 s slower at sf0.1; the extra hash pass
+      // outweighs the narrower key at this gram length. Revisit for
+      // long-shingle corpora where gram strings are wide.)
       val inv = grams
         .select(col("doc_id"), size(col("g")).as("sz"),
           posexplode(slice(col("g"), lit(1), prefixLen)))
