@@ -60,10 +60,56 @@ object Ann {
         .where(col("rnk") <= 5)
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
         .orderBy("q_id", "rnk")
+    }),
+
+    // LSH-bucketed ANN — the other classic scale path: 6 hyperplane
+    // normals (deterministically the first 6 corpus vectors, so the
+    // oracle can replay them), bucket = 6-bit sign pattern of the
+    // hyperplane cosines, probes search ONLY their own bucket (~1/64 of
+    // the corpus). Signatures are computed map-side against broadcast
+    // literals — no shuffle until the bucket join. Recall vs the exact
+    // brute force is asserted in AnnSpec.
+    "embed_ann_lsh" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val hps: Seq[(Int, Column)] = e.where(col("vec_id") < NumPlanes)
+        .collect().sortBy(_.getLong(0))
+        .map(r => r.getLong(0).toInt ->
+          array(r.getSeq[Double](1).map(lit): _*))
+      val bucket = hps.map { case (i, hv) =>
+        when(round(Vector.cosine(col("v"), hv), 6) >= 0, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      val sig = e.select(col("vec_id"), col("v"), bucket.as("bucket"))
+      val probes = sig.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q"), col("bucket"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+      sig.join(broadcast(probes), "bucket")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
+        .orderBy("q_id", "rnk")
     })
   )
 
+  private val NumPlanes = 6
+
   val oracles: Map[String, String] = Map(
+    "embed_ann_lsh" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "hp AS (SELECT CAST(vec_id AS INT) AS h_id, v AS hv FROM e WHERE vec_id < 6), " +
+        "sig AS (SELECT e.vec_id, sum(CASE WHEN round(list_cosine_similarity(e.v, hp.hv), 6) >= 0 " +
+        "THEN 1 << h_id ELSE 0 END) AS bucket FROM e CROSS JOIN hp GROUP BY e.vec_id), " +
+        "sv AS (SELECT sig.vec_id, sig.bucket, e.v FROM sig JOIN e USING (vec_id)), " +
+        "probes AS (SELECT vec_id AS q_id, v AS q, bucket FROM sv WHERE vec_id < 10), " +
+        "cand AS (SELECT p.q_id, p.q, s.vec_id, s.v FROM probes p JOIN sv s USING (bucket) " +
+        "WHERE s.vec_id <> p.q_id), " +
+        "ranked AS (SELECT q_id, vec_id, round(list_cosine_similarity(q, v), 6) AS sim, " +
+        "row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_cosine_similarity(q, v), 6) DESC, vec_id) AS rnk FROM cand) " +
+        "SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"),
     "embed_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16), " +

@@ -87,12 +87,35 @@ object Dedup {
     // The exact |A∩B| / |A∪B| is then computed per candidate from the full
     // gram sets. ⌈0.8·s⌉ uses exact arithmetic (floor((4s+4)/5)) — a float
     // ceil can overshoot and silently shorten the prefix (= missed pairs).
-    "dedup_ngram_jaccard" -> ((s, dir) => {
+    "dedup_ngram_jaccard" -> ((s, dir) =>
       // Repartition the scan first — the prefix self-join streams against
       // a broadcast index, so its parallelism equals the input partition
       // count, which a single small parquet split would pin to 1.
-      val grams = Tables.table(s, dir, "documents")
-        .repartition(col("doc_id"))
+      ngramJaccardPairs(
+        Tables.table(s, dir, "documents").repartition(col("doc_id")))),
+
+    // Dedup an incoming batch (vec_id < 50) against the corpus by embedding
+    // cosine ≥ 0.35: rows whose near-duplicate already exists in the corpus.
+    "embed_neardup" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val batch = e.where(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))
+      val corpus = e.where(col("vec_id") >= 50)
+      corpus.crossJoin(broadcast(batch))
+        .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
+        .where(col("sim") >= 0.35)
+        .select(col("q_id"), col("vec_id"), col("sim"))
+        .orderBy("q_id", "vec_id")
+    })
+  )
+
+  /** Exact word-trigram Jaccard ≥ 0.8 pairs over any (doc_id, text)
+    * relation — the body of `dedup_ngram_jaccard`, factored out so the
+    * ScalaCheck property suite can run the SAME pipeline against
+    * generated corpora and a brute-force all-pairs reference. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+      val grams = docs
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
         .where(size(col("t")) >= 3)
         .select(col("doc_id"),
@@ -141,23 +164,7 @@ object Dedup {
         .where(jac >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
         .orderBy("doc_a", "doc_b")
-    }),
-
-    // Dedup an incoming batch (vec_id < 50) against the corpus by embedding
-    // cosine ≥ 0.35: rows whose near-duplicate already exists in the corpus.
-    "embed_neardup" -> ((s, dir) => {
-      val e = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val batch = e.where(col("vec_id") < 50)
-        .select(col("vec_id").as("q_id"), col("v").as("q"))
-      val corpus = e.where(col("vec_id") >= 50)
-      corpus.crossJoin(broadcast(batch))
-        .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
-        .where(col("sim") >= 0.35)
-        .select(col("q_id"), col("vec_id"), col("sim"))
-        .orderBy("q_id", "vec_id")
-    })
-  )
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_ngram_jaccard" ->

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property for the PPJoin pipeline (ops/Dedup.ngramJaccardPairs):
+  * on GENERATED corpora — tiny docs, duplicated docs, shared-prefix docs —
+  * the prefix + length + positional filters must be LOSSLESS, i.e. the
+  * pipeline's output equals a brute-force all-pairs exact Jaccard ≥ 0.8.
+  * Seeds are pinned; corpora are built to contain near-dups by
+  * construction (mutated copies) so the property isn't vacuous.
+  */
+class NgramJaccardPropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val wordGen: Gen[String] =
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+
+  /** A base doc of 3..30 words. */
+  private val docGen: Gen[List[String]] =
+    Gen.choose(3, 30).flatMap(n => Gen.listOfN(n, wordGen))
+
+  /** Mutations that keep the copy near the original: drop a word, append a
+    * word, or leave identical. */
+  private def mutate(doc: List[String], m: Int): List[String] = m % 3 match {
+    case 0 => doc
+    case 1 => if (doc.length > 3) doc.tail else doc
+    case 2 => doc :+ "omega"
+  }
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  private def trigrams(doc: List[String]): Set[String] =
+    if (doc.length < 3) Set.empty
+    else doc.sliding(3).map(_.mkString(" ")).toSet
+
+  private def bruteForce(docs: Seq[(Long, List[String])]): Set[(Long, Long, Double)] = {
+    val grams = docs.map { case (id, d) => id -> trigrams(d) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, ga) <- grams; (b, gb) <- grams if a < b
+      inter = (ga & gb).size
+      jac = inter.toDouble / (ga.size + gb.size - inter)
+      if jac >= 0.8
+    } yield (a, b, BigDecimal(jac)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+  }
+
+  private def viaPipeline(docs: Seq[(Long, List[String])]): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    val df = docs.map { case (id, d) => (id, d.mkString(" ")) }
+      .toDF("doc_id", "text")
+    ops.Dedup.ngramJaccardPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("pipeline == brute force on 5 generated corpora with planted near-dups") {
+    for (round <- 0 until 5) {
+      val bases = sample(docGen, 12, seed = 1000L * round + 7)
+      // 12 originals + a mutated copy of each => guaranteed high-J pairs.
+      val docs = bases.zipWithIndex.flatMap { case (d, i) =>
+        Seq((i.toLong, d), (100L + i, mutate(d, i + round)))
+      }
+      val want = bruteForce(docs)
+      val got = viaPipeline(docs)
+      assert(got === want, s"round $round: pipeline diverged from brute force")
+      assert(want.nonEmpty, s"round $round: vacuous corpus (no true pairs)")
+    }
+  }
+
+  test("degenerate docs: shorter than 3 tokens never pair, never crash") {
+    val docs = Seq((1L, List("a")), (2L, List("a", "b")),
+      (3L, List("a", "b", "c")), (4L, List("a", "b", "c")))
+    val got = viaPipeline(docs)
+    assert(got === Set((3L, 4L, 1.0)))
+  }
+}
