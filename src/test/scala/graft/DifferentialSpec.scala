@@ -25,6 +25,33 @@ class DifferentialSpec extends AnyFunSuite {
       assert(rowSet(df) === rowSet(sql))
     }
 
+  test("sweep: every Spark-parseable oracle SQL agrees with its DataFrame") {
+    assert(views)
+    // DuckDB-dialect oracles (list_*, string_split, LATERAL, ASOF …) fail
+    // Spark's parser/analyzer and are skipped — but a skip is only allowed
+    // for that reason; an SQL that RUNS and disagrees fails the suite.
+    var compared = 0
+    val skipped = scala.collection.mutable.ListBuffer[String]()
+    for ((key, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+         if !ansiKeys.contains(key)) {
+      val parsed =
+        try Some(spark.sql(sql))
+        catch { case _: Exception => skipped += key; None }
+      parsed.foreach { sdf =>
+        val rows =
+          try Some(rowSet(sdf))
+          catch { case _: Exception => skipped += key; None } // runtime dialect gap
+        rows.foreach { r =>
+          assert(r === rowSet(SparkEntry.queries(key)(spark, sf)),
+            s"$key: spark.sql(oracle) disagrees with the DataFrame query")
+          compared += 1
+        }
+      }
+    }
+    info(s"compared $compared, dialect-skipped ${skipped.size}: ${skipped.mkString(", ")}")
+    assert(compared >= 25, s"sweep degenerated: only $compared oracle SQLs ran in Spark")
+  }
+
   test("determinism: repeated runs under different shuffle widths agree") {
     val keys = Seq("agg_pricing_summary", "win_row_number_topk",
                    "join_asof", "text_tfidf")
