@@ -79,13 +79,32 @@ object Streams {
     eventsStreamDir(s, stageDir(path))
 
   /** Drain a streaming DataFrame to completion into a memory sink and
-    * return the sink contents as a batch DataFrame. */
+    * return the sink contents as a batch DataFrame.
+    *
+    * State partitioning is scoped down to 8 for the drain: each stateful
+    * operator spins up one state-store instance PER shuffle partition per
+    * micro-batch, a fixed cost that dwarfs the per-row work at test SF
+    * (and 8 is still plenty of key-space spread). Results are unaffected —
+    * state partition count never changes WHAT is computed — and the
+    * previous value is always restored. On a real cluster raise it to the
+    * executor-core count via the same session conf before starting jobs.
+    */
   def drain(out: DataFrame, mode: OutputMode): DataFrame = {
+    val s = out.sparkSession
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    out.sparkSession.table(name)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // restored only AFTER the drain completes: micro-batch planning runs
+    // on the stream's own thread after start() returns, so an earlier
+    // restore would race it. Queries on this session are sequential
+    // (Verify/Bench/tests), so the scoped value can't leak into another
+    // query's plan.
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
   }
 
   /** Running per-user counter with an event-time timeout: the
