@@ -34,4 +34,16 @@ object Tables {
   /** Register every table as a temp view (for SQL-form queries). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** 48-bit staleness key for derived copies of a source file (staged
+    * stream dirs, bucketed tables): path identity XOR size XOR mtime, so a
+    * regenerated testdata tree always maps to a fresh name and can never
+    * be served from a stale derivative. Shared by Streams.stageDir and
+    * Joins.ensureBucketed — keep the two users in lockstep. */
+  def sourceFingerprint(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    val fp = path.hashCode.toLong ^ java.nio.file.Files.size(p) ^
+      java.nio.file.Files.getLastModifiedTime(p).toMillis
+    java.lang.Long.toHexString(fp & 0xffffffffffffL)
+  }
 }

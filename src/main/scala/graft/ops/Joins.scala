@@ -231,15 +231,12 @@ object Joins {
 
   private val Buckets = 8
 
-  /** Table name keyed by sf dir AND the source file's size+mtime, so a
-    * regenerated testdata tree can never be served from a stale bucketed
-    * copy (the name changes, the old table is simply never referenced). */
-  private def bucketedName(dir: String, table: String): String = {
-    val p = java.nio.file.Paths.get(Tables.path(dir, table))
-    val fp = dir.hashCode.toLong ^ java.nio.file.Files.size(p) ^
-      java.nio.file.Files.getLastModifiedTime(p).toMillis
-    s"graft_bkt_${java.lang.Long.toHexString(fp & 0xffffffffffffL)}_$table"
-  }
+  /** Table name keyed by the source file's identity+size+mtime
+    * (Tables.sourceFingerprint), so a regenerated testdata tree can never
+    * be served from a stale bucketed copy (the name changes, the old
+    * table is simply never referenced). */
+  private def bucketedName(dir: String, table: String): String =
+    s"graft_bkt_${Tables.sourceFingerprint(Tables.path(dir, table))}_$table"
 
   /** Persist orders/lineitem bucketed by join key (once per MACHINE+sf):
     * external tables under the JVM tmpdir, `bucketBy(8, key)` +

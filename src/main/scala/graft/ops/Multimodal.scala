@@ -97,8 +97,12 @@ object Multimodal {
       val F = 64
       mediaTable(s, dir)
         .withColumn("nf", ceil(length(col("payload")) / lit(F.toDouble)).cast("int"))
+        // nf=0 (empty payload) must contribute zero frames like the
+        // oracle's range(0, 0, 2) — Spark's sequence(0, -1, 2) THROWS, so
+        // guard with an empty array instead.
         .select(col("fmt"), col("payload"),
-          explode(sequence(lit(0), col("nf") - 1, lit(2))).as("frame_idx"))
+          explode(when(col("nf") >= 1, sequence(lit(0), col("nf") - 1, lit(2)))
+            .otherwise(array().cast("array<int>"))).as("frame_idx"))
         .withColumn("frame",
           col("payload").substr(col("frame_idx") * F + 1, lit(F)))
         .groupBy("fmt")

@@ -88,7 +88,7 @@ object Text {
         array_min(transform(col("th"), h => xxhash64(h, lit(i))))
       }: _*)
       val signed = docs.select(col("doc_id"), sig.as("sig"))
-      // LSH banding: one hash per 4-component band; docs sharing any band
+      // LSH banding: one hash per 8-component band; docs sharing any band
       // hash become candidates. The bucket join carries ONLY doc ids —
       // dragging the 32-long signature arrays through the join and then
       // distinct-ing on them forces a sort-based aggregate over wide rows

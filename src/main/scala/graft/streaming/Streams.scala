@@ -46,17 +46,22 @@ object Streams {
   def stageDir(path: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(path)
-    // Stage key includes the source's size+mtime: a regenerated testdata
-    // tree lands in a fresh directory instead of silently reusing a stale
-    // copy (which would make every stream diverge from the batch oracle).
-    val fp = path.hashCode.toLong ^ Files.size(src) ^
-      Files.getLastModifiedTime(src).toMillis
+    // Stage key includes the source's size+mtime (Tables.sourceFingerprint):
+    // a regenerated testdata tree lands in a fresh directory instead of
+    // silently reusing a stale copy (which would make every stream diverge
+    // from the batch oracle).
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src",
-      java.lang.Long.toHexString(fp & 0xffffffffffffL))
+      Tables.sourceFingerprint(path))
     Files.createDirectories(dir)
     val dst = dir.resolve(src.getFileName)
-    if (!Files.exists(dst))
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    if (!Files.exists(dst)) {
+      // copy via temp + atomic rename: a JVM killed mid-copy must not
+      // leave a truncated file that the existence check would then trust.
+      val tmp = dir.resolve(src.getFileName.toString + ".tmp")
+      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     dir.toString
   }
 
@@ -199,7 +204,8 @@ object Streams {
     }),
 
     // Arbitrary stateful processing: running per-user event counter via
-    // flatMapGroupsWithState with a processing-time timeout. Each batch
+    // flatMapGroupsWithState with an EVENT-time timeout (processing-time
+    // timers would hang an AvailableNow drain — see countUpdates). Each batch
     // emits the running count; max(cnt) per user is the final counter, so
     // the declared result is drain-schedule-independent and equals the
     // batch groupBy count.

@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * DuckDB oracle.
   *
   * Assumes non-null array elements (embedding vectors); a null array on
-  * either side yields null via the standard binary null contract.
+  * either side, or a length mismatch between the two arrays, yields null —
+  * identical to the HOF reference's null behavior.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -36,12 +37,19 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null is also produced for length-mismatched inputs, so the expression
+  // is nullable even over non-nullable children.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Length mismatch yields null, matching the HOF reference (zip_with
+    // pads the shorter side with nulls, poisoning the fold to null).
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -63,14 +71,18 @@ case class CosineSim(left: Expression, right: Expression)
         (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"),
           ctx.freshName("n"), ctx.freshName("i"))
       s"""
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = $a.getDouble($i);
-         |  double yi = $b.getDouble($i);
-         |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xi = $a.getDouble($i);
+         |    double yi = $b.getDouble($i);
+         |    $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

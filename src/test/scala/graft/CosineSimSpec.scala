@@ -57,4 +57,20 @@ class CosineSimSpec extends AnyFunSuite {
       .collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("length mismatch yields null (matching the HOF reference)") {
+    functions.GraftExtensions.register(spark)
+    // codegen path
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d)) AS c").collect()
+    assert(r.head.isNullAt(0))
+    // and the HOF reference agrees
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val both = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(ops.Vector.cosine(col("a"), col("b")).as("fast"),
+        ops.Vector.cosineHof(col("a"), col("b")).as("ref"))
+      .head()
+    assert(both.isNullAt(0) && both.isNullAt(1))
+  }
 }

@@ -7,10 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * plan (lost pushdown, surprise cartesian, dropped broadcast) fails CI
   * rather than a production run.
   *
-  * Only plans (queryExecution.executedPlan) are inspected — nothing is
-  * executed — so the whole audit is cheap. Streaming keys are excluded:
-  * invoking them RUNS the stream (AvailableNow drain) and the returned
-  * batch result's plan is just the memory-sink scan.
+  * Only plans (queryExecution.executedPlan) are asserted on; the audited
+  * queries are not themselves executed. Building the plans does run a few
+  * setup side effects, though: join_bucketed writes its bucketed tables on
+  * first use and the ANN keys collect their centroid/hyperplane literals.
+  * Streaming keys are excluded: invoking one RUNS the stream (AvailableNow
+  * drain) and the returned batch result's plan is just the memory-sink scan.
   */
 class PlanAuditSpec extends AnyFunSuite {
   import TestSpark._
