@@ -135,6 +135,28 @@ object Streams {
 
   val queries: Map[String, Q] = Map(
 
+    // Stream-static join: the event stream enriched against the static
+    // customer dimension (read once per micro-batch, broadcast by AQE —
+    // the canonical "enrich events with dims" streaming shape), then a
+    // per-segment aggregate. Complete mode: full drain == the batch join.
+    // At scale the static side is either broadcast (small dim) or a
+    // pre-bucketed table co-partitioned with nothing — stream-static
+    // joins never hold join state, so this costs the same as a batch
+    // join per micro-batch regardless of stream history.
+    "stream_static_join" -> ((s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("value")).as("sv"))
+      drain(out, OutputMode.Complete())
+        .select(col("c_mktsegment"), col("event_type"), col("n"),
+                round(col("sv"), 2).as("sum_value"))
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
     // 1-hour tumbling event-time counts per event_type. Complete mode: the
     // sink holds every window, so full drain == batch date_trunc('hour').
     "stream_tumbling" -> ((s, dir) => {
@@ -227,6 +249,12 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_static_join" ->
+      ("SELECT c_mktsegment, event_type, count(*) AS n, " +
+       "round(sum(value), 2) AS sum_value " +
+       "FROM events JOIN customer ON user_id = c_custkey " +
+       "GROUP BY c_mktsegment, event_type " +
+       "ORDER BY c_mktsegment, event_type"),
     "stream_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         |       event_type, count(*) AS n
