@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization cache for derived relations that a plan would otherwise
+  * recompute several times (a self-joined subtree is evaluated once PER
+  * REFERENCE in Spark — the minhash signature table appears 4× in its
+  * plan). Writes the relation once to a tmpdir parquet keyed by the SOURCE
+  * file's fingerprint (so regenerated testdata can never hit a stale
+  * copy — same scheme as the staged stream dir and the bucketed tables)
+  * and serves every subsequent reference from the columnar file.
+  *
+  * This is the production shape too: at 100 TB, dedup signatures are
+  * materialized incrementally next to the corpus, not recomputed per run.
+  * The `_SUCCESS` marker gates reuse, so a write killed halfway is redone.
+  */
+object Staging {
+  def materialize(df: DataFrame, sourcePath: String, name: String): DataFrame =
+    synchronized {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_derived", s"${Tables.sourceFingerprint(sourcePath)}_$name")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+        df.write.mode("overwrite").parquet(dir.toString)
+      df.sparkSession.read.parquet(dir.toString)
+    }
+}

@@ -87,7 +87,13 @@ object Text {
       val sig = array((0 until NumHashes).map { i =>
         array_min(transform(col("th"), h => xxhash64(h, lit(i))))
       }: _*)
-      val signed = docs.select(col("doc_id"), sig.as("sig"))
+      // The signature relation is referenced FOUR times below (both band
+      // sides + both sig re-attach sides) and Spark evaluates it once per
+      // reference — materialize it once (Staging) so the expensive
+      // hash-fold runs a single time per corpus version.
+      val signed = graft.Staging.materialize(
+        docs.select(col("doc_id"), sig.as("sig")),
+        Tables.path(dir, "documents"), "minhash_sig32_v1")
       // LSH banding: one hash per 8-component band; docs sharing any band
       // hash become candidates. The bucket join carries ONLY doc ids —
       // dragging the 32-long signature arrays through the join and then
