@@ -40,13 +40,17 @@ object Dedup {
     * the 64 bit-sums then fold over the cached hash array. */
   def simhashed(s: SparkSession, dir: String): DataFrame =
     // Repartition the scan first — few parquet splits at test SF would
-    // otherwise serialize the 64-bit-sum fold onto one core.
-    Tables.table(s, dir, "documents")
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        transform(array_distinct(split(lower(col("text")), " ")),
-          t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), simhash(col("th")).as("fp"))
+    // otherwise serialize the 64-bit-sum fold onto one core. The result is
+    // materialized once per corpus version (Staging): the band self-join
+    // below references it twice and would evaluate the fold twice.
+    graft.Staging.materialize(
+      Tables.table(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          transform(array_distinct(split(lower(col("text")), " ")),
+            t => xxhash64(t)).as("th"))
+        .select(col("doc_id"), simhash(col("th")).as("fp")),
+      Tables.path(dir, "documents"), "simhash_fp64_v1")
 
   val queries: Map[String, Q] = Map(
 
