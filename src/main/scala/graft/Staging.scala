@@ -19,8 +19,17 @@ object Staging {
     synchronized {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_derived", s"${Tables.sourceFingerprint(sourcePath)}_$name")
-      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-        df.write.mode("overwrite").parquet(dir.toString)
-      df.sparkSession.read.parquet(dir.toString)
+      try {
+        if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+          df.write.mode("overwrite").parquet(dir.toString)
+        df.sparkSession.read.parquet(dir.toString)
+      } catch {
+        // Unwritable/full tmpdir must degrade to the slower uncached plan,
+        // not fail the query — results are identical either way. (Spark
+        // wraps IO failures in SparkException, so catch broadly.)
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[staging] $name not materialized (${e.getMessage}); running uncached")
+          df
+      }
     }
 }
