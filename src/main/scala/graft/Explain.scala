@@ -9,14 +9,16 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    // Streaming keys are excluded from the explain-all default: invoking
-    // one RUNS a full AvailableNow drain and the returned DataFrame is
-    // just the memory-sink table, so the printed plan would be a
-    // meaningless LocalTableScan bought at full execution cost. Name one
-    // explicitly to override.
+    // Draining streaming keys are excluded from the explain-all default:
+    // invoking one RUNS a full AvailableNow drain and the returned
+    // DataFrame is just the memory-sink table, so the printed plan would
+    // be a meaningless LocalTableScan bought at full execution cost. Name
+    // one explicitly to override. Staging is bypassed so plans show the
+    // full computation subtrees instead of staged-file scans.
+    sys.props("graft.staging") = "false"
     val names = if (args.length > 1) args.drop(1).toSeq
                 else (SparkEntry.queries.keySet --
-                  graft.streaming.Streams.queries.keySet).toSeq.sorted
+                  graft.streaming.Streams.drainKeys).toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

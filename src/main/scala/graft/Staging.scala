@@ -15,13 +15,36 @@ import org.apache.spark.sql.DataFrame
   * The `_SUCCESS` marker gates reuse, so a write killed halfway is redone.
   */
 object Staging {
+  import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+  /** Set `-Dgraft.staging=false` to bypass materialization: plan-only
+    * consumers (graft.Explain, PlanAuditSpec) use it so they see the full
+    * computation subtree instead of a staged-file scan, and pay no
+    * execution cost for a plan. */
+  def enabled: Boolean =
+    sys.props.getOrElse("graft.staging", "true").toBoolean
+
   def materialize(df: DataFrame, sourcePath: String, name: String): DataFrame =
     synchronized {
-      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      if (!enabled) return df
+      val dir = Paths.get(sys.props("java.io.tmpdir"),
         "graft_derived", s"${Tables.sourceFingerprint(sourcePath)}_$name")
       try {
-        if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-          df.write.mode("overwrite").parquet(dir.toString)
+        if (!Files.exists(dir.resolve("_SUCCESS"))) {
+          // Write to a private temp dir, then atomically rename into place:
+          // a concurrent JVM racing the same key either wins the rename or
+          // finds the winner's completed dir — never a half-written one,
+          // and never a delete under a reader (overwrite-in-place would
+          // first delete files another JVM's running query is scanning).
+          val tmp = Paths.get(dir.toString + ".tmp-" +
+            java.util.UUID.randomUUID.toString)
+          df.write.mode("overwrite").parquet(tmp.toString)
+          try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException |
+                       _: java.nio.file.DirectoryNotEmptyException =>
+            deleteRecursively(tmp) // another JVM won the race; use its copy
+          }
+        }
         df.sparkSession.read.parquet(dir.toString)
       } catch {
         // Unwritable/full tmpdir must degrade to the slower uncached plan,
@@ -32,4 +55,10 @@ object Staging {
           df
       }
     }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRecursively(c))
+    Files.deleteIfExists(p)
+  }
 }

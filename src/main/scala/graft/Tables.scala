@@ -38,8 +38,9 @@ object Tables {
   /** 48-bit staleness key for derived copies of a source file (staged
     * stream dirs, bucketed tables): path identity XOR size XOR mtime, so a
     * regenerated testdata tree always maps to a fresh name and can never
-    * be served from a stale derivative. Shared by Streams.stageDir and
-    * Joins.ensureBucketed — keep the two users in lockstep. */
+    * be served from a stale derivative. Shared by Streams.stageDir,
+    * Joins.ensureBucketed, and Staging.materialize — a change to the
+    * scheme must consider all three key spaces. */
   def sourceFingerprint(path: String): String = {
     val p = java.nio.file.Paths.get(path)
     val fp = path.hashCode.toLong ^ java.nio.file.Files.size(p) ^

@@ -75,12 +75,14 @@ object Text {
       // the component index as seed material. Hashing a fixed-width long
       // 32× beats hashing variable-length strings 32× map-side (the
       // string pass dominates), with the same fixed-seed determinism.
-      // NOTE on partitioning: unlike the other dedup ops, no up-front
-      // repartition — the signature subtree is referenced four times in
-      // this plan (two band sides + two sig re-attach sides), so an added
-      // shuffle multiplies; measured slower at sf0.1, and at scale the
-      // corpus arrives in many splits anyway.
+      // Repartition the scan before the one-time signature computation:
+      // since Staging materializes the signatures, the subtree now runs
+      // exactly ONCE (the earlier no-repartition rationale — the subtree
+      // being evaluated four times with the shuffle multiplied — no
+      // longer applies), and without it the 32-hash fold would be pinned
+      // to the source's split count on the cold run.
       val docs = Tables.table(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           transform(array_distinct(split(lower(col("text")), " ")),
             sh => xxhash64(sh)).as("th"))

@@ -55,12 +55,16 @@ object Streams {
     Files.createDirectories(dir)
     val dst = dir.resolve(src.getFileName)
     if (!Files.exists(dst)) {
-      // copy via temp + atomic rename: a JVM killed mid-copy must not
-      // leave a truncated file that the existence check would then trust.
-      val tmp = dir.resolve(src.getFileName.toString + ".tmp")
+      // copy via a UNIQUE temp name + atomic rename: a JVM killed mid-copy
+      // must not leave a truncated file the existence check would trust,
+      // and two concurrent JVMs must not share a temp path (a fixed name
+      // would let one JVM promote the other's partial copy).
+      val tmp = Files.createTempFile(dir, src.getFileName.toString, ".tmp")
       Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
-      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp) // concurrent JVM won; its copy is complete
+      }
     }
     dir.toString
   }
@@ -247,6 +251,12 @@ object Streams {
         .orderBy("user_id")
     })
   )
+
+  /** Keys whose invocation RUNS an AvailableNow drain (plan-only tools
+    * must skip these — the returned DataFrame is just the memory sink).
+    * `stream_session` is the exception: Spark evaluates `session_window`
+    * on a batch read, so it plans like any batch query. */
+  val drainKeys: Set[String] = queries.keySet - "stream_session"
 
   val oracles: Map[String, String] = Map(
     "stream_static_join" ->

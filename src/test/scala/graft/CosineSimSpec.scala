@@ -60,10 +60,20 @@ class CosineSimSpec extends AnyFunSuite {
 
   test("length mismatch yields null (matching the HOF reference)") {
     functions.GraftExtensions.register(spark)
-    // codegen path
+    // literal form (constant-folded => interpreted eval path)
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d)) AS c").collect()
     assert(r.head.isNullAt(0))
+    // non-foldable form over real rows => whole-stage CODEGEN path: slice
+    // the stored 64-dim vector so the mismatch branch compiles and runs.
+    val cg = Tables.table(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .limit(10)
+      .select(ops.Vector.cosine(col("v"),
+        slice(col("v"), lit(1), lit(32))).as("c"))
+      .collect()
+    assert(cg.length === 10)
+    cg.foreach(row => assert(row.isNullAt(0), "codegen mismatch must be null"))
     // and the HOF reference agrees
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -18,7 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
   import TestSpark._
 
   private val streamingKeys =
-    graft.streaming.Streams.queries.keySet
+    graft.streaming.Streams.drainKeys
   // These intentionally build cross/nested-loop products: the cross-join
   // key itself, the theta/interval joins, and every embedding op that
   // broadcasts a small probe/centroid set against the corpus.
@@ -26,10 +26,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_cosine_topk", "embed_knn_label", "embed_neardup", "embed_ann_ivf",
     "text_tfidf")
 
-  private lazy val plans: Map[String, String] =
-    (SparkEntry.queries.keySet -- streamingKeys).map { k =>
+  private lazy val plans: Map[String, String] = {
+    // bypass staging so the audited plans contain the real computation
+    // subtrees (not staged-file scans) and plan-building runs no jobs
+    // beyond the documented bucketed/centroid setup.
+    sys.props("graft.staging") = "false"
+    try (SparkEntry.queries.keySet -- streamingKeys).map { k =>
       k -> SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan.toString
     }.toMap
+    finally sys.props.remove("graft.staging")
+  }
 
   test("no query falls back to an unbounded CartesianProduct") {
     val offenders = plans.collect {
