@@ -39,11 +39,31 @@ object Staging {
           val tmp = Paths.get(dir.toString + ".tmp-" +
             java.util.UUID.randomUUID.toString)
           df.write.mode("overwrite").parquet(tmp.toString)
-          try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileAlreadyExistsException |
-                       _: java.nio.file.DirectoryNotEmptyException =>
-            deleteRecursively(tmp) // another JVM won the race; use its copy
+          var attempts = 0
+          var done = false
+          while (!done && attempts < 3) {
+            attempts += 1
+            try { Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE); done = true }
+            catch { case _: java.nio.file.FileAlreadyExistsException |
+                         _: java.nio.file.DirectoryNotEmptyException =>
+              // Destination exists — EITHER a racing JVM completed it
+              // (gated by _SUCCESS) or it's a stale partial from a crashed
+              // pre-atomic-rename write. The exception alone can't tell
+              // them apart, so re-check the _SUCCESS gate: present → use
+              // the winner's copy; absent → evict the stale dir and retry
+              // the rename (bounded, then degrade to uncached below).
+              if (Files.exists(dir.resolve("_SUCCESS"))) {
+                deleteRecursively(tmp); done = true
+              } else {
+                deleteRecursively(dir)
+              }
+            }
           }
+          if (!done) { // contended + never complete: give up on the cache
+            deleteRecursively(tmp)
+            if (!Files.exists(dir.resolve("_SUCCESS"))) return df
+          }
+          sweepOrphans(dir.getParent)
         }
         df.sparkSession.read.parquet(dir.toString)
       } catch {
@@ -56,9 +76,27 @@ object Staging {
       }
     }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRecursively(c))
+  private[graft] def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRecursively(c)) finally s.close()
+    }
     Files.deleteIfExists(p)
   }
+
+  /** Remove `.tmp-<uuid>` staging dirs orphaned by a crashed writer or a
+    * lost race, so they don't accumulate in the tmpdir across runs. Only
+    * dirs older than 1h are swept — a live writer's temp is never touched. */
+  private def sweepOrphans(parent: Path): Unit =
+    try {
+      if (parent != null && Files.isDirectory(parent)) {
+        val cutoff = System.currentTimeMillis() - 3600000L
+        val s = Files.list(parent)
+        try s.forEach { c =>
+          if (c.getFileName.toString.contains(".tmp-") &&
+              Files.getLastModifiedTime(c).toMillis < cutoff)
+            deleteRecursively(c)
+        } finally s.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
 }

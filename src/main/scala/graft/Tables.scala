@@ -36,15 +36,21 @@ object Tables {
     names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 
   /** 48-bit staleness key for derived copies of a source file (staged
-    * stream dirs, bucketed tables): path identity XOR size XOR mtime, so a
-    * regenerated testdata tree always maps to a fresh name and can never
-    * be served from a stale derivative. Shared by Streams.stageDir,
+    * stream dirs, bucketed tables), so a regenerated testdata tree always
+    * maps to a fresh name and can never be served from a stale derivative.
+    * Fields are mixed POSITIONALLY (string hash of "path:size:mtime"), not
+    * XORed — XOR lets a simultaneous size+mtime change cancel out and
+    * collide with the old key. Shared by Streams.stageDir,
     * Joins.ensureBucketed, and Staging.materialize — a change to the
     * scheme must consider all three key spaces. */
   def sourceFingerprint(path: String): String = {
     val p = java.nio.file.Paths.get(path)
-    val fp = path.hashCode.toLong ^ java.nio.file.Files.size(p) ^
+    val ident = path + ":" + java.nio.file.Files.size(p) + ":" +
       java.nio.file.Files.getLastModifiedTime(p).toMillis
-    java.lang.Long.toHexString(fp & 0xffffffffffffL)
+    // FNV-1a 64-bit over the identity string: every byte position shifts
+    // the accumulator, so any single-field change always changes the key.
+    var h = 0xcbf29ce484222325L
+    ident.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+    java.lang.Long.toHexString(h & 0xffffffffffffL)
   }
 }

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *    (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 bands identical), never an
   *    all-pairs join, so cost tracks the number of genuine collisions.
   *  - `dedup_ngram_jaccard`: inverted-index join on shared trigrams —
-  *    pairs are generated per shared gram and hash-aggregated. At 100 TB
-  *    add a hot-gram df-cap (drop grams in >1k docs) to bound skew; the
-  *    LSH path (`dedup_minhash`) is the constant-cost alternative.
+  *    pairs are generated per shared gram and hash-aggregated. For 100 TB
+  *    Zipfian corpora, `ngramJaccardFromGrams` offers a LOSSLESS
+  *    df-ordered prefix (rarest grams first) and an explicitly-lossy
+  *    hot-gram df-cap, both flag-gated; the LSH path (`dedup_minhash`)
+  *    is the constant-cost alternative.
   *  - `embed_neardup`: incoming-batch-vs-corpus shape — the small probe
   *    batch broadcasts and the corpus streams partition-local, O(B×N)
   *    with no corpus self-join.
@@ -84,10 +86,10 @@ object Dedup {
     // set under a shared global order (lossless for J ≥ 0.8: a qualifying
     // pair MUST share a prefix gram under ANY consistent total order).
     // The order used is lexicographic (computed map-side for free). On a
-    // Zipfian production corpus, order by ascending document frequency
-    // instead (rarest grams first — one extra df aggregation + join) so
-    // prefixes carry rare grams; measured HERE that variant costs more
-    // than it saves because this corpus's trigram df is near-uniform.
+    // Zipfian production corpus, pass dfOrderedPrefix=true (rarest grams
+    // first — one extra df aggregation + join, still lossless) and
+    // optionally hotGramCap; measured HERE the df variant costs more than
+    // it saves because this corpus's trigram df is near-uniform.
     // The exact |A∩B| / |A∪B| is then computed per candidate from the full
     // gram sets. ⌈0.8·s⌉ uses exact arithmetic (floor((4s+4)/5)) — a float
     // ceil can overshoot and silently shorten the prefix (= missed pairs).
@@ -123,8 +125,10 @@ object Dedup {
     * relation — the body of `dedup_ngram_jaccard`, factored out so the
     * ScalaCheck property suite can run the SAME pipeline against
     * generated corpora and a brute-force all-pairs reference. */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame =
-    ngramJaccardFromGrams(ngramGrams(docs))
+  def ngramJaccardPairs(docs: DataFrame,
+                        dfOrderedPrefix: Boolean = false,
+                        hotGramCap: Option[Long] = None): DataFrame =
+    ngramJaccardFromGrams(ngramGrams(docs), dfOrderedPrefix, hotGramCap)
 
   /** (doc_id, sorted distinct trigram array) per doc with ≥ 3 tokens. */
   def ngramGrams(docs: DataFrame): DataFrame =
@@ -138,8 +142,30 @@ object Dedup {
           .as("g"))
 
   /** PPJoin candidate generation + exact verification over a
-    * (doc_id, g: sorted trigram array) relation. */
-  def ngramJaccardFromGrams(grams: DataFrame): DataFrame = {
+    * (doc_id, g: sorted trigram array) relation.
+    *
+    * @param dfOrderedPrefix order each doc's grams by ASCENDING document
+    *   frequency (ties broken by gram) before taking the prefix, instead of
+    *   the default lexicographic order. LOSSLESS — the prefix-filter proof
+    *   only needs SOME consistent total order over all grams — but prefixes
+    *   then carry the rarest grams, collapsing candidate fan-out on Zipfian
+    *   corpora where a few hot grams dominate. Costs one extra df
+    *   aggregation + join + per-doc re-sort; measured cost-neutral on this
+    *   near-uniform synthetic corpus (why the declared query leaves it off),
+    *   pays for itself when gram df is skewed.
+    * @param hotGramCap drop grams whose document frequency exceeds the cap
+    *   from the PREFIX INDEX (full sets still verify exactly). EXPLICITLY
+    *   LOSSY: a pair whose only shared prefix grams are hot is missed —
+    *   the production stop-gram guard for 100 TB Zipfian corpora, bounding
+    *   the worst bucket's fan-out at df_cap². Requires dfOrderedPrefix
+    *   (the df pass is already paid for, and capping a lexicographic
+    *   prefix would skew which docs lose coverage).
+    */
+  def ngramJaccardFromGrams(grams: DataFrame,
+                            dfOrderedPrefix: Boolean = false,
+                            hotGramCap: Option[Long] = None): DataFrame = {
+      require(hotGramCap.isEmpty || dfOrderedPrefix,
+        "hotGramCap requires dfOrderedPrefix")
       val prefixLen = (size(col("g")) -
         floor((size(col("g")) * 4 + 4) / 5).cast("int") + 1)
       // Prefix index rows carry (gram, 0-based position, set size) so the
@@ -157,10 +183,39 @@ object Dedup {
       // rejects — but measured ~2 s slower at sf0.1; the extra hash pass
       // outweighs the narrower key at this gram length. Revisit for
       // long-shingle corpora where gram strings are wide.)
-      val inv = grams
-        .select(col("doc_id"), size(col("g")).as("sz"),
-          posexplode(slice(col("g"), lit(1), prefixLen)))
-        .withColumnRenamed("col", "gram")
+      val inv =
+        if (!dfOrderedPrefix)
+          grams
+            .select(col("doc_id"), size(col("g")).as("sz"),
+              posexplode(slice(col("g"), lit(1), prefixLen)))
+            .withColumnRenamed("col", "gram")
+        else {
+          // One aggregation over the exploded grams gives each gram's df;
+          // re-attaching df and re-sorting per doc puts the rarest grams
+          // first. array_sort on struct(df, gram) orders by df then gram —
+          // a single consistent total order shared by every doc, which is
+          // all the prefix-filter losslessness proof requires. The df
+          // relation shuffles once on gram (same key the inverted index
+          // join uses anyway); at scale it's corpus-linear and reusable
+          // across runs like the gram relation itself.
+          val gramDf = grams.select(explode(col("g")).as("gram"))
+            .groupBy("gram").agg(count(lit(1)).as("df"))
+          val ordered = grams
+            .select(col("doc_id"), size(col("g")).as("sz"),
+              explode(col("g")).as("gram"))
+            .join(gramDf, "gram")
+            .groupBy("doc_id", "sz")
+            .agg(array_sort(collect_list(struct(col("df"), col("gram"))))
+              .as("gs"))
+          val pre = ordered
+            .select(col("doc_id"), col("sz"),
+              posexplode(slice(col("gs"), lit(1), size(col("gs")) -
+                floor((size(col("gs")) * 4 + 4) / 5).cast("int") + 1)))
+            .select(col("doc_id"), col("sz"), col("pos"),
+              col("col.gram").as("gram"), col("col.df").as("df"))
+          hotGramCap.fold(pre)(c => pre.where(col("df") <= c))
+            .drop("df")
+        }
       val cand = inv.select(col("doc_id").as("doc_a"), col("gram"),
           col("pos").as("pos_a"), col("sz").as("sz_a"))
         .join(inv.select(col("doc_id").as("doc_b"), col("gram").as("gram_b"),

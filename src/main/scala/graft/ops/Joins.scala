@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{D, Tables}
+import graft.{D, Staging, Tables}
 import graft.QueryDefs.Q
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -258,10 +258,40 @@ object Joins {
             s"CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS " +
             s"LOCATION '${loc.toString}'")
         } else {
+          // Unique-temp + atomic-rename (same scheme as Staging.materialize):
+          // writing straight at `loc` with overwrite would delete bucket
+          // files under another JVM's running query, or interleave two
+          // concurrent writers while _SUCCESS is present. Instead: write
+          // the bucketed files via a throwaway EXTERNAL table at a private
+          // temp path (saveAsTable is the only API that emits bucket
+          // metadata), drop the catalog entry (files survive — external),
+          // atomically publish the dir, then attach the real name to it.
+          import java.nio.file.{Files, Paths, StandardCopyOption}
+          val tmpLoc = Paths.get(loc.toString + ".tmp-" +
+            java.util.UUID.randomUUID.toString)
+          val tmpName = name + "_w" // scratch name; session-local catalog
           Tables.table(s, dir, t).write
             .bucketBy(Buckets, key).sortBy(key)
-            .option("path", loc.toString).mode("overwrite").format("parquet")
-            .saveAsTable(name)
+            .option("path", tmpLoc.toString).mode("overwrite").format("parquet")
+            .saveAsTable(tmpName)
+          s.sql(s"DROP TABLE $tmpName")
+          Files.createDirectories(loc.getParent)
+          try Files.move(tmpLoc, loc, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException |
+                       _: java.nio.file.DirectoryNotEmptyException =>
+            // racing JVM: complete copy (gated by _SUCCESS) → use it;
+            // stale partial → evict and retry once.
+            if (Files.exists(loc.resolve("_SUCCESS")))
+              Staging.deleteRecursively(tmpLoc)
+            else {
+              Staging.deleteRecursively(loc)
+              Files.move(tmpLoc, loc, StandardCopyOption.ATOMIC_MOVE)
+            }
+          }
+          val schema = Tables.table(s, dir, t).schema.toDDL
+          s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS " +
+            s"LOCATION '${loc.toString}'")
         }
       }
     }

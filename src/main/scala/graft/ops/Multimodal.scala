@@ -138,13 +138,15 @@ object Multimodal {
         "fr AS (SELECT fmt, md5(substring(p, i * 64 + 1, 64)) AS fhash, " +
         "length(substring(p, i * 64 + 1, 64)) AS fbytes " +
         "FROM m, LATERAL (SELECT unnest(range(0, nf, 2)) AS i)) " +
+        // CAST: DuckDB sum(INTEGER) = HUGEINT → parquet double; Spark writes
+        // int64. Cast to BIGINT for byte-identical files (VERDICT r2).
         "SELECT fmt, count(*) AS frames_sampled, count(DISTINCT fhash) AS uniq_frames, " +
-        "sum(fbytes) AS bytes_sampled FROM fr GROUP BY fmt ORDER BY fmt"),
+        "CAST(sum(fbytes) AS BIGINT) AS bytes_sampled FROM fr GROUP BY fmt ORDER BY fmt"),
     "mm_metadata_stats" ->
       ("WITH m AS (SELECT doc_id, ['png','jpeg','wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt, " +
         "CAST(n_chars % 640 + 1 AS INT) AS width, CAST(n_chars % 480 + 1 AS INT) AS height, " +
         "encode(text) AS payload FROM documents) " +
-        "SELECT fmt, count(*) AS n, sum(octet_length(payload)) AS sum_bytes, " +
+        "SELECT fmt, count(*) AS n, CAST(sum(octet_length(payload)) AS BIGINT) AS sum_bytes, " +
         "round(avg(width), 2) AS avg_w, round(avg(height), 2) AS avg_h " +
         "FROM m WHERE width > 100 GROUP BY fmt ORDER BY fmt")
   )

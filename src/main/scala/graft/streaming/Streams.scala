@@ -11,6 +11,31 @@ import java.util.concurrent.atomic.AtomicLong
 /** Per-user running count emitted by the stateful stream (§2.8). */
 case class UserCount(user_id: Long, cnt: Long)
 
+/** Spark 4 successor-API twin of `Streams.countUpdates`: the same running
+  * per-user counter as a `StatefulProcessor` for `transformWithState`
+  * (SURVEY §2.8 names it as the alternative stateful API). The declared
+  * `stream_stateful_count` key stays on `flatMapGroupsWithState`; this twin
+  * is exercised by StreamingSpec. `TimeMode.None` — the counter needs no
+  * timers, so state lives until the query ends (production would pass a
+  * TTLConfig). transformWithState requires the RocksDB state-store
+  * provider; the spec scopes that conf to its own drain. */
+class CountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), UserCount] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var count: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timers: TimerValues): Iterator[UserCount] = {
+    val c = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(c)
+    Iterator.single(UserCount(key, c))
+  }
+}
+
 /** SURVEY.md §2.8 Structured Streaming.
   *
   * Declared queries run REAL micro-batch streams: the `events` parquet is
@@ -58,13 +83,30 @@ object Streams {
       // copy via a UNIQUE temp name + atomic rename: a JVM killed mid-copy
       // must not leave a truncated file the existence check would trust,
       // and two concurrent JVMs must not share a temp path (a fixed name
-      // would let one JVM promote the other's partial copy).
-      val tmp = Files.createTempFile(dir, src.getFileName.toString, ".tmp")
+      // would let one JVM promote the other's partial copy). The temp is
+      // DOT-PREFIXED because this directory is the one the file-source
+      // stream lists — Spark's listing skips hidden ('.'/'_') files, so a
+      // crash-orphaned temp or a concurrent JVM's in-flight copy is never
+      // read as stream input (it would double-count vs the batch oracle).
+      val tmp = Files.createTempFile(dir,
+        "." + src.getFileName.toString, ".tmp")
       Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
       try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp) // concurrent JVM won; its copy is complete
       }
+      // best-effort sweep of hidden temps orphaned by crashed JVMs (they
+      // are invisible to the stream either way; this is just hygiene)
+      try {
+        val ls = Files.list(dir)
+        try ls.forEach { c =>
+          val n = c.getFileName.toString
+          if (n.startsWith(".") && n.endsWith(".tmp") &&
+              Files.getLastModifiedTime(c).toMillis <
+                System.currentTimeMillis() - 3600000L)
+            Files.deleteIfExists(c)
+        } finally ls.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     dir.toString
   }

@@ -49,12 +49,34 @@ class NgramJaccardPropertySpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
   }
 
-  private def viaPipeline(docs: Seq[(Long, List[String])]): Set[(Long, Long, Double)] = {
+  private def viaPipeline(docs: Seq[(Long, List[String])],
+                          dfOrdered: Boolean = false,
+                          cap: Option[Long] = None): Set[(Long, Long, Double)] = {
     import spark.implicits._
     val df = docs.map { case (id, d) => (id, d.mkString(" ")) }
       .toDF("doc_id", "text")
-    ops.Dedup.ngramJaccardPairs(df).collect()
+    ops.Dedup.ngramJaccardPairs(df, dfOrdered, cap).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  /** Zipfian corpus: rank-weighted word choice (P(rank r) ∝ 1/r over 20
+    * words) makes a few grams appear in most docs — the hot-gram shape the
+    * df-ordered prefix exists for. */
+  private def zipfCorpus(seed: Long): Seq[(Long, List[String])] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (1 to 20).map(i => s"w$i")
+    val weights = vocab.indices.map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def word(): String = {
+      val x = rnd.nextDouble() * total
+      vocab(cum.indexWhere(x <= _))
+    }
+    val bases = (0 until 10).map { i =>
+      i.toLong -> List.fill(5 + rnd.nextInt(20))(word())
+    }
+    // planted near-dups so the lossless property isn't vacuous
+    bases ++ bases.map { case (id, d) => (100L + id) -> mutate(d, id.toInt) }
   }
 
   test("pipeline == brute force on 5 generated corpora with planted near-dups") {
@@ -69,6 +91,28 @@ class NgramJaccardPropertySpec extends AnyFunSuite {
       assert(got === want, s"round $round: pipeline diverged from brute force")
       assert(want.nonEmpty, s"round $round: vacuous corpus (no true pairs)")
     }
+  }
+
+  test("df-ordered prefix is lossless on Zipfian corpora (flag off == flag on == brute force)") {
+    for (round <- 0 until 3) {
+      val docs = zipfCorpus(seed = 31L * round + 5)
+      val want = bruteForce(docs)
+      assert(want.nonEmpty, s"round $round: vacuous Zipfian corpus")
+      assert(viaPipeline(docs) === want,
+        s"round $round: lexicographic prefix diverged from brute force")
+      assert(viaPipeline(docs, dfOrdered = true) === want,
+        s"round $round: df-ordered prefix diverged — NOT lossless")
+    }
+  }
+
+  test("hot-gram cap is a sound subset: only drops pairs, and a huge cap drops none") {
+    val docs = zipfCorpus(seed = 99L)
+    val want = bruteForce(docs)
+    val capped = viaPipeline(docs, dfOrdered = true, cap = Some(3L))
+    assert(capped.subsetOf(want),
+      "capped output invented a pair — must only ever MISS pairs")
+    assert(viaPipeline(docs, dfOrdered = true, cap = Some(1000000L)) === want,
+      "cap above every df must be a no-op")
   }
 
   test("degenerate docs: shorter than 3 tokens never pair, never crash") {

@@ -75,6 +75,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState twin equals batch counts across unordered multi-batch") {
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // TimeMode.None => no watermark, no late-drop: 3 unordered micro-
+      // batches must still reach EXACT batch counts (stronger than the
+      // flatMapGroupsWithState test, whose watermark may drop late rows).
+      val out = Streams.drain(
+        stream3(maxFiles = 1)
+          .select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.CountProcessor,
+            TimeMode.None(), OutputMode.Append()).toDF(),
+        OutputMode.Append())
+        .groupBy("user_id").agg(max(col("cnt")).as("n"))
+      val batch = Tables.events(spark, sf)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(rowSet(out) === rowSet(batch))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("multi-batch streaming dedup is a subset of batch DISTINCT, non-trivial") {
     val out = Streams.drain(
       stream3()
