@@ -132,13 +132,17 @@ object Streams {
   /** Drain a streaming DataFrame to completion into a memory sink and
     * return the sink contents as a batch DataFrame.
     *
-    * State partitioning is scoped down to 8 for the drain: each stateful
-    * operator spins up one state-store instance PER shuffle partition per
-    * micro-batch, a fixed cost that dwarfs the per-row work at test SF
-    * (and 8 is still plenty of key-space spread). Results are unaffected —
-    * state partition count never changes WHAT is computed — and the
-    * previous value is always restored. On a real cluster raise it to the
-    * executor-core count via the same session conf before starting jobs.
+    * State partitioning is scoped down to 2 for the drain (overridable via
+    * session conf `graft.drain.statePartitions`): each stateful operator
+    * spins up one state-store instance PER shuffle partition per
+    * micro-batch, a fixed cost that dwarfs the per-row work at test SF.
+    * Probed on this box (tools/StreamProbe, sf0.1): 8 partitions 9.3 s /
+    * 2 partitions 6.3 s across 5 keys; RocksDB provider 10.3 s — native
+    * store setup costs MORE than HDFS-backed at drain scale, so it stays
+    * off. Results are unaffected — state partition count never changes
+    * WHAT is computed — and the previous value is always restored. On a
+    * real cluster raise it to the executor-core count via the same conf
+    * before starting jobs.
     */
   def drain(out: DataFrame, mode: OutputMode): DataFrame = {
     val s = out.sparkSession
@@ -150,7 +154,8 @@ object Streams {
     // (Verify/Bench/tests), so the scoped value can't leak into another
     // query's plan.
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.getOption("graft.drain.statePartitions").getOrElse("2"))
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
