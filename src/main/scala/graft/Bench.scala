@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up (untimed): one batch query + one streaming drain. The first
+    // query of a cold JVM pays ~4-5 s of one-time JIT/codegen/session init
+    // (and the first DRAIN pays streaming-infra init) that belongs to the
+    // session, not the query — r1/r2 showed whichever key ran first
+    // spiking 3-7x and flagging phantom regressions. BASELINE.md's
+    // per-query numbers are warm measurements; matching methodology keeps
+    // the comparison meaningful.
+    try {
+      SparkEntry.queries("agg_pricing_summary")(spark, sfDir).count()
+      SparkEntry.queries("stream_dedup")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
