@@ -18,7 +18,8 @@ object Explain {
     sys.props("graft.staging") = "false"
     val names = if (args.length > 1) args.drop(1).toSeq
                 else (SparkEntry.queries.keySet --
-                  graft.streaming.Streams.drainKeys).toSeq.sorted
+                  graft.streaming.Streams.drainKeys --
+                  graft.ops.Pipeline.loopKeys).toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

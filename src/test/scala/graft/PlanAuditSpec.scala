@@ -18,7 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
   import TestSpark._
 
   private val streamingKeys =
-    graft.streaming.Streams.drainKeys
+    graft.streaming.Streams.drainKeys ++ graft.ops.Pipeline.loopKeys
   // These intentionally build cross/nested-loop products: the cross-join
   // key itself, the theta/interval joins, and every embedding op that
   // broadcasts a small probe/centroid set against the corpus.
