@@ -72,12 +72,16 @@ object Dedup {
         col("band_id"), col("band_val"))
       val r = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
         col("band_id").as("band_id_r"), col("band_val").as("band_val_r"))
-      l.join(r, col("band_id") === col("band_id_r") &&
+      val pairs = l.join(r, col("band_id") === col("band_id_r") &&
           col("band_val") === col("band_val_r") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
         .where(col("hamming") <= 3)
         .distinct()
+      // Stage the pair ARTIFACT per corpus version, like the trigram and
+      // minhash pair lists — order re-applied after the staged read.
+      graft.Staging.materialize(pairs,
+        Tables.path(dir, "documents"), "simhash_pairs_h3_v1")
         .orderBy("doc_a", "doc_b")
     }),
 

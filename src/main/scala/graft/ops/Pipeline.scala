@@ -102,6 +102,31 @@ object Pipeline {
           sum("red_len").as("sum_red_len"))
         .orderBy("source")),
 
+    // Train/test decontamination: flag corpus docs sharing any word
+    // 4-gram with the held-out "benchmark" set (stand-in: doc_id % 97 == 0
+    // — in production, an actual eval-set table). The benchmark gram set
+    // is BROADCAST — eval sets are tiny vs a 100 TB corpus, so the corpus
+    // side streams map-side with no shuffle before the per-doc count; if
+    // the benchmark ever outgrows broadcast, the same query shuffles on
+    // gram. 4-grams chosen over 8 (vacuous on this short-doc corpus) and
+    // 3 (flags a third of it): 7 docs at sf0.01 — selective, non-trivial.
+    "text_contamination" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .where(size(col("t")) >= 4)
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 3),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2),
+            element_at(col("t"), i + 3))))).as("gram"))
+      val bench = grams.where(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      grams.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(countDistinct("gram").as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup cluster resolution: min-label propagation over the exact
     // trigram-Jaccard pair graph until fixpoint. Output is (doc_id,
     // cluster) for every doc that participates in at least one near-dup
@@ -176,6 +201,17 @@ object Pipeline {
         "CAST(sum(hits) AS BIGINT) AS total_hits, " +
         "CAST(sum(red_len) AS BIGINT) AS sum_red_len " +
         "FROM m GROUP BY source ORDER BY source"),
+    "text_contamination" ->
+      // range(a, b) is end-EXCLUSIVE in DuckDB vs Spark's inclusive
+      // sequence: range(1, len(t) - 2) == sequence(1, size - 3).
+      ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram " +
+        "FROM toks WHERE len(t) >= 4), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) " +
+        "SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared " +
+        "FROM g JOIN bench USING (gram) WHERE doc_id % 97 <> 0 " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "dedup_cluster" ->
       ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
         "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
