@@ -102,6 +102,28 @@ object Pipeline {
           sum("red_len").as("sum_red_len"))
         .orderBy("source")),
 
+    // Perplexity-proxy quality scoring: per-doc average negative
+    // log-likelihood under the corpus's own unigram model (token counts /
+    // total). High avg_nll = statistically surprising text (noise, junk,
+    // wrong language) — the classic cheap stand-in for LM-perplexity
+    // filtering. Two-phase shape: token counts aggregate map-side first;
+    // the per-token join shuffles on token (vocab ≪ corpus, but at 100 TB
+    // vocab can exceed broadcast, so the shuffle join is the safe
+    // default); one more shuffle for the per-doc average. Weighted by
+    // occurrence (not distinct tokens) — true cross-entropy.
+    "text_unigram_nll" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      toks.join(cnt, "tok").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 6)
+          .as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Train/test decontamination: flag corpus docs sharing any word
     // 4-gram with the held-out "benchmark" set (stand-in: doc_id % 97 == 0
     // — in production, an actual eval-set table). The benchmark gram set
@@ -201,6 +223,13 @@ object Pipeline {
         "CAST(sum(hits) AS BIGINT) AS total_hits, " +
         "CAST(sum(red_len) AS BIGINT) AS sum_red_len " +
         "FROM m GROUP BY source ORDER BY source"),
+    "text_unigram_nll" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
+        "cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), " +
+        "tot AS (SELECT count(*) AS total FROM toks) " +
+        "SELECT doc_id, round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_nll " +
+        "FROM toks JOIN cnt USING (tok) CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "text_contamination" ->
       // range(a, b) is end-EXCLUSIVE in DuckDB vs Spark's inclusive
       // sequence: range(1, len(t) - 2) == sequence(1, size - 3).

@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // broadcasts a small probe/centroid set against the corpus.
   private val crossOk = Set("join_cross", "join_theta_range", "join_interval",
     "embed_cosine_topk", "embed_knn_label", "embed_neardup", "embed_ann_ivf",
-    "text_tfidf")
+    "text_tfidf", "text_unigram_nll") // nll: 1-row broadcast total, like tfidf
 
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation
@@ -84,6 +84,27 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("global top-k uses TakeOrderedAndProject, not a full sort") {
     assert(plans("limit_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("contamination check broadcasts the benchmark gram set") {
+    // The 100 TB claim: eval-set grams broadcast, corpus streams map-side.
+    assert(plans("text_contamination").contains("BroadcastHashJoin"),
+      "benchmark gram set is not broadcast — corpus side would shuffle")
+  }
+
+  test("stratified sample adds no shuffle beyond the output sort") {
+    // The keep/drop decision is a map-side integer filter; the only
+    // exchange allowed is the declared total-order sort's range partition.
+    assert(!plans("sample_stratified").contains("Exchange hashpartitioning"),
+      "sampling introduced a hash shuffle — no longer map-side")
+  }
+
+  test("sequence packing shuffles once: window partitioning serves the rollup") {
+    // HashPartitioning(source) from the window satisfies the (source,
+    // shard) groupBy's clustering, so exactly ONE hash exchange may appear.
+    val n = "Exchange hashpartitioning".r
+      .findAllIn(plans("pack_sequences")).length
+    assert(n == 1, s"pack_sequences has $n hash exchanges, expected 1")
   }
 
   test("bucketed join is co-located: no exchange feeds the join") {
