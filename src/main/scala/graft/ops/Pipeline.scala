@@ -136,11 +136,16 @@ object Pipeline {
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
         .where(size(col("t")) >= 4)
-      val grams = docs.select(col("doc_id"),
-        explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 3),
-          i => concat_ws(" ", element_at(col("t"), i),
-            element_at(col("t"), i + 1), element_at(col("t"), i + 2),
-            element_at(col("t"), i + 3))))).as("gram"))
+      // The (doc_id, 4-gram) relation feeds BOTH join sides (benchmark +
+      // corpus), so it's materialized once per corpus version — the same
+      // two-reference rule as the dedup signatures.
+      val grams = graft.Staging.materialize(
+        docs.select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 3),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2),
+              element_at(col("t"), i + 3))))).as("gram")),
+        Tables.path(dir, "documents"), "contam_grams4_v1")
       val bench = grams.where(col("doc_id") % 97 === 0)
         .select("gram").distinct()
       grams.where(col("doc_id") % 97 =!= 0)

@@ -52,6 +52,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSpark(star).values.toSet === Set(1L))
   }
 
+  test("connected components: empty and single-edge graphs") {
+    assert(viaSpark(Seq.empty) === Map.empty)
+    assert(viaSpark(Seq((7L, 3L))) === Map(7L -> 3L, 3L -> 3L))
+  }
+
+  test("contamination flags a planted benchmark copy, never a benchmark doc") {
+    val rows = ops.Pipeline.queries("text_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (id, n) =>
+      assert(id % 97 != 0, s"benchmark doc $id flagged as contaminated")
+      assert(n > 0, s"doc $id flagged with zero shared grams")
+    }
+  }
+
   test("stratified sample is deterministic and respects per-lang rates") {
     val q = ops.Pipeline.queries("sample_stratified")
     val a = q(spark, sf).collect().map(_.toString).toSeq

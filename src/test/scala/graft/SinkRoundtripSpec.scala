@@ -2,8 +2,10 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SURVEY §2.1: csv / json / parquet sink round-trips — write a query
-  * result, read it back with the written schema, get the same rows. */
+/** SURVEY §2.1: csv / json / parquet / orc sink round-trips — write a
+  * query result, read it back with the written schema, get the same rows.
+  * (Avro is excluded: the spark-avro data-source jar isn't in this
+  * distribution's /opt/spark/jars.) */
 class SinkRoundtripSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -24,6 +26,12 @@ class SinkRoundtripSpec extends AnyFunSuite {
     result.write.mode("overwrite").option("header", "true").csv(p)
     val back = spark.read.schema(result.schema).option("header", "true").csv(p)
     assert(rowSet(back) === rowSet(result))
+  }
+
+  test("orc sink round-trip") {
+    val p = tmp("orc")
+    result.write.mode("overwrite").orc(p)
+    assert(rowSet(spark.read.orc(p)) === rowSet(result))
   }
 
   test("json sink round-trip") {
