@@ -64,9 +64,12 @@ object Vector {
         .orderBy("q_id", "rnk")
     }),
 
-    /** no-oracle: kNN label prediction (k=10, majority vote, smaller label
-      * wins ties) for the 100 held-out ids vec_id < 100 against the rest of
-      * the corpus. Deterministic; accuracy asserted in internal tests. */
+    /** kNN label prediction (k=10, majority vote, smaller label wins
+      * ties) for the 100 held-out ids vec_id < 100 against the rest of the
+      * corpus. Every step carries a total tie-break (rounded sim + vec_id
+      * for the neighbor rank, votes + label for the winner), so the result
+      * is exactly reproducible — oracled since round 3 (was no-oracle;
+      * cosine bit-parity was already proven via embed_cosine_topk). */
     "embed_knn_label" -> ((s, dir) => {
       val e = emb(s, dir)
       val probes = e.where(col("vec_id") < 100)
@@ -108,6 +111,21 @@ object Vector {
        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk " +
        "FROM sims) " +
        "SELECT q_id, rnk, vec_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"),
+    "embed_knn_label" ->
+      ("WITH p AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q " +
+       "FROM embeddings WHERE vec_id < 100), " +
+       "c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +
+       "FROM embeddings WHERE vec_id >= 100), " +
+       "sims AS (SELECT p.q_id, c.vec_id, c.label, " +
+       "round(list_cosine_similarity(p.q, c.v), 6) AS sim FROM p CROSS JOIN c), " +
+       "r AS (SELECT q_id, label, row_number() OVER (PARTITION BY q_id " +
+       "ORDER BY sim DESC, vec_id) AS rnk FROM sims), " +
+       "votes AS (SELECT q_id, label, count(*) AS votes FROM r WHERE rnk <= 10 " +
+       "GROUP BY 1, 2), " +
+       "best AS (SELECT q_id, label, votes, row_number() OVER (PARTITION BY q_id " +
+       "ORDER BY votes DESC, label) AS rb FROM votes) " +
+       "SELECT q_id AS vec_id, label AS predicted, votes FROM best WHERE rb = 1 " +
+       "ORDER BY vec_id"),
     "multimodal_join" ->
       ("SELECT label, count(*) AS n, round(avg(n_chars), 2) AS avg_chars, " +
        "round(avg(len(string_split(text, ' '))), 2) AS avg_toks " +
