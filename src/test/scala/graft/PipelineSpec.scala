@@ -85,6 +85,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(byLang.getOrElse("zh", 0L) === totals("zh"), "rate-100 stratum must keep all")
   }
 
+  test("sequence packing equals a driver-side reference packer exactly") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.toSeq.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var running = 0L
+      ds.sortBy(_._2).map { case (_, _, toks) =>
+        val shard = running / 512; running += toks; (src, shard, toks)
+      }
+    }.groupBy(t => (t._1, t._2))
+      .map { case ((src, shard), ts) =>
+        (src, shard, ts.size.toLong, ts.map(_._3).sum) }
+      .toSet
+    val got = ops.Pipeline.queries("pack_sequences")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
   test("sequence packing: shards contiguous from 0, boundary respects budget") {
     val rows = ops.Pipeline.queries("pack_sequences")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
