@@ -50,12 +50,22 @@ object Staging {
               // (gated by _SUCCESS) or it's a stale partial from a crashed
               // pre-atomic-rename write. The exception alone can't tell
               // them apart, so re-check the _SUCCESS gate: present → use
-              // the winner's copy; absent → evict the stale dir and retry
-              // the rename (bounded, then degrade to uncached below).
+              // the winner's copy; absent → evict ONLY if the dir is old.
+              // The age guard closes a TOCTOU hole: without it, JVM A's
+              // stale _SUCCESS check could run just before JVM B publishes
+              // a complete copy, and A's delete would rip files out from
+              // under B's already-planned query. A fresh mtime means
+              // "possibly just published / mid-publish" → treat as a lost
+              // race and serve the plan uncached; only genuinely old
+              // crash-leftovers (no _SUCCESS after 60 s) are evicted.
               if (Files.exists(dir.resolve("_SUCCESS"))) {
                 deleteRecursively(tmp); done = true
-              } else {
+              } else if (Files.getLastModifiedTime(dir).toMillis <
+                           System.currentTimeMillis() - 60000L) {
                 deleteRecursively(dir)
+              } else {
+                deleteRecursively(tmp)
+                return df
               }
             }
           }

@@ -251,7 +251,10 @@ object Dedup {
           size(col("ga")).as("sz_a"), size(col("gb")).as("sz_b"))
         .where(jac >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
-        .orderBy("doc_a", "doc_b")
+        // NO trailing sort here: ngramPairs stages this result to parquet
+        // (which keeps no order — the cold path would pay a full
+        // range-shuffle sort only to throw it away); consumers that need
+        // the declared total order apply it themselves.
   }
 
   val oracles: Map[String, String] = Map(

@@ -276,17 +276,34 @@ object Joins {
             .saveAsTable(tmpName)
           s.sql(s"DROP TABLE $tmpName")
           Files.createDirectories(loc.getParent)
-          try Files.move(tmpLoc, loc, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileAlreadyExistsException |
-                       _: java.nio.file.DirectoryNotEmptyException =>
-            // racing JVM: complete copy (gated by _SUCCESS) → use it;
-            // stale partial → evict and retry once.
-            if (Files.exists(loc.resolve("_SUCCESS")))
-              Staging.deleteRecursively(tmpLoc)
-            else {
-              Staging.deleteRecursively(loc)
-              Files.move(tmpLoc, loc, StandardCopyOption.ATOMIC_MOVE)
+          // Bounded publish loop, same scheme (and same TOCTOU age guard)
+          // as Staging.materialize: a racing JVM's complete copy (gated by
+          // _SUCCESS) is used as-is; an OLD dir without _SUCCESS is a
+          // crash leftover and is evicted; a FRESH one may be mid-publish
+          // by another JVM, so wait for its _SUCCESS rather than deleting
+          // files from under its query. A double race on the retry move
+          // loops instead of throwing (the previous single unguarded retry
+          // failed the whole query when two JVMs evicted concurrently).
+          var attempts = 0
+          var published = false
+          while (!published && attempts < 5) {
+            attempts += 1
+            try { Files.move(tmpLoc, loc, StandardCopyOption.ATOMIC_MOVE); published = true }
+            catch { case _: java.nio.file.FileAlreadyExistsException |
+                         _: java.nio.file.DirectoryNotEmptyException =>
+              if (Files.exists(loc.resolve("_SUCCESS"))) {
+                Staging.deleteRecursively(tmpLoc); published = true
+              } else if (Files.getLastModifiedTime(loc).toMillis <
+                           System.currentTimeMillis() - 60000L) {
+                Staging.deleteRecursively(loc)
+              } else Thread.sleep(1000L) // racing publisher; let it finish
             }
+          }
+          if (!published) {
+            Staging.deleteRecursively(tmpLoc)
+            if (!Files.exists(loc.resolve("_SUCCESS")))
+              throw new IllegalStateException(
+                s"could not publish bucketed table at $loc after $attempts attempts")
           }
           val schema = Tables.table(s, dir, t).schema.toDDL
           s.sql(s"CREATE TABLE $name ($schema) USING parquet " +

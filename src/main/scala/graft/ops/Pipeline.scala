@@ -36,12 +36,16 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Deterministic per-doc draw in [0, 100): LCG-style mix of doc_id.
-    * Plain 64-bit integer arithmetic (no overflow at any plausible corpus
-    * size: doc_id·1103515245 < 2^63 for doc_id < 8.3e9) so DuckDB computes
-    * the identical value — a portable sampling key, unlike engine-specific
-    * hash builtins. */
-  private val draw = (col("doc_id") * 1103515245L + 12345L) % 100
+  /** Deterministic per-doc draw in [0, 100): Lehmer/MINSTD step
+    * (id·48271 mod 2³¹−1) then mod 100. The PRIME modulus is load-bearing:
+    * a plain affine-mod-100 draw collapses to a period-20 residue-class
+    * selector (multiplier mod 100 = 45 keeps only multiples of 5), which
+    * correlates with anything keyed on doc_id residues — the Lehmer step
+    * is a full-period permutation of [1, 2³¹−1), so low-modulus structure
+    * is destroyed. Plain 64-bit integer arithmetic (no overflow below
+    * doc_id ≈ 1.9e14) so DuckDB computes the identical value — a portable
+    * sampling key, unlike engine-specific hash builtins. */
+  private val draw = ((col("doc_id") * 48271L) % 2147483647L) % 100
 
   /** Per-language sampling rates (percent kept) — the "data mixture" knob:
     * downsample the dominant language, keep the rare ones. */
@@ -112,9 +116,14 @@ object Pipeline {
     // default); one more shuffle for the per-doc average. Weighted by
     // occurrence (not distinct tokens) — true cross-entropy.
     "text_unigram_nll" -> ((s, dir) => {
-      val toks = Tables.table(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), " ")).as("tok"))
+      // The exploded-token relation feeds THREE plan references (counts,
+      // total, join input) — staged once per corpus version, same
+      // multi-reference rule as the dedup signatures.
+      val toks = graft.Staging.materialize(
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("tok")),
+        Tables.path(dir, "documents"), "unigram_toks_v1")
       val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val total = toks.agg(count(lit(1)).as("total"))
       toks.join(cnt, "tok").crossJoin(broadcast(total))
@@ -173,12 +182,20 @@ object Pipeline {
   val loopKeys: Set[String] = Set("dedup_cluster")
 
   /** Connected components over an undirected (doc_a, doc_b) pair relation
-    * by iterative min-label propagation: every node ends with
-    * lbl = min(doc_id in its component). Factored out of `dedup_cluster`
-    * so PipelineSpec can run it against generated graphs and a
-    * driver-side union-find reference. Fixpoint is schedule-independent
-    * (min is idempotent/commutative/associative), so the result is
-    * deterministic regardless of round count or partitioning. */
+    * by min-label propagation WITH pointer jumping: each round a node
+    * takes the min over its own label, its neighbors' labels, AND its
+    * label's label (path halving) — so label distance shrinks
+    * geometrically and convergence needs O(log diameter) rounds, not
+    * O(diameter). The 30-round cap therefore covers any graph a real
+    * corpus can produce (diameter up to ~2^30); if it's ever hit the loop
+    * FAILS LOUDLY instead of returning silently wrong labels (plain
+    * propagation with a cap would mislabel any near-dup chain longer than
+    * the cap — e.g. incrementally edited doc chains). Factored out of
+    * `dedup_cluster` so PipelineSpec can run it against generated graphs
+    * (including a chain longer than an unjumped cap) and a driver-side
+    * union-find reference. Fixpoint is schedule-independent (min is
+    * idempotent/commutative/associative), so the result is deterministic
+    * regardless of round count or partitioning. */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // undirected edge list, both directions, so one join propagates
@@ -190,10 +207,17 @@ object Pipeline {
       .withColumn("lbl", col("doc"))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 30) {
-      val prop = edges.join(labels, edges("doc_b") === labels("doc"))
+    val MaxRounds = 30
+    while (changed > 0 && iter < MaxRounds) {
+      val viaEdge = edges.join(labels, edges("doc_b") === labels("doc"))
         .select(edges("doc_a").as("doc"), col("lbl"))
-      val next = labels.select("doc", "lbl").union(prop)
+      // pointer jump: my label's current label (labels is keyed by doc,
+      // and every label IS a doc id, so self-join label→doc)
+      val lx = labels.select(col("doc").as("x_doc"), col("lbl").as("x_lbl"))
+      val ly = labels.select(col("doc").as("y_doc"), col("lbl").as("y_lbl"))
+      val viaLabel = lx.join(ly, lx("x_lbl") === ly("y_doc"))
+        .select(col("x_doc").as("doc"), col("y_lbl").as("lbl"))
+      val next = labels.select("doc", "lbl").union(viaEdge).union(viaLabel)
         .groupBy("doc").agg(min("lbl").as("lbl"))
         .localCheckpoint(true) // cut the per-round lineage growth
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
@@ -201,13 +225,17 @@ object Pipeline {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxRounds rounds — " +
+          "pathological component; raise the cap or switch to large-star/small-star")
     labels
   }
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" ->
       ("SELECT doc_id, lang, source FROM documents " +
-        "WHERE (doc_id * 1103515245 + 12345) % 100 < " +
+        "WHERE ((doc_id * 48271) % 2147483647) % 100 < " +
         "(CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'es' THEN 75 " +
         "WHEN 'fr' THEN 90 ELSE 100 END) ORDER BY doc_id"),
     "pack_sequences" ->

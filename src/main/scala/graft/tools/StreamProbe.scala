@@ -31,6 +31,10 @@ object StreamProbe {
       println(f"[probe] $tag TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    // The drain DEFAULT is now 2, so the 8-partition baseline must be set
+    // explicitly — otherwise this leg silently measures the same config
+    // as the hdfs-2 leg and the comparison is meaningless.
+    spark.conf.set("graft.drain.statePartitions", "8")
     timeAll("baseline-hdfs-8")
     spark.conf.set("graft.drain.statePartitions", "2")
     timeAll("hdfs-2")

@@ -44,8 +44,10 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("connected components: long chain (worst-case diameter) and star") {
-    // chain 0-1-2-...-25: label must propagate the full diameter
-    val chain = (0L until 25L).map(i => (i, i + 1))
+    // chain of diameter 60 — LONGER than the 30-round cap, so this only
+    // passes because pointer jumping converges in O(log diameter); plain
+    // capped propagation would return silently wrong labels here
+    val chain = (0L until 60L).map(i => (i, i + 1))
     assert(viaSpark(chain).values.toSet === Set(0L))
     // star with high-id hub: min label still wins
     val star = (1L to 10L).map(i => (100L, i))
@@ -83,6 +85,13 @@ class PipelineSpec extends AnyFunSuite {
         s"$lang keep-rate $got too far from $rate")
     }
     assert(byLang.getOrElse("zh", 0L) === totals("zh"), "rate-100 stratum must keep all")
+    // Structure check: the draw must not collapse to a doc_id residue-class
+    // selector (the affine-mod-100 draw it replaced kept only fixed
+    // residues mod 20, silently correlating with anything doc_id-keyed).
+    val keptResidues = q(spark, sf).where(col("lang") === "en")
+      .select((col("doc_id") % 20).as("r")).distinct().count()
+    assert(keptResidues >= 15,
+      s"en sample covers only $keptResidues of 20 doc_id residues — draw is residue-structured")
   }
 
   test("sequence packing equals a driver-side reference packer exactly") {

@@ -37,11 +37,14 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.5
-    for a in sys.argv[1:]:
+    # manual parse so the space-form "--threshold 1.5" value is consumed
+    # and never mistaken for a positional file path
+    args, thr, it = [], 1.5, iter(sys.argv[1:])
+    for a in it:
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            thr = float(a.split("=", 1)[1] if "=" in a else next(it))
+        else:
+            args.append(a)
     old, new = load(args[0]), load(args[1])
     common = sorted(set(old) & set(new))
     print(f"{len(old)} old / {len(new)} new / {len(common)} common queries")
@@ -67,4 +70,7 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # e.g. piped into head
+        sys.exit(0)
