@@ -136,10 +136,11 @@ object Streams {
     * session conf `graft.drain.statePartitions`): each stateful operator
     * spins up one state-store instance PER shuffle partition per
     * micro-batch, a fixed cost that dwarfs the per-row work at test SF.
-    * Probed on this box (tools/StreamProbe, sf0.1): 8 partitions 9.3 s /
-    * 2 partitions 6.3 s across 5 keys; RocksDB provider 10.3 s — native
-    * store setup costs MORE than HDFS-backed at drain scale, so it stays
-    * off. Results are unaffected — state partition count never changes
+    * Probed on this box (tools/StreamProbe, sf0.1, 5 keys; re-validated
+    * after fixing the probe's baseline leg): 8 partitions 8.4-9.3 s /
+    * 2 partitions 5.9-6.3 s; RocksDB at 8 partitions 6.9-10.3 s (the
+    * high end includes one-time native-lib load) — still behind
+    * HDFS-backed at 2 partitions, so it stays off for drains. Results are unaffected — state partition count never changes
     * WHAT is computed — and the previous value is always restored. On a
     * real cluster raise it to the executor-core count via the same conf
     * before starting jobs.
