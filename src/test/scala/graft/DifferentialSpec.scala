@@ -13,7 +13,8 @@ class DifferentialSpec extends AnyFunSuite {
 
   // oracle SQL that is both valid DuckDB and valid Spark SQL
   private val ansiKeys = Seq("udf_scalar", "udaf_aggregator", "dedup_exact",
-                             "stream_dedup", "stream_stateful_count")
+                             "stream_dedup", "stream_stateful_count",
+                             "sample_stratified")
 
   private lazy val views = { Tables.registerAll(spark, sf); true }
 
