@@ -29,7 +29,73 @@ object Ann {
       struct((-round(Vector.cosine(v, cv), 6)).as("neg"), lit(id).as("c_id"))
     }: _*)), 1, k)
 
+  private val PqSub = 8      // subspaces (64-dim → 8 dims each)
+  private val PqK = 16       // codewords per subspace
+  private val PqDim = 8      // dims per subspace
+
+  /** Squared L2 between two equal-length vectors — left-to-right fold. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
   val queries: Map[String, Q] = Map(
+
+    /** no-oracle: product-quantization ANN — the third classic scale path
+      * (IVF bounds which vectors are scored, LSH bounds them by bucket; PQ
+      * bounds the COST PER SCORE: 8 table lookups instead of a 64-dim
+      * distance, and the corpus stores 8 small codes per vector instead
+      * of 64 doubles — an 8-byte-per-vector index at 100 TB).
+      *
+      * Deterministic "training": codewords for subspace j are the j-th
+      * 8-dim slices of the 16 lowest-vec_id vectors (collected driver-side
+      * — 16 rows, bounded, same pattern as the IVF centroids). Corpus
+      * vectors are encoded map-side (argmin over 16 codewords per
+      * subspace, rounded + index tie-break); each probe precomputes its
+      * 8×16 asymmetric-distance lookup table map-side, and the candidate
+      * score is `zip_with(codes, lut, element_at)` summed — pure codegen,
+      * no UDFs. Ranked by (rounded ADC distance asc, vec_id). Recall vs
+      * exact L2 and structural invariants are asserted in AnnSpec
+      * (no-oracle: the codebook literals make DuckDB replay impractical,
+      * and the semantics are approximation-specific by design). */
+    "embed_ann_pq" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // codebook: PqK × PqSub literal 8-dim slices, collected once
+      val cbRows = e.where(col("vec_id") < PqK).collect().toSeq
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+      // codebook(j)(c) = literal array for codeword c of subspace j
+      val codebook: Seq[Seq[Column]] = (0 until PqSub).map { j =>
+        cbRows.map(full =>
+          array(full.slice(j * PqDim, (j + 1) * PqDim).map(lit): _*))
+      }
+      def sub(v: Column, j: Int): Column = slice(v, j * PqDim + 1, PqDim)
+      // encode: per subspace, argmin codeword by (rounded l2², index)
+      val codes = array((0 until PqSub).map { j =>
+        element_at(array_sort(array(codebook(j).zipWithIndex.map {
+          case (cw, c) =>
+            struct(round(l2sq(sub(col("v"), j), cw), 6).as("d"),
+              lit(c).as("c"))
+        }: _*)), 1)("c")
+      }: _*)
+      val encoded = e.select(col("vec_id"), codes.as("codes"))
+      // per-probe ADC lookup table: lut(j)(c) = d(q_subvec_j, codeword_jc)
+      val lut = array((0 until PqSub).map { j =>
+        array(codebook(j).map(cw =>
+          round(l2sq(sub(col("v"), j), cw), 6)): _*)
+      }: _*)
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), lut.as("lut"))
+      val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+      encoded.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", round(aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, l) => element_at(l, c.cast("int") + 1)),
+          lit(0.0), _ + _), 6))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("adist"))
+        .orderBy("q_id", "rnk")
+    }),
 
     // IVF ANN: centroids = the 16 lowest vec_ids ("trained" deterministically
     // so the oracle can replay it); every corpus vector lands in its nearest

@@ -46,8 +46,37 @@ class AnnSpec extends AnyFunSuite {
     assert(r >= 0.1, s"LSH recall@5 degenerated to $r")
   }
 
-  test("both ANN paths are deterministic across runs") {
+  /** Exact L2 top-5 per probe, computed driver-side — PQ approximates
+    * EUCLIDEAN distance, so its recall reference must be L2, not the
+    * cosine reference the IVF/LSH tests use. */
+  private lazy val exactL2: Map[Long, Set[Long]] = {
+    val vs = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    vs.filter(_._1 < 10).map { case (q, qv) =>
+      q -> vs.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }.toMap
+  }
+
+  test("PQ: every probe answered with 5 neighbors, recall vs exact L2 not degenerate") {
+    val pq = topkSets("embed_ann_pq")
+    assert(pq.keySet === exactL2.keySet)
+    pq.values.foreach(s => assert(s.size === 5))
+    val per = exactL2.map { case (q, want) =>
+      pq(q).intersect(want).size.toDouble / want.size }
+    val r = per.sum / per.size
+    // 8 subspaces × 16 codewords on clusterless random vectors is coarse
+    // by construction; random 5-of-corpus would be ~0.025 — require well
+    // above chance (measured 0.22 on this corpus).
+    assert(r >= 0.1, s"PQ recall@5 degenerated to $r")
+  }
+
+  test("all ANN paths are deterministic across runs") {
     assert(topkSets("embed_ann_ivf") === topkSets("embed_ann_ivf"))
     assert(topkSets("embed_ann_lsh") === topkSets("embed_ann_lsh"))
+    assert(topkSets("embed_ann_pq") === topkSets("embed_ann_pq"))
   }
 }

@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // broadcasts a small probe/centroid set against the corpus.
   private val crossOk = Set("join_cross", "join_theta_range", "join_interval",
     "embed_cosine_topk", "embed_knn_label", "embed_neardup", "embed_ann_ivf",
+    "embed_ann_pq",        // broadcast probe LUTs vs corpus codes
     "text_tfidf", "text_unigram_nll") // nll: 1-row broadcast total, like tfidf
 
   private lazy val plans: Map[String, String] = {
