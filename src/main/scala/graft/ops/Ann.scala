@@ -76,7 +76,11 @@ object Ann {
               lit(c).as("c"))
         }: _*)), 1)("c")
       }: _*)
-      val encoded = e.select(col("vec_id"), codes.as("codes"))
+      // The code table IS the PQ index — staged per corpus version like
+      // the dedup artifacts (encode once, every search reads the codes).
+      val encoded = graft.Staging.materialize(
+        e.select(col("vec_id"), codes.as("codes")),
+        Tables.path(dir, "embeddings"), "pq_codes8x16_v1")
       // per-probe ADC lookup table: lut(j)(c) = d(q_subvec_j, codeword_jc)
       val lut = array((0 until PqSub).map { j =>
         array(codebook(j).map(cw =>
