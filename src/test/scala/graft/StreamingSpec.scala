@@ -153,6 +153,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join: full drain equals batch; multi-batch is a sound subset") {
+    // view → click attribution within 30 min per user: the canonical
+    // stream-stream join shape. Inner joins emit matches as both sides
+    // arrive, so a single-batch full drain must EQUAL the batch interval
+    // self-join; an unordered multi-batch drain may only MISS pairs
+    // (watermark-expired state), never invent them.
+    def sides(df: org.apache.spark.sql.DataFrame) = {
+      val v = df.where(col("event_type") === "view")
+        .select(col("user_id").as("v_uid"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+        .withWatermark("v_ts", "1 hour")
+      val c = df.where(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      v.join(c, col("v_uid") === col("c_uid") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("v_id"), col("c_id"))
+    }
+    val batch = {
+      val e = Tables.events(spark, sf)
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id").as("v_uid"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      v.join(c, col("v_uid") === col("c_uid") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("v_id"), col("c_id"))
+    }
+    val single = Streams.drain(sides(stream3(maxFiles = 3)), OutputMode.Append())
+    assert(rowSet(single) === rowSet(batch), "single-batch drain must equal batch join")
+    assert(rowSet(batch).nonEmpty, "vacuous fixture: no view→click pairs")
+    val multi = Streams.drain(sides(stream3(maxFiles = 1)), OutputMode.Append())
+    assert(rowSet(multi).subsetOf(rowSet(batch)), "multi-batch invented pairs")
+  }
+
   test("streaming session_window equals batch session_window on drain") {
     val out = Streams.drain(
       stream3(maxFiles = 3) // one batch: in-order => every session finalized
