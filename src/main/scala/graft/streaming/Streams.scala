@@ -277,6 +277,34 @@ object Streams {
         .orderBy("user_id", "event_type")
     }),
 
+    // Stream-STREAM interval join: view → click attribution within 30 min
+    // per user, both sides watermarked (the watermark bounds join state —
+    // without it an unbounded stream buffers both sides forever). Inner
+    // joins emit matches as both sides arrive, so the declared single-file
+    // drain (one micro-batch) equals the batch interval self-join exactly
+    // and is plain-SQL oracle-able. Timestamps are truncated to SECONDS on
+    // both sides: the raw parquet is nanosecond-precision and Spark reads
+    // it microsecond-truncated, so an untruncated 30-minute boundary
+    // comparison could disagree between engines on sub-µs margins —
+    // second-truncation makes the comparison exact integers in both.
+    // StreamingSpec additionally runs the unordered multi-batch variant
+    // (output ⊆ batch, never invented pairs).
+    "stream_stream_join" -> ((s, dir) => {
+      val src = stageDir(Tables.path(dir, "events"))
+      def side(t: String, p: String) = eventsStreamDir(s, src)
+        .where(col("event_type") === t)
+        .select(col("user_id").as(s"${p}_uid"),
+          date_trunc("second", col("ts")).as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+        .withWatermark(s"${p}_ts", "1 hour")
+      val joined = side("view", "v").join(side("click", "c"),
+        col("v_uid") === col("c_uid") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("v_id"), col("c_id"))
+      drain(joined, OutputMode.Append()).orderBy("v_id", "c_id")
+    }),
+
     // Arbitrary stateful processing: running per-user event counter via
     // flatMapGroupsWithState with an EVENT-time timeout (processing-time
     // timers would hang an AvailableNow drain — see countUpdates). Each batch
@@ -345,6 +373,16 @@ object Streams {
         |ORDER BY user_id, event_type""".stripMargin,
     "stream_stateful_count" ->
       """SELECT user_id, count(*) AS n_events FROM events
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_stream_join" ->
+      """WITH v AS (SELECT event_id AS v_id, user_id,
+        |            date_trunc('second', ts) AS v_ts
+        |     FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS c_id, user_id,
+        |            date_trunc('second', ts) AS c_ts
+        |     FROM events WHERE event_type = 'click')
+        |SELECT v_id, c_id FROM v JOIN c USING (user_id)
+        |WHERE c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTE
+        |ORDER BY v_id, c_id""".stripMargin
   )
 }
