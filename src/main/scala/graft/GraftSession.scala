@@ -23,13 +23,22 @@ import org.apache.spark.sql.SparkSession
   * their core count.
   */
 object GraftSession {
+  /** The recommended conf set, exposed as data so tests can assert it
+    * without building a session against a live shared SparkContext
+    * (getOrCreate on a running context silently drops static confs like
+    * spark.sql.extensions and mutates the existing session's modifiable
+    * ones — a test doing that proves nothing and leaks settings). */
+  def recommended(shufflePartitions: Int = 200): Seq[(String, String)] = Seq(
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> "268435456",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
   def builder(shufflePartitions: Int = 200): SparkSession.Builder =
-    SparkSession.builder()
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "268435456")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+    recommended(shufflePartitions).foldLeft(SparkSession.builder()) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 }

@@ -20,7 +20,8 @@ import re
 import sys
 
 PAIR = re.compile(r'"([a-z][a-z0-9_]*)"\s*:\s*([0-9]+(?:\.[0-9]+)?)')
-NOT_QUERIES = {"metric", "value", "sf", "n", "rc", "cpus", "parsed"}
+NOT_QUERIES = {"metric", "value", "sf", "n", "rc", "cpus", "parsed",
+               "total_sec"}
 
 
 def load(path):
