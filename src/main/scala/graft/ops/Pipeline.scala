@@ -163,6 +163,41 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // The end-to-end corpus-cleaning flagship — what this engine is FOR —
+    // composing four independently-verified stages into one declared,
+    // oracle-checked query:
+    //   1. near-dup removal: drop every cluster member except the
+    //      min-doc_id representative (staged pair list → CC labels);
+    //   2. quality filter: keep medium+ docs (score ≥ 0.5, the SAME
+    //      expression text_quality verifies);
+    //   3. stratified sampling: the Lehmer draw against per-lang rates;
+    //   4. sequence packing: surviving docs packed into 512-token shards.
+    // Output: per (source, shard) doc/token counts — the manifest a
+    // training run would consume. Every stage is map-side or
+    // single-shuffle except the CC fixpoint, which reads the staged pair
+    // artifact (at 100 TB: pair lists + cluster labels live next to the
+    // corpus; this query then costs one scan + one window).
+    "pipeline_clean_pack" -> ((s, dir) => {
+      val dups = connectedComponents(
+          Dedup.ngramPairs(s, dir).select("doc_a", "doc_b"))
+        .where(col("doc") =!= col("lbl"))
+        .select(col("doc").as("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.table(s, dir, "documents")
+        .join(dups, Seq("doc_id"), "left_anti")
+        .where(TextQuality.qualityScore >= 0.5)
+        .where(draw < rate)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("shard",
+          (coalesce(sum("toks").over(w), lit(0L)) / SeqBudget).cast("long"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_toks"))
+        .orderBy("source", "shard")
+    }),
+
     // Near-dup cluster resolution: min-label propagation over the exact
     // trigram-Jaccard pair graph until fixpoint. Output is (doc_id,
     // cluster) for every doc that participates in at least one near-dup
@@ -179,7 +214,7 @@ object Pipeline {
     * joins/counts eagerly) — plan-only tools must skip these, same as
     * `Streams.drainKeys`: the returned DataFrame's plan is just the final
     * checkpoint scan, not the computation. */
-  val loopKeys: Set[String] = Set("dedup_cluster")
+  val loopKeys: Set[String] = Set("dedup_cluster", "pipeline_clean_pack")
 
   /** Connected components over an undirected (doc_a, doc_b) pair relation
     * by min-label propagation WITH pointer jumping: each round a node
@@ -274,6 +309,41 @@ object Pipeline {
         "SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared " +
         "FROM g JOIN bench USING (gram) WHERE doc_id % 97 <> 0 " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // Composes the four verified stage oracles (cluster CTE = dedup_cluster's,
+    // quality CASE = text_quality's, draw = sample_stratified's, window =
+    // pack_sequences') — any drift in a stage shows up in its own row first.
+    "pipeline_clean_pack" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, len(g) AS sz FROM grams), " +
+        "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
+        "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
+        "FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT doc_a, doc_b FROM pr " +
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+        "WHERE inter / (sa.sz + sb.sz - inter) >= 0.8), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(doc, r) AS (SELECT s, s FROM edges " +
+        "UNION SELECT reach.doc, e.d FROM reach JOIN edges e ON e.s = reach.r), " +
+        "clus AS (SELECT doc, min(r) AS root FROM reach GROUP BY doc), " +
+        "dups AS (SELECT doc FROM clus WHERE doc <> root), " +
+        "q AS (SELECT d.doc_id, d.source, d.lang, d.text, round(" +
+        "(CASE WHEN d.n_chars BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END) + " +
+        "(CASE WHEN d.n_chars * 1.0 / len(string_split(lower(d.text), ' ')) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END) + " +
+        "(CASE WHEN len(list_intersect(list_distinct(string_split(lower(d.text), ' ')), " +
+        "['the','a','and','of','to'])) * 1.0 / len(string_split(lower(d.text), ' ')) > 0.01 THEN 0.2 ELSE 0.0 END) + " +
+        "(CASE WHEN len(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) * 1.0 / d.n_chars < 0.1 THEN 0.1 ELSE 0.0 END), 2) AS q " +
+        "FROM documents d WHERE d.doc_id NOT IN (SELECT doc FROM dups)), " +
+        "filt AS (SELECT doc_id, source, text FROM q " +
+        "WHERE q >= 0.5 AND ((doc_id * 48271) % 2147483647) % 100 < " +
+        "(CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'es' THEN 75 WHEN 'fr' THEN 90 ELSE 100 END)), " +
+        "c AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks, " +
+        "coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM filt) " +
+        "SELECT source, CAST(cum // 512 AS BIGINT) AS shard, count(*) AS n_docs, " +
+        "CAST(sum(toks) AS BIGINT) AS sum_toks FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
     "dedup_cluster" ->
       ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
         "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +

@@ -38,6 +38,27 @@ object TextQuality {
     aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
       lit(0L), (a, b) => (a * 31 + b) % 1000000007L)
 
+  /** Weighted quality score over (text, n_chars) columns, rounded to 2dp —
+    * length window + avg word length + stopword ratio + symbol ratio.
+    * Shared by `text_quality` and the end-to-end `pipeline_clean_pack`
+    * (ops/Pipeline), so the two can never drift apart. All comparisons are
+    * on exact integer-derived doubles; parity with the DuckDB replica is
+    * proven by text_quality's green oracle row. */
+  def qualityScore: Column = {
+    val nToks = size(split(lower(col("text")), " "))
+    val stopRatio = size(array_intersect(toks,
+      lit_arr(Seq("the", "a", "and", "of", "to")))).cast("double") / nToks
+    val symRatio =
+      length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+        .cast("double") / col("n_chars")
+    val avgWordLen = col("n_chars").cast("double") / nToks
+    round(
+      when(col("n_chars").between(50, 5000), lit(0.4)).otherwise(lit(0.0)) +
+        when(avgWordLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
+        when(stopRatio > 0.01, lit(0.2)).otherwise(lit(0.0)) +
+        when(symRatio < 0.1, lit(0.1)).otherwise(lit(0.0)), 2)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Language-ID: score = |distinct tokens ∩ lang keyword list|, predicted
@@ -63,29 +84,16 @@ object TextQuality {
 
     // Quality scoring: length window, average word length, stopword ratio,
     // symbol ratio → weighted score → low/medium/high buckets per source.
-    "text_quality" -> ((s, dir) => {
-      val nToks = size(split(lower(col("text")), " "))
-      val stopRatio = size(array_intersect(toks,
-        lit_arr(Seq("the", "a", "and", "of", "to")))).cast("double") / nToks
-      val symRatio =
-        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
-          .cast("double") / col("n_chars")
-      val avgWordLen = col("n_chars").cast("double") / nToks
-      val score =
-        when(col("n_chars").between(50, 5000), lit(0.4)).otherwise(lit(0.0)) +
-          when(avgWordLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
-          when(stopRatio > 0.01, lit(0.2)).otherwise(lit(0.0)) +
-          when(symRatio < 0.1, lit(0.1)).otherwise(lit(0.0))
+    "text_quality" -> ((s, dir) =>
       Tables.table(s, dir, "documents")
-        .withColumn("q", round(score, 2))
+        .withColumn("q", qualityScore)
         .withColumn("bucket",
           when(col("q") >= 0.8, "high")
             .when(col("q") >= 0.5, "medium")
             .otherwise("low"))
         .groupBy("source", "bucket")
         .agg(count(lit(1)).as("n"), D.r2(avg(col("q"))).as("avg_q"))
-        .orderBy("source", "bucket")
-    }),
+        .orderBy("source", "bucket")),
 
     // Token counting: whitespace tokens vs a BPE-ish regex lex
     // ([a-z]+ | digit runs | single symbols), aggregated per lang.
