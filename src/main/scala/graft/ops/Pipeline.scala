@@ -2,6 +2,8 @@ package graft.ops
 
 import graft.Tables
 import graft.QueryDefs.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-pipeline corpus-management operators (SURVEY.md §2.10b round-3
@@ -18,9 +20,11 @@ import org.apache.spark.sql.functions._
   *  - `pack_sequences`: contiguous token-budget packing — docs in a fixed
   *    deterministic order per stratum, exclusive running token count,
   *    shard = cum div budget. One shuffle (partition by stratum) + one
-  *    in-partition window. At 100 TB, partition by (source, day-bucket) so
-  *    each window partition stays executor-sized; shard ids then carry the
-  *    bucket prefix.
+  *    in-partition window by default; at 100 TB set
+  *    `graft.pack.bucketWidth` to switch `packShards` to the two-level
+  *    (source, doc_id-bucket) prefix sum — window partitions stay
+  *    executor-sized and shard ids are bit-identical (PipelineSpec
+  *    property).
   *  - `text_scrub_terms`: denylist redaction (word-boundary regex) counted
   *    and applied map-side in one pass — corpus-linear, no shuffle before
   *    the tiny per-source aggregate.
@@ -61,6 +65,73 @@ object Pipeline {
     * every source in one shard there — an unexercised div). */
   private val SeqBudget = 512
 
+  /** Bucket width for the scale-safe two-level packing prefix sum, read
+    * from session conf `graft.pack.bucketWidth` (unset/≤0 → the single-key
+    * window). Conf-gated like `graft.drain.statePartitions` so the declared
+    * keys keep today's plan by default while the spec and a 100 TB
+    * deployment flip the composite path on. */
+  private def packBucketWidth(s: SparkSession): Option[Long] =
+    s.conf.getOption("graft.pack.bucketWidth").map(_.toLong).filter(_ > 0)
+
+  /** Assign each doc its global token-budget shard id: shard = (exclusive
+    * prefix sum of `toks` per `source` in `doc_id` order) div `budget`.
+    * Input must have columns (source, doc_id, toks); output adds `shard`.
+    *
+    * Two execution shapes, bit-identical output (PipelineSpec property):
+    *
+    *  - `bucketWidth = None`: one window partitioned by `source` alone.
+    *    Correct, single-exchange — but a window partition holds an entire
+    *    stratum, so at 100 TB one task sorts corpus/|sources|. Fine at
+    *    bench SF, the declared default.
+    *
+    *  - `bucketWidth = Some(B)`: the distributed two-pass prefix sum.
+    *    `bucket = doc_id div B` is MONOTONE in doc_id, so ordering by
+    *    doc_id within (source, bucket) plus bucket-order offsets
+    *    reconstructs the exact global prefix: within-bucket exclusive
+    *    sums come from a window over (source, bucket) — each partition
+    *    now holds ≤ B docs regardless of corpus size — and each bucket's
+    *    starting offset is the exclusive sum of per-bucket subtotals,
+    *    computed by a second window over the TINY (source, bucket)
+    *    subtotal relation (O(corpus/B) rows) and broadcast back. The
+    *    subtotal pass re-scans the narrow (source, doc_id, toks)
+    *    projection — a map-side partial agg, the standard price of a
+    *    two-pass distributed scan — rather than re-evaluating the window.
+    */
+  def packShards(docs: DataFrame, budget: Int,
+                 bucketWidth: Option[Long]): DataFrame =
+    bucketWidth match {
+      case None =>
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.withColumn("shard",
+          (coalesce(sum("toks").over(w), lit(0L)) / budget).cast("long"))
+      case Some(b) =>
+        // `div` (not `/`): exact integral division on longs — float floor
+        // would wobble for doc_ids beyond 2^53.
+        val bucketed = docs.withColumn("bucket", expr(s"doc_id div $b"))
+        val wl = Window.partitionBy("source", "bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wb = Window.partitionBy("source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bucketed.groupBy("source", "bucket")
+          .agg(sum("toks").as("bt"))
+          .withColumn("off", coalesce(sum("bt").over(wb), lit(0L)))
+          .select("source", "bucket", "off")
+        bucketed
+          .withColumn("loc", coalesce(sum("toks").over(wl), lit(0L)))
+          .join(broadcast(offsets), Seq("source", "bucket"))
+          .withColumn("shard",
+            ((col("off") + col("loc")) / budget).cast("long"))
+          .drop("bucket", "loc", "off")
+    }
+
+  /** The declared packing rollup: per-(source, shard) doc/token counts. */
+  private def packRollup(docs: DataFrame, s: SparkSession): DataFrame =
+    packShards(docs, SeqBudget, packBucketWidth(s))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_toks"))
+      .orderBy("source", "shard")
+
   /** Denylist scrubbing pattern: word-boundary alternation. Java regex and
     * DuckDB's RE2 agree on \b and simple alternation — parity-tested. */
   private val ScrubPat = "\\b(key|hash|secret)\\b"
@@ -77,19 +148,12 @@ object Pipeline {
     // Contiguous token-budget packing: shard = exclusive-prefix token count
     // div budget, per source, docs in doc_id order. A doc larger than the
     // budget gets its own shard(s) boundary — counts stay exact either way.
-    "pack_sequences" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables.table(s, dir, "documents")
-        .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("toks"))
-        .withColumn("shard",
-          (coalesce(sum("toks").over(w), lit(0L)) / SeqBudget).cast("long"))
-        .groupBy("source", "shard")
-        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_toks"))
-        .orderBy("source", "shard")
-    }),
+    "pack_sequences" -> ((s, dir) =>
+      packRollup(
+        Tables.table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks")),
+        s)),
 
     // Denylist scrub: count matches and apply the redaction in one map
     // pass; per-source rollup proves both the count and the rewrite ran.
@@ -182,20 +246,14 @@ object Pipeline {
           Dedup.ngramPairs(s, dir).select("doc_a", "doc_b"))
         .where(col("doc") =!= col("lbl"))
         .select(col("doc").as("doc_id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables.table(s, dir, "documents")
-        .join(dups, Seq("doc_id"), "left_anti")
-        .where(TextQuality.qualityScore >= 0.5)
-        .where(draw < rate)
-        .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("toks"))
-        .withColumn("shard",
-          (coalesce(sum("toks").over(w), lit(0L)) / SeqBudget).cast("long"))
-        .groupBy("source", "shard")
-        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_toks"))
-        .orderBy("source", "shard")
+      packRollup(
+        Tables.table(s, dir, "documents")
+          .join(dups, Seq("doc_id"), "left_anti")
+          .where(TextQuality.qualityScore >= 0.5)
+          .where(draw < rate)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks")),
+        s)
     }),
 
     // Near-dup cluster resolution: min-label propagation over the exact

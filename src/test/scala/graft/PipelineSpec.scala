@@ -112,6 +112,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("composite-key packing is bit-identical to the single-key window") {
+    import spark.implicits._
+    // Generated corpus: few sources, sparse non-contiguous doc_ids, varied
+    // token counts — bucket boundaries land mid-stratum at every width.
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 500L).map { i =>
+      (s"src_${rnd.nextInt(3)}", i * 3 + rnd.nextInt(2), 1L + rnd.nextInt(40))
+    }.toDF("source", "doc_id", "toks")
+    val single = ops.Pipeline.packShards(docs, 64, None)
+      .collect().map(_.toString).sorted.toSeq
+    for (b <- Seq(1L, 7L, 100L, 100000L)) {
+      val comp = ops.Pipeline.packShards(docs, 64, Some(b))
+        .collect().map(_.toString).sorted.toSeq
+      assert(comp === single, s"bucketWidth=$b diverged from single-key")
+    }
+    // Window-partition cardinality actually scales with the bucket count
+    // (the point of the composite key): many (source, bucket) groups vs
+    // a handful of sources.
+    val nb = docs.select(col("source"), expr("doc_id div 7")).distinct().count()
+    val ns = docs.select("source").distinct().count()
+    assert(nb > 10 * ns, s"only $nb (source,bucket) groups vs $ns sources")
+    // And through the declared keys on the real corpus via the conf gate.
+    for (key <- Seq("pack_sequences", "pipeline_clean_pack")) {
+      val q = ops.Pipeline.queries(key)
+      val base = q(spark, sf).collect().map(_.toString).toSeq
+      spark.conf.set("graft.pack.bucketWidth", "37")
+      try {
+        val got = q(spark, sf).collect().map(_.toString).toSeq
+        assert(got === base, s"$key output changed under composite packing")
+      } finally spark.conf.unset("graft.pack.bucketWidth")
+    }
+  }
+
   test("sequence packing: shards contiguous from 0, boundary respects budget") {
     val rows = ops.Pipeline.queries("pack_sequences")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -108,6 +108,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 1, s"pack_sequences has $n hash exchanges, expected 1")
   }
 
+  test("composite packing partitions its window by (source, bucket)") {
+    // The 100 TB path: with graft.pack.bucketWidth set, the prefix-sum
+    // window must hash-partition on BOTH keys, so window partition count
+    // scales with corpus size / bucket width instead of |sources|.
+    spark.conf.set("graft.pack.bucketWidth", "1000")
+    sys.props("graft.staging") = "false"
+    try {
+      val p = SparkEntry.queries("pack_sequences")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(source#\\d+, bucket#\\d+".r.findFirstIn(p).isDefined,
+        "composite packing window is not partitioned by (source, bucket)")
+    } finally {
+      sys.props.remove("graft.staging")
+      spark.conf.unset("graft.pack.bucketWidth")
+    }
+  }
+
   test("bucketed join is co-located: no exchange feeds the join") {
     val p = plans("join_bucketed")
     assert(p.contains("SortMergeJoin"), "bucketed join should sort-merge")
