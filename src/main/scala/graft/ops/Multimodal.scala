@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
 case class MediaRec(doc_id: Long, fmt: String, width: Int, height: Int,
                     payload: Array[Byte])
 
+/** Per-doc media geometry, deterministic from doc_id — the pre-encode half
+  * of the media-bytes fixture. Images stay small (8–31 × 8–23 px) so the
+  * fixture encode is cheap at bench SF; WAV length crosses the 224 resize
+  * threshold so both resize branches are exercised. Top-level (not nested
+  * private) because Encoder codegen must instantiate it. */
+case class MediaMeta(doc_id: Long, fmt: String, width: Int, height: Int)
+
 /** Decoded features for one media item, including the resize-to-fit-224
   * output geometry. */
 case class MediaFeat(doc_id: Long, fmt: String, n_bytes: Int,
@@ -21,42 +28,24 @@ case class MediaFeat(doc_id: Long, fmt: String, n_bytes: Int,
   * run the decode / feature-extract step as a distributed per-partition
   * batch job.
   *
-  * The REAL parts — schema (binary payload + metadata struct), partition
-  * batch shape (`Dataset[MediaRec].mapPartitions`, the Scala analog of
-  * `mapInPandas`: one iterator per partition, decoder state amortized
-  * across the batch), and the downstream relational aggregation — are
-  * genuine and tested. The codec itself is a STUB: no image/audio libs
-  * exist in this environment, so `decodeStub` computes deterministic
-  * byte-level "features" (mean byte value, 8-bucket byte entropy) standing
-  * in for pixel decode + embedding. Swap `decodeStub` for a real codec
-  * (JNI/javacv) without touching the plumbing.
+  * The decode is REAL: `MediaCodec.decodeFeatures` parses genuine PNG/BMP
+  * bytes via `javax.imageio` and WAV containers via `javax.sound.sampled`
+  * (both JDK-built-in, headless-safe) and features come from actual
+  * pixels/samples. The fixture side is synthetic by necessity — no media
+  * files ship with the corpus — so `mediaBytesTable` deterministically
+  * ENCODES each document's media with the same JDK codecs before the
+  * product path decodes it. The plumbing (binary payload + typed metadata
+  * schema, `Dataset[MediaRec].mapPartitions` batch shape — the Scala
+  * analog of `mapInPandas`, decoder state amortizable per partition) is
+  * exactly what a lakehouse media table needs at scale.
   */
 object Multimodal {
 
-  /** Stand-in for the real media decoder. Deterministic, pure,
-    * per-partition instantiable (a real codec would be constructed once
-    * per partition right here, before the iterator is consumed). The
-    * "resize" is the standard fit-within-224 geometry computation — real
-    * arithmetic on the metadata; only the pixel work is faked. */
-  def decodeStub(r: MediaRec): MediaFeat = {
-    val bytes = r.payload
-    val n = bytes.length
-    val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xFF).toDouble).sum / n
-    val hist = new Array[Long](8)
-    bytes.foreach(b => hist((b & 0xFF) >> 5) += 1)
-    val ent = -hist.filter(_ > 0).map { c =>
-      val p = c.toDouble / n; p * math.log(p) / math.log(2)
-    }.sum
-    val scale = math.min(1.0, 224.0 / math.max(1, math.max(r.width, r.height)))
-    MediaFeat(r.doc_id, r.fmt, n,
-      math.rint(mean * 1e6) / 1e6, math.rint(ent * 1e6) / 1e6,
-      math.max(1, math.rint(r.width * scale).toInt),
-      math.max(1, math.rint(r.height * scale).toInt))
-  }
-
-  /** The `documents` table dressed as a media table: payload = UTF-8 bytes
-    * of the text (a deterministic fake for image bytes), metadata derived
-    * from doc fields. */
+  /** The `documents` table dressed as a metadata-plus-opaque-bytes media
+    * table: payload = UTF-8 bytes of the text. Kept as the fixture for the
+    * byte-slicing (`mm_frame_sample`) and metadata-only
+    * (`mm_metadata_stats`) paths, whose DuckDB oracles replay the same
+    * bytes as VARCHAR. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
       .select(col("doc_id"),
@@ -66,16 +55,42 @@ object Multimodal {
         (col("n_chars") % 480 + 1).cast("int").as("height"),
         encode(col("text"), "UTF-8").as("payload"))
 
+  /** The media-bytes fixture: one genuinely-encoded payload per document
+    * (PNG/BMP image or WAV audio, round-robin by doc_id), metadata
+    * matching the encoded geometry. Encoding runs in the same
+    * per-partition batch shape the decoder uses. */
+  def mediaBytesTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaRec] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        element_at(array(lit("png"), lit("bmp"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+        when(col("doc_id") % 3 === 2, (col("doc_id") % 500 + 32).cast("int"))
+          .otherwise((col("doc_id") % 24 + 8).cast("int")).as("width"),
+        when(col("doc_id") % 3 === 2, lit(1))
+          .otherwise((col("doc_id") % 16 + 8).cast("int")).as("height"))
+      .as[MediaMeta]
+      .mapPartitions(_.map { m =>
+        val bytes = m.fmt match {
+          case "wav" => MediaCodec.encodeWav(m.doc_id, m.width)
+          case f     => MediaCodec.encodeImage(f, m.doc_id, m.width, m.height)
+        }
+        MediaRec(m.doc_id, m.fmt, m.width, m.height, bytes)
+      })
+  }
+
   val queries: Map[String, Q] = Map(
-    /** no-oracle: decode+featurize the media batch, then per-format stats.
-      * Internally tested (schema, determinism, entropy bounds). */
+    /** no-oracle: REAL decode (ImageIO / AudioSystem) + featurize of the
+      * media batch, then per-format stats. Internally tested (known-image
+      * and known-audio feature values, decoded-vs-declared geometry,
+      * determinism, entropy bounds). */
     "mm_media_features" -> ((s, dir) => {
       import s.implicits._
       // Repartition by doc_id before the decode stage only: balanced
       // batches for the expensive step regardless of source skew, while
       // metadata-only queries skip the shuffle entirely.
-      mediaTable(s, dir).repartition(col("doc_id")).as[MediaRec]
-        .mapPartitions(_.map(decodeStub))
+      mediaBytesTable(s, dir).repartition(col("doc_id")).as[MediaRec]
+        .mapPartitions(_.map(MediaCodec.decodeFeatures))
         .toDF()
         .groupBy("fmt")
         .agg(count(lit(1)).as("n"),

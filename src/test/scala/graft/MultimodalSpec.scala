@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Tests for the multimodal binary-column plumbing (ops/Multimodal.scala):
-  * the decode stub is a deterministic fake, but the schema, partition
-  * batch shape, and aggregation are the real contract under test.
+/** Tests for the multimodal binary-column path (ops/Multimodal.scala +
+  * ops/MediaCodec.scala): real JDK codecs (ImageIO for PNG/BMP,
+  * AudioSystem for WAV) behind the distributed mapPartitions batch shape.
+  * Known-content tests pin exact feature values; corpus tests pin the
+  * schema, partition-of-corpus property, and determinism.
   */
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
@@ -27,35 +29,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.agg(sum("n")).head().getLong(0) === total)
   }
 
-  test("payload bytes survive the decode path (ASCII text: bytes == chars)") {
-    val expected = Tables.table(spark, sf, "documents")
-      .agg(sum("n_chars")).head().getLong(0)
-    assert(feats.agg(sum("sum_bytes")).head().getLong(0) === expected)
+  test("decoded geometry equals declared metadata across the corpus") {
+    // The decoder reads ONLY the payload bytes; agreement with the table's
+    // width/height columns proves the codec round-trip is lossless on
+    // geometry for every row (images: pixel dims; wav: frame count).
+    import spark.implicits._
+    val bad = ops.Multimodal.mediaBytesTable(spark, sf)
+      .map { r =>
+        val f = ops.MediaCodec.decodeFeatures(r)
+        val scale = math.min(1.0, 224.0 / math.max(1, math.max(r.width, r.height)))
+        val expW = math.max(1, math.rint(r.width * scale).toInt)
+        val expH = math.max(1, math.rint(r.height * scale).toInt)
+        if (f.out_w == expW && f.out_h == expH) 0 else 1
+      }.reduce(_ + _)
+    assert(bad === 0, "decoded geometry diverged from declared metadata")
   }
 
-  test("stub features are deterministic and in-range") {
+  test("features are deterministic and in-range") {
     assert(rowSet(feats.toDF()) ===
       rowSet(SparkEntry.queries("mm_media_features")(spark, sf)))
     val bad = feats.where(
       col("avg_brightness") < 0 || col("avg_brightness") > 255 ||
         col("avg_entropy") < 0 || col("avg_entropy") > 3.0).count()
-    assert(bad === 0, "brightness must be a byte mean, entropy8 in [0,3]")
+    assert(bad === 0, "brightness must be a luma mean, entropy8 in [0,3]")
   }
 
-  test("decode stub: known bytes give the expected feature values") {
-    // 4 bytes, all distinct top-3 bits => histogram 4 x 1/4 => entropy 2.
-    val rec = ops.MediaRec(1L, "png", 1, 1,
-      Array[Byte](0, 32, 64, 96))
-    val f = ops.Multimodal.decodeStub(rec)
-    assert(f.n_bytes === 4)
-    assert(f.brightness === 48.0)
-    assert(f.entropy8 === 2.0)
-    assert(f.out_w === 1 && f.out_h === 1, "no upscale below 224")
+  test("solid-color PNG decodes to its exact luma, zero entropy") {
+    // 3×2 all-(200,100,50): luma = .299*200 + .587*100 + .114*50 = 124.2
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = ops.MediaCodec.decodeFeatures(
+      ops.MediaRec(1L, "png", 3, 2, bos.toByteArray))
+    assert(f.brightness === 124.2)
+    assert(f.entropy8 === 0.0)
+    assert(f.out_w === 3 && f.out_h === 2, "no upscale below 224")
   }
 
-  test("resize stub: fit-within-224 preserves aspect ratio") {
-    val f = ops.Multimodal.decodeStub(
-      ops.MediaRec(2L, "jpeg", 448, 224, Array[Byte](1)))
+  test("two-luma-bucket checkerboard BMP has exactly 1 bit of entropy") {
+    // Half the pixels black (bucket 0), half white (bucket 7) → p=.5/.5.
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val f = ops.MediaCodec.decodeFeatures(
+      ops.MediaRec(2L, "bmp", 4, 4, bos.toByteArray))
+    assert(f.entropy8 === 1.0)
+    assert(f.brightness === 127.5)
+  }
+
+  test("constant-amplitude WAV decodes to that amplitude, zero entropy") {
+    // 100 frames of PCM16 value 16384 → |a| = 16384/32767*255 ≈ 127.503...
+    val data = new Array[Byte](200)
+    for (i <- 0 until 100) { data(2 * i) = 0x00; data(2 * i + 1) = 0x40 }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 100L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val f = ops.MediaCodec.decodeFeatures(
+      ops.MediaRec(3L, "wav", 100, 1, bos.toByteArray))
+    val exp = math.rint(16384.0 / 32767.0 * 255.0 * 1e6) / 1e6
+    assert(f.brightness === exp)
+    assert(f.entropy8 === 0.0)
+    assert(f.out_w === 100 && f.out_h === 1)
+  }
+
+  test("resize geometry: fit-within-224 preserves aspect ratio") {
+    val f = ops.MediaCodec.decodeFeatures(
+      ops.MediaRec(4L, "png", 448, 224,
+        ops.MediaCodec.encodeImage("png", 4L, 448, 224)))
     assert(f.out_w === 224 && f.out_h === 112)
+  }
+
+  test("codec round-trip: encoded pixels decode bit-exactly (PNG lossless)") {
+    val bytes = ops.MediaCodec.encodeImage("png", 9L, 5, 4)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert((img.getRGB(x, y) & 0xFFFFFF) === ops.MediaCodec.pixel(9L, x, y))
   }
 }
