@@ -190,7 +190,25 @@ object Pipeline {
         Tables.path(dir, "documents"), "unigram_toks_v1")
       val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val total = toks.agg(count(lit(1)).as("total"))
-      toks.join(cnt, "tok").crossJoin(broadcast(total))
+      // The token join is Zipf-hot at scale ("the" → one reducer). Two
+      // defenses: AQE skew-split is armed session-wide and this is the
+      // sort-merge shape it can split (PlanAuditSpec asserts both); and
+      // `graft.nll.saltReplicas` = R flips on an explicit salted join —
+      // the BIG side salts by doc hash, the SMALL per-token count side
+      // replicates R× (R ≪ vocab growth, so the overhead is bounded), so
+      // the hottest token spreads over R reducers deterministically
+      // instead of relying on runtime stats. Output is identical
+      // (PipelineSpec property).
+      val joined = s.conf.getOption("graft.nll.saltReplicas")
+        .map(_.toInt).filter(_ > 1) match {
+        case None => toks.join(cnt, "tok")
+        case Some(r) =>
+          toks.withColumn("salt", pmod(hash(col("doc_id")), lit(r)))
+            .join(cnt.withColumn("salt",
+              explode(sequence(lit(0), lit(r - 1)))), Seq("tok", "salt"))
+            .drop("salt")
+      }
+      joined.crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 6)
           .as("avg_nll"))
@@ -291,11 +309,24 @@ object Pipeline {
     * regardless of round count or partitioning. */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // Per-round lineage cut. Default: localCheckpoint — executor-local
+    // blocks, no configured dir needed, right for local mode and the
+    // bench. On a real cluster an executor loss would kill a
+    // localCheckpoint'd lineage mid-fixpoint, so `graft.cc.checkpointDir`
+    // switches every cut to a RELIABLE checkpoint against that directory
+    // (HDFS/object store): each round's labels are persisted off-executor
+    // and the loop survives worker churn. Same semantics either way —
+    // PipelineSpec runs a CC case through the reliable path.
+    val sess = pairs.sparkSession
+    val ckptDir = sess.conf.getOption("graft.cc.checkpointDir")
+    ckptDir.foreach(sess.sparkContext.setCheckpointDir)
+    def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
     // undirected edge list, both directions, so one join propagates
     // labels along every edge
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true) // computed once; the loop re-reads it
+    val edges = cut(pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+      // computed once; the loop re-reads it
     var labels = edges.select(col("doc_a").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
     var changed = 1L
@@ -310,9 +341,8 @@ object Pipeline {
       val ly = labels.select(col("doc").as("y_doc"), col("lbl").as("y_lbl"))
       val viaLabel = lx.join(ly, lx("x_lbl") === ly("y_doc"))
         .select(col("x_doc").as("doc"), col("y_lbl").as("lbl"))
-      val next = labels.select("doc", "lbl").union(viaEdge).union(viaLabel)
-        .groupBy("doc").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true) // cut the per-round lineage growth
+      val next = cut(labels.select("doc", "lbl").union(viaEdge).union(viaLabel)
+        .groupBy("doc").agg(min("lbl").as("lbl"))) // cut per-round lineage growth
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
         .where(col("lbl") =!= col("old")).count()
       labels = next

@@ -145,6 +145,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable-checkpoint CC path matches the localCheckpoint default") {
+    import spark.implicits._
+    // A two-component graph incl. a chain — enough rounds to exercise
+    // several reliable cuts, not just the edge-list one.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val base = ops.Pipeline.connectedComponents(pairs)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.conf.set("graft.cc.checkpointDir", dir)
+    try {
+      val got = ops.Pipeline.connectedComponents(pairs)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === base, "reliable-checkpoint CC diverged")
+      // the reliable path actually wrote checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no checkpoint files written — reliable path not taken")
+    } finally {
+      spark.conf.unset("graft.cc.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("salted unigram_nll is row-identical to the unsalted join") {
+    val q = ops.Pipeline.queries("text_unigram_nll")
+    val base = q(spark, sf).collect().map(_.toString).toSeq
+    spark.conf.set("graft.nll.saltReplicas", "8")
+    try {
+      val got = q(spark, sf).collect().map(_.toString).toSeq
+      assert(got === base, "salting changed text_unigram_nll output")
+    } finally spark.conf.unset("graft.nll.saltReplicas")
+  }
+
   test("sequence packing: shards contiguous from 0, boundary respects budget") {
     val rows = ops.Pipeline.queries("pack_sequences")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

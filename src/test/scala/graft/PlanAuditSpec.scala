@@ -108,6 +108,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 1, s"pack_sequences has $n hash exchanges, expected 1")
   }
 
+  /** Plan text_unigram_nll in the simulated 100 TB regime: auto-broadcast
+    * off (a real vocab exceeds the threshold, so the tok join SHUFFLES —
+    * at bench SF the tiny count side broadcasts and no shuffle join
+    * exists to audit), staging bypassed. */
+  private def nllPlanAtScale(confs: (String, String)*): String = {
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sys.props("graft.staging") = "false"
+    try SparkEntry.queries("text_unigram_nll")(spark, sf)
+      .queryExecution.executedPlan.toString
+    finally {
+      sys.props.remove("graft.staging")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+  }
+
+  test("unigram_nll token join: AQE skew-split armed, splittable shape") {
+    // The tok join is Zipf-hot at 100 TB. The runtime defense is AQE
+    // skew-join: it must be enabled in the session AND the join (in the
+    // shuffling regime) must be the sort-merge/shuffled-hash shape AQE
+    // can split — a broadcast or cartesian shape would bypass the
+    // mechanism. Skew stats never trip at bench SF, so armed +
+    // splittable is the assertable contract.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    val p = nllPlanAtScale()
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "tok join is not a shape AQE skew-split can act on")
+  }
+
+  test("salted unigram_nll partitions the token join on (tok, salt)") {
+    // The deterministic defense: graft.nll.saltReplicas spreads each
+    // token over R reducers regardless of runtime stats.
+    val p = nllPlanAtScale("graft.nll.saltReplicas" -> "8")
+    assert("hashpartitioning\\(tok#\\d+, salt#\\d+".r.findFirstIn(p).isDefined,
+      "salted nll join is not partitioned by (tok, salt)")
+  }
+
   test("composite packing partitions its window by (source, bucket)") {
     // The 100 TB path: with graft.pack.bucketWidth set, the prefix-sum
     // window must hash-partition on BOTH keys, so window partition count
