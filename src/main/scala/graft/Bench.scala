@@ -17,13 +17,16 @@ object Bench {
     // spiking 3-7x and flagging phantom regressions. BASELINE.md's
     // per-query numbers are warm measurements; matching methodology keeps
     // the comparison meaningful.
+    // NonFatal only: swallowing OutOfMemoryError/InterruptedException here
+    // would mask a broken session and report a bogus bench line.
     try {
       SparkEntry.queries("agg_pricing_summary")(spark, sfDir).count()
       SparkEntry.queries("stream_dedup")(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(_) => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // 4-decimal seconds (sub-0.1ms noise is meaningless) keep the line
@@ -35,7 +38,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${f(total)}}""")
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${f(total)}}"""
+    // The driver's tail capture has front-truncated the single long line
+    // three rounds running ("parsed": null in BENCH_r0{1,2,3}.json). Emit
+    // a compact parseable summary FIRST, keep the full line (its trailing
+    // total_sec survives front truncation), and persist the full record
+    // to a file the round notes can reference losslessly.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","summary_only":true}""")
+    println(full)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("tools/bench_last.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () } // read-only cwd: line output stands
     spark.stop()
   }
 }

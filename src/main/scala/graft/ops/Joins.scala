@@ -293,10 +293,20 @@ object Joins {
                          _: java.nio.file.DirectoryNotEmptyException =>
               if (Files.exists(loc.resolve("_SUCCESS"))) {
                 Staging.deleteRecursively(tmpLoc); published = true
-              } else if (Files.getLastModifiedTime(loc).toMillis <
-                           System.currentTimeMillis() - 60000L) {
-                Staging.deleteRecursively(loc)
-              } else Thread.sleep(1000L) // racing publisher; let it finish
+              } else {
+                // A racing JVM can delete loc between the failed move and
+                // this mtime read — NoSuchFileException then means the
+                // destination vanished: just retry the move next attempt.
+                val mtime =
+                  try Some(Files.getLastModifiedTime(loc).toMillis)
+                  catch { case _: java.nio.file.NoSuchFileException => None }
+                mtime match {
+                  case Some(t) if t < System.currentTimeMillis() - 60000L =>
+                    Staging.deleteRecursively(loc) // crash leftover
+                  case Some(_) => Thread.sleep(1000L) // racing publisher; let it finish
+                  case None => () // vanished under us — next attempt moves
+                }
+              }
             }
           }
           if (!published) {

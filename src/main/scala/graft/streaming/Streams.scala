@@ -140,9 +140,10 @@ object Streams {
     * after fixing the probe's baseline leg): 8 partitions 8.4-9.3 s /
     * 2 partitions 5.9-6.3 s; RocksDB at 8 partitions 6.9-10.3 s (the
     * high end includes one-time native-lib load) — still behind
-    * HDFS-backed at 2 partitions, so it stays off for drains. Results are unaffected — state partition count never changes
-    * WHAT is computed — and the previous value is always restored. On a
-    * real cluster raise it to the executor-core count via the same conf
+    * HDFS-backed at 2 partitions, so it stays off for drains. Results
+    * are unaffected — state partition count never changes WHAT is
+    * computed — and the previous value is always restored. On a real
+    * cluster raise it to the executor-core count via the same conf
     * before starting jobs.
     */
   def drain(out: DataFrame, mode: OutputMode): DataFrame = {
