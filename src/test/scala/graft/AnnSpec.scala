@@ -74,6 +74,48 @@ class AnnSpec extends AnyFunSuite {
     assert(r >= 0.1, s"PQ recall@5 degenerated to $r")
   }
 
+  test("PQ output equals a full driver-side ADC replay (scores exact)") {
+    // Independent plain-Scala reimplementation of the whole PQ path —
+    // codebook slicing, encode argmin, probe LUTs, ADC sums, top-5
+    // ranking — replicating Spark's round() (BigDecimal.valueOf HALF_UP)
+    // and its left-to-right fold order so scores must match BIT-EXACTLY,
+    // not just rank. This is the no-oracle key's oracle in all but name.
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += (a(i) - b(i)) * (a(i) - b(i)); i += 1 }
+      s
+    }
+    val vs = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    // codebook(j)(c): subspace-j slice of the c-th lowest-vec_id vector
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(8, 16) { (j, c) =>
+      vs(c)._2.slice(j * 8, (j + 1) * 8)
+    }
+    def encode(v: Array[Double]): Array[Int] = Array.tabulate(8) { j =>
+      val sub = v.slice(j * 8, (j + 1) * 8)
+      (0 until 16).map(c => (r6(l2sq(sub, cb(j)(c))), c)).min._2
+    }
+    val codes = vs.map { case (id, v) => id -> encode(v) }.toMap
+    val expected = vs.filter(_._1 < 10).flatMap { case (q, qv) =>
+      val lut: Array[Array[Double]] = Array.tabulate(8, 16) { (j, c) =>
+        r6(l2sq(qv.slice(j * 8, (j + 1) * 8), cb(j)(c)))
+      }
+      vs.filter(_._1 != q).map { case (id, _) =>
+        var s = 0.0
+        for (j <- 0 until 8) s += lut(j)(codes(id)(j)) // fold order = zip_with
+        (id, r6(s))
+      }.sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, d), i) => (q, i + 1, id, d) }
+    }.toSeq
+    val got = SparkEntry.queries("embed_ann_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
+
   test("all ANN paths are deterministic across runs") {
     assert(topkSets("embed_ann_ivf") === topkSets("embed_ann_ivf"))
     assert(topkSets("embed_ann_lsh") === topkSets("embed_ann_lsh"))

@@ -26,4 +26,17 @@ class ApproxDistinctSpec extends AnyFunSuite {
     val out = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
     assert(out.nonEmpty)
   }
+
+  test("tolerance holds at sf0.1 too (bench-scale cardinalities)") {
+    // sf0.001's cardinalities are small enough that HLL++ runs in its
+    // exact sparse mode; sf0.1 pushes it into genuine estimation, so the
+    // rsd contract is asserted where it actually bites.
+    val row = Tables.table(spark, "/root/testdata/sf0.1", "lineitem")
+      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx"),
+           countDistinct(col("l_partkey")).as("exact"))
+      .head()
+    val (approx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) <= 0.05 * exact,
+      s"approx=$approx exact=$exact off by more than 5% at sf0.1")
+  }
 }

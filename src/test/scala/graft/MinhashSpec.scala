@@ -63,6 +63,49 @@ class MinhashSpec extends AnyFunSuite {
     assert(row.getDouble(1) >= 0.8, s"mean reported-pair jac=${row.getDouble(1)}")
   }
 
+  test("banding pipeline matches a driver-side reference on the real corpus") {
+    // Full independent replay of signature → banding → candidate →
+    // estimate on the actual documents table: tokens hashed with the same
+    // XXH64 primitive the query's xxhash64() calls (seed 42, the
+    // multi-arg chaining Spark defines), but the banding, bucketing,
+    // pair formation, and estimate logic reimplemented driver-side.
+    // Anything the distributed pipeline drops, duplicates, or mis-hashes
+    // shows up as a set difference here — this is the no-oracle key's
+    // oracle in all but name.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val Seed = 42L
+    def xxStr(t: String): Long =
+      XXH64.hashUTF8String(UTF8String.fromString(t), Seed)
+    def xx2(h: Long, i: Int): Long = XXH64.hashInt(i, XXH64.hashLong(h, Seed))
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // Spark split(text, " ") keeps trailing empties: split(_, -1) matches.
+    val sigs: Map[Long, Array[Long]] = docs.map { case (id, text) =>
+      val th = text.split(" ", -1).distinct.map(xxStr)
+      id -> Array.tabulate(32)(i => th.map(h => xx2(h, i)).min)
+    }.toMap
+    def bandHash(sig: Array[Long], b: Int): Long =
+      (8 * b until 8 * (b + 1)).foldLeft(Seed)((acc, j) => XXH64.hashLong(sig(j), acc))
+    val buckets = new scala.collection.mutable.HashMap[(Int, Long), List[Long]]()
+    for ((id, sig) <- sigs; b <- 0 until 4)
+      buckets.updateWith((b, bandHash(sig, b)))(o => Some(id :: o.getOrElse(Nil)))
+    val expected = buckets.values.flatMap { ids =>
+      for (a <- ids; bId <- ids if a < bId) yield (a, bId)
+    }.toSet[(Long, Long)].flatMap { case (a, b) =>
+      val est = round6(sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 32.0)
+      if (est >= 0.9) Some((a, b, est)) else None
+    }
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected,
+      s"banding diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("minhash estimate tracks exact Jaccard (mean abs error small)") {
     // 32 hash functions => stderr of the estimator ~ sqrt(J(1-J)/32) <= 0.09;
     // mean |est - exact| over thousands of pairs must land well under that.
