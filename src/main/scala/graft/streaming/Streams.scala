@@ -146,10 +146,23 @@ object Streams {
     * cluster raise it to the executor-core count via the same conf
     * before starting jobs.
     */
-  def drain(out: DataFrame, mode: OutputMode): DataFrame = {
+  def drain(out: DataFrame, mode: OutputMode,
+            noDataBatch: Option[Boolean] = None): DataFrame = {
     val s = out.sparkSession
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // The trailing no-data micro-batch exists to advance the watermark so
+    // APPEND-mode emission (window finalization, timeouts, state
+    // eviction) can fire after the last data batch — append drains keep
+    // it. A COMPLETE-mode aggregation re-emits its full state every
+    // batch and watermark eviction is disabled under complete output, so
+    // the no-data batch is a full extra planning + state-store
+    // load/commit cycle that cannot change the sink — skipped by
+    // default. `noDataBatch` overrides per drain (the inner interval
+    // join passes Some(false): its matches emit in the data batch and
+    // the no-data batch only evicts state).
+    val runNoData = noDataBatch.getOrElse(mode != OutputMode.Complete())
+    val prevNd = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     // restored only AFTER the drain completes: micro-batch planning runs
     // on the stream's own thread after start() returns, so an earlier
     // restore would race it. Queries on this session are sequential
@@ -158,10 +171,18 @@ object Streams {
     try {
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.getOption("graft.drain.statePartitions").getOrElse("2"))
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        runNoData.toString)
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNd match {
+        case Some(v) => s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     s.table(name)
   }
 
@@ -303,7 +324,11 @@ object Streams {
           col("c_ts") >= col("v_ts") &&
           col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
         .select(col("v_id"), col("c_id"))
-      drain(joined, OutputMode.Append()).orderBy("v_id", "c_id")
+      // Inner-join matches emit IN the data batch; the no-data batch only
+      // evicts state — skip it (StreamingSpec + the DuckDB oracle pin the
+      // output either way).
+      drain(joined, OutputMode.Append(), noDataBatch = Some(false))
+        .orderBy("v_id", "c_id")
     }),
 
     // Arbitrary stateful processing: running per-user event counter via

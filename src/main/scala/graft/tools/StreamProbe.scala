@@ -36,8 +36,12 @@ object StreamProbe {
     // as the hdfs-2 leg and the comparison is meaningless.
     spark.conf.set("graft.drain.statePartitions", "8")
     timeAll("baseline-hdfs-8")
+    spark.conf.set("graft.drain.statePartitions", "4")
+    timeAll("hdfs-4")
     spark.conf.set("graft.drain.statePartitions", "2")
     timeAll("hdfs-2")
+    spark.conf.set("graft.drain.statePartitions", "1")
+    timeAll("hdfs-1")
     spark.conf.set("graft.drain.statePartitions", "8")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
