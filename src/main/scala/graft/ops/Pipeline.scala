@@ -352,8 +352,14 @@ object Pipeline {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $MaxRounds rounds — " +
           "pathological component; raise the cap or switch to large-star/small-star")
+    lastCcRounds.set(iter)
     labels
   }
+
+  /** Rounds the most recent `connectedComponents` call in this JVM took —
+    * probe instrumentation (tools/ScaleProbe asserts the count stays flat
+    * as the corpus grows; callers are sequential). */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" ->

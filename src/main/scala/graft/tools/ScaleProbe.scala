@@ -1,0 +1,104 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.ops.Pipeline
+import org.apache.spark.sql.SparkSession
+
+/** Scale smoke probe for the two heaviest pipelines (`dedup_cluster`,
+  * `pipeline_clean_pack`): synthesizes corpora at 1× and 10× the bench
+  * document count in the spec-fixture style (seeded vocab draws with
+  * planted single-token-mutation near-dups at a fixed 5% rate, so the
+  * near-dup pair density stays per-doc-constant as N grows), runs both
+  * queries end-to-end COLD (staging artifact builds included — that is
+  * the honest full cost), and checks the two properties the 100 TB claim
+  * rests on:
+  *
+  *   1. wall time grows ~linearly in N (ratio well under quadratic);
+  *   2. the CC fixpoint's round count stays flat (pointer jumping makes
+  *      it O(log diameter), and planted dup-chains grow diameter only
+  *      logarithmically in N).
+  *
+  * Not part of the driver contract; run manually, numbers recorded in
+  * ROUND4_NOTES.md. Exit code 1 on a violated bound.
+  */
+object ScaleProbe {
+
+  /** Deterministic corpus in the documents schema. ~5% of docs are a
+    * one-token mutation of a random EARLIER doc (trigram Jaccard ≈
+    * (3k-8)/(3k-2) for k tokens — well over the 0.8 pair threshold), so
+    * components form chains-of-mutations whose expected diameter grows
+    * ~log N. Vocab draws are log-uniform (Zipf-ish) over 2000 words;
+    * docs carry enough stopwords for the clean_pack quality stage to
+    * keep most of the corpus. */
+  def corpus(n: Int, seed: Long): Seq[(Long, String, String, String, Int)] = {
+    val rnd = new scala.util.Random(seed)
+    val langs = Vector("en", "de", "es", "fr", "zh")
+    val texts = new scala.collection.mutable.ArrayBuffer[String](n)
+    (0 until n).map { i =>
+      val text =
+        if (i > 0 && rnd.nextInt(20) == 0) {
+          val t = texts(rnd.nextInt(i)).split(" ")
+          t(rnd.nextInt(t.length)) = "w" + rnd.nextInt(2000)
+          t.mkString(" ")
+        } else {
+          val len = 15 + rnd.nextInt(45)
+          (0 until len).map { j =>
+            if (j % 7 == 3) "the" // stopword mass for the quality stage
+            else "w" + (math.pow(2000.0, rnd.nextDouble()).toInt - 1).max(0).min(1999)
+          }.mkString(" ")
+        }
+      texts += text
+      (i.toLong, text, langs(rnd.nextInt(5)),
+        f"src_${rnd.nextInt(20)}%02d", text.length)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.map(_.toInt).getOrElse(5000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // JVM warm-up on the real sf0.001 corpus so scale-1 doesn't absorb
+    // one-time JIT/codegen cost that scale-10 then skips.
+    SparkEntry.queries("dedup_cluster")(spark, "/root/testdata/sf0.001").count()
+    SparkEntry.queries("pipeline_clean_pack")(spark, "/root/testdata/sf0.001").count()
+
+    case class Leg(n: Int, wallCluster: Double, wallPack: Double, rounds: Int)
+    val legs = Seq(1, 10).map { mult =>
+      val n = base * mult
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-$n").toString
+      corpus(n, seed = 7)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(4).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val wc = time(SparkEntry.queries("dedup_cluster")(spark, dir).count())
+      val rounds = Pipeline.lastCcRounds.get()
+      val wp = time(SparkEntry.queries("pipeline_clean_pack")(spark, dir).count())
+      println(f"[scale] n=$n%6d dedup_cluster=$wc%6.1f s (cc_rounds=$rounds) " +
+        f"pipeline_clean_pack=$wp%6.1f s")
+      Leg(n, wc, wp, rounds)
+    }
+
+    val Seq(x1, x10) = legs
+    val rc = x10.wallCluster / x1.wallCluster
+    val rp = x10.wallPack / x1.wallPack
+    println(f"[scale] 10x ratios: dedup_cluster ${rc}%.1fx  " +
+      f"pipeline_clean_pack ${rp}%.1fx  cc_rounds ${x1.rounds} -> ${x10.rounds}")
+    // Linear would be 10x; allow 2x slack for constant-overhead shifts and
+    // log-factor round growth. Quadratic (100x) must be unambiguously out.
+    val ok = rc <= 20 && rp <= 20 && x10.rounds <= x1.rounds + 3
+    println(s"[scale] ${if (ok) "PASS" else "FAIL"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
