@@ -155,6 +155,47 @@ object Pipeline {
             size(split(col("text"), " ")).cast("long").as("toks")),
         s)),
 
+    // The doc-level packing manifest — the artifact a training run
+    // actually consumes (doc → shard assignment), sharing packShards with
+    // the pack_sequences rollup so the two can never drift. Same scale
+    // story (and the same graft.pack.bucketWidth composite-key path).
+    "pack_manifest" -> ((s, dir) =>
+      packShards(
+        Tables.table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks")),
+        SeqBudget, packBucketWidth(s))
+        .select("source", "doc_id", "toks", "shard")
+        .orderBy("doc_id")),
+
+    // Bigram-LM quality scoring: per-doc average negative log CONDITIONAL
+    // likelihood -ln(c(w1,w2)/c(w1·)) under the corpus's own bigram model
+    // — one step up from text_unigram_nll (flags surprising SEQUENCES,
+    // not just surprising tokens; c(w1·) = bigram-head count so the
+    // conditionals normalize). Same two-phase scale shape: the bigram
+    // relation is staged once (three plan references), both count joins
+    // shuffle on their key (bigram vocab ≫ broadcast at 100 TB), and the
+    // same AQE-skew/salting story as the unigram join applies.
+    "text_bigram_nll" -> ((s, dir) => {
+      val bi = graft.Staging.materialize(
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+          .where(size(col("t")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("t")) - 1),
+              i => struct(element_at(col("t"), i).as("w1"),
+                element_at(col("t"), i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")),
+        Tables.path(dir, "documents"), "bigram_toks_v1")
+      val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      val uc = bi.groupBy("w1").agg(count(lit(1)).as("uc"))
+      bi.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("bc").cast("double") / col("uc"))), 6)
+          .as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Denylist scrub: count matches and apply the redaction in one map
     // pass; per-source rollup proves both the count and the rewrite ran.
     "text_scrub_terms" -> ((s, dir) =>
@@ -367,6 +408,26 @@ object Pipeline {
         "WHERE ((doc_id * 48271) % 2147483647) % 100 < " +
         "(CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'es' THEN 75 " +
         "WHEN 'fr' THEN 90 ELSE 100 END) ORDER BY doc_id"),
+    "pack_manifest" ->
+      ("WITH t AS (SELECT source, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +
+        "c AS (SELECT source, doc_id, toks, " +
+        "coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) " +
+        "SELECT source, doc_id, toks, CAST(cum // 512 AS BIGINT) AS shard " +
+        "FROM c ORDER BY doc_id"),
+    "text_bigram_nll" ->
+      // range(1, len(t)) is end-exclusive = Spark's inclusive
+      // sequence(1, size - 1); bigram-head counts come from the SAME
+      // bigram relation on both sides so the conditionals agree exactly.
+      ("WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM t, " +
+        "LATERAL (SELECT unnest(range(1, len(t))) AS i) WHERE len(t) >= 2), " +
+        "bc AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2), " +
+        "uc AS (SELECT w1, count(*) AS uc FROM bi GROUP BY 1) " +
+        "SELECT doc_id, round(avg(-ln(CAST(bc AS DOUBLE) / uc)), 6) AS avg_nll " +
+        "FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "pack_sequences" ->
       ("WITH t AS (SELECT source, doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +

@@ -61,6 +61,25 @@ object TextQuality {
 
   val queries: Map[String, Q] = Map(
 
+    // Per-source heavy hitters: top-5 tokens by count (token asc
+    // tie-break) — the vocabulary/stopword audit every corpus pipeline
+    // runs before filtering. Two-phase (source, token) count first, then
+    // the row_number window runs over the SMALL aggregated relation
+    // (|vocab|·|sources| rows, not corpus-sized) — the same
+    // agg-before-window shape that keeps win_row_number_topk scale-safe.
+    "text_heavy_hitters" -> ((s, dir) => {
+      val cnt = Tables.table(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("cnt").desc, col("tok"))
+      cnt.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select("source", "rnk", "tok", "cnt")
+        .orderBy("source", "rnk")
+    }),
+
     // Language-ID: score = |distinct tokens ∩ lang keyword list|, predicted
     // = argmax with fixed tie-break order (de, en, es, else fr — mirrored
     // exactly in the oracle CASE). Output is the lang × predicted confusion
@@ -124,6 +143,12 @@ object TextQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      ("WITH c AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
+        "g AS (SELECT source, tok, count(*) AS cnt FROM c GROUP BY 1, 2), " +
+        "r AS (SELECT source, tok, cnt, row_number() OVER " +
+        "(PARTITION BY source ORDER BY cnt DESC, tok) AS rnk FROM g) " +
+        "SELECT source, rnk, tok, cnt FROM r WHERE rnk <= 5 ORDER BY source, rnk"),
     "text_langid" ->
       ("WITH toks AS (SELECT lang, list_distinct(string_split(lower(text), ' ')) AS t FROM documents), " +
         "scored AS (SELECT lang, " +

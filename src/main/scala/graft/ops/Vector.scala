@@ -86,6 +86,21 @@ object Vector {
         .orderBy("vec_id")
     }),
 
+    // Per-label embedding centroid, emitted as exploded (label, pos,
+    // dim_mean) rows — the class-centroid op diversity balancing and
+    // clustering seeds need. posexplode keeps the elementwise mean fully
+    // distributed: (label, pos) partial aggs combine map-side and only
+    // |labels|·dim tiny rows cross the shuffle; no driver-side vector
+    // math, no array-wide shuffle rows.
+    "embed_centroid_label" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("v")))
+        .groupBy("label", "pos")
+        .agg(D.r6(avg("col")).as("dim_mean"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("dim_mean"))
+        .orderBy("label", "pos")),
+
     // "Multimodal columns": text + embedding vector joined into one
     // relation, mixed-type analytics per label.
     "multimodal_join" -> ((s, dir) => {
@@ -101,6 +116,13 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_centroid_label" ->
+      // unnest + generate_subscripts in one SELECT zip positionally;
+      // - 1 matches posexplode's 0-based pos (cast long on both sides).
+      ("WITH ex AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, " +
+       "generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos FROM embeddings) " +
+       "SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(x), 6) AS dim_mean " +
+       "FROM ex GROUP BY label, pos ORDER BY label, pos"),
     "embed_cosine_topk" ->
       ("WITH p AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q " +
        "FROM embeddings WHERE vec_id < 10), " +

@@ -169,6 +169,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_manifest rolls up exactly to pack_sequences") {
+    // The doc-level manifest and the per-shard rollup are two views of
+    // the same assignment — aggregating the manifest must reproduce the
+    // rollup bit-for-bit.
+    val rolled = ops.Pipeline.queries("pack_manifest")(spark, sf)
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_toks"))
+    assert(rowSet(rolled) ===
+      rowSet(ops.Pipeline.queries("pack_sequences")(spark, sf)))
+  }
+
   test("salted unigram_nll is row-identical to the unsalted join") {
     val q = ops.Pipeline.queries("text_unigram_nll")
     val base = q(spark, sf).collect().map(_.toString).toSeq
