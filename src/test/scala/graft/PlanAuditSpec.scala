@@ -147,6 +147,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "salted nll join is not partitioned by (tok, salt)")
   }
 
+  test("heavy hitters: rank limit pushes into WindowGroupLimit over the agg") {
+    // The window must consume the aggregated (source, token) relation
+    // with the rnk<=5 filter lowered to WindowGroupLimit, so per-group
+    // state during ranking is 5 rows — not |vocab| — at any scale.
+    val p = plans("text_heavy_hitters")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "token counting is not a partial+final aggregate")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=5 did not lower to WindowGroupLimit")
+  }
+
+  test("label centroid is a two-phase aggregate over exploded dims") {
+    val p = plans("embed_centroid_label")
+    assert(p.contains("Generate"), "posexplode missing from the plan")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "centroid mean is not partial+final")
+  }
+
+  test("pack_manifest shuffles once, like the rollup it feeds") {
+    val n = "Exchange hashpartitioning".r
+      .findAllIn(plans("pack_manifest")).length
+    assert(n == 1, s"pack_manifest has $n hash exchanges, expected 1")
+  }
+
   test("composite packing partitions its window by (source, bucket)") {
     // The 100 TB path: with graft.pack.bucketWidth set, the prefix-sum
     // window must hash-partition on BOTH keys, so window partition count
