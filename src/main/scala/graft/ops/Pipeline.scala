@@ -103,8 +103,12 @@ object Pipeline {
       case None =>
         val w = Window.partitionBy("source").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
-        docs.withColumn("shard",
-          (coalesce(sum("toks").over(w), lit(0L)) / budget).cast("long"))
+        // Integral `div` (not float `/`): cumulative token sums at 100 TB
+        // can exceed 2^53, where double division truncates wrongly; the
+        // DuckDB oracle uses integral `//`.
+        docs.withColumn("off", coalesce(sum("toks").over(w), lit(0L)))
+          .withColumn("shard", expr(s"off div $budget"))
+          .drop("off")
       case Some(b) =>
         // `div` (not `/`): exact integral division on longs — float floor
         // would wobble for doc_ids beyond 2^53.
@@ -120,8 +124,7 @@ object Pipeline {
         bucketed
           .withColumn("loc", coalesce(sum("toks").over(wl), lit(0L)))
           .join(broadcast(offsets), Seq("source", "bucket"))
-          .withColumn("shard",
-            ((col("off") + col("loc")) / budget).cast("long"))
+          .withColumn("shard", expr(s"(off + loc) div $budget"))
           .drop("bucket", "loc", "off")
     }
 
@@ -360,13 +363,31 @@ object Pipeline {
     // PipelineSpec runs a CC case through the reliable path.
     val sess = pairs.sparkSession
     val ckptDir = sess.conf.getOption("graft.cc.checkpointDir")
-    ckptDir.foreach(sess.sparkContext.setCheckpointDir)
-    def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+    // Reliable path: each cut goes under its own `$dir/<tag>` subdirectory
+    // so round N-1's files can be deleted the moment round N's cut (and
+    // the convergence count, the last reader of the old labels) has
+    // materialized — otherwise a long-lived cluster session accumulates
+    // one checkpoint per fixpoint round per call, unboundedly. At any
+    // instant at most two rounds of label checkpoints exist on disk (the
+    // round just written and, transiently, the one being retired), plus
+    // the edge set, which is dropped once the loop converges. The FINAL
+    // round's checkpoint is the returned DataFrame's storage and is
+    // deliberately left for the caller's lifetime.
+    def cut(df: org.apache.spark.sql.DataFrame, tag: String)
+        : org.apache.spark.sql.DataFrame =
+      if (ckptDir.isDefined) {
+        sess.sparkContext.setCheckpointDir(s"${ckptDir.get}/$tag")
+        df.checkpoint()
+      } else df.localCheckpoint(true)
+    def rmCut(tag: String): Unit = ckptDir.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$tag")
+      p.getFileSystem(sess.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     // undirected edge list, both directions, so one join propagates
     // labels along every edge
     val edges = cut(pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))),
+      "edges")
       // computed once; the loop re-reads it
     var labels = edges.select(col("doc_a").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
@@ -383,12 +404,17 @@ object Pipeline {
       val viaLabel = lx.join(ly, lx("x_lbl") === ly("y_doc"))
         .select(col("x_doc").as("doc"), col("y_lbl").as("lbl"))
       val next = cut(labels.select("doc", "lbl").union(viaEdge).union(viaLabel)
-        .groupBy("doc").agg(min("lbl").as("lbl"))) // cut per-round lineage growth
+        .groupBy("doc").agg(min("lbl").as("lbl")), // cut per-round lineage growth
+        s"round-$iter")
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
         .where(col("lbl") =!= col("old")).count()
+      // The convergence count above was the last reader of round N-1's
+      // labels — retire its checkpoint now that round N is on disk.
+      if (iter > 0) rmCut(s"round-${iter - 1}")
       labels = next
       iter += 1
     }
+    rmCut("edges") // the returned labels scan their own checkpoint only
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $MaxRounds rounds — " +

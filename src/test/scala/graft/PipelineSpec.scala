@@ -163,6 +163,16 @@ class PipelineSpec extends AnyFunSuite {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "no checkpoint files written — reliable path not taken")
+      // ...and retired prior rounds as it went: after a multi-round
+      // fixpoint only the FINAL round's checkpoint (the returned
+      // DataFrame's storage) may remain — no unbounded accumulation on a
+      // long-lived cluster session.
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      assert(!left.contains("edges"),
+        s"edge checkpoint not retired after convergence: $left")
+      val rounds = left.filter(_.startsWith("round-"))
+      assert(rounds.size <= 2,
+        s"checkpoint rounds accumulated instead of being retired: $rounds")
     } finally {
       spark.conf.unset("graft.cc.checkpointDir")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
