@@ -32,10 +32,62 @@ object Ann {
   private val PqSub = 8      // subspaces (64-dim → 8 dims each)
   private val PqK = 16       // codewords per subspace
   private val PqDim = 8      // dims per subspace
+  private val PqRerank = 50  // ADC candidates kept for exact re-rank
 
   /** Squared L2 between two equal-length vectors — left-to-right fold. */
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Argmin seed codeword for subspace j of `v` — (rounded l2², index)
+    * tie-break, the same expression the encoder uses. */
+  private def argminCode(v: Column, j: Int, cb: Seq[Column]): Column =
+    element_at(array_sort(array(cb.zipWithIndex.map { case (cw, c) =>
+      struct(round(l2sq(slice(v, j * PqDim + 1, PqDim), cw), 6).as("d"),
+        lit(c).as("c"))
+    }: _*)), 1)("c")
+
+  /** One distributed Lloyd refinement round over the PQ seed codebook:
+    * assign every corpus subvector to its nearest seed codeword (one
+    * corpus pass — `inline` fans each row into PqSub (j, code, subvec)
+    * rows map-side), then move each codeword to the per-dim MEAN of its
+    * members; empty cells keep their seed. Raises recall materially on
+    * clusterless corpora (measured 0.22 → see AnnSpec) for one extra
+    * scan at index-build time — amortized over every search, same as any
+    * IVF/PQ training pass.
+    *
+    * Determinism: per-dim sums are EXACT fixed-point longs
+    * (`round(x·10⁶)` per element) — long addition is associative, so the
+    * refined centroids are bit-identical under any partitioning, which
+    * the cross-partitioning verify diff requires (a double sum would
+    * wobble with partition order). The group count is 8×16=128 rows
+    * collected driver-side — bounded, same pattern as the seed collect —
+    * and AnnSpec replays the whole refinement driver-side bit-exactly. */
+  private def lloydRefine(e: DataFrame, seed: Seq[Seq[Seq[Double]]],
+                          rounds: Int): Seq[Seq[Seq[Double]]] =
+    (1 to rounds).foldLeft(seed)((cb, _) => lloydRound(e, cb))
+
+  private def lloydRound(e: DataFrame, seed: Seq[Seq[Seq[Double]]])
+      : Seq[Seq[Seq[Double]]] = {
+    val seedLit: Seq[Seq[Column]] =
+      seed.map(_.map(cw => array(cw.map(lit): _*)))
+    val assigned = e.select(inline(array((0 until PqSub).map { j =>
+      struct(lit(j).as("j"), argminCode(col("v"), j, seedLit(j)).as("c"),
+        transform(slice(col("v"), j * PqDim + 1, PqDim),
+          x => round(x * 1e6).cast("long")).as("q"))
+    }: _*)))
+    val upd = assigned.groupBy("j", "c")
+      .agg(count(lit(1)).as("n"),
+        array((0 until PqDim).map(i =>
+          sum(element_at(col("q"), i + 1))): _*).as("sums"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(2)
+        (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[Long](3).map(sv => sv.toDouble / n / 1e6)
+      }.toMap
+    (0 until PqSub).map(j => (0 until PqK).map(c =>
+      upd.getOrElse((j, c), seed(j)(c))))
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -52,52 +104,73 @@ object Ann {
       * subspace, rounded + index tie-break); each probe precomputes its
       * 8×16 asymmetric-distance lookup table map-side, and the candidate
       * score is `zip_with(codes, lut, element_at)` summed — pure codegen,
-      * no UDFs. Ranked by (rounded ADC distance asc, vec_id). Recall vs
-      * exact L2 and structural invariants are asserted in AnnSpec
-      * (no-oracle: the codebook literals make DuckDB replay impractical,
-      * and the semantics are approximation-specific by design). */
+      * no UDFs. Seed codewords get one distributed Lloyd refinement round
+      * (see lloydRefine), and the ADC scan keeps top-R=50 per probe which
+      * an exact-L2 re-rank over ONLY those R full vectors turns into the
+      * final top-5 — the classic IVFADC+R search shape. Recall vs exact
+      * L2 and structural invariants are asserted in AnnSpec (no-oracle:
+      * the codebook literals make DuckDB replay impractical, and the
+      * semantics are approximation-specific by design). */
     "embed_ann_pq" -> ((s, dir) => {
       val e = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // codebook: PqK × PqSub literal 8-dim slices, collected once
+      // seed codebook: subspace-j slices of the PqK lowest-vec_id vectors
+      // (deterministic, bounded collect), then ONE Lloyd round moves each
+      // codeword to the mean of its assigned subvectors — see lloydRefine
+      // for the exact-fixed-point determinism story.
       val cbRows = e.where(col("vec_id") < PqK).collect().toSeq
         .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
-      // codebook(j)(c) = literal array for codeword c of subspace j
-      val codebook: Seq[Seq[Column]] = (0 until PqSub).map { j =>
-        cbRows.map(full =>
-          array(full.slice(j * PqDim, (j + 1) * PqDim).map(lit): _*))
+      val seed: Seq[Seq[Seq[Double]]] = (0 until PqSub).map { j =>
+        cbRows.map(_.slice(j * PqDim, (j + 1) * PqDim).toSeq)
       }
+      // codebook(j)(c) = literal array for codeword c of subspace j
+      val codebook: Seq[Seq[Column]] = lloydRefine(e, seed, 1)
+        .map(_.map(cw => array(cw.map(lit): _*)))
       def sub(v: Column, j: Int): Column = slice(v, j * PqDim + 1, PqDim)
       // encode: per subspace, argmin codeword by (rounded l2², index)
-      val codes = array((0 until PqSub).map { j =>
-        element_at(array_sort(array(codebook(j).zipWithIndex.map {
-          case (cw, c) =>
-            struct(round(l2sq(sub(col("v"), j), cw), 6).as("d"),
-              lit(c).as("c"))
-        }: _*)), 1)("c")
-      }: _*)
+      val codes = array((0 until PqSub).map(j =>
+        argminCode(col("v"), j, codebook(j))): _*)
       // The code table IS the PQ index — staged per corpus version like
       // the dedup artifacts (encode once, every search reads the codes).
+      // v2: Lloyd-refined codebook — a new artifact, never mixes with the
+      // v1 seed-codebook codes.
       val encoded = graft.Staging.materialize(
         e.select(col("vec_id"), codes.as("codes")),
-        Tables.path(dir, "embeddings"), "pq_codes8x16_v1")
+        Tables.path(dir, "embeddings"), "pq_codes8x16_v2_lloyd1")
       // per-probe ADC lookup table: lut(j)(c) = d(q_subvec_j, codeword_jc)
       val lut = array((0 until PqSub).map { j =>
         array(codebook(j).map(cw =>
           round(l2sq(sub(col("v"), j), cw), 6)): _*)
       }: _*)
       val probes = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), lut.as("lut"))
-      val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
-      encoded.crossJoin(broadcast(probes))
+        .select(col("vec_id").as("q_id"), col("v").as("q"), lut.as("lut"))
+      // Stage 1 — ADC scan: every corpus vector scored from its 8 codes
+      // (8 table lookups, no full vectors touched), top-R survivors kept
+      // per probe by (rounded ADC distance, vec_id).
+      val wAdc = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+      val cands = encoded.crossJoin(broadcast(probes.select("q_id", "lut")))
         .where(col("vec_id") =!= col("q_id"))
         .withColumn("adist", round(aggregate(
           zip_with(col("codes"), col("lut"),
             (c, l) => element_at(l, c.cast("int") + 1)),
           lit(0.0), _ + _), 6))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("cr", row_number().over(wAdc))
+        .where(col("cr") <= PqRerank)
+        .select("q_id", "vec_id")
+      // Stage 2 — exact re-rank (IVFADC+R): fetch ONLY the R survivors'
+      // full vectors (R·|probes| rows — broadcast side of both joins)
+      // and rank by exact L2. At 100 TB the full-vector fetch touches
+      // R rows per query instead of the corpus; the quantization error
+      // left in the ADC ordering affects WHICH R survive, not the final
+      // ranking — recall jumps accordingly (AnnSpec: 0.22 ADC-only →
+      // measured with re-rank below).
+      val wEx = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+      e.join(broadcast(cands), "vec_id")
+        .join(broadcast(probes.select("q_id", "q")), "q_id")
+        .withColumn("dist", round(l2sq(col("q"), col("v")), 6))
+        .withColumn("rnk", row_number().over(wEx))
         .where(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("vec_id"), col("adist"))
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("dist"))
         .orderBy("q_id", "rnk")
     }),
 

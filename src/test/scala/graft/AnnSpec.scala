@@ -68,10 +68,12 @@ class AnnSpec extends AnyFunSuite {
     val per = exactL2.map { case (q, want) =>
       pq(q).intersect(want).size.toDouble / want.size }
     val r = per.sum / per.size
-    // 8 subspaces × 16 codewords on clusterless random vectors is coarse
-    // by construction; random 5-of-corpus would be ~0.025 — require well
-    // above chance (measured 0.22 on this corpus).
-    assert(r >= 0.1, s"PQ recall@5 degenerated to $r")
+    info(s"PQ recall@5 = $r")
+    // ADC alone (8 subspaces × 16 codewords on clusterless random
+    // vectors) measured 0.22; the exact re-rank of the top-50 ADC
+    // survivors lifts it to a measured 0.88 — the floor leaves headroom
+    // for tie-order jitter only, not for losing the re-rank stage.
+    assert(r >= 0.6, s"PQ recall@5 degenerated to $r")
   }
 
   test("PQ output equals a full driver-side ADC replay (scores exact)") {
@@ -91,24 +93,63 @@ class AnnSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
-    // codebook(j)(c): subspace-j slice of the c-th lowest-vec_id vector
-    val cb: Array[Array[Array[Double]]] = Array.tabulate(8, 16) { (j, c) =>
+    // seed codebook(j)(c): subspace-j slice of the c-th lowest-vec_id
+    // vector...
+    val seed: Array[Array[Array[Double]]] = Array.tabulate(8, 16) { (j, c) =>
       vs(c)._2.slice(j * 8, (j + 1) * 8)
     }
+    def argmin(sub: Array[Double], cbj: Array[Array[Double]]): Int =
+      (0 until 16).map(c => (r6(l2sq(sub, cbj(c))), c)).min._2
+    // ...then ONE Lloyd round, replicating the engine's exact fixed-point
+    // mean: per-dim sums of round(x·10⁶) as longs (Spark round = HALF_UP
+    // via BigDecimal.valueOf), centroid dim = sum.toDouble / n / 1e6 in
+    // that division order; empty cells keep the seed codeword.
+    def fx(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def lloydRound(prev: Array[Array[Array[Double]]])
+        : Array[Array[Array[Double]]] = {
+      val sums = Array.fill(8, 16)(new Array[Long](8))
+      val ns = Array.fill(8, 16)(0L)
+      for ((_, v) <- vs; j <- 0 until 8) {
+        val sub = v.slice(j * 8, (j + 1) * 8)
+        val c = argmin(sub, prev(j))
+        ns(j)(c) += 1
+        for (i <- 0 until 8) sums(j)(c)(i) += fx(sub(i))
+      }
+      Array.tabulate(8, 16) { (j, c) =>
+        if (ns(j)(c) == 0) prev(j)(c)
+        else sums(j)(c).map(_.toDouble / ns(j)(c) / 1e6)
+      }
+    }
+    val cb = lloydRound(seed)
+    // the Lloyd step's actual guarantee: total quantization error is
+    // monotone non-increasing (each subvector moves to a no-worse
+    // codeword, each codeword to its members' mean)
+    def qerr(b: Array[Array[Array[Double]]]): Double =
+      (for ((_, v) <- vs; j <- 0 until 8) yield {
+        val sub = v.slice(j * 8, (j + 1) * 8)
+        (0 until 16).map(c => l2sq(sub, b(j)(c))).min
+      }).sum
+    assert(qerr(cb) < qerr(seed),
+      "Lloyd round failed to lower quantization error")
     def encode(v: Array[Double]): Array[Int] = Array.tabulate(8) { j =>
-      val sub = v.slice(j * 8, (j + 1) * 8)
-      (0 until 16).map(c => (r6(l2sq(sub, cb(j)(c))), c)).min._2
+      argmin(v.slice(j * 8, (j + 1) * 8), cb(j))
     }
     val codes = vs.map { case (id, v) => id -> encode(v) }.toMap
+    val vmap = vs.toMap
     val expected = vs.filter(_._1 < 10).flatMap { case (q, qv) =>
       val lut: Array[Array[Double]] = Array.tabulate(8, 16) { (j, c) =>
         r6(l2sq(qv.slice(j * 8, (j + 1) * 8), cb(j)(c)))
       }
-      vs.filter(_._1 != q).map { case (id, _) =>
+      // stage 1: top-50 by (rounded ADC distance, vec_id)...
+      val survivors = vs.filter(_._1 != q).map { case (id, _) =>
         var s = 0.0
         for (j <- 0 until 8) s += lut(j)(codes(id)(j)) // fold order = zip_with
         (id, r6(s))
-      }.sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+      }.sortBy { case (id, d) => (d, id) }.take(50)
+      // ...stage 2: exact-L2 re-rank of only those survivors
+      survivors.map { case (id, _) => (id, r6(l2sq(vmap(id), qv))) }
+        .sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
         .map { case ((id, d), i) => (q, i + 1, id, d) }
     }.toSeq
     val got = SparkEntry.queries("embed_ann_pq")(spark, sf).collect()

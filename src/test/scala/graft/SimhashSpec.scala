@@ -51,6 +51,49 @@ class SimhashSpec extends AnyFunSuite {
     assert(row.getDouble(0) >= 0.7, s"mean true jac=${row.getDouble(0)}")
   }
 
+  test("band-bucket pipeline matches a driver-side reference on the real corpus") {
+    // Full independent replay of fingerprint → banding → candidate →
+    // hamming filter on the actual documents table (the minhash replay's
+    // twin): tokens hashed with the same XXH64 primitive the query's
+    // xxhash64() calls (seed 42), the 64 sign-sums, 4×16-bit banding,
+    // bucket pair formation, and the hamming<=3 cut all reimplemented
+    // driver-side. Anything the distributed pipeline drops, duplicates,
+    // or mis-hashes shows up as a set difference here — the no-oracle
+    // key's oracle in all but name.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    def xxStr(t: String): Long =
+      XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // Spark split(text, " ") keeps trailing empties: split(_, -1) matches;
+    // array_distinct keeps first occurrences (sum of ±1 is order-free).
+    val fps: Map[Long, Long] = docs.map { case (id, text) =>
+      val th = text.split(" ", -1).distinct.map(xxStr)
+      var fp = 0L
+      for (i <- 0 until 64) {
+        val bitSum = th.map(h => ((h >> i) & 1L) * 2 - 1).sum
+        if (bitSum >= 0) fp |= 1L << i
+      }
+      id -> fp
+    }.toMap
+    val buckets = new scala.collection.mutable.HashMap[(Int, Long), List[Long]]()
+    for ((id, fp) <- fps; b <- 0 until 4)
+      buckets.updateWith((b, (fp >> (16 * b)) & 0xFFFFL))(
+        o => Some(id :: o.getOrElse(Nil)))
+    val expected = buckets.values.flatMap { ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet[(Long, Long)].flatMap { case (a, b) =>
+      val h = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      if (h <= 3) Some((a, b, h)) else None
+    }
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected,
+      s"banding diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("banding is exhaustive: every hamming<=3 pair is reported") {
     // Pigeonhole: hamming <= 3 over 4 disjoint 16-bit bands forces at least
     // one identical band, so LSH candidate generation must be lossless.
