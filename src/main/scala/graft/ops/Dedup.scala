@@ -128,14 +128,30 @@ object Dedup {
     * incrementally; downstream clustering/reporting reads it, it is not
     * recomputed per query. The inner scan repartitions first so the
     * cold-path prefix join's parallelism never pins to the source's
-    * (few, at test SF) parquet splits. */
-  def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    * (few, at test SF) parquet splits.
+    *
+    * Scale posture is conf-gated so the SAME declared keys run on Zipfian
+    * corpora without a code change (ScaleProbe's 500k-doc leg measurably
+    * NEEDS it — the lexicographic prefix's hot-gram fan-out is quadratic
+    * in gram df and overran a 78 GB spill volume there):
+    *  - `graft.ngram.dfOrderedPrefix=true` → rarest-grams-first prefix
+    *    (LOSSLESS, identical pair set, so it shares the artifact name);
+    *  - `graft.ngram.hotGramCap=N` → additionally drop grams with df > N
+    *    from the prefix index (EXPLICITLY LOSSY → its own artifact name,
+    *    never served to an uncapped read). Implies dfOrderedPrefix. */
+  def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+    val cap = s.conf.getOption("graft.ngram.hotGramCap").map(_.toLong)
+    val dfOrdered = cap.isDefined ||
+      s.conf.getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean)
     graft.Staging.materialize(
       ngramJaccardFromGrams(graft.Staging.materialize(
         ngramGrams(
           Tables.table(s, dir, "documents").repartition(col("doc_id"))),
-        Tables.path(dir, "documents"), "trigrams_sorted_v1")),
-      Tables.path(dir, "documents"), "ngram_pairs08_v1")
+        Tables.path(dir, "documents"), "trigrams_sorted_v1"),
+        dfOrderedPrefix = dfOrdered, hotGramCap = cap),
+      Tables.path(dir, "documents"),
+      cap.fold("ngram_pairs08_v1")(c => s"ngram_pairs08_cap${c}_v1"))
+  }
 
   /** Exact word-trigram Jaccard ≥ 0.8 pairs over any (doc_id, text)
     * relation — the body of `dedup_ngram_jaccard`, factored out so the

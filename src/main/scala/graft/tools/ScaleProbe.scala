@@ -5,23 +5,32 @@ import graft.ops.Pipeline
 import org.apache.spark.sql.SparkSession
 
 /** Scale smoke probe for the two heaviest pipelines (`dedup_cluster`,
-  * `pipeline_clean_pack`): synthesizes corpora at 1× and 10× the bench
-  * document count in the spec-fixture style (seeded vocab draws with
-  * planted single-token-mutation near-dups at a fixed 5% rate, so the
-  * near-dup pair density stays per-doc-constant as N grows), runs both
-  * queries end-to-end COLD (staging artifact builds included — that is
-  * the honest full cost), and checks the two properties the 100 TB claim
-  * rests on:
+  * `pipeline_clean_pack`): synthesizes corpora at 1×, 10× and 100× the
+  * bench document count in the spec-fixture style (seeded vocab draws
+  * with planted single-token-mutation near-dups at a fixed 5% rate, so
+  * the near-dup pair density stays per-doc-constant as N grows), runs
+  * both queries end-to-end COLD (staging artifact builds included —
+  * that is the honest full cost), and checks the two properties the
+  * 100 TB claim rests on, per decade:
   *
-  *   1. wall time grows ~linearly in N (ratio well under quadratic);
-  *   2. the CC fixpoint's round count stays flat (pointer jumping makes
-  *      it O(log diameter), and planted dup-chains grow diameter only
-  *      logarithmically in N).
+  *   1. wall time grows ~linearly in N (each 10× step's ratio well
+  *      under quadratic);
+  *   2. the CC fixpoint's round count stays near-flat (pointer jumping
+  *      makes it O(log diameter), and planted dup-chains grow diameter
+  *      only logarithmically in N).
   *
   * Not part of the driver contract; run manually, numbers recorded in
-  * ROUND4_NOTES.md. Exit code 1 on a violated bound.
+  * ROUND4_NOTES.md / ROUND6_NOTES.md. Exit code 1 on a violated bound.
   */
 object ScaleProbe {
+
+  private def rmTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
+      finally walk.close()
+    }
 
   /** Deterministic corpus in the documents schema. ~5% of docs are a
     * one-token mutation of a random EARLIER doc (trigram Jaccard ≈
@@ -60,23 +69,38 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The documented Zipfian-corpus posture (LOSSLESS — identical pair
+      // set, see Dedup.ngramPairs): rarest-grams-first prefix indexing.
+      // The probe corpus is deliberately Zipf-ish, and at the 500k leg the
+      // default lexicographic prefix's hot-gram fan-out (quadratic in gram
+      // df) overruns the box's spill volume — this flag IS the scale path
+      // under test.
+      .config("graft.ngram.dfOrderedPrefix", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
     // JVM warm-up on the real sf0.001 corpus so scale-1 doesn't absorb
-    // one-time JIT/codegen cost that scale-10 then skips.
-    SparkEntry.queries("dedup_cluster")(spark, "/root/testdata/sf0.001").count()
-    SparkEntry.queries("pipeline_clean_pack")(spark, "/root/testdata/sf0.001").count()
+    // one-time JIT/codegen cost that scale-10 then skips. Staging is
+    // bypassed so the FULL compute path (including the df-ordered prefix
+    // plan the legs will run) executes — a staged-artifact read would warm
+    // only the parquet scan and leave leg 1 paying all the codegen.
+    sys.props("graft.staging") = "false"
+    try {
+      SparkEntry.queries("dedup_cluster")(spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("pipeline_clean_pack")(spark, "/root/testdata/sf0.001").count()
+    } finally sys.props -= "graft.staging"
 
     case class Leg(n: Int, wallCluster: Double, wallPack: Double, rounds: Int)
-    val legs = Seq(1, 10).map { mult =>
+    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                else Seq(1, 10, 100)
+    val legs = mults.map { mult =>
       val n = base * mult
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-$n").toString
       corpus(n, seed = 7)
         .toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(4).write.mode("overwrite")
+        .coalesce(math.max(4, n / 50000)).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
       def time(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -86,17 +110,35 @@ object ScaleProbe {
       val wp = time(SparkEntry.queries("pipeline_clean_pack")(spark, dir).count())
       println(f"[scale] n=$n%6d dedup_cluster=$wc%6.1f s (cc_rounds=$rounds) " +
         f"pipeline_clean_pack=$wp%6.1f s")
+      // Retire this leg's corpus and its staged artifacts (keyed by the
+      // corpus fingerprint) — the 500k leg's trigram relation is ~1 GB and
+      // every probe run would otherwise stack a fresh copy in tmp.
+      val fp = graft.Tables.sourceFingerprint(s"$dir/documents.parquet")
+      rmTree(java.nio.file.Paths.get(dir))
+      val derived = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft_derived")
+      if (java.nio.file.Files.isDirectory(derived)) {
+        val ls = java.nio.file.Files.list(derived)
+        try ls.filter(_.getFileName.toString.startsWith(fp + "_"))
+          .forEach(p => rmTree(p))
+        finally ls.close()
+      }
       Leg(n, wc, wp, rounds)
     }
 
-    val Seq(x1, x10) = legs
-    val rc = x10.wallCluster / x1.wallCluster
-    val rp = x10.wallPack / x1.wallPack
-    println(f"[scale] 10x ratios: dedup_cluster ${rc}%.1fx  " +
-      f"pipeline_clean_pack ${rp}%.1fx  cc_rounds ${x1.rounds} -> ${x10.rounds}")
-    // Linear would be 10x; allow 2x slack for constant-overhead shifts and
-    // log-factor round growth. Quadratic (100x) must be unambiguously out.
-    val ok = rc <= 20 && rp <= 20 && x10.rounds <= x1.rounds + 3
+    // Per-decade check: linear would be 10x each step; allow 2x slack
+    // for constant-overhead shifts and log-factor round growth.
+    // Quadratic (100x per decade) must be unambiguously out. Rounds may
+    // grow by at most +3 across the whole probed range (O(log diameter)).
+    val decades = legs.sliding(2).collect { case Seq(a, b) =>
+      val rc = b.wallCluster / a.wallCluster
+      val rp = b.wallPack / a.wallPack
+      println(f"[scale] ${a.n}%d -> ${b.n}%d: dedup_cluster ${rc}%.1fx  " +
+        f"pipeline_clean_pack ${rp}%.1fx  cc_rounds ${a.rounds} -> ${b.rounds}")
+      rc <= 20 && rp <= 20
+    }.toSeq
+    val roundsOk = legs.last.rounds <= legs.head.rounds + 3
+    val ok = decades.forall(identity) && roundsOk
     println(s"[scale] ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)

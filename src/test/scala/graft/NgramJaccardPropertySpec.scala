@@ -115,6 +115,41 @@ class NgramJaccardPropertySpec extends AnyFunSuite {
       "cap above every df must be a no-op")
   }
 
+  test("declared key honors the scale-posture confs (lossless flag; lossy cap subset + own artifact)") {
+    val q = SparkEntry.queries("dedup_ngram_jaccard")
+    val stagingWas = sys.props.get("graft.staging")
+    // Staging off: the lossless flag shares the staged artifact name (same
+    // content), so only an unstaged run actually executes the df-ordered
+    // plan through the declared key.
+    sys.props("graft.staging") = "false"
+    try {
+      val base = rowSet(q(spark, sf))
+      assert(base.nonEmpty, "vacuous corpus: no near-dup pairs at sf0.001")
+      spark.conf.set("graft.ngram.dfOrderedPrefix", "true")
+      try assert(rowSet(q(spark, sf)) === base,
+        "conf-gated df-ordered prefix diverged from the default plan")
+      finally spark.conf.unset("graft.ngram.dfOrderedPrefix")
+      spark.conf.set("graft.ngram.hotGramCap", "2")
+      try assert(rowSet(q(spark, sf)).subsetOf(base),
+        "capped run invented a pair — must only ever MISS pairs")
+      finally spark.conf.unset("graft.ngram.hotGramCap")
+    } finally stagingWas match {
+      case Some(v) => sys.props("graft.staging") = v
+      case None => sys.props -= "graft.staging"
+    }
+    // Staging ON, capped: the lossy result must land under its OWN
+    // artifact name, never poisoning the uncapped pair list.
+    spark.conf.set("graft.ngram.hotGramCap", "2")
+    try {
+      q(spark, sf).count()
+      val fp = Tables.sourceFingerprint(Tables.path(sf, "documents"))
+      val capped = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_derived", s"${fp}_ngram_pairs08_cap2_v1")
+      assert(java.nio.file.Files.exists(capped.resolve("_SUCCESS")),
+        s"capped artifact not staged under its own name: $capped")
+    } finally spark.conf.unset("graft.ngram.hotGramCap")
+  }
+
   test("degenerate docs: shorter than 3 tokens never pair, never crash") {
     val docs = Seq((1L, List("a")), (2L, List("a", "b")),
       (3L, List("a", "b", "c")), (4L, List("a", "b", "c")))
