@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Materialization cache for derived relations that a plan would otherwise
   * recompute several times (a self-joined subtree is evaluated once PER
@@ -25,8 +25,19 @@ object Staging {
     sys.props.getOrElse("graft.staging", "true").toBoolean
 
   def materialize(df: DataFrame, sourcePath: String, name: String): DataFrame =
+    materialize(df.sparkSession, sourcePath, name)(df)
+
+  /** Compute-or-load variant: `build` is evaluated ONLY on a cache miss
+    * (or when staging is disabled). The plain overload above is fine when
+    * the argument is a lazy plan, but some artifacts cost eager DRIVER
+    * work to construct — the PQ codebook's seed collect + Lloyd corpus
+    * pass — and a by-value argument would redo that work on every
+    * invocation even when the staged copy is about to be served. */
+  def materialize(session: SparkSession, sourcePath: String, name: String)(
+      build: => DataFrame): DataFrame =
     synchronized {
-      if (!enabled) return df
+      if (!enabled) return build
+      lazy val df = build
       val dir = Paths.get(sys.props("java.io.tmpdir"),
         "graft_derived", s"${Tables.sourceFingerprint(sourcePath)}_$name")
       try {
@@ -75,7 +86,7 @@ object Staging {
           }
           sweepOrphans(dir.getParent)
         }
-        df.sparkSession.read.parquet(dir.toString)
+        session.read.parquet(dir.toString)
       } catch {
         // Unwritable/full tmpdir must degrade to the slower uncached plan,
         // not fail the query — results are identical either way. (Spark

@@ -114,18 +114,30 @@ object Ann {
     "embed_ann_pq" -> ((s, dir) => {
       val e = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // seed codebook: subspace-j slices of the PqK lowest-vec_id vectors
-      // (deterministic, bounded collect), then ONE Lloyd round moves each
-      // codeword to the mean of its assigned subvectors — see lloydRefine
-      // for the exact-fixed-point determinism story.
-      val cbRows = e.where(col("vec_id") < PqK).collect().toSeq
-        .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
-      val seed: Seq[Seq[Seq[Double]]] = (0 until PqSub).map { j =>
-        cbRows.map(_.slice(j * PqDim, (j + 1) * PqDim).toSeq)
+      // Codebook = index metadata: seed (subspace-j slices of the PqK
+      // lowest-vec_id vectors, deterministic bounded collect) + ONE Lloyd
+      // round — see lloydRefine for the exact-fixed-point determinism
+      // story. The Lloyd round is a full corpus pass, so the 8×16 result
+      // is staged per corpus version alongside the code table: built once
+      // at index time, every search loads 128 rows (doubles round-trip
+      // parquet bit-exactly, so staged == freshly refined).
+      val cbDf = graft.Staging.materialize(
+        s, Tables.path(dir, "embeddings"), "pq_codebook8x16_lloyd1_v1") {
+        val cbRows = e.where(col("vec_id") < PqK).collect().toSeq
+          .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+        val seed: Seq[Seq[Seq[Double]]] = (0 until PqSub).map { j =>
+          cbRows.map(_.slice(j * PqDim, (j + 1) * PqDim).toSeq)
+        }
+        val refined = lloydRefine(e, seed, 1)
+        import s.implicits._
+        (for (j <- 0 until PqSub; c <- 0 until PqK)
+          yield (j, c, refined(j)(c))).toDF("j", "c", "cw")
       }
+      val cbMap = cbDf.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
       // codebook(j)(c) = literal array for codeword c of subspace j
-      val codebook: Seq[Seq[Column]] = lloydRefine(e, seed, 1)
-        .map(_.map(cw => array(cw.map(lit): _*)))
+      val codebook: Seq[Seq[Column]] = (0 until PqSub).map(j =>
+        (0 until PqK).map(c => array(cbMap((j, c)).map(lit): _*)))
       def sub(v: Column, j: Int): Column = slice(v, j * PqDim + 1, PqDim)
       // encode: per subspace, argmin codeword by (rounded l2², index)
       val codes = array((0 until PqSub).map(j =>

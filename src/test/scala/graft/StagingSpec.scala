@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compute-or-load semantics of the thunked `Staging.materialize`
+  * overload: the build thunk must run on a cache miss and must NOT run
+  * when the staged artifact is served — that laziness is what lets
+  * eager-to-construct artifacts (the PQ codebook's seed collect + Lloyd
+  * corpus pass) cost their build once per corpus version instead of once
+  * per query. */
+class StagingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("build thunk runs on miss, is skipped on hit, runs again when disabled") {
+    import spark.implicits._
+    val src = Tables.path(sf, "region") // any real file, for the fingerprint
+    val name = "stagingspec_probe_v1"
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_derived", s"${Tables.sourceFingerprint(src)}_$name")
+    Staging.deleteRecursively(dir)
+    var builds = 0
+    def build = { builds += 1; Seq((1, "a"), (2, "b")).toDF("id", "s") }
+    val stagingWas = sys.props.get("graft.staging")
+    try {
+      sys.props -= "graft.staging" // default: enabled
+      val first = Staging.materialize(spark, src, name)(build)
+      assert(builds === 1)
+      assert(first.collect().map(_.getInt(0)).sorted === Array(1, 2))
+      val second = Staging.materialize(spark, src, name)(build)
+      assert(builds === 1, "build thunk forced on a cache hit")
+      assert(second.collect().map(_.getInt(0)).sorted === Array(1, 2))
+      // disabled → bypass the cache entirely: the thunk's plan IS the result
+      sys.props("graft.staging") = "false"
+      Staging.materialize(spark, src, name)(build)
+      assert(builds === 2, "disabled staging must evaluate the thunk")
+    } finally {
+      stagingWas match {
+        case Some(v) => sys.props("graft.staging") = v
+        case None => sys.props -= "graft.staging"
+      }
+      Staging.deleteRecursively(dir)
+    }
+  }
+}
