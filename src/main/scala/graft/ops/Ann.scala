@@ -158,16 +158,17 @@ object Ann {
         .select(col("vec_id").as("q_id"), col("v").as("q"), lut.as("lut"))
       // Stage 1 — ADC scan: every corpus vector scored from its 8 codes
       // (8 table lookups, no full vectors touched), top-R survivors kept
-      // per probe by (rounded ADC distance, vec_id).
-      val wAdc = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
-      val cands = encoded.crossJoin(broadcast(probes.select("q_id", "lut")))
-        .where(col("vec_id") =!= col("q_id"))
-        .withColumn("adist", round(aggregate(
-          zip_with(col("codes"), col("lut"),
-            (c, l) => element_at(l, c.cast("int") + 1)),
-          lit(0.0), _ + _), 6))
-        .withColumn("cr", row_number().over(wAdc))
-        .where(col("cr") <= PqRerank)
+      // per probe by (rounded ADC distance, vec_id). The ADC scan touches
+      // the WHOLE code table per probe, so this is the ranking that needs
+      // the sharded two-stage shape at scale (`graft.ann.topkShards`).
+      val cands = Vector.rankPerProbe(
+        encoded.crossJoin(broadcast(probes.select("q_id", "lut")))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("adist", round(aggregate(
+            zip_with(col("codes"), col("lut"),
+              (c, l) => element_at(l, c.cast("int") + 1)),
+            lit(0.0), _ + _), 6)),
+        Seq(col("adist"), col("vec_id")), PqRerank, "cr")
         .select("q_id", "vec_id")
       // Stage 2 — exact re-rank (IVFADC+R): fetch ONLY the R survivors'
       // full vectors (R·|probes| rows — broadcast side of both joins)
@@ -207,12 +208,11 @@ object Ann {
         .select(col("vec_id").as("q_id"), col("v").as("q"),
           explode(transform(nearestCells(col("v"), centLit, NProbe),
             x => x("c_id"))).as("cell"))
-      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-      cells.join(broadcast(probeCells), "cell")
-        .where(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 5)
+      Vector.rankPerProbe(
+        cells.join(broadcast(probeCells), "cell")
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6)),
+        Seq(col("sim").desc, col("vec_id")), 5, "rnk")
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
         .orderBy("q_id", "rnk")
     }),
@@ -238,12 +238,11 @@ object Ann {
       val sig = e.select(col("vec_id"), col("v"), bucket.as("bucket"))
       val probes = sig.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("q"), col("bucket"))
-      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-      sig.join(broadcast(probes), "bucket")
-        .where(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 5)
+      Vector.rankPerProbe(
+        sig.join(broadcast(probes), "bucket")
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6)),
+        Seq(col("sim").desc, col("vec_id")), 5, "rnk")
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
         .orderBy("q_id", "rnk")
     })

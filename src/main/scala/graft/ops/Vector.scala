@@ -42,17 +42,42 @@ object Vector {
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
 
+  /** Top-k rows per probe under a TOTAL order (tie-broken — required for
+    * determinism and for the sharded variant's losslessness): appends
+    * `rankCol` = row_number and keeps rank ≤ k.
+    *
+    * Default: one window partition per q_id — fine when a probe's
+    * candidate set is bounded (bucketed ANN), but a probe whose
+    * candidates approach corpus size funnels them all into ONE task.
+    * `graft.ann.topkShards=S` (session conf) switches to the two-stage
+    * scale shape: a partial top-k inside each of S hash shards of the
+    * candidates, then the final top-k over the ≤ S·k survivors — per-task
+    * row counts bounded at ~|cand|/S regardless of corpus size, and the
+    * output is bit-identical because a global top-k row is necessarily in
+    * its shard's top-k (the order is total). */
+  private[ops] def rankPerProbe(df: DataFrame, order: Seq[Column], k: Int,
+                                rankCol: String): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(order: _*)
+    df.sparkSession.conf.getOption("graft.ann.topkShards").map(_.toInt) match {
+      case None =>
+        df.withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
+      case Some(shards) =>
+        val pw = Window.partitionBy(col("q_id"), col("_shard")).orderBy(order: _*)
+        df.withColumn("_shard", pmod(xxhash64(col("vec_id")), lit(shards)))
+          .withColumn("_pr", row_number().over(pw)).where(col("_pr") <= k)
+          .drop("_shard", "_pr")
+          .withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
+    }
+  }
+
   /** Broadcast `probes` (q_id, q) against the corpus, rank neighbors by
     * rounded cosine, keep top k per probe. */
-  private def topK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("sim").desc, col("vec_id"))
-    corpus.crossJoin(broadcast(probes))
-      .where(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(cosine(col("q"), col("v")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-  }
+  private def topK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    rankPerProbe(
+      corpus.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(cosine(col("q"), col("v")), 6)),
+      Seq(col("sim").desc, col("vec_id")), k, "rnk")
 
   val queries: Map[String, Q] = Map(
     "embed_cosine_topk" -> ((s, dir) => {

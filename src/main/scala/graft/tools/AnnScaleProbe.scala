@@ -1,0 +1,115 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke probe for the embedding-similarity family
+  * (`embed_cosine_topk` exact baseline + the three bucketed ANN paths):
+  * synthesizes corpora at 1×, 10× and 100× the test embedding count in
+  * the embeddings schema (dim-64 float vectors, every element a seeded
+  * xxhash64 draw so the corpus is identical under any partitioning),
+  * runs each query end-to-end COLD per decade (PQ index build — Lloyd
+  * pass + encode — included; that is the honest full cost), and gates
+  * each 10× step's wall ratio at ≤ 20 (linear would be 10×; quadratic's
+  * 100× must be unambiguously out).
+  *
+  * The probe arms the documented scale posture (`graft.ann.topkShards`,
+  * see Vector.rankPerProbe): without it every probe's candidate set —
+  * the whole corpus for the exact scan and the PQ ADC scan — funnels
+  * into a single window task, which is the first thing to break on a
+  * real cluster. AnnSpec asserts the sharded shape is bit-identical to
+  * the default on the real corpus.
+  *
+  * Not part of the driver contract; run manually, numbers recorded in
+  * ROUND6_NOTES.md. Exit code 1 on a violated bound.
+  */
+object AnnScaleProbe {
+
+  private def rmTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
+      finally walk.close()
+    }
+
+  private val Keys =
+    Seq("embed_cosine_topk", "embed_ann_ivf", "embed_ann_lsh", "embed_ann_pq")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0).toInt else 5000
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-ann-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // The documented probe-ranking scale posture (LOSSLESS — total
+      // order, AnnSpec asserts bit-parity): bound every ranking task at
+      // ~|candidates|/shards rows instead of one task per probe holding
+      // the whole corpus.
+      .config("graft.ann.topkShards", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // JVM warm-up on the real sf0.001 corpus, staging bypassed so the
+    // full compute path (index build included) executes and leg 1 doesn't
+    // absorb one-time JIT/codegen cost the later legs then skip.
+    sys.props("graft.staging") = "false"
+    try Keys.foreach { k =>
+      SparkEntry.queries(k)(spark, "/root/testdata/sf0.001").count()
+    } finally sys.props -= "graft.staging"
+
+    case class Leg(n: Int, walls: Map[String, Double])
+    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                else Seq(1, 10, 100)
+    val legs = mults.map { mult =>
+      val n = base * mult
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-annscale-$n").toString
+      // Deterministic corpus: element i of vector `id` is a fixed
+      // function of (id, i) — identical bytes under any partitioning.
+      spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), i =>
+          ((pmod(xxhash64(col("id"), i), lit(2000001)) - lit(1000000)) / 1e6)
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(10)).cast("int").as("label"))
+        .coalesce(math.max(4, n / 50000)).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val walls = Keys.map { k =>
+        k -> time(SparkEntry.queries(k)(spark, dir).count())
+      }.toMap
+      println(f"[annscale] n=$n%7d " + Keys.map(k =>
+        f"$k=${walls(k)}%6.1f s").mkString(" "))
+      // Retire this leg's corpus and its staged PQ artifacts (keyed by
+      // the embeddings fingerprint) so probe runs don't stack in tmp.
+      val fp = graft.Tables.sourceFingerprint(s"$dir/embeddings.parquet")
+      rmTree(java.nio.file.Paths.get(dir))
+      val derived = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft_derived")
+      if (java.nio.file.Files.isDirectory(derived)) {
+        val ls = java.nio.file.Files.list(derived)
+        try ls.filter(_.getFileName.toString.startsWith(fp + "_"))
+          .forEach(p => rmTree(p))
+        finally ls.close()
+      }
+      Leg(n, walls)
+    }
+
+    val ok = legs.sliding(2).collect { case Seq(a, b) =>
+      Keys.map { k =>
+        val r = b.walls(k) / a.walls(k)
+        println(f"[annscale] ${a.n}%d -> ${b.n}%d $k ${r}%.1fx")
+        r <= 20
+      }.forall(identity)
+    }.forall(identity)
+    println(s"[annscale] ${if (ok) "PASS" else "FAIL"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -157,6 +157,24 @@ class AnnSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("sharded two-stage top-k (graft.ann.topkShards) is bit-identical to the default") {
+    // The scale posture for probe-vs-corpus rankings: partial top-k per
+    // hash shard, final top-k over the survivors. Lossless because every
+    // ranking order is total (score + vec_id tie-break) — assert exact
+    // row equality across every query that ranks per probe, at two shard
+    // counts (including one that doesn't divide the corpus evenly).
+    val keys = Seq("embed_cosine_topk", "embed_knn_label",
+      "embed_ann_ivf", "embed_ann_lsh", "embed_ann_pq")
+    val base = keys.map(k => k -> rowSet(SparkEntry.queries(k)(spark, sf))).toMap
+    for (shards <- Seq(3, 8)) {
+      spark.conf.set("graft.ann.topkShards", shards.toString)
+      try keys.foreach { k =>
+        assert(rowSet(SparkEntry.queries(k)(spark, sf)) === base(k),
+          s"$k diverged under topkShards=$shards")
+      } finally spark.conf.unset("graft.ann.topkShards")
+    }
+  }
+
   test("all ANN paths are deterministic across runs") {
     assert(topkSets("embed_ann_ivf") === topkSets("embed_ann_ivf"))
     assert(topkSets("embed_ann_lsh") === topkSets("embed_ann_lsh"))
