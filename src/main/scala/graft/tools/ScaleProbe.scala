@@ -86,12 +86,13 @@ object ScaleProbe {
     // plan the legs will run) executes — a staged-artifact read would warm
     // only the parquet scan and leave leg 1 paying all the codegen.
     sys.props("graft.staging") = "false"
-    try {
-      SparkEntry.queries("dedup_cluster")(spark, "/root/testdata/sf0.001").count()
-      SparkEntry.queries("pipeline_clean_pack")(spark, "/root/testdata/sf0.001").count()
+    try Seq("dedup_cluster", "pipeline_clean_pack",
+            "dedup_minhash", "dedup_simhash").foreach { k =>
+      SparkEntry.queries(k)(spark, "/root/testdata/sf0.001").count()
     } finally sys.props -= "graft.staging"
 
-    case class Leg(n: Int, wallCluster: Double, wallPack: Double, rounds: Int)
+    case class Leg(n: Int, wallCluster: Double, wallPack: Double,
+                   wallMinhash: Double, wallSimhash: Double, rounds: Int)
     val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
                 else Seq(1, 10, 100)
     val legs = mults.map { mult =>
@@ -108,8 +109,14 @@ object ScaleProbe {
       val wc = time(SparkEntry.queries("dedup_cluster")(spark, dir).count())
       val rounds = Pipeline.lastCcRounds.get()
       val wp = time(SparkEntry.queries("pipeline_clean_pack")(spark, dir).count())
+      // The other two near-dup families — band-LSH self-joins with their
+      // own hot-bucket exposure — measured on the same corpus and gated
+      // by the same per-decade ratio.
+      val wm = time(SparkEntry.queries("dedup_minhash")(spark, dir).count())
+      val ws = time(SparkEntry.queries("dedup_simhash")(spark, dir).count())
       println(f"[scale] n=$n%6d dedup_cluster=$wc%6.1f s (cc_rounds=$rounds) " +
-        f"pipeline_clean_pack=$wp%6.1f s")
+        f"pipeline_clean_pack=$wp%6.1f s dedup_minhash=$wm%6.1f s " +
+        f"dedup_simhash=$ws%6.1f s")
       // Retire this leg's corpus and its staged artifacts (keyed by the
       // corpus fingerprint) — the 500k leg's trigram relation is ~1 GB and
       // every probe run would otherwise stack a fresh copy in tmp.
@@ -123,7 +130,7 @@ object ScaleProbe {
           .forEach(p => rmTree(p))
         finally ls.close()
       }
-      Leg(n, wc, wp, rounds)
+      Leg(n, wc, wp, wm, ws, rounds)
     }
 
     // Per-decade check: linear would be 10x each step; allow 2x slack
@@ -133,9 +140,12 @@ object ScaleProbe {
     val decades = legs.sliding(2).collect { case Seq(a, b) =>
       val rc = b.wallCluster / a.wallCluster
       val rp = b.wallPack / a.wallPack
+      val rm = b.wallMinhash / a.wallMinhash
+      val rs = b.wallSimhash / a.wallSimhash
       println(f"[scale] ${a.n}%d -> ${b.n}%d: dedup_cluster ${rc}%.1fx  " +
-        f"pipeline_clean_pack ${rp}%.1fx  cc_rounds ${a.rounds} -> ${b.rounds}")
-      rc <= 20 && rp <= 20
+        f"pipeline_clean_pack ${rp}%.1fx  dedup_minhash ${rm}%.1fx  " +
+        f"dedup_simhash ${rs}%.1fx  cc_rounds ${a.rounds} -> ${b.rounds}")
+      rc <= 20 && rp <= 20 && rm <= 20 && rs <= 20
     }.toSeq
     val roundsOk = legs.last.rounds <= legs.head.rounds + 3
     val ok = decades.forall(identity) && roundsOk
