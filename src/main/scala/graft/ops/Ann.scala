@@ -228,7 +228,7 @@ object Ann {
       val e = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val hps: Seq[(Int, Column)] = e.where(col("vec_id") < NumPlanes)
-        .collect().sortBy(_.getLong(0))
+        .collect().toSeq.sortBy(_.getLong(0))
         .map(r => r.getLong(0).toInt ->
           array(r.getSeq[Double](1).map(lit): _*))
       val bucket = hps.map { case (i, hv) =>
