@@ -202,8 +202,15 @@ object Ann {
         .sortBy(_.getLong(0))
         .map(r => r.getLong(0) ->
           array(r.getSeq[Double](1).map(lit): _*))
-      val cells = e.select(col("vec_id"), col("v"),
-        element_at(nearestCells(col("v"), centLit, 1), 1)("c_id").as("cell"))
+      // The cell-assigned corpus IS the inverted file: staged per corpus
+      // version like the PQ code table (at 100 TB this is the index
+      // layout on disk — vectors stored with their cell, not recomputed
+      // per search). Assignment is a deterministic map-side argmax, so
+      // the staged copy is bit-identical to a fresh one.
+      val cells = graft.Staging.materialize(
+        e.select(col("vec_id"), col("v"),
+          element_at(nearestCells(col("v"), centLit, 1), 1)("c_id").as("cell")),
+        Tables.path(dir, "embeddings"), "ivf_cells16_v1")
       val probeCells = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("q"),
           explode(transform(nearestCells(col("v"), centLit, NProbe),
@@ -235,7 +242,11 @@ object Ann {
         when(round(Vector.cosine(col("v"), hv), 6) >= 0, lit(1 << i))
           .otherwise(lit(0))
       }.reduce(_ + _)
-      val sig = e.select(col("vec_id"), col("v"), bucket.as("bucket"))
+      // The signed corpus is the LSH index — staged per corpus version
+      // (deterministic map-side signature, bit-identical staged).
+      val sig = graft.Staging.materialize(
+        e.select(col("vec_id"), col("v"), bucket.as("bucket")),
+        Tables.path(dir, "embeddings"), "lsh_sig6_v1")
       val probes = sig.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("q"), col("bucket"))
       Vector.rankPerProbe(
