@@ -59,6 +59,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSpark(Seq((7L, 3L))) === Map(7L -> 3L, 3L -> 3L))
   }
 
+  test("capped CC labels stage under their own artifact name") {
+    // The labels artifact must carry the hot-gram-cap suffix, mirroring
+    // the pair list: a lossy pair graph's clusters can never be served to
+    // an uncapped dedup_cluster / pipeline_clean_pack read.
+    def docIds(rows: Set[Seq[String]]): Set[String] = rows.map(_.head)
+    spark.conf.set("graft.ngram.hotGramCap", "2")
+    val capped = try {
+      val rows = rowSet(SparkEntry.queries("dedup_cluster")(spark, sf))
+      val fp = Tables.sourceFingerprint(Tables.path(sf, "documents"))
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_derived", s"${fp}_cc_labels08_cap2_v1")
+      assert(java.nio.file.Files.exists(dir.resolve("_SUCCESS")),
+        s"capped label artifact not staged under its own name: $dir")
+      rows
+    } finally spark.conf.unset("graft.ngram.hotGramCap")
+    val uncapped = rowSet(SparkEntry.queries("dedup_cluster")(spark, sf))
+    assert(uncapped.nonEmpty, "vacuous corpus: no near-dup clusters at sf0.001")
+    // the capped graph has a SUBSET of the pairs, so every doc it
+    // clusters must also cluster in the uncapped labels
+    assert(docIds(capped).subsetOf(docIds(uncapped)),
+      "capped clustering invented a participating doc")
+  }
+
   test("contamination flags a planted benchmark copy, never a benchmark doc") {
     val rows = ops.Pipeline.queries("text_contamination")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -11,6 +11,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class StagingSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("unusable tmpdir degrades to the uncached plan, not a failure") {
+    import spark.implicits._
+    val src = Tables.path(sf, "region")
+    // Point java.io.tmpdir at a FILE so the graft_derived dir can't be
+    // created: materialize must return the original plan (identical
+    // results, just uncached), never throw.
+    val blocker = java.nio.file.Files.createTempFile("graft-not-a-dir", "")
+    val tmpWas = sys.props("java.io.tmpdir")
+    sys.props("java.io.tmpdir") = blocker.toString
+    try {
+      val out = Staging.materialize(spark, src, "stagingspec_unwritable_v1") {
+        Seq((7, "x")).toDF("id", "s")
+      }
+      assert(out.collect().map(_.getInt(0)).toSeq === Seq(7))
+    } finally {
+      sys.props("java.io.tmpdir") = tmpWas
+      java.nio.file.Files.deleteIfExists(blocker)
+    }
+  }
+
   test("build thunk runs on miss, is skipped on hit, runs again when disabled") {
     import spark.implicits._
     val src = Tables.path(sf, "region") // any real file, for the fingerprint
