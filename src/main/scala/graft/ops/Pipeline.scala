@@ -341,9 +341,49 @@ object Pipeline {
     * uncapped one. */
   private def ccLabels(s: SparkSession, dir: String): DataFrame = {
     val cap = s.conf.getOption("graft.ngram.hotGramCap").map(_.toLong)
-    graft.Staging.materialize(s, Tables.path(dir, "documents"),
-      cap.fold("cc_labels08_v1")(c => s"cc_labels08_cap${c}_v1")) {
-      connectedComponents(Dedup.ngramPairs(s, dir).select("doc_a", "doc_b"))
+    val groupExact =
+      s.conf.getOption("graft.dedup.groupExact").exists(_.toBoolean)
+    // Lossless posture shares the artifact name; the capped variant is
+    // lossy AND df-dependent (rep-level gram df ≠ full-corpus df), so
+    // capped+grouped gets its own name and can never alias either.
+    val name =
+      if (cap.isEmpty) "cc_labels08_v1"
+      else s"cc_labels08_cap${cap.get}${if (groupExact) "_ge" else ""}_v1"
+    graft.Staging.materialize(s, Tables.path(dir, "documents"), name) {
+      if (!groupExact)
+        connectedComponents(Dedup.ngramPairs(s, dir).select("doc_a", "doc_b"))
+      else {
+        // Duplicate-heavy-corpus posture (`graft.dedup.groupExact=true`,
+        // LOSSLESS): B exact copies of one text share every trigram, so
+        // the full pair graph carries B² edges and the PPJoin B²
+        // candidates per copy group. Labels don't need those edges —
+        // group by exact text, elect the min-doc_id representative,
+        // connect members to their rep by a STAR (B−1 edges, each a
+        // genuine jaccard-1 pair), and run the near-dup join over
+        // DISTINCT texts only. Label equality is exact: the pair
+        // relation depends only on text, so members are interchangeable
+        // with their rep for connectivity, and min-label = min doc_id of
+        // the component is preserved because the rep is its group's min.
+        // Docs under 3 tokens never enter the default pair graph, so
+        // they are excluded from the star too (identical short docs must
+        // NOT invent a cluster the default path doesn't have).
+        val docs = Tables.table(s, dir, "documents")
+          .where(size(split(lower(col("text")), " ")) >= 3)
+          .select(col("doc_id"), col("text"))
+        val withRep = docs.join(
+          docs.groupBy("text").agg(min("doc_id").as("rep")), "text")
+        val star = withRep.where(col("doc_id") =!= col("rep"))
+          .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+        val repPairs = Dedup.ngramJaccardPairs(
+          withRep.where(col("doc_id") === col("rep"))
+            .select(col("doc_id"), col("text"))
+            .repartition(col("doc_id")),
+          dfOrderedPrefix = cap.isDefined || s.conf
+            .getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean),
+          hotGramCap = cap)
+        connectedComponents(
+          star.union(repPairs.select("doc_a", "doc_b")))
+      }
     }
   }
 

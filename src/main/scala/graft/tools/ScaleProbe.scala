@@ -62,8 +62,28 @@ object ScaleProbe {
     }
   }
 
+  /** Duplicate-heavy variant (`dupheavy` mode): ~20% of docs are EXACT
+    * copies of one of 10 fixed hub docs, so copies-per-hub grows linearly
+    * with n and the full near-dup pair graph grows QUADRATICALLY per
+    * decade (10 hubs × (0.02·n)² edges — ~5·10⁸ at the 500k leg, which no
+    * pair-materializing plan survives). This is the corpus shape
+    * `graft.dedup.groupExact` exists for: star edges to the per-text rep
+    * + a near-dup join over distinct texts keep the CC edge set linear. */
+  def corpusDupHeavy(n: Int, seed: Long): Seq[(Long, String, String, String, Int)] = {
+    val baseDocs = corpus(n, seed)
+    val rnd = new scala.util.Random(seed * 31 + 7)
+    baseDocs.map { case row @ (id, _, lang, src, _) =>
+      if (id >= 10 && rnd.nextInt(5) == 0) {
+        val hubText = baseDocs(rnd.nextInt(10))._2
+        (id, hubText, lang, src, hubText.length)
+      } else row
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.map(_.toInt).getOrElse(5000)
+    val dupHeavy = args.headOption.contains("dupheavy")
+    val rest = if (dupHeavy) args.drop(1) else args
+    val base = rest.headOption.map(_.toInt).getOrElse(5000)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -77,6 +97,10 @@ object ScaleProbe {
       // under test.
       .config("graft.ngram.dfOrderedPrefix", "true")
       .getOrCreate()
+    // dupheavy mode arms the documented duplicate-heavy posture
+    // (LOSSLESS — PipelineSpec asserts label equality): without it the
+    // 500k leg's pair graph alone is ~5·10⁸ edges.
+    if (dupHeavy) spark.conf.set("graft.dedup.groupExact", "true")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
@@ -93,13 +117,13 @@ object ScaleProbe {
 
     case class Leg(n: Int, wallCluster: Double, wallPack: Double,
                    wallMinhash: Double, wallSimhash: Double, rounds: Int)
-    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+    val mults = if (rest.length > 1) rest.drop(1).map(_.toInt).toSeq
                 else Seq(1, 10, 100)
     val legs = mults.map { mult =>
       val n = base * mult
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-$n").toString
-      corpus(n, seed = 7)
+      (if (dupHeavy) corpusDupHeavy(n, seed = 7) else corpus(n, seed = 7))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .coalesce(math.max(4, n / 50000)).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
@@ -111,9 +135,16 @@ object ScaleProbe {
       val wp = time(SparkEntry.queries("pipeline_clean_pack")(spark, dir).count())
       // The other two near-dup families — band-LSH self-joins with their
       // own hot-bucket exposure — measured on the same corpus and gated
-      // by the same per-decade ratio.
-      val wm = time(SparkEntry.queries("dedup_minhash")(spark, dir).count())
-      val ws = time(SparkEntry.queries("dedup_simhash")(spark, dir).count())
+      // by the same per-decade ratio. Skipped in dupheavy mode: their
+      // declared OUTPUT is the pair list, which is inherently quadratic
+      // on a dup-heavy corpus (every copy pairs with every copy) — the
+      // production order is exact dedup first, then near-dup over
+      // distinct texts, which is exactly what groupExact does for the
+      // clustering path.
+      val wm = if (dupHeavy) 0.0
+        else time(SparkEntry.queries("dedup_minhash")(spark, dir).count())
+      val ws = if (dupHeavy) 0.0
+        else time(SparkEntry.queries("dedup_simhash")(spark, dir).count())
       println(f"[scale] n=$n%6d dedup_cluster=$wc%6.1f s (cc_rounds=$rounds) " +
         f"pipeline_clean_pack=$wp%6.1f s dedup_minhash=$wm%6.1f s " +
         f"dedup_simhash=$ws%6.1f s")
@@ -140,8 +171,8 @@ object ScaleProbe {
     val decades = legs.sliding(2).collect { case Seq(a, b) =>
       val rc = b.wallCluster / a.wallCluster
       val rp = b.wallPack / a.wallPack
-      val rm = b.wallMinhash / a.wallMinhash
-      val rs = b.wallSimhash / a.wallSimhash
+      val rm = if (dupHeavy) 1.0 else b.wallMinhash / a.wallMinhash
+      val rs = if (dupHeavy) 1.0 else b.wallSimhash / a.wallSimhash
       println(f"[scale] ${a.n}%d -> ${b.n}%d: dedup_cluster ${rc}%.1fx  " +
         f"pipeline_clean_pack ${rp}%.1fx  dedup_minhash ${rm}%.1fx  " +
         f"dedup_simhash ${rs}%.1fx  cc_rounds ${a.rounds} -> ${b.rounds}")

@@ -82,6 +82,46 @@ class PipelineSpec extends AnyFunSuite {
       "capped clustering invented a participating doc")
   }
 
+  test("group-exact CC labels equal the full-pair-graph labels") {
+    import spark.implicits._
+    // Exact-copy groups + a near-dup + identical SHORT docs: the
+    // duplicate-heavy posture (star edges to the min-doc_id rep, near-dup
+    // join over distinct texts) must reproduce the default labels exactly,
+    // including NOT clustering identical docs under 3 tokens (they never
+    // enter the default pair graph).
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val mut = ((1 to 19).map(i => s"w$i") :+ "zz").mkString(" ") // J=17/19
+    val other = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base), // exact-copy group
+      (4L, mut),                          // near-dup of that group
+      (5L, other), (6L, other),           // second exact-copy group
+      (7L, (1 to 20).map(i => s"y$i").mkString(" ")), // unique, no pairs
+      (8L, "a b"), (9L, "a b")            // identical SHORT docs
+    ).map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ge").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val stagingWas = sys.props.get("graft.staging")
+    sys.props("graft.staging") = "false" // same artifact name would alias
+    try {
+      val q = SparkEntry.queries("dedup_cluster")
+      val off = rowSet(q(spark, dir))
+      spark.conf.set("graft.dedup.groupExact", "true")
+      val on = try rowSet(q(spark, dir))
+        finally spark.conf.unset("graft.dedup.groupExact")
+      assert(off.map(_.take(2)) === Set(Seq("1", "1"), Seq("2", "1"),
+        Seq("3", "1"), Seq("4", "1"), Seq("5", "5"), Seq("6", "5")))
+      assert(on === off, "group-exact labels diverged from the pair graph")
+    } finally {
+      stagingWas match {
+        case Some(v) => sys.props("graft.staging") = v
+        case None => sys.props -= "graft.staging"
+      }
+      Staging.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("contamination flags a planted benchmark copy, never a benchmark doc") {
     val rows = ops.Pipeline.queries("text_contamination")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
