@@ -37,11 +37,26 @@ object Staging {
       build: => DataFrame): DataFrame =
     synchronized {
       if (!enabled) return build
-      lazy val df = build
       val dir = Paths.get(sys.props("java.io.tmpdir"),
         "graft_derived", s"${Tables.sourceFingerprint(sourcePath)}_$name")
+      // Cache hit: serve the staged copy without touching `build` at all.
+      // Only a broken READ degrades to the uncached plan here.
       try {
-        if (!Files.exists(dir.resolve("_SUCCESS"))) {
+        if (Files.exists(dir.resolve("_SUCCESS")))
+          return session.read.parquet(dir.toString)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[staging] $name staged copy unreadable (${e.getMessage}); running uncached")
+          return build
+      }
+      // Cache miss: force the build ONCE, outside the IO-degradation
+      // try. A failing build is a real query error and must propagate —
+      // retrying it from a catch handler would re-run the entire eager
+      // construction (CC fixpoint, Lloyd pass) just to fail again.
+      val df = build
+      try {
+        {
           // Write to a private temp dir, then atomically rename into place:
           // a concurrent JVM racing the same key either wins the rename or
           // finds the winner's completed dir — never a half-written one,
@@ -96,6 +111,19 @@ object Staging {
           df
       }
     }
+
+  /** Remove every staged artifact keyed by `fingerprint` — probe cleanup
+    * for retired synthetic corpora (a 500k-doc leg's staged trigram
+    * relation is ~1 GB; repeated probe runs must not stack copies). */
+  private[graft] def retireDerived(fingerprint: String): Unit = {
+    val derived = Paths.get(sys.props("java.io.tmpdir"), "graft_derived")
+    if (Files.isDirectory(derived)) {
+      val ls = Files.list(derived)
+      try ls.filter(_.getFileName.toString.startsWith(fingerprint + "_"))
+        .forEach(p => deleteRecursively(p))
+      finally ls.close()
+    }
+  }
 
   private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -85,7 +85,10 @@ object Ann {
         (r.getInt(0), r.getInt(1)) ->
           r.getSeq[Long](3).map(sv => sv.toDouble / n / 1e6)
       }.toMap
-    (0 until PqSub).map(j => (0 until PqK).map(c =>
+    // seed(j).indices, not (0 until PqK): a corpus with fewer than PqK
+    // vectors seeds a smaller codebook, and the empty-cell fallback must
+    // not index past it.
+    (0 until PqSub).map(j => seed(j).indices.map(c =>
       upd.getOrElse((j, c), seed(j)(c))))
   }
 
@@ -130,14 +133,18 @@ object Ann {
         }
         val refined = lloydRefine(e, seed, 1)
         import s.implicits._
-        (for (j <- 0 until PqSub; c <- 0 until PqK)
+        (for (j <- 0 until PqSub; c <- refined(j).indices)
           yield (j, c, refined(j)(c))).toDF("j", "c", "cw")
       }
       val cbMap = cbDf.collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-      // codebook(j)(c) = literal array for codeword c of subspace j
-      val codebook: Seq[Seq[Column]] = (0 until PqSub).map(j =>
-        (0 until PqK).map(c => array(cbMap((j, c)).map(lit): _*)))
+      // codebook(j)(c) = literal array for codeword c of subspace j.
+      // Sized from the artifact, not PqK: a tiny corpus seeds fewer
+      // codewords per subspace.
+      val codebook: Seq[Seq[Column]] = (0 until PqSub).map { j =>
+        cbMap.keys.collect { case (`j`, c) => c }.toSeq.sorted
+          .map(c => array(cbMap((j, c)).map(lit): _*))
+      }
       def sub(v: Column, j: Int): Column = slice(v, j * PqDim + 1, PqDim)
       // encode: per subspace, argmin codeword by (rounded l2², index)
       val codes = array((0 until PqSub).map(j =>

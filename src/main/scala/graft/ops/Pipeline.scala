@@ -370,8 +370,10 @@ object Pipeline {
         val docs = Tables.table(s, dir, "documents")
           .where(size(split(lower(col("text")), " ")) >= 3)
           .select(col("doc_id"), col("text"))
-        val withRep = docs.join(
-          docs.groupBy("text").agg(min("doc_id").as("rep")), "text")
+        // One shuffle on text (window min), not two (groupBy + join) —
+        // the text column would ride the exchange either way.
+        val withRep = docs.withColumn("rep",
+          min("doc_id").over(Window.partitionBy("text")))
         val star = withRep.where(col("doc_id") =!= col("rep"))
           .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
         val repPairs = Dedup.ngramJaccardPairs(
@@ -430,14 +432,19 @@ object Pipeline {
     // the edge set, which is dropped once the loop converges. The FINAL
     // round's checkpoint is the returned DataFrame's storage and is
     // deliberately left for the caller's lifetime.
+    // Round tags are namespaced per CALL: the final round's checkpoint
+    // backs the returned DataFrame for the caller's lifetime, and a
+    // second fixpoint in the same session reusing bare "round-N" tags
+    // would delete a prior call's still-live storage mid-loop.
+    val callNs = s"cc-${java.util.UUID.randomUUID.toString.take(8)}"
     def cut(df: org.apache.spark.sql.DataFrame, tag: String)
         : org.apache.spark.sql.DataFrame =
       if (ckptDir.isDefined) {
-        sess.sparkContext.setCheckpointDir(s"${ckptDir.get}/$tag")
+        sess.sparkContext.setCheckpointDir(s"${ckptDir.get}/$callNs/$tag")
         df.checkpoint()
       } else df.localCheckpoint(true)
     def rmCut(tag: String): Unit = ckptDir.foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(s"$d/$tag")
+      val p = new org.apache.hadoop.fs.Path(s"$d/$callNs/$tag")
       p.getFileSystem(sess.sparkContext.hadoopConfiguration).delete(p, true)
     }
     // undirected edge list, both directions, so one join propagates

@@ -26,14 +26,6 @@ import org.apache.spark.sql.functions._
   */
 object AnnScaleProbe {
 
-  private def rmTree(root: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
-      finally walk.close()
-    }
-
   private val Keys =
     Seq("embed_cosine_topk", "embed_ann_ivf", "embed_ann_lsh", "embed_ann_pq")
 
@@ -56,10 +48,14 @@ object AnnScaleProbe {
     // JVM warm-up on the real sf0.001 corpus, staging bypassed so the
     // full compute path (index build included) executes and leg 1 doesn't
     // absorb one-time JIT/codegen cost the later legs then skip.
+    val stagingWas = sys.props.get("graft.staging")
     sys.props("graft.staging") = "false"
     try Keys.foreach { k =>
       SparkEntry.queries(k)(spark, "/root/testdata/sf0.001").count()
-    } finally sys.props -= "graft.staging"
+    } finally stagingWas match {
+      case Some(v) => sys.props("graft.staging") = v
+      case None => sys.props -= "graft.staging"
+    }
 
     case class Leg(n: Int, walls: Map[String, Double])
     val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
@@ -86,18 +82,11 @@ object AnnScaleProbe {
       }.toMap
       println(f"[annscale] n=$n%7d " + Keys.map(k =>
         f"$k=${walls(k)}%6.1f s").mkString(" "))
-      // Retire this leg's corpus and its staged PQ artifacts (keyed by
-      // the embeddings fingerprint) so probe runs don't stack in tmp.
+      // Retire this leg's corpus and its staged index artifacts (keyed
+      // by the embeddings fingerprint) so probe runs don't stack in tmp.
       val fp = graft.Tables.sourceFingerprint(s"$dir/embeddings.parquet")
-      rmTree(java.nio.file.Paths.get(dir))
-      val derived = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_derived")
-      if (java.nio.file.Files.isDirectory(derived)) {
-        val ls = java.nio.file.Files.list(derived)
-        try ls.filter(_.getFileName.toString.startsWith(fp + "_"))
-          .forEach(p => rmTree(p))
-        finally ls.close()
-      }
+      graft.Staging.deleteRecursively(java.nio.file.Paths.get(dir))
+      graft.Staging.retireDerived(fp)
       Leg(n, walls)
     }
 

@@ -24,14 +24,6 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
 
-  private def rmTree(root: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
-      finally walk.close()
-    }
-
   /** Deterministic corpus in the documents schema. ~5% of docs are a
     * one-token mutation of a random EARLIER doc (trigram Jaccard ≈
     * (3k-8)/(3k-2) for k tokens — well over the 0.8 pair threshold), so
@@ -109,11 +101,15 @@ object ScaleProbe {
     // bypassed so the FULL compute path (including the df-ordered prefix
     // plan the legs will run) executes — a staged-artifact read would warm
     // only the parquet scan and leave leg 1 paying all the codegen.
+    val stagingWas = sys.props.get("graft.staging")
     sys.props("graft.staging") = "false"
     try Seq("dedup_cluster", "pipeline_clean_pack",
             "dedup_minhash", "dedup_simhash").foreach { k =>
       SparkEntry.queries(k)(spark, "/root/testdata/sf0.001").count()
-    } finally sys.props -= "graft.staging"
+    } finally stagingWas match {
+      case Some(v) => sys.props("graft.staging") = v
+      case None => sys.props -= "graft.staging"
+    }
 
     case class Leg(n: Int, wallCluster: Double, wallPack: Double,
                    wallMinhash: Double, wallSimhash: Double, rounds: Int)
@@ -149,18 +145,10 @@ object ScaleProbe {
         f"pipeline_clean_pack=$wp%6.1f s dedup_minhash=$wm%6.1f s " +
         f"dedup_simhash=$ws%6.1f s")
       // Retire this leg's corpus and its staged artifacts (keyed by the
-      // corpus fingerprint) — the 500k leg's trigram relation is ~1 GB and
-      // every probe run would otherwise stack a fresh copy in tmp.
+      // corpus fingerprint).
       val fp = graft.Tables.sourceFingerprint(s"$dir/documents.parquet")
-      rmTree(java.nio.file.Paths.get(dir))
-      val derived = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_derived")
-      if (java.nio.file.Files.isDirectory(derived)) {
-        val ls = java.nio.file.Files.list(derived)
-        try ls.filter(_.getFileName.toString.startsWith(fp + "_"))
-          .forEach(p => rmTree(p))
-        finally ls.close()
-      }
+      graft.Staging.deleteRecursively(java.nio.file.Paths.get(dir))
+      graft.Staging.retireDerived(fp)
       Leg(n, wc, wp, wm, ws, rounds)
     }
 

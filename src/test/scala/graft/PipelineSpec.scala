@@ -229,13 +229,28 @@ class PipelineSpec extends AnyFunSuite {
       // ...and retired prior rounds as it went: after a multi-round
       // fixpoint only the FINAL round's checkpoint (the returned
       // DataFrame's storage) may remain — no unbounded accumulation on a
-      // long-lived cluster session.
-      val left = new java.io.File(dir).listFiles().map(_.getName).toSeq
-      assert(!left.contains("edges"),
-        s"edge checkpoint not retired after convergence: $left")
-      val rounds = left.filter(_.startsWith("round-"))
-      assert(rounds.size <= 2,
-        s"checkpoint rounds accumulated instead of being retired: $rounds")
+      // long-lived cluster session. Rounds live under a per-call cc-*
+      // namespace so concurrent/sequential calls can never collide.
+      val nsDirs = new java.io.File(dir).listFiles().toSeq
+      assert(nsDirs.nonEmpty && nsDirs.forall(_.getName.startsWith("cc-")),
+        s"expected per-call cc-* namespaces, got: ${nsDirs.map(_.getName)}")
+      nsDirs.foreach { ns =>
+        val left = ns.listFiles().map(_.getName).toSeq
+        assert(!left.contains("edges"),
+          s"edge checkpoint not retired after convergence: $left")
+        val rounds = left.filter(_.startsWith("round-"))
+        assert(rounds.size <= 2,
+          s"checkpoint rounds accumulated instead of being retired: $rounds")
+      }
+      // Cross-call isolation: a later fixpoint needing MORE rounds must
+      // not delete an earlier call's still-live final-round checkpoint.
+      val longChain = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      ops.Pipeline.connectedComponents(longChain).count()
+      assert(ops.Pipeline.connectedComponents(pairs).count() > 0)
+      val again = ops.Pipeline.connectedComponents(pairs)
+      ops.Pipeline.connectedComponents(longChain).count() // runs more rounds
+      assert(again.collect().map(_.toString).sorted.toSeq === base,
+        "second CC call clobbered the first call's checkpoint storage")
     } finally {
       spark.conf.unset("graft.cc.checkpointDir")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

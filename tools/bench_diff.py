@@ -21,7 +21,7 @@ import sys
 
 PAIR = re.compile(r'"([a-z][a-z0-9_]*)"\s*:\s*([0-9]+(?:\.[0-9]+)?)')
 NOT_QUERIES = {"metric", "value", "sf", "n", "rc", "cpus", "parsed",
-               "total_sec"}
+               "total_sec", "runs", "agg"}
 
 
 def load(path):
