@@ -72,9 +72,17 @@ object ScaleProbe {
     }
   }
 
+  /** Text-analysis keys for `text` mode — the heaviest of the family
+    * (corpus-wide joins / token self-joins); all compute live (no staged
+    * artifacts), so every leg is genuinely cold. */
+  private val TextKeys = Seq("text_tfidf", "text_unigram_nll",
+    "text_bigram_nll", "text_heavy_hitters")
+
   def main(args: Array[String]): Unit = {
-    val dupHeavy = args.headOption.contains("dupheavy")
-    val rest = if (dupHeavy) args.drop(1) else args
+    val mode = args.headOption.filter(Set("dupheavy", "text")).getOrElse("")
+    val dupHeavy = mode == "dupheavy"
+    val textMode = mode == "text"
+    val rest = if (mode.nonEmpty) args.drop(1) else args
     val base = rest.headOption.map(_.toInt).getOrElse(5000)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -101,10 +109,13 @@ object ScaleProbe {
     // bypassed so the FULL compute path (including the df-ordered prefix
     // plan the legs will run) executes — a staged-artifact read would warm
     // only the parquet scan and leave leg 1 paying all the codegen.
+    val warmKeys =
+      if (textMode) TextKeys
+      else Seq("dedup_cluster", "pipeline_clean_pack",
+               "dedup_minhash", "dedup_simhash")
     val stagingWas = sys.props.get("graft.staging")
     sys.props("graft.staging") = "false"
-    try Seq("dedup_cluster", "pipeline_clean_pack",
-            "dedup_minhash", "dedup_simhash").foreach { k =>
+    try warmKeys.foreach { k =>
       SparkEntry.queries(k)(spark, "/root/testdata/sf0.001").count()
     } finally stagingWas match {
       case Some(v) => sys.props("graft.staging") = v
@@ -115,6 +126,39 @@ object ScaleProbe {
                    wallMinhash: Double, wallSimhash: Double, rounds: Int)
     val mults = if (rest.length > 1) rest.drop(1).map(_.toInt).toSeq
                 else Seq(1, 10, 100)
+
+    if (textMode) {
+      // Text family: per-leg cold walls for each key, same per-decade gate.
+      val legs = mults.map { mult =>
+        val n = base * mult
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-textscale-$n").toString
+        corpus(n, seed = 7)
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(math.max(4, n / 50000)).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        val walls = TextKeys.map { k =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(k)(spark, dir).count()
+          k -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+        println(f"[scale] n=$n%6d " + TextKeys.map(k =>
+          f"$k=${walls(k)}%6.1f s").mkString(" "))
+        graft.Staging.deleteRecursively(java.nio.file.Paths.get(dir))
+        (n, walls)
+      }
+      val ok = legs.sliding(2).collect { case Seq((na, a), (nb, b)) =>
+        TextKeys.map { k =>
+          val r = b(k) / a(k)
+          println(f"[scale] $na%d -> $nb%d $k ${r}%.1fx")
+          r <= 20
+        }.forall(identity)
+      }.forall(identity)
+      println(s"[scale] ${if (ok) "PASS" else "FAIL"}")
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     val legs = mults.map { mult =>
       val n = base * mult
       val dir = java.nio.file.Files
