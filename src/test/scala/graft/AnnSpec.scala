@@ -175,6 +175,29 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ survives a corpus smaller than the codebook size") {
+    // Fewer than PqK=16 embeddings seeds a smaller codebook; the Lloyd
+    // rebuild and the literal reconstruction must size from the corpus,
+    // not assume 16 (regression: IndexOutOfBoundsException at index
+    // build time).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-small").toString
+    (0L until 12L).map(i => (i,
+      Array.tabulate(64)(d => ((i * 64 + d) % 97).toFloat / 97f),
+      (i % 10).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val out = SparkEntry.queries("embed_ann_pq")(spark, dir).collect()
+      assert(out.map(_.getLong(0)).distinct.length === 10, "10 probes expected")
+      assert(out.forall(_.getInt(1) <= 5))
+    } finally {
+      Staging.retireDerived(
+        Tables.sourceFingerprint(s"$dir/embeddings.parquet"))
+      Staging.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("all ANN paths are deterministic across runs") {
     assert(topkSets("embed_ann_ivf") === topkSets("embed_ann_ivf"))
     assert(topkSets("embed_ann_lsh") === topkSets("embed_ann_lsh"))

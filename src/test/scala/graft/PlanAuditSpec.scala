@@ -188,6 +188,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded top-k re-plans into partial + final window stages") {
+    // graft.ann.topkShards must actually change the physical plan (a
+    // silently-ignored conf would pass the value-equality specs while
+    // leaving the single-task-per-probe window in place at scale).
+    def windows(plan: String): Int = plan.linesIterator.count(
+      _.replaceAll("^[-+:*\\s()0-9]*", "").startsWith("Window "))
+    sys.props("graft.staging") = "false"
+    try {
+      val dflt = SparkEntry.queries("embed_cosine_topk")(spark, sf)
+        .queryExecution.executedPlan.toString
+      spark.conf.set("graft.ann.topkShards", "8")
+      val sharded =
+        try SparkEntry.queries("embed_cosine_topk")(spark, sf)
+          .queryExecution.executedPlan.toString
+        finally spark.conf.unset("graft.ann.topkShards")
+      assert(windows(dflt) === 1, s"expected one ranking window:\n$dflt")
+      assert(windows(sharded) === 2,
+        s"topkShards did not produce the two-stage window plan:\n$sharded")
+    } finally sys.props.remove("graft.staging")
+  }
+
   test("bucketed join is co-located: no exchange feeds the join") {
     val p = plans("join_bucketed")
     assert(p.contains("SortMergeJoin"), "bucketed join should sort-merge")
