@@ -56,51 +56,49 @@ object Staging {
       // construction (CC fixpoint, Lloyd pass) just to fail again.
       val df = build
       try {
-        {
-          // Write to a private temp dir, then atomically rename into place:
-          // a concurrent JVM racing the same key either wins the rename or
-          // finds the winner's completed dir — never a half-written one,
-          // and never a delete under a reader (overwrite-in-place would
-          // first delete files another JVM's running query is scanning).
-          val tmp = Paths.get(dir.toString + ".tmp-" +
-            java.util.UUID.randomUUID.toString)
-          df.write.mode("overwrite").parquet(tmp.toString)
-          var attempts = 0
-          var done = false
-          while (!done && attempts < 3) {
-            attempts += 1
-            try { Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE); done = true }
-            catch { case _: java.nio.file.FileAlreadyExistsException |
-                         _: java.nio.file.DirectoryNotEmptyException =>
-              // Destination exists — EITHER a racing JVM completed it
-              // (gated by _SUCCESS) or it's a stale partial from a crashed
-              // pre-atomic-rename write. The exception alone can't tell
-              // them apart, so re-check the _SUCCESS gate: present → use
-              // the winner's copy; absent → evict ONLY if the dir is old.
-              // The age guard closes a TOCTOU hole: without it, JVM A's
-              // stale _SUCCESS check could run just before JVM B publishes
-              // a complete copy, and A's delete would rip files out from
-              // under B's already-planned query. A fresh mtime means
-              // "possibly just published / mid-publish" → treat as a lost
-              // race and serve the plan uncached; only genuinely old
-              // crash-leftovers (no _SUCCESS after 60 s) are evicted.
-              if (Files.exists(dir.resolve("_SUCCESS"))) {
-                deleteRecursively(tmp); done = true
-              } else if (Files.getLastModifiedTime(dir).toMillis <
-                           System.currentTimeMillis() - 60000L) {
-                deleteRecursively(dir)
-              } else {
-                deleteRecursively(tmp)
-                return df
-              }
+        // Write to a private temp dir, then atomically rename into place:
+        // a concurrent JVM racing the same key either wins the rename or
+        // finds the winner's completed dir — never a half-written one,
+        // and never a delete under a reader (overwrite-in-place would
+        // first delete files another JVM's running query is scanning).
+        val tmp = Paths.get(dir.toString + ".tmp-" +
+          java.util.UUID.randomUUID.toString)
+        df.write.mode("overwrite").parquet(tmp.toString)
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 3) {
+          attempts += 1
+          try { Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE); done = true }
+          catch { case _: java.nio.file.FileAlreadyExistsException |
+                       _: java.nio.file.DirectoryNotEmptyException =>
+            // Destination exists — EITHER a racing JVM completed it
+            // (gated by _SUCCESS) or it's a stale partial from a crashed
+            // pre-atomic-rename write. The exception alone can't tell
+            // them apart, so re-check the _SUCCESS gate: present → use
+            // the winner's copy; absent → evict ONLY if the dir is old.
+            // The age guard closes a TOCTOU hole: without it, JVM A's
+            // stale _SUCCESS check could run just before JVM B publishes
+            // a complete copy, and A's delete would rip files out from
+            // under B's already-planned query. A fresh mtime means
+            // "possibly just published / mid-publish" → treat as a lost
+            // race and serve the plan uncached; only genuinely old
+            // crash-leftovers (no _SUCCESS after 60 s) are evicted.
+            if (Files.exists(dir.resolve("_SUCCESS"))) {
+              deleteRecursively(tmp); done = true
+            } else if (Files.getLastModifiedTime(dir).toMillis <
+                         System.currentTimeMillis() - 60000L) {
+              deleteRecursively(dir)
+            } else {
+              deleteRecursively(tmp)
+              return df
             }
           }
-          if (!done) { // contended + never complete: give up on the cache
-            deleteRecursively(tmp)
-            if (!Files.exists(dir.resolve("_SUCCESS"))) return df
-          }
-          sweepOrphans(dir.getParent)
         }
+        if (!done) { // contended + never complete: give up on the cache
+          deleteRecursively(tmp)
+          if (!Files.exists(dir.resolve("_SUCCESS"))) return df
+        }
+        sweepOrphans(dir.getParent)
         session.read.parquet(dir.toString)
       } catch {
         // Unwritable/full tmpdir must degrade to the slower uncached plan,
@@ -111,6 +109,13 @@ object Staging {
           df
       }
     }
+
+  /** True when the artifact for (sourcePath, name) is completely staged —
+    * callers use this to decide whether upstream storage (e.g. a CC
+    * fixpoint's final checkpoint) can be reclaimed. */
+  private[graft] def isStaged(sourcePath: String, name: String): Boolean =
+    Files.exists(Paths.get(sys.props("java.io.tmpdir"), "graft_derived",
+      s"${Tables.sourceFingerprint(sourcePath)}_$name", "_SUCCESS"))
 
   /** Remove every staged artifact keyed by `fingerprint` — probe cleanup
     * for retired synthetic corpora (a 500k-doc leg's staged trigram

@@ -349,7 +349,8 @@ object Pipeline {
     val name =
       if (cap.isEmpty) "cc_labels08_v1"
       else s"cc_labels08_cap${cap.get}${if (groupExact) "_ge" else ""}_v1"
-    graft.Staging.materialize(s, Tables.path(dir, "documents"), name) {
+    lastCcNamespace.set(null)
+    val labels = graft.Staging.materialize(s, Tables.path(dir, "documents"), name) {
       if (!groupExact)
         connectedComponents(Dedup.ngramPairs(s, dir).select("doc_a", "doc_b"))
       else {
@@ -387,6 +388,19 @@ object Pipeline {
           star.union(repPairs.select("doc_a", "doc_b")))
       }
     }
+    // The labels now live in the staged parquet artifact — the fixpoint's
+    // final reliable checkpoint (if one was taken) no longer backs
+    // anything and can be reclaimed; without this, every ccLabels call on
+    // a long-lived session leaks one cc-* namespace in the checkpoint
+    // dir. Only safe once the artifact is confirmed complete: a degraded
+    // (uncached) materialize still reads the checkpoint.
+    Option(lastCcNamespace.getAndSet(null)).foreach { ns =>
+      if (graft.Staging.isStaged(Tables.path(dir, "documents"), name)) {
+        val p = new org.apache.hadoop.fs.Path(ns)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+    labels
   }
 
   /** Keys whose invocation RUNS Spark jobs (the CC fixpoint loop executes
@@ -434,9 +448,18 @@ object Pipeline {
     // deliberately left for the caller's lifetime.
     // Round tags are namespaced per CALL: the final round's checkpoint
     // backs the returned DataFrame for the caller's lifetime, and a
-    // second fixpoint in the same session reusing bare "round-N" tags
-    // would delete a prior call's still-live storage mid-loop.
+    // second SEQUENTIAL fixpoint in the same session reusing bare
+    // "round-N" tags would delete a prior call's still-live storage
+    // mid-loop. (CONCURRENT calls in one session additionally need
+    // distinct `graft.cc.checkpointDir` values — setCheckpointDir is
+    // SparkContext-global, so interleaved loops could still land a
+    // checkpoint inside each other's namespace.) The namespace is
+    // published via `lastCcNamespace` so a caller that re-homes the
+    // labels (ccLabels stages them to parquet) can reclaim the final
+    // checkpoint; without that every call on a long-lived session
+    // leaks one namespace.
     val callNs = s"cc-${java.util.UUID.randomUUID.toString.take(8)}"
+    lastCcNamespace.set(ckptDir.map(d => s"$d/$callNs").orNull)
     def cut(df: org.apache.spark.sql.DataFrame, tag: String)
         : org.apache.spark.sql.DataFrame =
       if (ckptDir.isDefined) {
@@ -491,6 +514,13 @@ object Pipeline {
     * probe instrumentation (tools/ScaleProbe asserts the count stays flat
     * as the corpus grows; callers are sequential). */
   val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Reliable-checkpoint namespace of the most recent call (null when the
+    * localCheckpoint default was used) — lets ccLabels reclaim the final
+    * round's checkpoint once the labels are re-homed in a staged
+    * artifact. Same sequential-caller contract as `lastCcRounds`. */
+  val lastCcNamespace =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" ->

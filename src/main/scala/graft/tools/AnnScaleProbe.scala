@@ -82,11 +82,7 @@ object AnnScaleProbe {
       }.toMap
       println(f"[annscale] n=$n%7d " + Keys.map(k =>
         f"$k=${walls(k)}%6.1f s").mkString(" "))
-      // Retire this leg's corpus and its staged index artifacts (keyed
-      // by the embeddings fingerprint) so probe runs don't stack in tmp.
-      val fp = graft.Tables.sourceFingerprint(s"$dir/embeddings.parquet")
-      graft.Staging.deleteRecursively(java.nio.file.Paths.get(dir))
-      graft.Staging.retireDerived(fp)
+      ScaleProbe.retireLeg(dir, "embeddings.parquet")
       Leg(n, walls)
     }
 

@@ -24,6 +24,16 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
 
+  /** Retire a probe leg: delete the temp corpus and every staged
+    * artifact keyed by its fingerprint (shared by all probe modes and
+    * AnnScaleProbe — a forgotten retire leaks per-run gigabytes in tmp,
+    * since a deleted corpus's fingerprint can never be re-hit). */
+  private[tools] def retireLeg(dir: String, sourceFile: String): Unit = {
+    val fp = graft.Tables.sourceFingerprint(s"$dir/$sourceFile")
+    graft.Staging.deleteRecursively(java.nio.file.Paths.get(dir))
+    graft.Staging.retireDerived(fp)
+  }
+
   /** Deterministic corpus in the documents schema. ~5% of docs are a
     * one-token mutation of a random EARLIER doc (trigram Jaccard ≈
     * (3k-8)/(3k-2) for k tokens — well over the 0.8 pair threshold), so
@@ -73,8 +83,10 @@ object ScaleProbe {
   }
 
   /** Text-analysis keys for `text` mode — the heaviest of the family
-    * (corpus-wide joins / token self-joins); all compute live (no staged
-    * artifacts), so every leg is genuinely cold. */
+    * (corpus-wide joins / token self-joins). The NLL keys stage their
+    * token relations per corpus version, so each leg's first run — the
+    * one timed here — is cold and includes the artifact build; leg
+    * cleanup must retire those artifacts like the dedup/ANN modes do. */
   private val TextKeys = Seq("text_tfidf", "text_unigram_nll",
     "text_bigram_nll", "text_heavy_hitters")
 
@@ -144,7 +156,7 @@ object ScaleProbe {
         }.toMap
         println(f"[scale] n=$n%6d " + TextKeys.map(k =>
           f"$k=${walls(k)}%6.1f s").mkString(" "))
-        graft.Staging.deleteRecursively(java.nio.file.Paths.get(dir))
+        retireLeg(dir, "documents.parquet")
         (n, walls)
       }
       val ok = legs.sliding(2).collect { case Seq((na, a), (nb, b)) =>
@@ -188,11 +200,7 @@ object ScaleProbe {
       println(f"[scale] n=$n%6d dedup_cluster=$wc%6.1f s (cc_rounds=$rounds) " +
         f"pipeline_clean_pack=$wp%6.1f s dedup_minhash=$wm%6.1f s " +
         f"dedup_simhash=$ws%6.1f s")
-      // Retire this leg's corpus and its staged artifacts (keyed by the
-      // corpus fingerprint).
-      val fp = graft.Tables.sourceFingerprint(s"$dir/documents.parquet")
-      graft.Staging.deleteRecursively(java.nio.file.Paths.get(dir))
-      graft.Staging.retireDerived(fp)
+      retireLeg(dir, "documents.parquet")
       Leg(n, wc, wp, wm, ws, rounds)
     }
 

@@ -190,7 +190,8 @@ class AnnSpec extends AnyFunSuite {
     try {
       val out = SparkEntry.queries("embed_ann_pq")(spark, dir).collect()
       assert(out.map(_.getLong(0)).distinct.length === 10, "10 probes expected")
-      assert(out.forall(_.getInt(1) <= 5))
+      assert(out.length === 50, // full top-5 per probe, not a truncated set
+        s"expected 10 probes x 5 neighbors, got ${out.length} rows")
     } finally {
       Staging.retireDerived(
         Tables.sourceFingerprint(s"$dir/embeddings.parquet"))

@@ -230,7 +230,8 @@ class PipelineSpec extends AnyFunSuite {
       // fixpoint only the FINAL round's checkpoint (the returned
       // DataFrame's storage) may remain — no unbounded accumulation on a
       // long-lived cluster session. Rounds live under a per-call cc-*
-      // namespace so concurrent/sequential calls can never collide.
+      // namespace so SEQUENTIAL calls never collide (concurrent calls
+      // need distinct checkpoint dirs — setCheckpointDir is global).
       val nsDirs = new java.io.File(dir).listFiles().toSeq
       assert(nsDirs.nonEmpty && nsDirs.forall(_.getName.startsWith("cc-")),
         s"expected per-call cc-* namespaces, got: ${nsDirs.map(_.getName)}")
@@ -254,6 +255,33 @@ class PipelineSpec extends AnyFunSuite {
     } finally {
       spark.conf.unset("graft.cc.checkpointDir")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("staged ccLabels reclaims its reliable checkpoint namespace") {
+    import spark.implicits._
+    // Through the declared key with BOTH staging and the reliable
+    // checkpoint dir active: once the labels land in the staged artifact,
+    // the fixpoint's cc-* namespace must be deleted — otherwise every
+    // call on a long-lived session leaks one namespace.
+    val base = (1 to 20).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, base), (3L, base + " tail"))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccns").toString
+    corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ccns-ckpt").toString
+    spark.conf.set("graft.cc.checkpointDir", ckpt)
+    try {
+      assert(SparkEntry.queries("dedup_cluster")(spark, dir).count() > 0)
+      val left = new java.io.File(ckpt).listFiles().map(_.getName).toSeq
+      assert(left.isEmpty,
+        s"cc-* checkpoint namespace not reclaimed after staging: $left")
+    } finally {
+      spark.conf.unset("graft.cc.checkpointDir")
+      Staging.retireDerived(Tables.sourceFingerprint(s"$dir/documents.parquet"))
+      Staging.deleteRecursively(java.nio.file.Paths.get(dir))
+      Staging.deleteRecursively(java.nio.file.Paths.get(ckpt))
     }
   }
 
