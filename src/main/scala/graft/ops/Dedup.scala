@@ -102,6 +102,27 @@ object Dedup {
       // order after the staged read (a parquet round-trip keeps no order).
       ngramPairs(s, dir).orderBy("doc_a", "doc_b")),
 
+    /** Incremental ingest dedup: the newest ~10% of docs (doc_id·10 ≥
+      * 9·max_id — an integral boundary both engines compute identically)
+      * checked against the OLDER corpus for an existing near-dup
+      * (trigram Jaccard ≥ 0.8). This is the op a production pipeline
+      * runs on every ingest batch: the corpus gram relation is the SAME
+      * staged artifact every other ngram op shares, so at 100 TB the
+      * batch probes an already-materialized index — never a corpus
+      * re-scan — and the asymmetric PPJoin bounds candidates to grams
+      * the small batch actually carries. */
+    "dedup_incremental" -> ((s, dir) => {
+      val grams = graft.Staging.materialize(
+        ngramGrams(Tables.table(s, dir, "documents").repartition(col("doc_id"))),
+        Tables.path(dir, "documents"), "trigrams_sorted_v1")
+      val mx = Tables.table(s, dir, "documents").agg(max("doc_id").as("mx"))
+      val g2 = grams.crossJoin(broadcast(mx))
+      ngramJaccardAcross(
+        g2.where(col("doc_id") * 10 >= col("mx") * 9).select("doc_id", "g"),
+        g2.where(col("doc_id") * 10 < col("mx") * 9).select("doc_id", "g"))
+        .orderBy("doc_id", "dup_id")
+    }),
+
     // Dedup an incoming batch (vec_id < 50) against the corpus by embedding
     // cosine ≥ 0.35: rows whose near-duplicate already exists in the corpus.
     "embed_neardup" -> ((s, dir) => {
@@ -172,6 +193,45 @@ object Dedup {
           i => concat_ws(" ", element_at(col("t"), i),
             element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
           .as("g"))
+
+  /** Exact trigram-Jaccard ≥ 0.8 pairs ACROSS two gram relations — the
+    * incremental-ingest shape: `probe` is a small new batch, `index` the
+    * existing corpus. Same lossless PPJoin filters as the self-join
+    * variant below: the prefix-filter proof concerns any TWO sets under
+    * one consistent total order (lexicographic here — `ngramGrams`
+    * array_sorts every doc), not both sets coming from one collection.
+    * Output: (doc_id [probe], dup_id [index], jac). The df-ordered/cap
+    * postures stay with the full-corpus path: a batch-side prefix is
+    * bounded by the batch itself, so its fan-out never goes quadratic
+    * in corpus size. */
+  def ngramJaccardAcross(probe: DataFrame, index: DataFrame): DataFrame = {
+    def inv(grams: DataFrame) = grams
+      .select(col("doc_id"), size(col("g")).as("sz"),
+        posexplode(slice(col("g"), lit(1), size(col("g")) -
+          floor((size(col("g")) * 4 + 4) / 5).cast("int") + 1)))
+      .withColumnRenamed("col", "gram")
+    val cand = inv(probe).select(col("doc_id").as("doc_a"), col("gram"),
+        col("pos").as("pos_a"), col("sz").as("sz_a"))
+      .join(inv(index).select(col("doc_id").as("doc_b"),
+          col("gram").as("gram_b"), col("pos").as("pos_b"),
+          col("sz").as("sz_b")),
+        col("gram") === col("gram_b") &&
+          col("sz_a") * 4 <= col("sz_b") * 5 &&
+          col("sz_b") * 4 <= col("sz_a") * 5 &&
+          least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) * 9 >=
+            (col("sz_a") + col("sz_b")) * 4)
+      .select("doc_a", "doc_b").distinct()
+    val jac = col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
+    cand
+      .join(probe.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(index.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"),
+        size(col("ga")).as("sz_a"), size(col("gb")).as("sz_b"))
+      .where(jac >= 0.8)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_id"),
+        round(jac, 6).as("jac"))
+  }
 
   /** PPJoin candidate generation + exact verification over a
     * (doc_id, g: sorted trigram array) relation.
@@ -285,6 +345,21 @@ object Dedup {
         "SELECT doc_a, doc_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jac " +
         "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
         "WHERE inter / (sa.sz + sb.sz - inter) >= 0.8 ORDER BY doc_a, doc_b"),
+    "dedup_incremental" ->
+      ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 3), " +
+        "mx AS (SELECT max(doc_id) AS mx FROM documents), " +
+        "sizes AS (SELECT doc_id, len(g) AS sz FROM grams), " +
+        "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
+        "pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_id, count(*) AS inter " +
+        "FROM inv a JOIN inv b ON a.gram = b.gram, mx " +
+        "WHERE a.doc_id * 10 >= mx.mx * 9 AND b.doc_id * 10 < mx.mx * 9 " +
+        "GROUP BY 1, 2) " +
+        "SELECT p.doc_id, p.dup_id, round(inter / (sa.sz + sb.sz - inter), 6) AS jac " +
+        "FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_id " +
+        "JOIN sizes sb ON sb.doc_id = p.dup_id " +
+        "WHERE inter / (sa.sz + sb.sz - inter) >= 0.8 ORDER BY p.doc_id, p.dup_id"),
     "embed_neardup" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "b AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 50), " +

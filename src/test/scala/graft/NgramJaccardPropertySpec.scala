@@ -150,6 +150,44 @@ class NgramJaccardPropertySpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.ngram.hotGramCap")
   }
 
+  test("incremental dedup: asymmetric PPJoin equals brute force across the split") {
+    // Generated corpus with planted mutations; the batch-vs-corpus
+    // variant must equal the brute-force cross pairs exactly (losslessness
+    // of the asymmetric prefix filter), on several split points.
+    import spark.implicits._
+    val bases = sample(docGen, 30, seed = 101)
+    val docs: Seq[(Long, List[String])] = bases.zipWithIndex.flatMap {
+      case (d, i) => Seq((i.toLong * 2, d), (i.toLong * 2 + 1, mutate(d, i)))
+    }
+    for (bound <- Seq(10L, 30L, 55L)) {
+      val (newer, older) = docs.partition(_._1 >= bound)
+      val expected = bruteForce(docs).collect {
+        case (a, b, j) if b >= bound && a < bound => (b, a, j)
+      } // brute force orders a<b; incremental reports (new, old)
+      val toGrams = (xs: Seq[(Long, List[String])]) => ops.Dedup.ngramGrams(
+        xs.map { case (id, d) => (id, d.mkString(" ")) }.toDF("doc_id", "text"))
+      val got = ops.Dedup.ngramJaccardAcross(toGrams(newer), toGrams(older))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"asymmetric PPJoin diverged at split $bound")
+    }
+  }
+
+  test("dedup_incremental equals the full pair set filtered to the boundary") {
+    // Through the declared key on the real corpus: every reported
+    // (new, old) pair must appear in the independently-verified full
+    // pair list, and vice versa for pairs crossing the 90% boundary.
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mx = 499L // documents doc_ids are 0..499 at every test SF
+    val expected = pairs.collect {
+      case (a, b, j) if b * 10 >= mx * 9 && a * 10 < mx * 9 => (b, a, j)
+    }.toSet
+    val got = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected,
+      "dedup_incremental diverged from the full pair set at the boundary")
+  }
+
   test("degenerate docs: shorter than 3 tokens never pair, never crash") {
     val docs = Seq((1L, List("a")), (2L, List("a", "b")),
       (3L, List("a", "b", "c")), (4L, List("a", "b", "c")))

@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val crossOk = Set("join_cross", "join_theta_range", "join_interval",
     "embed_cosine_topk", "embed_knn_label", "embed_neardup", "embed_ann_ivf",
     "embed_ann_pq",        // broadcast probe LUTs vs corpus codes
-    "text_tfidf", "text_unigram_nll") // nll: 1-row broadcast total, like tfidf
+    "text_tfidf", "text_unigram_nll", // nll: 1-row broadcast total, like tfidf
+    "dedup_incremental")              // 1-row broadcast max(doc_id) boundary
 
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation
