@@ -119,7 +119,9 @@ object Dedup {
       val g2 = grams.crossJoin(broadcast(mx))
       ngramJaccardAcross(
         g2.where(col("doc_id") * 10 >= col("mx") * 9).select("doc_id", "g"),
-        g2.where(col("doc_id") * 10 < col("mx") * 9).select("doc_id", "g"))
+        g2.where(col("doc_id") * 10 < col("mx") * 9).select("doc_id", "g"),
+        dfOrderedPrefix = s.conf
+          .getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean))
         .orderBy("doc_id", "dup_id")
     }),
 
@@ -204,15 +206,45 @@ object Dedup {
     * postures stay with the full-corpus path: a batch-side prefix is
     * bounded by the batch itself, so its fan-out never goes quadratic
     * in corpus size. */
-  def ngramJaccardAcross(probe: DataFrame, index: DataFrame): DataFrame = {
+  def ngramJaccardAcross(probe: DataFrame, index: DataFrame,
+                         dfOrderedPrefix: Boolean = false): DataFrame = {
     def inv(grams: DataFrame) = grams
       .select(col("doc_id"), size(col("g")).as("sz"),
         posexplode(slice(col("g"), lit(1), size(col("g")) -
           floor((size(col("g")) * 4 + 4) / 5).cast("int") + 1)))
       .withColumnRenamed("col", "gram")
-    val cand = inv(probe).select(col("doc_id").as("doc_a"), col("gram"),
+    // df-ordered prefixes under the INDEX side's gram df (batch grams the
+    // corpus has never seen get df 0 — rarest, and harmless: a gram with
+    // corpus df 0 can't produce a candidate anyway). (df, gram) is one
+    // consistent total order applied to BOTH sets, which is all the
+    // prefix-filter losslessness proof requires — same argument as the
+    // self-join variant, same reason it matters: on a Zipfian corpus the
+    // lexicographic prefix puts hot grams into batch prefixes and the
+    // candidate fan-out is Σ_batch-prefix-grams df(gram) — the 500k
+    // ScaleProbe leg measured 64× per decade without this flag.
+    val (invP, invI) =
+      if (!dfOrderedPrefix) (inv(probe), inv(index))
+      else {
+        val gramDf = index.select(explode(col("g")).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+        def ordered(grams: DataFrame) = grams
+          .select(col("doc_id"), size(col("g")).as("sz"),
+            explode(col("g")).as("gram"))
+          .join(gramDf, Seq("gram"), "left")
+          .na.fill(0L, Seq("df"))
+          .groupBy("doc_id", "sz")
+          .agg(array_sort(collect_list(struct(col("df"), col("gram"))))
+            .as("gs"))
+          .select(col("doc_id"), col("sz"),
+            posexplode(slice(col("gs"), lit(1), size(col("gs")) -
+              floor((size(col("gs")) * 4 + 4) / 5).cast("int") + 1)))
+          .select(col("doc_id"), col("sz"), col("pos"),
+            col("col.gram").as("gram"))
+        (ordered(probe), ordered(index))
+      }
+    val cand = invP.select(col("doc_id").as("doc_a"), col("gram"),
         col("pos").as("pos_a"), col("sz").as("sz_a"))
-      .join(inv(index).select(col("doc_id").as("doc_b"),
+      .join(invI.select(col("doc_id").as("doc_b"),
           col("gram").as("gram_b"), col("pos").as("pos_b"),
           col("sz").as("sz_b")),
         col("gram") === col("gram_b") &&

@@ -135,7 +135,8 @@ object ScaleProbe {
     }
 
     case class Leg(n: Int, wallCluster: Double, wallPack: Double,
-                   wallMinhash: Double, wallSimhash: Double, rounds: Int)
+                   wallMinhash: Double, wallSimhash: Double,
+                   wallIncr: Double, rounds: Int)
     val mults = if (rest.length > 1) rest.drop(1).map(_.toInt).toSeq
                 else Seq(1, 10, 100)
 
@@ -197,11 +198,16 @@ object ScaleProbe {
         else time(SparkEntry.queries("dedup_minhash")(spark, dir).count())
       val ws = if (dupHeavy) 0.0
         else time(SparkEntry.queries("dedup_simhash")(spark, dir).count())
+      // Incremental ingest (newest 10% vs older corpus, asymmetric
+      // PPJoin over the already-staged gram relation) — the ingest-cost
+      // scaling claim, measured like the rest.
+      val wi = if (dupHeavy) 0.0
+        else time(SparkEntry.queries("dedup_incremental")(spark, dir).count())
       println(f"[scale] n=$n%6d dedup_cluster=$wc%6.1f s (cc_rounds=$rounds) " +
         f"pipeline_clean_pack=$wp%6.1f s dedup_minhash=$wm%6.1f s " +
-        f"dedup_simhash=$ws%6.1f s")
+        f"dedup_simhash=$ws%6.1f s dedup_incremental=$wi%6.1f s")
       retireLeg(dir, "documents.parquet")
-      Leg(n, wc, wp, wm, ws, rounds)
+      Leg(n, wc, wp, wm, ws, wi, rounds)
     }
 
     // Per-decade check: linear would be 10x each step; allow 2x slack
@@ -213,10 +219,12 @@ object ScaleProbe {
       val rp = b.wallPack / a.wallPack
       val rm = if (dupHeavy) 1.0 else b.wallMinhash / a.wallMinhash
       val rs = if (dupHeavy) 1.0 else b.wallSimhash / a.wallSimhash
+      val ri = if (dupHeavy) 1.0 else b.wallIncr / a.wallIncr
       println(f"[scale] ${a.n}%d -> ${b.n}%d: dedup_cluster ${rc}%.1fx  " +
         f"pipeline_clean_pack ${rp}%.1fx  dedup_minhash ${rm}%.1fx  " +
-        f"dedup_simhash ${rs}%.1fx  cc_rounds ${a.rounds} -> ${b.rounds}")
-      rc <= 20 && rp <= 20 && rm <= 20 && rs <= 20
+        f"dedup_simhash ${rs}%.1fx  dedup_incremental ${ri}%.1fx  " +
+        f"cc_rounds ${a.rounds} -> ${b.rounds}")
+      rc <= 20 && rp <= 20 && rm <= 20 && rs <= 20 && ri <= 20
     }.toSeq
     val roundsOk = legs.last.rounds <= legs.head.rounds + 3
     val ok = decades.forall(identity) && roundsOk

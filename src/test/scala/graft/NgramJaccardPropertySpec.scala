@@ -166,9 +166,13 @@ class NgramJaccardPropertySpec extends AnyFunSuite {
       } // brute force orders a<b; incremental reports (new, old)
       val toGrams = (xs: Seq[(Long, List[String])]) => ops.Dedup.ngramGrams(
         xs.map { case (id, d) => (id, d.mkString(" ")) }.toDF("doc_id", "text"))
-      val got = ops.Dedup.ngramJaccardAcross(toGrams(newer), toGrams(older))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(got === expected, s"asymmetric PPJoin diverged at split $bound")
+      for (dfOrdered <- Seq(false, true)) {
+        val got = ops.Dedup
+          .ngramJaccardAcross(toGrams(newer), toGrams(older), dfOrdered)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got === expected,
+          s"asymmetric PPJoin diverged at split $bound (dfOrdered=$dfOrdered)")
+      }
     }
   }
 
