@@ -35,20 +35,33 @@ object Staging {
     * invocation even when the staged copy is about to be served. */
   def materialize(session: SparkSession, sourcePath: String, name: String)(
       build: => DataFrame): DataFrame =
+    materializeWithStatus(session, sourcePath, name)(build)._1
+
+  /** Like the thunked `materialize`, but also reports WHERE the result
+    * comes from: `._2` is true iff the returned DataFrame reads the
+    * staged artifact. Callers that reclaim upstream storage once a
+    * result is "safely staged" (ccLabels retiring the CC fixpoint's
+    * checkpoint) MUST key off this status, not off the artifact's
+    * existence on disk — with staging disabled, or on any degraded exit,
+    * the returned frame is still backed by the build's own storage even
+    * when a (possibly stale, possibly another JVM's) artifact exists. */
+  private[graft] def materializeWithStatus(
+      session: SparkSession, sourcePath: String, name: String)(
+      build: => DataFrame): (DataFrame, Boolean) =
     synchronized {
-      if (!enabled) return build
+      if (!enabled) return (build, false)
       val dir = Paths.get(sys.props("java.io.tmpdir"),
         "graft_derived", s"${Tables.sourceFingerprint(sourcePath)}_$name")
       // Cache hit: serve the staged copy without touching `build` at all.
       // Only a broken READ degrades to the uncached plan here.
       try {
         if (Files.exists(dir.resolve("_SUCCESS")))
-          return session.read.parquet(dir.toString)
+          return (session.read.parquet(dir.toString), true)
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[staging] $name staged copy unreadable (${e.getMessage}); running uncached")
-          return build
+          return (build, false)
       }
       // Cache miss: force the build ONCE, outside the IO-degradation
       // try. A failing build is a real query error and must propagate —
@@ -90,32 +103,25 @@ object Staging {
               deleteRecursively(dir)
             } else {
               deleteRecursively(tmp)
-              return df
+              return (df, false)
             }
           }
         }
         if (!done) { // contended + never complete: give up on the cache
           deleteRecursively(tmp)
-          if (!Files.exists(dir.resolve("_SUCCESS"))) return df
+          if (!Files.exists(dir.resolve("_SUCCESS"))) return (df, false)
         }
         sweepOrphans(dir.getParent)
-        session.read.parquet(dir.toString)
+        (session.read.parquet(dir.toString), true)
       } catch {
         // Unwritable/full tmpdir must degrade to the slower uncached plan,
         // not fail the query — results are identical either way. (Spark
         // wraps IO failures in SparkException, so catch broadly.)
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[staging] $name not materialized (${e.getMessage}); running uncached")
-          df
+          (df, false)
       }
     }
-
-  /** True when the artifact for (sourcePath, name) is completely staged —
-    * callers use this to decide whether upstream storage (e.g. a CC
-    * fixpoint's final checkpoint) can be reclaimed. */
-  private[graft] def isStaged(sourcePath: String, name: String): Boolean =
-    Files.exists(Paths.get(sys.props("java.io.tmpdir"), "graft_derived",
-      s"${Tables.sourceFingerprint(sourcePath)}_$name", "_SUCCESS"))
 
   /** Remove every staged artifact keyed by `fingerprint` — probe cleanup
     * for retired synthetic corpora (a 500k-doc leg's staged trigram

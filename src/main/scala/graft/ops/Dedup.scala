@@ -117,11 +117,23 @@ object Dedup {
         Tables.path(dir, "documents"), "trigrams_sorted_v1")
       val mx = Tables.table(s, dir, "documents").agg(max("doc_id").as("mx"))
       val g2 = grams.crossJoin(broadcast(mx))
+      // Same conf coupling as ngramPairs: a set hotGramCap IMPLIES the
+      // df-ordered posture (the cap itself stays with the full-corpus
+      // path — running uncapped here only ever returns MORE pairs, which
+      // the cap's explicitly-lossy contract allows).
+      val dfOrdered =
+        s.conf.getOption("graft.ngram.hotGramCap").isDefined ||
+        s.conf.getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean)
+      val indexG =
+        g2.where(col("doc_id") * 10 < col("mx") * 9).select("doc_id", "g")
+      // The index side's gram-df order is a pure function of the corpus
+      // version — staged like the gram relation, so each ingest batch
+      // pays batch-proportional work, not a corpus re-aggregation.
+      val stagedDf = if (!dfOrdered) None else Some(graft.Staging.materialize(
+        gramDfOf(indexG), Tables.path(dir, "documents"), "ngram_df_idx90_v1"))
       ngramJaccardAcross(
         g2.where(col("doc_id") * 10 >= col("mx") * 9).select("doc_id", "g"),
-        g2.where(col("doc_id") * 10 < col("mx") * 9).select("doc_id", "g"),
-        dfOrderedPrefix = s.conf
-          .getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean))
+        indexG, dfOrderedPrefix = dfOrdered, indexGramDf = stagedDf)
         .orderBy("doc_id", "dup_id")
     }),
 
@@ -200,69 +212,120 @@ object Dedup {
     * incremental-ingest shape: `probe` is a small new batch, `index` the
     * existing corpus. Same lossless PPJoin filters as the self-join
     * variant below: the prefix-filter proof concerns any TWO sets under
-    * one consistent total order (lexicographic here — `ngramGrams`
-    * array_sorts every doc), not both sets coming from one collection.
-    * Output: (doc_id [probe], dup_id [index], jac). The df-ordered/cap
-    * postures stay with the full-corpus path: a batch-side prefix is
-    * bounded by the batch itself, so its fan-out never goes quadratic
-    * in corpus size. */
+    * one consistent total order, not both sets coming from one
+    * collection. Output: (doc_id [probe], dup_id [index], jac).
+    * `dfOrderedPrefix` matters here exactly as much as in the self-join:
+    * with the default lexicographic order a Zipfian corpus puts hot
+    * grams into batch prefixes and candidate fan-out is
+    * Σ_batch-prefix-grams df(gram) — ScaleProbe's 500k leg measured
+    * 64× per decade before the flag, 2.8× after. */
   def ngramJaccardAcross(probe: DataFrame, index: DataFrame,
-                         dfOrderedPrefix: Boolean = false): DataFrame = {
-    def inv(grams: DataFrame) = grams
-      .select(col("doc_id"), size(col("g")).as("sz"),
-        posexplode(slice(col("g"), lit(1), size(col("g")) -
-          floor((size(col("g")) * 4 + 4) / 5).cast("int") + 1)))
-      .withColumnRenamed("col", "gram")
+                         dfOrderedPrefix: Boolean = false,
+                         indexGramDf: Option[DataFrame] = None): DataFrame = {
     // df-ordered prefixes under the INDEX side's gram df (batch grams the
     // corpus has never seen get df 0 — rarest, and harmless: a gram with
     // corpus df 0 can't produce a candidate anyway). (df, gram) is one
     // consistent total order applied to BOTH sets, which is all the
-    // prefix-filter losslessness proof requires — same argument as the
-    // self-join variant, same reason it matters: on a Zipfian corpus the
-    // lexicographic prefix puts hot grams into batch prefixes and the
-    // candidate fan-out is Σ_batch-prefix-grams df(gram) — the 500k
-    // ScaleProbe leg measured 64× per decade without this flag.
+    // prefix-filter losslessness proof requires. `indexGramDf` lets the
+    // caller pass a per-corpus-version STAGED df relation so each ingest
+    // batch pays only batch-proportional work, not a corpus re-aggregation.
     val (invP, invI) =
-      if (!dfOrderedPrefix) (inv(probe), inv(index))
+      if (!dfOrderedPrefix) (lexPrefixInv(probe), lexPrefixInv(index))
       else {
-        val gramDf = index.select(explode(col("g")).as("gram"))
-          .groupBy("gram").agg(count(lit(1)).as("df"))
-        def ordered(grams: DataFrame) = grams
-          .select(col("doc_id"), size(col("g")).as("sz"),
-            explode(col("g")).as("gram"))
-          .join(gramDf, Seq("gram"), "left")
-          .na.fill(0L, Seq("df"))
-          .groupBy("doc_id", "sz")
-          .agg(array_sort(collect_list(struct(col("df"), col("gram"))))
-            .as("gs"))
-          .select(col("doc_id"), col("sz"),
-            posexplode(slice(col("gs"), lit(1), size(col("gs")) -
-              floor((size(col("gs")) * 4 + 4) / 5).cast("int") + 1)))
-          .select(col("doc_id"), col("sz"), col("pos"),
-            col("col.gram").as("gram"))
-        (ordered(probe), ordered(index))
+        val gramDf = indexGramDf.getOrElse(gramDfOf(index))
+        (dfOrderedPrefixInv(probe, gramDf, None),
+         dfOrderedPrefixInv(index, gramDf, None))
       }
-    val cand = invP.select(col("doc_id").as("doc_a"), col("gram"),
+    verifyCandidates(ppjoinCandidates(invP, invI, crossOnly = true),
+      probe, index)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_id"),
+        col("jac"))
+  }
+
+  /** Per-gram document frequency of a (doc_id, g) relation. */
+  private def gramDfOf(grams: DataFrame): DataFrame =
+    grams.select(explode(col("g")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+
+  /** Prefix inverted-index rows (doc_id, sz, pos, gram) under the default
+    * LEXICOGRAPHIC gram order (`ngramGrams` array_sorts every doc). */
+  private def lexPrefixInv(grams: DataFrame): DataFrame =
+    grams
+      .select(col("doc_id"), size(col("g")).as("sz"),
+        posexplode(slice(col("g"), lit(1), size(col("g")) -
+          floor((size(col("g")) * 4 + 4) / 5).cast("int") + 1)))
+      .withColumnRenamed("col", "gram")
+
+  /** Prefix inverted-index rows under the (df, gram) total order given by
+    * `gramDf` — rarest grams first; grams absent from `gramDf` rank
+    * rarest (df 0). array_sort on struct(df, gram) is a single consistent
+    * total order shared by every doc, which is all the prefix-filter
+    * losslessness proof requires. `cap` additionally drops grams with
+    * df > cap from the prefix index (EXPLICITLY LOSSY, caller-gated). */
+  private def dfOrderedPrefixInv(grams: DataFrame, gramDf: DataFrame,
+                                 cap: Option[Long]): DataFrame = {
+    val pre = grams
+      .select(col("doc_id"), size(col("g")).as("sz"),
+        explode(col("g")).as("gram"))
+      .join(gramDf, Seq("gram"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy("doc_id", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("gram"))))
+        .as("gs"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("gs"), lit(1), size(col("gs")) -
+          floor((size(col("gs")) * 4 + 4) / 5).cast("int") + 1)))
+      .select(col("doc_id"), col("sz"), col("pos"),
+        col("col.gram").as("gram"), col("col.df").as("df"))
+    cap.fold(pre)(c => pre.where(col("df") <= c)).drop("df")
+  }
+
+  /** PPJoin candidate pairs from two prefix inverted indexes. The three
+    * LOSSLESS filters, applied as integer join conditions before any
+    * candidate materializes:
+    *  - shared prefix gram (the prefix filter — see the order builders);
+    *  - length filter: J ≤ min(sz)/max(sz), so J ≥ 0.8 needs 5·min ≥ 4·max;
+    *  - positional filter: shared grams all sort ≥ the current one, so
+    *    inter ≤ min(sz−pos), which must reach (4/9)(sz_a+sz_b), the
+    *    minimum intersection J ≥ 0.8 implies (t/(1+t)·(|A|+|B|)) —
+    *    kept in exact integer form (9·min(sz−pos) ≥ 4·(sz_a+sz_b)).
+    * Measured at sf0.1 these drop candidates ~220k → ~30k for the same
+    * exact result, and the expensive array_intersect runs per survivor.
+    * (Tried: joining on xxhash64(gram) instead of the string — lossless
+    * because collisions only add candidates the exact verification
+    * rejects — but measured ~2 s slower at sf0.1; the extra hash pass
+    * outweighs the narrower key at this gram length. Revisit for
+    * long-shingle corpora where gram strings are wide.)
+    * `crossOnly=false` adds doc_a < doc_b (self-join dedup of the
+    * symmetric pair); `true` keeps every (probe, index) combination. */
+  private def ppjoinCandidates(invA: DataFrame, invB: DataFrame,
+                               crossOnly: Boolean): DataFrame = {
+    val base = col("gram") === col("gram_b") &&
+      col("sz_a") * 4 <= col("sz_b") * 5 &&
+      col("sz_b") * 4 <= col("sz_a") * 5 &&
+      least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) * 9 >=
+        (col("sz_a") + col("sz_b")) * 4
+    invA.select(col("doc_id").as("doc_a"), col("gram"),
         col("pos").as("pos_a"), col("sz").as("sz_a"))
-      .join(invI.select(col("doc_id").as("doc_b"),
-          col("gram").as("gram_b"), col("pos").as("pos_b"),
-          col("sz").as("sz_b")),
-        col("gram") === col("gram_b") &&
-          col("sz_a") * 4 <= col("sz_b") * 5 &&
-          col("sz_b") * 4 <= col("sz_a") * 5 &&
-          least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) * 9 >=
-            (col("sz_a") + col("sz_b")) * 4)
+      .join(invB.select(col("doc_id").as("doc_b"), col("gram").as("gram_b"),
+          col("pos").as("pos_b"), col("sz").as("sz_b")),
+        if (crossOnly) base else base && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact verification: full-gram-array Jaccard for each candidate,
+    * keep ≥ 0.8, output (doc_a, doc_b, jac rounded 6dp). */
+  private def verifyCandidates(cand: DataFrame, gramsA: DataFrame,
+                               gramsB: DataFrame): DataFrame = {
     val jac = col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
     cand
-      .join(probe.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
-      .join(index.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .join(gramsA.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(gramsB.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ga"), col("gb"))).as("inter"),
         size(col("ga")).as("sz_a"), size(col("gb")).as("sz_b"))
       .where(jac >= 0.8)
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_id"),
-        round(jac, 6).as("jac"))
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
   }
 
   /** PPJoin candidate generation + exact verification over a
@@ -288,81 +351,20 @@ object Dedup {
   def ngramJaccardFromGrams(grams: DataFrame,
                             dfOrderedPrefix: Boolean = false,
                             hotGramCap: Option[Long] = None): DataFrame = {
-      require(hotGramCap.isEmpty || dfOrderedPrefix,
-        "hotGramCap requires dfOrderedPrefix")
-      val prefixLen = (size(col("g")) -
-        floor((size(col("g")) * 4 + 4) / 5).cast("int") + 1)
-      // Prefix index rows carry (gram, 0-based position, set size) so the
-      // self-join can apply PPJoin's two other LOSSLESS filters as integer
-      // join conditions, before any candidate materializes:
-      //  - length filter: J ≤ min(sz)/max(sz), so J ≥ 0.8 needs 5·min ≥ 4·max;
-      //  - positional filter: shared grams all sort ≥ the current one, so
-      //    inter ≤ min(sz−pos), which must reach (4/9)(sz_a+sz_b), the
-      //    minimum intersection J ≥ 0.8 implies (t/(1+t)·(|A|+|B|)) —
-      //    kept in exact integer form (9·min(sz−pos) ≥ 4·(sz_a+sz_b)).
-      // Measured at sf0.1 these drop candidates ~220k → ~30k for the same
-      // exact result, and the expensive array_intersect runs per survivor.
-      // (Tried: joining on xxhash64(gram) instead of the string — lossless
-      // because collisions only add candidates the exact verification
-      // rejects — but measured ~2 s slower at sf0.1; the extra hash pass
-      // outweighs the narrower key at this gram length. Revisit for
-      // long-shingle corpora where gram strings are wide.)
-      val inv =
-        if (!dfOrderedPrefix)
-          grams
-            .select(col("doc_id"), size(col("g")).as("sz"),
-              posexplode(slice(col("g"), lit(1), prefixLen)))
-            .withColumnRenamed("col", "gram")
-        else {
-          // One aggregation over the exploded grams gives each gram's df;
-          // re-attaching df and re-sorting per doc puts the rarest grams
-          // first. array_sort on struct(df, gram) orders by df then gram —
-          // a single consistent total order shared by every doc, which is
-          // all the prefix-filter losslessness proof requires. The df
-          // relation shuffles once on gram (same key the inverted index
-          // join uses anyway); at scale it's corpus-linear and reusable
-          // across runs like the gram relation itself.
-          val gramDf = grams.select(explode(col("g")).as("gram"))
-            .groupBy("gram").agg(count(lit(1)).as("df"))
-          val ordered = grams
-            .select(col("doc_id"), size(col("g")).as("sz"),
-              explode(col("g")).as("gram"))
-            .join(gramDf, "gram")
-            .groupBy("doc_id", "sz")
-            .agg(array_sort(collect_list(struct(col("df"), col("gram"))))
-              .as("gs"))
-          val pre = ordered
-            .select(col("doc_id"), col("sz"),
-              posexplode(slice(col("gs"), lit(1), size(col("gs")) -
-                floor((size(col("gs")) * 4 + 4) / 5).cast("int") + 1)))
-            .select(col("doc_id"), col("sz"), col("pos"),
-              col("col.gram").as("gram"), col("col.df").as("df"))
-          hotGramCap.fold(pre)(c => pre.where(col("df") <= c))
-            .drop("df")
-        }
-      val cand = inv.select(col("doc_id").as("doc_a"), col("gram"),
-          col("pos").as("pos_a"), col("sz").as("sz_a"))
-        .join(inv.select(col("doc_id").as("doc_b"), col("gram").as("gram_b"),
-            col("pos").as("pos_b"), col("sz").as("sz_b")),
-          col("gram") === col("gram_b") && col("doc_a") < col("doc_b") &&
-            col("sz_a") * 4 <= col("sz_b") * 5 &&
-            col("sz_b") * 4 <= col("sz_a") * 5 &&
-            least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) * 9 >=
-              (col("sz_a") + col("sz_b")) * 4)
-        .select("doc_a", "doc_b").distinct()
-      val jac = col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
-      cand
-        .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
-        .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("ga"), col("gb"))).as("inter"),
-          size(col("ga")).as("sz_a"), size(col("gb")).as("sz_b"))
-        .where(jac >= 0.8)
-        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
-        // NO trailing sort here: ngramPairs stages this result to parquet
-        // (which keeps no order — the cold path would pay a full
-        // range-shuffle sort only to throw it away); consumers that need
-        // the declared total order apply it themselves.
+    require(hotGramCap.isEmpty || dfOrderedPrefix,
+      "hotGramCap requires dfOrderedPrefix")
+    // The df relation shuffles once on gram (same key the inverted-index
+    // join uses anyway); at scale it's corpus-linear and reusable across
+    // runs like the gram relation itself.
+    val inv =
+      if (!dfOrderedPrefix) lexPrefixInv(grams)
+      else dfOrderedPrefixInv(grams, gramDfOf(grams), hotGramCap)
+    verifyCandidates(ppjoinCandidates(inv, inv, crossOnly = false),
+      grams, grams)
+    // NO trailing sort here: ngramPairs stages this result to parquet
+    // (which keeps no order — the cold path would pay a full
+    // range-shuffle sort only to throw it away); consumers that need
+    // the declared total order apply it themselves.
   }
 
   val oracles: Map[String, String] = Map(

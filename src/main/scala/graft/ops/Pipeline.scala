@@ -350,7 +350,8 @@ object Pipeline {
       if (cap.isEmpty) "cc_labels08_v1"
       else s"cc_labels08_cap${cap.get}${if (groupExact) "_ge" else ""}_v1"
     lastCcNamespace.set(null)
-    val labels = graft.Staging.materialize(s, Tables.path(dir, "documents"), name) {
+    val (labels, staged) = graft.Staging
+      .materializeWithStatus(s, Tables.path(dir, "documents"), name) {
       if (!groupExact)
         connectedComponents(Dedup.ngramPairs(s, dir).select("doc_a", "doc_b"))
       else {
@@ -388,14 +389,17 @@ object Pipeline {
           star.union(repPairs.select("doc_a", "doc_b")))
       }
     }
-    // The labels now live in the staged parquet artifact — the fixpoint's
+    // When the returned frame READS the staged artifact, the fixpoint's
     // final reliable checkpoint (if one was taken) no longer backs
     // anything and can be reclaimed; without this, every ccLabels call on
     // a long-lived session leaks one cc-* namespace in the checkpoint
-    // dir. Only safe once the artifact is confirmed complete: a degraded
-    // (uncached) materialize still reads the checkpoint.
+    // dir. The `staged` status — not the artifact's mere existence on
+    // disk — is the gate: with staging disabled or on any degraded
+    // materialize exit the returned frame is still checkpoint-backed
+    // (even while a stale or foreign-JVM artifact sits in the tmpdir),
+    // and deleting the namespace would be a use-after-free.
     Option(lastCcNamespace.getAndSet(null)).foreach { ns =>
-      if (graft.Staging.isStaged(Tables.path(dir, "documents"), name)) {
+      if (staged) {
         val p = new org.apache.hadoop.fs.Path(ns)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }

@@ -124,7 +124,7 @@ object ScaleProbe {
     val warmKeys =
       if (textMode) TextKeys
       else Seq("dedup_cluster", "pipeline_clean_pack",
-               "dedup_minhash", "dedup_simhash")
+               "dedup_minhash", "dedup_simhash", "dedup_incremental")
     val stagingWas = sys.props.get("graft.staging")
     sys.props("graft.staging") = "false"
     try warmKeys.foreach { k =>

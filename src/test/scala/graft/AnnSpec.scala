@@ -189,9 +189,14 @@ class AnnSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     try {
       val out = SparkEntry.queries("embed_ann_pq")(spark, dir).collect()
-      assert(out.map(_.getLong(0)).distinct.length === 10, "10 probes expected")
-      assert(out.length === 50, // full top-5 per probe, not a truncated set
-        s"expected 10 probes x 5 neighbors, got ${out.length} rows")
+      // full, well-formed top-5 per probe: ranks exactly 1..5 for each of
+      // the 10 probes (catches truncation AND rank skew/overflow)
+      val ranksByProbe = out.groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getInt(1)).sorted.toSeq).toMap
+      assert(ranksByProbe.keySet.size === 10, "10 probes expected")
+      ranksByProbe.foreach { case (q, rks) =>
+        assert(rks === Seq(1, 2, 3, 4, 5), s"probe $q ranks: $rks")
+      }
     } finally {
       Staging.retireDerived(
         Tables.sourceFingerprint(s"$dir/embeddings.parquet"))
