@@ -37,12 +37,15 @@ object AnnScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // The documented probe-ranking scale posture (LOSSLESS — total
-      // order, AnnSpec asserts bit-parity): bound every ranking task at
-      // ~|candidates|/shards rows instead of one task per probe holding
-      // the whole corpus.
-      .config("graft.ann.topkShards", "8")
       .getOrCreate()
+    // The documented probe-ranking scale posture (LOSSLESS — total
+    // order, AnnSpec asserts bit-parity): bound every ranking task at
+    // ~|candidates|/shards rows instead of one task per probe holding
+    // the whole corpus. GRAFT_TOPK_SHARDS=off measures the unsharded
+    // baseline for A/B.
+    if (!sys.env.get("GRAFT_TOPK_SHARDS").contains("off"))
+      spark.conf.set("graft.ann.topkShards",
+        sys.env.getOrElse("GRAFT_TOPK_SHARDS", "8"))
     spark.sparkContext.setLogLevel("ERROR")
 
     // JVM warm-up on the real sf0.001 corpus, staging bypassed so the
