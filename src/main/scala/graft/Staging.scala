@@ -45,13 +45,23 @@ object Staging {
     * existence on disk — with staging disabled, or on any degraded exit,
     * the returned frame is still backed by the build's own storage even
     * when a (possibly stale, possibly another JVM's) artifact exists. */
+  /** Per-artifact-directory locks: two threads materializing DIFFERENT
+    * artifacts on one session proceed concurrently (a build can be a
+    * minutes-long CC fixpoint or Lloyd pass — serializing every staging
+    * call in the JVM behind one of those starves unrelated queries);
+    * two threads racing the SAME artifact still build it exactly once.
+    * Entries are tiny monitor objects keyed by a bounded artifact-name
+    * space — never evicted, by design. */
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def materializeWithStatus(
       session: SparkSession, sourcePath: String, name: String)(
-      build: => DataFrame): (DataFrame, Boolean) =
-    synchronized {
-      if (!enabled) return (build, false)
-      val dir = Paths.get(sys.props("java.io.tmpdir"),
-        "graft_derived", s"${Tables.sourceFingerprint(sourcePath)}_$name")
+      build: => DataFrame): (DataFrame, Boolean) = {
+    if (!enabled) return (build, false)
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_derived", s"${Tables.sourceFingerprint(sourcePath)}_$name")
+    dirLocks.computeIfAbsent(dir.toString, _ => new Object).synchronized {
       // Cache hit: serve the staged copy without touching `build` at all.
       // Only a broken READ degrades to the uncached plan here.
       try {
@@ -122,6 +132,7 @@ object Staging {
           (df, false)
       }
     }
+  }
 
   /** Remove every staged artifact keyed by `fingerprint` — probe cleanup
     * for retired synthetic corpora (a 500k-doc leg's staged trigram

@@ -166,8 +166,8 @@ object Ann {
       // Stage 1 — ADC scan: every corpus vector scored from its 8 codes
       // (8 table lookups, no full vectors touched), top-R survivors kept
       // per probe by (rounded ADC distance, vec_id). The ADC scan touches
-      // the WHOLE code table per probe, so this is the ranking that needs
-      // the sharded two-stage shape at scale (`graft.ann.topkShards`).
+      // the WHOLE code table per probe, so this ranking is corpus-sized
+      // and runs the sharded two-stage shape by default.
       val cands = Vector.rankPerProbe(
         encoded.crossJoin(broadcast(probes.select("q_id", "lut")))
           .where(col("vec_id") =!= col("q_id"))
@@ -175,7 +175,7 @@ object Ann {
             zip_with(col("codes"), col("lut"),
               (c, l) => element_at(l, c.cast("int") + 1)),
             lit(0.0), _ + _), 6)),
-        Seq(col("adist"), col("vec_id")), PqRerank, "cr")
+        Seq(col("adist"), col("vec_id")), PqRerank, "cr", corpusSized = true)
         .select("q_id", "vec_id")
       // Stage 2 — exact re-rank (IVFADC+R): fetch ONLY the R survivors'
       // full vectors (R·|probes| rows — broadcast side of both joins)

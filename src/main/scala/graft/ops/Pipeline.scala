@@ -398,11 +398,11 @@ object Pipeline {
     // materialize exit the returned frame is still checkpoint-backed
     // (even while a stale or foreign-JVM artifact sits in the tmpdir),
     // and deleting the namespace would be a use-after-free.
-    Option(lastCcNamespace.getAndSet(null)).foreach { ns =>
-      if (staged) {
-        val p = new org.apache.hadoop.fs.Path(ns)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      }
+    val ns = lastCcNamespace.get()
+    lastCcNamespace.set(null)
+    if (ns != null && staged) {
+      val p = new org.apache.hadoop.fs.Path(ns)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
     labels
   }
@@ -519,12 +519,16 @@ object Pipeline {
     * as the corpus grows; callers are sequential). */
   val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Reliable-checkpoint namespace of the most recent call (null when the
-    * localCheckpoint default was used) — lets ccLabels reclaim the final
-    * round's checkpoint once the labels are re-homed in a staged
-    * artifact. Same sequential-caller contract as `lastCcRounds`. */
-  val lastCcNamespace =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** Reliable-checkpoint namespace of this THREAD's most recent call
+    * (null when the localCheckpoint default was used) — lets ccLabels
+    * reclaim the final round's checkpoint once the labels are re-homed in
+    * a staged artifact. Thread-local, not a process global: Spark
+    * sessions are commonly shared across threads, and a shared slot would
+    * let one thread's set(null)/reclaim interleave with another's
+    * fixpoint and delete a still-live final-round checkpoint. (Concurrent
+    * callers still need distinct `graft.cc.checkpointDir` values — see
+    * connectedComponents — but the handoff itself is now race-free.) */
+  val lastCcNamespace = new ThreadLocal[String]
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" ->

@@ -42,42 +42,79 @@ object Vector {
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
 
+  /** Shard count for a corpus-sized ranking when the session conf leaves
+    * the choice to the engine. 8 bounds the local[32] bench's widest
+    * candidate sets at ~1/8 corpus per task; a 1000-executor deployment
+    * sets `graft.ann.topkShards` to its core count. */
+  private val DefaultTopkShards = 8
+
   /** Top-k rows per probe under a TOTAL order (tie-broken — required for
     * determinism and for the sharded variant's losslessness): appends
     * `rankCol` = row_number and keeps rank ≤ k.
     *
-    * Default: one window partition per q_id — fine when a probe's
-    * candidate set is bounded (bucketed ANN), but a probe whose
-    * candidates approach corpus size funnels them all into ONE task.
-    * `graft.ann.topkShards=S` (session conf) switches to the two-stage
-    * scale shape: a partial top-k inside each of S hash shards of the
-    * candidates, then the final top-k over the ≤ S·k survivors — per-task
-    * row counts bounded at ~|cand|/S regardless of corpus size, and the
-    * output is bit-identical because a global top-k row is necessarily in
-    * its shard's top-k (the order is total). */
+    * Two shapes. Single-window: one partition per q_id — right when a
+    * probe's candidate set is bucket-bounded (IVF cell, LSH bucket). The
+    * two-stage scale shape: a partial top-k inside each of S hash shards
+    * of the candidates, then the final top-k over the ≤ S·k survivors —
+    * per-task row counts bounded at ~|cand|/S regardless of corpus size,
+    * and the output is bit-identical because a global top-k row is
+    * necessarily in its shard's top-k (the order is total).
+    *
+    * Which shape runs is NOT an opt-in: callers whose candidate side is
+    * corpus-sized (the exact scan, kNN, the PQ ADC scan) pass
+    * `corpusSized = true` and get the sharded plan BY DEFAULT — the
+    * scale-safe shape is what the declared key runs. Bucket-bounded
+    * callers keep the single window. `graft.ann.topkShards` overrides
+    * both ways: an integer ≥ 2 forces S shards everywhere, `off` forces
+    * the single-window plan (the A/B baseline). Anything else fails fast
+    * at plan time — 0 would pmod every row into one NULL shard and
+    * silently defeat the posture. */
   private[ops] def rankPerProbe(df: DataFrame, order: Seq[Column], k: Int,
-                                rankCol: String): DataFrame = {
+                                rankCol: String,
+                                corpusSized: Boolean = false): DataFrame = {
+    val shards: Option[Int] =
+      df.sparkSession.conf.getOption("graft.ann.topkShards") match {
+        case Some("off") => None
+        case Some(v) =>
+          val n =
+            try v.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"graft.ann.topkShards must be 'off' or an integer >= 2, got '$v'")
+            }
+          require(n >= 2,
+            s"graft.ann.topkShards must be >= 2 (got $n); use 'off' for the unsharded plan")
+          Some(n)
+        case None => if (corpusSized) Some(DefaultTopkShards) else None
+      }
     val w = Window.partitionBy("q_id").orderBy(order: _*)
-    df.sparkSession.conf.getOption("graft.ann.topkShards").map(_.toInt) match {
+    shards match {
       case None =>
         df.withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
-      case Some(shards) =>
-        val pw = Window.partitionBy(col("q_id"), col("_shard")).orderBy(order: _*)
-        df.withColumn("_shard", pmod(xxhash64(col("vec_id")), lit(shards)))
-          .withColumn("_pr", row_number().over(pw)).where(col("_pr") <= k)
-          .drop("_shard", "_pr")
+      case Some(s) =>
+        // Improbable internal names: an input relation that already
+        // carried a column of the same name would be silently replaced
+        // by withColumn — guarded, not just unlikely.
+        val (shardCol, prCol) = ("__graft_topk_shard", "__graft_topk_pr")
+        require(!df.columns.contains(shardCol) && !df.columns.contains(prCol),
+          s"input relation already carries $shardCol/$prCol")
+        val pw = Window.partitionBy(col("q_id"), col(shardCol)).orderBy(order: _*)
+        df.withColumn(shardCol, pmod(xxhash64(col("vec_id")), lit(s)))
+          .withColumn(prCol, row_number().over(pw)).where(col(prCol) <= k)
+          .drop(shardCol, prCol)
           .withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
     }
   }
 
   /** Broadcast `probes` (q_id, q) against the corpus, rank neighbors by
-    * rounded cosine, keep top k per probe. */
+    * rounded cosine, keep top k per probe. The candidate set IS the
+    * corpus, so the ranking defaults to the sharded two-stage shape. */
   private def topK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
     rankPerProbe(
       corpus.crossJoin(broadcast(probes))
         .where(col("vec_id") =!= col("q_id"))
         .withColumn("sim", round(cosine(col("q"), col("v")), 6)),
-      Seq(col("sim").desc, col("vec_id")), k, "rnk")
+      Seq(col("sim").desc, col("vec_id")), k, "rnk", corpusSized = true)
 
   val queries: Map[String, Q] = Map(
     "embed_cosine_topk" -> ((s, dir) => {

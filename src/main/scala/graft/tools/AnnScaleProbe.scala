@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   * each 10× step's wall ratio at ≤ 20 (linear would be 10×; quadratic's
   * 100× must be unambiguously out).
   *
-  * The probe arms the documented scale posture (`graft.ann.topkShards`,
-  * see Vector.rankPerProbe): without it every probe's candidate set —
-  * the whole corpus for the exact scan and the PQ ADC scan — funnels
-  * into a single window task, which is the first thing to break on a
-  * real cluster. AnnSpec asserts the sharded shape is bit-identical to
-  * the default on the real corpus.
+  * Corpus-sized rankings (the exact scan, kNN, the PQ ADC scan) run the
+  * sharded two-stage top-k BY DEFAULT (see Vector.rankPerProbe) — the
+  * probe measures the declared plan as-is. Without the sharding, every
+  * probe's candidate set funnels into a single window task, the first
+  * thing to break on a real cluster; `GRAFT_TOPK_SHARDS=off` re-measures
+  * that baseline for A/B. AnnSpec asserts the shapes are bit-identical.
   *
   * Not part of the driver contract; run manually, numbers recorded in
   * ROUND6_NOTES.md. Exit code 1 on a violated bound.
@@ -38,14 +38,13 @@ object AnnScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // The documented probe-ranking scale posture (LOSSLESS — total
-    // order, AnnSpec asserts bit-parity): bound every ranking task at
-    // ~|candidates|/shards rows instead of one task per probe holding
-    // the whole corpus. GRAFT_TOPK_SHARDS=off measures the unsharded
-    // baseline for A/B.
-    if (!sys.env.get("GRAFT_TOPK_SHARDS").contains("off"))
-      spark.conf.set("graft.ann.topkShards",
-        sys.env.getOrElse("GRAFT_TOPK_SHARDS", "8"))
+    // Corpus-sized rankings auto-arm the sharded two-stage shape since
+    // round 7 (LOSSLESS — total order, AnnSpec asserts bit-parity), so
+    // the probe's default leg measures exactly what the declared keys
+    // run. GRAFT_TOPK_SHARDS=off forces the unsharded baseline for A/B;
+    // an integer forces that shard count everywhere (incl. IVF/LSH).
+    sys.env.get("GRAFT_TOPK_SHARDS")
+      .foreach(v => spark.conf.set("graft.ann.topkShards", v))
     spark.sparkContext.setLogLevel("ERROR")
 
     // JVM warm-up on the real sf0.001 corpus, staging bypassed so the

@@ -157,20 +157,42 @@ class AnnSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
-  test("sharded two-stage top-k (graft.ann.topkShards) is bit-identical to the default") {
+  test("sharded two-stage top-k (graft.ann.topkShards) is bit-identical to the unsharded plan") {
     // The scale posture for probe-vs-corpus rankings: partial top-k per
     // hash shard, final top-k over the survivors. Lossless because every
     // ranking order is total (score + vec_id tie-break) — assert exact
-    // row equality across every query that ranks per probe, at two shard
-    // counts (including one that doesn't divide the corpus evenly).
+    // row equality against the FORCED-UNSHARDED baseline ('off') for the
+    // engine-chosen default (conf unset — corpus-sized rankings auto-arm)
+    // and two explicit shard counts (including one that doesn't divide
+    // the corpus evenly).
     val keys = Seq("embed_cosine_topk", "embed_knn_label",
       "embed_ann_ivf", "embed_ann_lsh", "embed_ann_pq")
-    val base = keys.map(k => k -> rowSet(SparkEntry.queries(k)(spark, sf))).toMap
+    spark.conf.set("graft.ann.topkShards", "off")
+    val base =
+      try keys.map(k => k -> rowSet(SparkEntry.queries(k)(spark, sf))).toMap
+      finally spark.conf.unset("graft.ann.topkShards")
+    keys.foreach { k =>
+      assert(rowSet(SparkEntry.queries(k)(spark, sf)) === base(k),
+        s"$k diverged under the auto-armed default")
+    }
     for (shards <- Seq(3, 8)) {
       spark.conf.set("graft.ann.topkShards", shards.toString)
       try keys.foreach { k =>
         assert(rowSet(SparkEntry.queries(k)(spark, sf)) === base(k),
           s"$k diverged under topkShards=$shards")
+      } finally spark.conf.unset("graft.ann.topkShards")
+    }
+  }
+
+  test("graft.ann.topkShards rejects 0/1/garbage at plan time") {
+    for (bad <- Seq("0", "1", "-3", "eight")) {
+      spark.conf.set("graft.ann.topkShards", bad)
+      try {
+        val e = intercept[Exception] {
+          SparkEntry.queries("embed_cosine_topk")(spark, sf).count()
+        }
+        assert(e.getMessage.contains("graft.ann.topkShards"),
+          s"'$bad' failed with an unrelated error: ${e.getMessage}")
       } finally spark.conf.unset("graft.ann.topkShards")
     }
   }

@@ -189,24 +189,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("sharded top-k re-plans into partial + final window stages") {
-    // graft.ann.topkShards must actually change the physical plan (a
-    // silently-ignored conf would pass the value-equality specs while
-    // leaving the single-task-per-probe window in place at scale).
+  test("corpus-sized rankings DEFAULT to the two-stage window; bucketed stay single") {
+    // The scale-safe shape must be what the declared key RUNS, not an
+    // opt-in: with the conf unset, a corpus-sized ranking (exact scan)
+    // plans partial+final windows, a bucket-bounded one (IVF) keeps the
+    // single window, and 'off' forces the unsharded baseline back.
     def windows(plan: String): Int = plan.linesIterator.count(
       _.replaceAll("^[-+:*\\s()0-9]*", "").startsWith("Window "))
     sys.props("graft.staging") = "false"
     try {
       val dflt = SparkEntry.queries("embed_cosine_topk")(spark, sf)
         .queryExecution.executedPlan.toString
-      spark.conf.set("graft.ann.topkShards", "8")
-      val sharded =
+      assert(windows(dflt) === 2,
+        s"corpus-sized ranking did not auto-arm the two-stage plan:\n$dflt")
+      assert(windows(plans("embed_ann_ivf")) === 1,
+        "bucket-bounded IVF ranking should keep the single window")
+      spark.conf.set("graft.ann.topkShards", "off")
+      val off =
         try SparkEntry.queries("embed_cosine_topk")(spark, sf)
           .queryExecution.executedPlan.toString
         finally spark.conf.unset("graft.ann.topkShards")
-      assert(windows(dflt) === 1, s"expected one ranking window:\n$dflt")
-      assert(windows(sharded) === 2,
-        s"topkShards did not produce the two-stage window plan:\n$sharded")
+      assert(windows(off) === 1, s"'off' did not force the single window:\n$off")
     } finally sys.props.remove("graft.staging")
   }
 
