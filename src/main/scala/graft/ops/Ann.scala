@@ -199,25 +199,9 @@ object Ann {
     // cell; each probe (vec_id < 10) searches its 4 nearest cells and ranks
     // candidates by rounded cosine with vec_id tie-break.
     "embed_ann_ivf" -> ((s, dir) => {
-      val e = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // 16 centroid vectors as literal columns via a collected broadcast —
-      // C is tiny and fixed; the corpus-side work stays fully distributed.
-      val cents = e.where(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      val centLit: Seq[(Long, Column)] = cents.collect().toSeq
-        .sortBy(_.getLong(0))
-        .map(r => r.getLong(0) ->
-          array(r.getSeq[Double](1).map(lit): _*))
-      // The cell-assigned corpus IS the inverted file: staged per corpus
-      // version like the PQ code table (at 100 TB this is the index
-      // layout on disk — vectors stored with their cell, not recomputed
-      // per search). Assignment is a deterministic map-side argmax, so
-      // the staged copy is bit-identical to a fresh one.
-      val cells = graft.Staging.materialize(
-        e.select(col("vec_id"), col("v"),
-          element_at(nearestCells(col("v"), centLit, 1), 1)("c_id").as("cell")),
-        Tables.path(dir, "embeddings"), "ivf_cells16_v1")
+      val e = embDouble(s, dir)
+      val centLit = ivfCentroids(e)
+      val cells = ivfCells(s, dir, e, centLit)
       val probeCells = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("q"),
           explode(transform(nearestCells(col("v"), centLit, NProbe),
@@ -225,6 +209,44 @@ object Ann {
       Vector.rankPerProbe(
         cells.join(broadcast(probeCells), "cell")
           .where(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6)),
+        Seq(col("sim").desc, col("vec_id")), 5, "rnk")
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    /** Incremental ingest for the embedding family — the mirror of
+      * `dedup_incremental`: the newest ~10% of vectors (vec_id·10 ≥
+      * 9·max_id, the same integral boundary both engines compute
+      * identically) are ASSIGNED to the already-staged IVF cells
+      * (`ivf_cells16_v1` — the exact artifact embed_ann_ivf searches)
+      * and searched against ONLY their own nprobe cells' OLDER members.
+      * No index retrain, no corpus re-scan: the batch-side work is
+      * batch-proportional (map-side cell assignment against the
+      * broadcast centroids) and the corpus side reads the staged
+      * inverted file pre-filtered by the batch's cells. This is what an
+      * embedding pipeline runs on every ingest — dedup/attach the new
+      * batch against a standing index. The cell join deliberately has NO
+      * broadcast hint: an ingest batch is corpus-proportional, so the
+      * scale shape is a shuffle join on `cell` (AQE still broadcasts it
+      * at test SF). Ranking stays on the single-window path for the same
+      * reason as embed_ann_ivf: candidates are bucket-bounded by the
+      * probe's cells. */
+    "embed_ann_incremental" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val centLit = ivfCentroids(e)
+      val cells = ivfCells(s, dir, e, centLit)
+      val mx = e.agg(max("vec_id").as("mx"))
+      val probeCells = e.crossJoin(broadcast(mx))
+        .where(col("vec_id") * 10 >= col("mx") * 9)
+        .select(col("vec_id").as("q_id"), col("v").as("q"),
+          explode(transform(nearestCells(col("v"), centLit, NProbe),
+            x => x("c_id"))).as("cell"))
+      val older = cells.crossJoin(broadcast(mx))
+        .where(col("vec_id") * 10 < col("mx") * 9)
+        .select("vec_id", "v", "cell")
+      Vector.rankPerProbe(
+        older.join(probeCells, "cell")
           .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6)),
         Seq(col("sim").desc, col("vec_id")), 5, "rnk")
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
@@ -268,7 +290,56 @@ object Ann {
 
   private val NumPlanes = 6
 
+  /** embeddings with the float vector widened to array<double> once. */
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** 16 centroid vectors as literal columns via a collected broadcast —
+    * C is tiny and fixed; the corpus-side work stays fully distributed. */
+  private def ivfCentroids(e: DataFrame): Seq[(Long, Column)] =
+    e.where(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .collect().toSeq.sortBy(_.getLong(0))
+      .map(r => r.getLong(0) -> array(r.getSeq[Double](1).map(lit): _*))
+
+  /** The cell-assigned corpus IS the inverted file: staged per corpus
+    * version like the PQ code table (at 100 TB this is the index layout
+    * on disk — vectors stored with their cell, not recomputed per
+    * search). Assignment is a deterministic map-side argmax, so the
+    * staged copy is bit-identical to a fresh one. Shared by
+    * embed_ann_ivf (search) and embed_ann_incremental (ingest) — one
+    * artifact, two consumers, the point of an incremental index. */
+  private def ivfCells(s: SparkSession, dir: String, e: DataFrame,
+                       centLit: Seq[(Long, Column)]): DataFrame =
+    graft.Staging.materialize(
+      e.select(col("vec_id"), col("v"),
+        element_at(nearestCells(col("v"), centLit, 1), 1)("c_id").as("cell")),
+      Tables.path(dir, "embeddings"), "ivf_cells16_v1")
+
   val oracles: Map[String, String] = Map(
+    // Full-CTE replay of the incremental-ingest path, same style as
+    // embed_ann_ivf's: rebuild cells + probe assignment from scratch and
+    // apply the identical integral newest-10% boundary on both sides.
+    "embed_ann_incremental" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "mx AS (SELECT max(vec_id) AS mx FROM embeddings), " +
+        "cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16), " +
+        "assign AS (SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
+        "FROM e CROSS JOIN cent), " +
+        "cells AS (SELECT vec_id, v, c_id AS cell FROM assign WHERE rc = 1), " +
+        "probes AS (SELECT vec_id AS q_id, v AS q FROM e, mx WHERE vec_id * 10 >= mx.mx * 9), " +
+        "pcells AS (SELECT q_id, q, c_id AS cell, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_cosine_similarity(q, cv), 6) DESC, c_id) AS pr " +
+        "FROM probes CROSS JOIN cent), " +
+        "cand AS (SELECT p.q_id, p.q, c.vec_id, c.v " +
+        "FROM (SELECT * FROM pcells WHERE pr <= 4) p JOIN cells c ON p.cell = c.cell, mx " +
+        "WHERE c.vec_id * 10 < mx.mx * 9), " +
+        "ranked AS (SELECT q_id, vec_id, round(list_cosine_similarity(q, v), 6) AS sim, " +
+        "row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_cosine_similarity(q, v), 6) DESC, vec_id) AS rnk FROM cand) " +
+        "SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"),
     "embed_ann_lsh" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "hp AS (SELECT CAST(vec_id AS INT) AS h_id, v AS hv FROM e WHERE vec_id < 6), " +

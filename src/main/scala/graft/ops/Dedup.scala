@@ -37,53 +37,71 @@ object Dedup {
       when(bitSum >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** doc_id + fingerprint for every document. Token hashing happens in its
-    * own projection so each token is xxhash64'd ONCE, not once per bit —
-    * the 64 bit-sums then fold over the cached hash array. */
+  /** (doc_id, fp) for any (doc_id, text) relation — the pure fingerprint
+    * pipeline behind [[simhashed]]. Token hashing happens in its own
+    * projection so each token is xxhash64'd ONCE, not once per bit — the
+    * 64 bit-sums then fold over the cached hash array. */
+  def simhashFp(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        transform(array_distinct(split(lower(col("text")), " ")),
+          t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), simhash(col("th")).as("fp"))
+
+  /** Banded-LSH hamming ≤ 3 pairs from a (doc_id, fp) relation — the pure
+    * pair pipeline behind `dedup_simhash`, shared with its grouped-report
+    * variant. Candidates come ONLY from 16-bit band buckets (pigeonhole:
+    * hamming ≤ 3 ⇒ ≥ 1 of 4 bands identical), never an all-pairs join. */
+  def simhashPairsFromFp(fps: DataFrame): DataFrame = {
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("fp"),
+        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+      col("band_id"), col("band_val"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+      col("band_id").as("band_id_r"), col("band_val").as("band_val_r"))
+    l.join(r, col("band_id") === col("band_id_r") &&
+        col("band_val") === col("band_val_r") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+  }
+
+  /** doc_id + fingerprint for every document (staged per corpus version). */
   def simhashed(s: SparkSession, dir: String): DataFrame =
     // Repartition the scan first — few parquet splits at test SF would
     // otherwise serialize the 64-bit-sum fold onto one core. The result is
     // materialized once per corpus version (Staging): the band self-join
-    // below references it twice and would evaluate the fold twice.
+    // references it twice and would evaluate the fold twice.
     graft.Staging.materialize(
-      Tables.table(s, dir, "documents")
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          transform(array_distinct(split(lower(col("text")), " ")),
-            t => xxhash64(t)).as("th"))
-        .select(col("doc_id"), simhash(col("th")).as("fp")),
+      simhashFp(Tables.table(s, dir, "documents").repartition(col("doc_id"))),
       Tables.path(dir, "documents"), "simhash_fp64_v1")
 
   val queries: Map[String, Q] = Map(
 
     /** no-oracle: SimHash near-dup pairs (hamming distance ≤ 3) via 4×16-bit
       * band LSH. Property-tested internally (identical docs → distance 0;
-      * pairs agree with exact Jaccard near-dups; deterministic). */
-    "dedup_simhash" -> ((s, dir) => {
-      val fps = simhashed(s, dir)
-      val banded = fps.select(col("doc_id"), col("fp"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band_id"),
-            shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("band_val"))
-        }: _*)).as("band"))
-        .select(col("doc_id"), col("fp"),
-          col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
-      val l = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
-        col("band_id"), col("band_val"))
-      val r = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
-        col("band_id").as("band_id_r"), col("band_val").as("band_val_r"))
-      val pairs = l.join(r, col("band_id") === col("band_id_r") &&
-          col("band_val") === col("band_val_r") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-        .where(col("hamming") <= 3)
-        .distinct()
-      // Stage the pair ARTIFACT per corpus version, like the trigram and
-      // minhash pair lists — order re-applied after the staged read.
-      graft.Staging.materialize(pairs,
-        Tables.path(dir, "documents"), "simhash_pairs_h3_v1")
-        .orderBy("doc_a", "doc_b")
-    }),
+      * pairs agree with exact Jaccard near-dups; deterministic).
+      * `graft.dedup.groupedReport=true` switches to the duplicate-heavy
+      * grouped shape (see [[groupedReport]]). */
+    "dedup_simhash" -> ((s, dir) =>
+      if (groupedReportOn(s))
+        groupedReport(Tables.table(s, dir, "documents")
+            .select(col("doc_id"), col("text")),
+          "hamming", lit(0), lit(true))(reps =>
+          simhashPairsFromFp(simhashFp(reps).localCheckpoint(true)))
+          .orderBy("doc_a", "doc_b")
+      else {
+        // Stage the pair ARTIFACT per corpus version, like the trigram and
+        // minhash pair lists — order re-applied after the staged read.
+        graft.Staging.materialize(simhashPairsFromFp(simhashed(s, dir)),
+          Tables.path(dir, "documents"), "simhash_pairs_h3_v1")
+          .orderBy("doc_a", "doc_b")
+      }),
 
     // Exact word-trigram Jaccard ≥ 0.8 with PPJoin-style prefix filtering:
     // index only the first |g| − ⌈0.8·|g|⌉ + 1 grams of each doc's gram
@@ -100,7 +118,21 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       // Staged pair list (see ngramPairs); re-apply the declared total
       // order after the staged read (a parquet round-trip keeps no order).
-      ngramPairs(s, dir).orderBy("doc_a", "doc_b")),
+      // `graft.dedup.groupedReport=true` switches to the duplicate-heavy
+      // grouped shape; the df-ordered/cap posture confs couple exactly as
+      // in ngramPairs so the rep-level PPJoin runs the same plan.
+      if (!groupedReportOn(s)) ngramPairs(s, dir).orderBy("doc_a", "doc_b")
+      else {
+        val cap = s.conf.getOption("graft.ngram.hotGramCap").map(_.toLong)
+        val dfOrdered = cap.isDefined ||
+          s.conf.getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean)
+        groupedReport(Tables.table(s, dir, "documents")
+            .select(col("doc_id"), col("text")),
+          "jac", lit(1.0), size(split(lower(col("text")), " ")) >= 3)(reps =>
+          ngramJaccardFromGrams(ngramGrams(reps).localCheckpoint(true),
+            dfOrdered, cap))
+          .orderBy("doc_a", "doc_b")
+      }),
 
     /** Incremental ingest dedup: the newest ~10% of docs (doc_id·10 ≥
       * 9·max_id — an integral boundary both engines compute identically)
@@ -152,6 +184,53 @@ object Dedup {
         .orderBy("q_id", "vec_id")
     })
   )
+
+  private[ops] def groupedReportOn(s: SparkSession): Boolean =
+    s.conf.getOption("graft.dedup.groupedReport").exists(_.toBoolean)
+
+  /** Duplicate-heavy GROUPED near-dup report
+    * (`graft.dedup.groupedReport=true`). Every pair relation here is a
+    * pure function of TEXT, so on a crawl corpus with B exact copies per
+    * hub the plain pair report is inherently quadratic — B² rows per hub
+    * pair, ~5·10⁸ implied rows at ScaleProbe's dupheavy 500k leg, which
+    * no pair-materializing output survives. The grouped shape keeps the
+    * report linear: docs group by exact text (one shuffle — the window
+    * min/count), the family's pair pipeline runs over the DISTINCT-text
+    * representatives only, and each row carries the two groups'
+    * multiplicities:
+    *
+    *   (doc_a, doc_b, score, n_a, n_b)   — cross-group rep pairs
+    *   (rep,  rep,  perfect, n,  n)      — one row per group with n ≥ 2
+    *                                       (its n·(n−1)/2 intra pairs)
+    *
+    * LOSSLESS by construction: the pair relation depends only on text, so
+    * expanding each cross row to group(a) × group(b) and each self row to
+    * its within-group combinations reproduces the plain pair set exactly,
+    * scores included (GroupedReportSpec property). `eligible` is the
+    * family's text-eligibility predicate for the SELF rows — identical
+    * docs the family's plain pipeline never pairs (ngram's < 3 tokens)
+    * must not invent intra-group pairs the expansion can't match. */
+  def groupedReport(docs: DataFrame, scoreName: String, perfect: Column,
+                    eligible: Column)(
+                    pairsOfReps: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("text")
+    val withRep = docs
+      .withColumn("rep", min("doc_id").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+    val reps = withRep.where(col("doc_id") === col("rep"))
+    val groups = reps.select(col("rep"), col("n"), eligible.as("elig"))
+    val cross = pairsOfReps(
+        reps.select(col("doc_id"), col("text")).repartition(col("doc_id")))
+      .join(groups.select(col("rep").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(groups.select(col("rep").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col(scoreName),
+        col("n_a"), col("n_b"))
+    val intra = groups.where(col("n") >= 2 && col("elig"))
+      .select(col("rep").as("doc_a"), col("rep").as("doc_b"),
+        perfect.as(scoreName), col("n").as("n_a"), col("n").as("n_b"))
+    cross.union(intra)
+  }
 
   /** The corpus's exact trigram-Jaccard ≥ 0.8 near-dup pair list,
     * materialized once per corpus version and shared by

@@ -413,67 +413,85 @@ object Pipeline {
     * checkpoint scan, not the computation. */
   val loopKeys: Set[String] = Set("dedup_cluster", "pipeline_clean_pack")
 
-  /** Connected components over an undirected (doc_a, doc_b) pair relation
-    * by min-label propagation WITH pointer jumping: each round a node
-    * takes the min over its own label, its neighbors' labels, AND its
-    * label's label (path halving) — so label distance shrinks
-    * geometrically and convergence needs O(log diameter) rounds, not
-    * O(diameter). The 30-round cap therefore covers any graph a real
-    * corpus can produce (diameter up to ~2^30); if it's ever hit the loop
-    * FAILS LOUDLY instead of returning silently wrong labels (plain
-    * propagation with a cap would mislabel any near-dup chain longer than
-    * the cap — e.g. incrementally edited doc chains). Factored out of
-    * `dedup_cluster` so PipelineSpec can run it against generated graphs
-    * (including a chain longer than an unjumped cap) and a driver-side
-    * union-find reference. Fixpoint is schedule-independent (min is
-    * idempotent/commutative/associative), so the result is deterministic
-    * regardless of round count or partitioning. */
-  def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    // Per-round lineage cut. Default: localCheckpoint — executor-local
-    // blocks, no configured dir needed, right for local mode and the
-    // bench. On a real cluster an executor loss would kill a
-    // localCheckpoint'd lineage mid-fixpoint, so `graft.cc.checkpointDir`
-    // switches every cut to a RELIABLE checkpoint against that directory
-    // (HDFS/object store): each round's labels are persisted off-executor
-    // and the loop survives worker churn. Same semantics either way —
-    // PipelineSpec runs a CC case through the reliable path.
-    val sess = pairs.sparkSession
-    val ckptDir = sess.conf.getOption("graft.cc.checkpointDir")
-    // Reliable path: each cut goes under its own `$dir/<tag>` subdirectory
-    // so round N-1's files can be deleted the moment round N's cut (and
-    // the convergence count, the last reader of the old labels) has
-    // materialized — otherwise a long-lived cluster session accumulates
-    // one checkpoint per fixpoint round per call, unboundedly. At any
-    // instant at most two rounds of label checkpoints exist on disk (the
-    // round just written and, transiently, the one being retired), plus
-    // the edge set, which is dropped once the loop converges. The FINAL
-    // round's checkpoint is the returned DataFrame's storage and is
-    // deliberately left for the caller's lifetime.
-    // Round tags are namespaced per CALL: the final round's checkpoint
-    // backs the returned DataFrame for the caller's lifetime, and a
-    // second SEQUENTIAL fixpoint in the same session reusing bare
-    // "round-N" tags would delete a prior call's still-live storage
-    // mid-loop. (CONCURRENT calls in one session additionally need
-    // distinct `graft.cc.checkpointDir` values — setCheckpointDir is
-    // SparkContext-global, so interleaved loops could still land a
-    // checkpoint inside each other's namespace.) The namespace is
-    // published via `lastCcNamespace` so a caller that re-homes the
-    // labels (ccLabels stages them to parquet) can reclaim the final
-    // checkpoint; without that every call on a long-lived session
-    // leaks one namespace.
-    val callNs = s"cc-${java.util.UUID.randomUUID.toString.take(8)}"
+  /** Per-round lineage-cut plumbing shared by both CC variants. Default:
+    * localCheckpoint — executor-local blocks, no configured dir needed,
+    * right for local mode and the bench. On a real cluster an executor
+    * loss would kill a localCheckpoint'd lineage mid-fixpoint, so
+    * `graft.cc.checkpointDir` switches every cut to a RELIABLE checkpoint
+    * against that directory (HDFS/object store): each round's state is
+    * persisted off-executor and the loop survives worker churn. Same
+    * semantics either way — PipelineSpec runs a CC case through the
+    * reliable path.
+    *
+    * Reliable path: each cut goes under its own `$dir/<tag>` subdirectory
+    * so round N-1's files can be deleted the moment round N's cut (and
+    * the convergence check, the last reader of the old state) has
+    * materialized — otherwise a long-lived cluster session accumulates
+    * one checkpoint per fixpoint round per call, unboundedly. At any
+    * instant at most two rounds of checkpoints exist on disk (the round
+    * just written and, transiently, the one being retired), plus the
+    * edge set, which is dropped once the loop converges. The FINAL
+    * round's checkpoint is the returned DataFrame's storage and is
+    * deliberately left for the caller's lifetime.
+    * Round tags are namespaced per CALL: a second SEQUENTIAL fixpoint in
+    * the same session reusing bare "round-N" tags would delete a prior
+    * call's still-live storage mid-loop. (CONCURRENT calls in one session
+    * additionally need distinct `graft.cc.checkpointDir` values —
+    * setCheckpointDir is SparkContext-global.) The namespace is published
+    * via `lastCcNamespace` so a caller that re-homes the labels (ccLabels
+    * stages them to parquet) can reclaim the final checkpoint; without
+    * that every call on a long-lived session leaks one namespace. */
+  private final class CcCuts(sess: SparkSession) {
+    private val ckptDir = sess.conf.getOption("graft.cc.checkpointDir")
+    private val callNs = s"cc-${java.util.UUID.randomUUID.toString.take(8)}"
     lastCcNamespace.set(ckptDir.map(d => s"$d/$callNs").orNull)
-    def cut(df: org.apache.spark.sql.DataFrame, tag: String)
-        : org.apache.spark.sql.DataFrame =
+    def cut(df: DataFrame, tag: String): DataFrame =
       if (ckptDir.isDefined) {
         sess.sparkContext.setCheckpointDir(s"${ckptDir.get}/$callNs/$tag")
         df.checkpoint()
       } else df.localCheckpoint(true)
-    def rmCut(tag: String): Unit = ckptDir.foreach { d =>
+    def rm(tag: String): Unit = ckptDir.foreach { d =>
       val p = new org.apache.hadoop.fs.Path(s"$d/$callNs/$tag")
       p.getFileSystem(sess.sparkContext.hadoopConfiguration).delete(p, true)
     }
+  }
+
+  /** Connected components over an undirected (doc_a, doc_b) pair relation.
+    * Two variants, identical deterministic output (labels = component-min
+    * doc_id; PipelineSpec asserts equality against each other and a
+    * driver-side union-find on random/chain/star graphs):
+    *
+    *  - default: min-label propagation WITH pointer jumping — each round a
+    *    node takes the min over its own label, its neighbors' labels, AND
+    *    its label's label (path halving), so label distance shrinks
+    *    geometrically and convergence needs O(log diameter) rounds, not
+    *    O(diameter).
+    *  - `graft.cc.largeStar=true`: alternating large-star/small-star —
+    *    the classic MapReduce CC formulation that rewrites the EDGE set
+    *    itself toward a star forest instead of carrying a separate label
+    *    relation (see [[ccStar]] for the shape trade-off).
+    *
+    * The 30-round cap covers any graph a real corpus can produce
+    * (diameter up to ~2^30); if it's ever hit the loop FAILS LOUDLY
+    * instead of returning silently wrong labels (plain propagation with a
+    * cap would mislabel any near-dup chain longer than the cap — e.g.
+    * incrementally edited doc chains). Factored out of `dedup_cluster` so
+    * PipelineSpec can run both variants against generated graphs
+    * (including a chain longer than an unjumped cap) and a driver-side
+    * union-find reference. Both fixpoints are schedule-independent (min
+    * is idempotent/commutative/associative), so the result is
+    * deterministic regardless of round count or partitioning. */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (pairs.sparkSession.conf.getOption("graft.cc.largeStar")
+          .exists(_.toBoolean)) ccStar(pairs)
+    else ccJump(pairs)
+
+  private def ccJump(pairs: DataFrame): DataFrame = {
+    val sess = pairs.sparkSession
+    val cuts = new CcCuts(sess)
+    def cut(df: DataFrame, tag: String): DataFrame = cuts.cut(df, tag)
+    def rmCut(tag: String): Unit = cuts.rm(tag)
     // undirected edge list, both directions, so one join propagates
     // labels along every edge
     val edges = cut(pairs.union(
@@ -512,6 +530,94 @@ object Pipeline {
           "pathological component; raise the cap or switch to large-star/small-star")
     lastCcRounds.set(iter)
     labels
+  }
+
+  /** Alternating large-star/small-star connected components — the classic
+    * MapReduce CC formulation (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): instead of carrying a (node, label) relation
+    * next to a static edge set, each round REWRITES the edge set itself.
+    *
+    *  - large-star: every node u looks at its full neighborhood Γ(u);
+    *    each strictly-larger neighbor is re-pointed at
+    *    m = min(Γ(u) ∪ {u}).
+    *  - small-star: with edges oriented toward the larger endpoint, each
+    *    node's smaller-or-equal neighbors (and the node itself) are
+    *    re-pointed at the smallest of them.
+    *
+    * Both steps preserve connectivity exactly (every rewritten edge stays
+    * inside its component, and reachability to the component min only
+    * ever improves); at fixpoint the edge set IS a star forest rooted at
+    * each component's min, so labels fall straight out of the final
+    * edges. Shape trade-off vs the default pointer-jumping propagation:
+    * the per-round state is ONE relation (the edges) instead of
+    * edges + labels — no per-round edge-label join, so rounds are
+    * cheaper on dense graphs and the edge set physically SHRINKS as
+    * high-degree regions collapse (propagation's edge relation never
+    * shrinks). The cost: per-node neighborhood grouping concentrates a
+    * giant component's final rounds into the min-node's window partition
+    * (the formulation's known skew point — production mitigation is
+    * hash-splitting high-degree neighborhoods before the min). Rounds
+    * are O(log n); the same 30-round loud-failure cap applies.
+    * tools/ScaleProbe's `chain` mode measures both variants on a planted
+    * pathological chain component. */
+  private def ccStar(pairs: DataFrame): DataFrame = {
+    val sess = pairs.sparkSession
+    val cuts = new CcCuts(sess)
+    // canonical (big, small) orientation, self-loops dropped, deduped —
+    // the invariant both star steps maintain
+    var edges = cuts.cut(
+      pairs.where(col("doc_a") =!= col("doc_b"))
+        .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .distinct(), "edges")
+    var prevTag = "edges"
+    var iter = 0
+    val MaxRounds = 30
+    var converged = edges.isEmpty
+    val wU = Window.partitionBy("u")
+    while (!converged && iter < MaxRounds) {
+      // large-star over the undirected neighborhood: m = min(Γ(u) ∪ {u});
+      // every neighbor v > u re-points to m. Output rows are (v, m) with
+      // v > u ≥ m, so the (big, small) orientation is already restored.
+      val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = bidir
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the oriented result: every smaller neighbor AND u
+      // itself re-point to the group's min.
+      val ss0 = ls.withColumn("m", min(col("v")).over(wU))
+      val next = cuts.cut(
+        ss0.select(col("v").as("u"), col("m").as("v"))
+          .union(ss0.select(col("u"), col("m").as("v")))
+          .where(col("u") =!= col("v"))
+          .distinct(), s"round-$iter")
+      // Convergence: the canonical edge set is stable. Both sides are
+      // distinct'd, so equal counts + empty one-way difference ⇔ set
+      // equality (the count also forces `next` to materialize before the
+      // prior round's checkpoint is retired).
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      cuts.rm(prevTag)
+      prevTag = s"round-$iter"
+      edges = next
+      iter += 1
+    }
+    if (!converged && iter >= MaxRounds)
+      throw new IllegalStateException(
+        s"large-star CC did not converge in $MaxRounds rounds — " +
+          "pathological component; raise the cap")
+    lastCcRounds.set(iter)
+    // At fixpoint the edges are (member, component-min) stars. Nodes that
+    // never had a non-self edge (or roots) label themselves — same
+    // semantics as the default variant.
+    val nodes = pairs.select(col("doc_a").as("doc"))
+      .union(pairs.select(col("doc_b").as("doc"))).distinct()
+    nodes
+      .join(edges.select(col("u").as("doc"), col("v").as("lbl")),
+        Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("lbl"), col("doc")).as("lbl"))
   }
 
   /** Rounds the most recent `connectedComponents` call in this JVM took —

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.{D, Tables}
+import graft.QueryDefs.Q
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1 sink surface, declared END-TO-END: the classic ETL date
+  * layout — `events` written `partitionBy(day)` once per corpus version,
+  * then read back through a PARTITION filter so only one day's directory
+  * is listed and scanned. The csv/json/ORC sink roundtrips stay internal
+  * (SinkRoundtripSpec); this is the one sink shape whose READ side has
+  * plan-level semantics worth declaring: at 100 TB the day predicate
+  * prunes file listing to 1/365th of the lake before a single row is
+  * read, which no post-scan filter can do. PlanAuditSpec asserts the
+  * predicate lands in the scan's `PartitionFilters`, not in a Filter node.
+  */
+object Sinks {
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Day-partitioned events sink, written once per MACHINE + corpus
+    * version: fingerprint-keyed dir, `_SUCCESS`-gated reuse, unique-temp +
+    * atomic-rename publish (same discipline as Staging.materialize and
+    * Joins.ensureBucketed — a racing JVM either wins the rename or uses
+    * the winner's complete copy; a reader never sees a half-written dir).
+    * NOT gated by `graft.staging`: the partitioned files ARE this
+    * operator's semantics — a plan-only consumer still needs a real
+    * directory to plan the partition-pruned scan against. */
+  def ensurePartitionedEvents(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val out = Paths.get(sys.props("java.io.tmpdir"), "graft_sink",
+      s"${Tables.sourceFingerprint(Tables.path(dir, "events"))}_events_byday_v1")
+    locks.computeIfAbsent(out.toString, _ => new Object).synchronized {
+      if (!Files.exists(out.resolve("_SUCCESS"))) {
+        val tmp = Paths.get(out.toString + ".tmp-" +
+          java.util.UUID.randomUUID.toString)
+        Tables.events(s, dir)
+          .withColumn("day", to_date(col("ts")))
+          .write.partitionBy("day").mode("overwrite").parquet(tmp.toString)
+        Files.createDirectories(out.getParent)
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 3) {
+          attempts += 1
+          try { Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE); done = true }
+          catch { case _: java.nio.file.FileAlreadyExistsException |
+                       _: java.nio.file.DirectoryNotEmptyException =>
+            // Same TOCTOU discipline as Staging: a complete racing copy
+            // (gated by _SUCCESS) is used as-is; an OLD dir without
+            // _SUCCESS is a crash leftover and is evicted; a FRESH one may
+            // be mid-publish — wait for its _SUCCESS rather than deleting
+            // files under another JVM's query.
+            if (Files.exists(out.resolve("_SUCCESS"))) {
+              graft.Staging.deleteRecursively(tmp); done = true
+            } else if (Files.getLastModifiedTime(out).toMillis <
+                         System.currentTimeMillis() - 60000L) {
+              graft.Staging.deleteRecursively(out)
+            } else {
+              Thread.sleep(1000L)
+            }
+          }
+        }
+        if (!done) {
+          graft.Staging.deleteRecursively(tmp)
+          if (!Files.exists(out.resolve("_SUCCESS")))
+            throw new IllegalStateException(
+              s"partitioned sink $out contended and never complete")
+        }
+      }
+      out.toString
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Partitioned sink + partition-pruned read: write events by day (once
+    // per corpus version), read ONE day back through a literal partition
+    // predicate, aggregate per type. The day literal is the corpus's
+    // first day, fetched with a one-row bounded collect (partition-value
+    // metadata, same pattern as the ANN centroid collects) so the filter
+    // is a LITERAL — which is what static partition pruning requires.
+    "sink_partitioned" -> ((s, dir) => {
+      val sunk = s.read.parquet(ensurePartitionedEvents(s, dir))
+      val d0 = sunk.agg(min("day")).head().getDate(0)
+      sunk.where(col("day") === lit(d0))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), D.r2(sum("value")).as("sum_value"))
+        // day emitted as TIMESTAMP, not DATE — same representation-drift
+        // guard as scan_events_ns.
+        .select(lit(d0).cast("timestamp").as("day"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sink_partitioned" ->
+      ("WITH d AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events) " +
+       "SELECT CAST(d.d0 AS TIMESTAMP) AS day, event_type, count(*) AS n, " +
+       "round(sum(value), 2) AS sum_value " +
+       "FROM events, d WHERE date_trunc('day', ts) = d.d0 " +
+       "GROUP BY 1, 2 ORDER BY event_type")
+  )
+}

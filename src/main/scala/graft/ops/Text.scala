@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{D, Tables}
 import graft.QueryDefs.Q
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.10 text-analysis + dedup operators over `documents`.
@@ -68,81 +69,99 @@ object Text {
         .orderBy("lang")),
 
     /** no-oracle: MinHash/LSH near-dup pairs (est. Jaccard ≥ 0.9 over token
-      * sets). Property-tested internally (estimate vs exact Jaccard). */
-    "dedup_minhash" -> ((s, dir) => {
-      // Each shingle STRING is xxhash64'd ONCE; the 32 signature
-      // components are mins over cheap re-hashes of that 8-byte long with
-      // the component index as seed material. Hashing a fixed-width long
-      // 32× beats hashing variable-length strings 32× map-side (the
-      // string pass dominates), with the same fixed-seed determinism.
-      // Repartition the scan before the one-time signature computation:
-      // since Staging materializes the signatures, the subtree now runs
-      // exactly ONCE (the earlier no-repartition rationale — the subtree
-      // being evaluated four times with the shuffle multiplied — no
-      // longer applies), and without it the 32-hash fold would be pinned
-      // to the source's split count on the cold run.
-      val docs = Tables.table(s, dir, "documents")
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          transform(array_distinct(split(lower(col("text")), " ")),
-            sh => xxhash64(sh)).as("th"))
-      val sig = array((0 until NumHashes).map { i =>
-        array_min(transform(col("th"), h => xxhash64(h, lit(i))))
-      }: _*)
-      // The signature relation is referenced FOUR times below (both band
-      // sides + both sig re-attach sides) and Spark evaluates it once per
-      // reference — materialize it once (Staging) so the expensive
-      // hash-fold runs a single time per corpus version.
-      val signed = graft.Staging.materialize(
-        docs.select(col("doc_id"), sig.as("sig")),
-        Tables.path(dir, "documents"), "minhash_sig32_v1")
-      // LSH banding: one hash per 8-component band; docs sharing any band
-      // hash become candidates. The bucket join carries ONLY doc ids —
-      // dragging the 32-long signature arrays through the join and then
-      // distinct-ing on them forces a sort-based aggregate over wide rows
-      // (arrays aren't hash-aggregatable) and was 27× slower at sf0.1.
-      // Narrow (doc_a, doc_b) pairs dedup in a primitive hash aggregate;
-      // signatures are re-attached afterwards with two id-keyed joins.
-      val banded = signed.select(col("doc_id"),
-        explode(array((0 until NumBands).map { b =>
-          struct(lit(b).as("band_id"),
-            xxhash64((BandRows * b until BandRows * (b + 1))
-              .map(j => col("sig")(j)): _*).as("band_hash"))
-        }: _*)).as("band"))
-        .select(col("doc_id"),
-                col("band.band_id").as("band_id"),
-                col("band.band_hash").as("band_hash"))
-      val l = banded.select(col("doc_id").as("doc_a"),
-                            col("band_id"), col("band_hash"))
-      val r = banded.select(col("doc_id").as("doc_b"),
-                            col("band_id").as("band_id_r"),
-                            col("band_hash").as("band_hash_r"))
-      val cand = l.join(r, col("band_id") === col("band_id_r") &&
-                col("band_hash") === col("band_hash_r") &&
-                col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val pairs = cand
-        .join(signed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-              "doc_a")
-        .join(signed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-              "doc_b")
-        .withColumn("matches",
-          aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
-        .withColumn("est_jac", round(col("matches") / NumHashes.toDouble, 6))
-        .where(col("est_jac") >= 0.9)
-        .select("doc_a", "doc_b", "est_jac")
-      // The pair list — the dedup ARTIFACT — is itself staged per corpus
-      // version (this near-dup-saturated corpus yields ~1.3M pairs at
-      // sf0.1, and the sig re-attach + 32-way compare over them dominates
-      // the query). Same production shape as the signatures: pair lists
-      // live next to the corpus and update incrementally; reports read
-      // them. The total order is re-applied after the staged read.
-      graft.Staging.materialize(pairs,
-        Tables.path(dir, "documents"), "minhash_pairs09_v1")
-        .orderBy("doc_a", "doc_b")
-    })
+      * sets). Property-tested internally (estimate vs exact Jaccard).
+      * `graft.dedup.groupedReport=true` switches to the duplicate-heavy
+      * grouped shape (see Dedup.groupedReport).
+      *
+      * The pair list — the dedup ARTIFACT — is staged per corpus version
+      * (this near-dup-saturated corpus yields ~1.3M pairs at sf0.1, and
+      * the sig re-attach + 32-way compare over them dominates the query).
+      * Same production shape as the signatures: pair lists live next to
+      * the corpus and update incrementally; reports read them. The total
+      * order is re-applied after the staged read. */
+    "dedup_minhash" -> ((s, dir) =>
+      if (Dedup.groupedReportOn(s))
+        Dedup.groupedReport(Tables.table(s, dir, "documents")
+            .select(col("doc_id"), col("text")),
+          "est_jac", lit(1.0), lit(true))(reps =>
+          minhashPairsFromSig(minhashSign(reps).localCheckpoint(true)))
+          .orderBy("doc_a", "doc_b")
+      else
+        graft.Staging.materialize(
+          minhashPairsFromSig(minhashSigned(s, dir)),
+          Tables.path(dir, "documents"), "minhash_pairs09_v1")
+          .orderBy("doc_a", "doc_b"))
   )
+
+  /** (doc_id, sig) for any (doc_id, text) relation — the pure signature
+    * pipeline. Each shingle STRING is xxhash64'd ONCE; the 32 signature
+    * components are mins over cheap re-hashes of that 8-byte long with
+    * the component index as seed material. Hashing a fixed-width long
+    * 32× beats hashing variable-length strings 32× map-side (the string
+    * pass dominates), with the same fixed-seed determinism. */
+  def minhashSign(docs: DataFrame): DataFrame = {
+    val sig = array((0 until NumHashes).map { i =>
+      array_min(transform(col("th"), h => xxhash64(h, lit(i))))
+    }: _*)
+    docs.select(col("doc_id"),
+        transform(array_distinct(split(lower(col("text")), " ")),
+          sh => xxhash64(sh)).as("th"))
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** The staged per-corpus-version signature relation. It is referenced
+    * FOUR times by the pair plan (both band sides + both sig re-attach
+    * sides) and Spark evaluates it once per reference — materialize it
+    * once (Staging) so the expensive hash-fold runs a single time per
+    * corpus version. Repartition the scan before the one-time signature
+    * computation: without it the 32-hash fold on the cold run would be
+    * pinned to the source's (few, at test SF) parquet splits. */
+  private def minhashSigned(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame =
+    graft.Staging.materialize(
+      minhashSign(Tables.table(s, dir, "documents").repartition(col("doc_id"))),
+      Tables.path(dir, "documents"), "minhash_sig32_v1")
+
+  /** Banded-LSH est-Jaccard ≥ 0.9 pairs from a (doc_id, sig) relation —
+    * the pure pair pipeline, shared by the declared key and its grouped
+    * variant. LSH banding: one hash per 8-component band; docs sharing
+    * any band hash become candidates. The bucket join carries ONLY doc
+    * ids — dragging the 32-long signature arrays through the join and
+    * then distinct-ing on them forces a sort-based aggregate over wide
+    * rows (arrays aren't hash-aggregatable) and was 27× slower at sf0.1.
+    * Narrow (doc_a, doc_b) pairs dedup in a primitive hash aggregate;
+    * signatures are re-attached afterwards with two id-keyed joins. */
+  def minhashPairsFromSig(signed: DataFrame): DataFrame = {
+    val banded = signed.select(col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band_id"),
+          xxhash64((BandRows * b until BandRows * (b + 1))
+            .map(j => col("sig")(j)): _*).as("band_hash"))
+      }: _*)).as("band"))
+      .select(col("doc_id"),
+              col("band.band_id").as("band_id"),
+              col("band.band_hash").as("band_hash"))
+    val l = banded.select(col("doc_id").as("doc_a"),
+                          col("band_id"), col("band_hash"))
+    val r = banded.select(col("doc_id").as("doc_b"),
+                          col("band_id").as("band_id_r"),
+                          col("band_hash").as("band_hash_r"))
+    val cand = l.join(r, col("band_id") === col("band_id_r") &&
+              col("band_hash") === col("band_hash_r") &&
+              col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(signed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+            "doc_a")
+      .join(signed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+            "doc_b")
+      .withColumn("matches",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
+      .withColumn("est_jac", round(col("matches") / NumHashes.toDouble, 6))
+      .where(col("est_jac") >= 0.9)
+      .select("doc_a", "doc_b", "est_jac")
+  }
 
   val oracles: Map[String, String] = Map(
     "text_wordcount" ->

@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
 object AnnScaleProbe {
 
   private val Keys =
-    Seq("embed_cosine_topk", "embed_ann_ivf", "embed_ann_lsh", "embed_ann_pq")
+    Seq("embed_cosine_topk", "embed_ann_ivf", "embed_ann_lsh", "embed_ann_pq",
+      "embed_ann_incremental")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0).toInt else 5000

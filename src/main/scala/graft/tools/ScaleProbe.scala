@@ -82,6 +82,36 @@ object ScaleProbe {
     }
   }
 
+  /** Pathological-component variant (`chain` mode): every 50th doc is a
+    * single-token mutation of the PREVIOUS chain member, so the pair
+    * graph contains ONE component whose diameter grows LINEARLY in n
+    * (n/50 members — ~10⁴ at the 500k leg). Chain docs are a fixed 50
+    * tokens (one mutation kills ≤ 3 of 48 trigrams → J ≈ 0.88, a pair;
+    * TWO mutations kill ≤ 6 → J ≈ 0.78, below 0.8) and every replacement
+    * token is unique ("c<i>"), so consecutive members pair but i↔i+2
+    * shortcuts do NOT — the planted diameter is real. This is the graph
+    * shape the large-star/small-star variant exists for; the probe runs
+    * dedup_cluster under BOTH variants and compares rounds + labels. */
+  def corpusChain(n: Int, seed: Long): Seq[(Long, String, String, String, Int)] = {
+    val base = corpus(n, seed).toArray
+    val rnd = new scala.util.Random(seed * 17 + 3)
+    var prev: Array[String] =
+      Array.tabulate(50)(j => "h" + rnd.nextInt(2000))
+    base.indices.foreach { i =>
+      if (i % 50 == 0) {
+        val t = prev.clone()
+        // interior position: an edge mutation would kill fewer grams and
+        // only make the pair MORE similar — keep the bound tight instead
+        t(1 + rnd.nextInt(t.length - 2)) = "c" + i
+        prev = t
+        val text = t.mkString(" ")
+        val (_, _, lang, src, _) = base(i)
+        base(i) = (i.toLong, text, lang, src, text.length)
+      }
+    }
+    base.toSeq
+  }
+
   /** Text-analysis keys for `text` mode — the heaviest of the family
     * (corpus-wide joins / token self-joins). The NLL keys stage their
     * token relations per corpus version, so each leg's first run — the
@@ -91,9 +121,11 @@ object ScaleProbe {
     "text_bigram_nll", "text_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("dupheavy", "text")).getOrElse("")
+    val mode = args.headOption.filter(Set("dupheavy", "text", "chain"))
+      .getOrElse("")
     val dupHeavy = mode == "dupheavy"
     val textMode = mode == "text"
+    val chainMode = mode == "chain"
     val rest = if (mode.nonEmpty) args.drop(1) else args
     val base = rest.headOption.map(_.toInt).getOrElse(5000)
     val spark = SparkSession.builder()
@@ -123,6 +155,7 @@ object ScaleProbe {
     // only the parquet scan and leave leg 1 paying all the codegen.
     val warmKeys =
       if (textMode) TextKeys
+      else if (chainMode) Seq("dedup_cluster")
       else Seq("dedup_cluster", "pipeline_clean_pack",
                "dedup_minhash", "dedup_simhash", "dedup_incremental")
     val stagingWas = sys.props.get("graft.staging")
@@ -172,6 +205,58 @@ object ScaleProbe {
       if (!ok) sys.exit(1)
       return
     }
+    if (chainMode) {
+      // Planted pathological chain component: dedup_cluster under BOTH CC
+      // variants per leg — same staged pair list (built once by the first
+      // run; the comparison is the FIXPOINT, not the PPJoin), label sets
+      // asserted identical, rounds + walls reported, star rounds gated to
+      // never exceed the pointer-jumping rounds.
+      case class CLeg(n: Int, wJump: Double, rJump: Int,
+                      wStar: Double, rStar: Int)
+      val legs = mults.map { mult =>
+        val n = base * mult
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-chainscale-$n").toString
+        corpusChain(n, seed = 7)
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(math.max(4, n / 50000)).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        def run(): (Double, Int, Long) = {
+          val t0 = System.nanoTime()
+          val cnt = SparkEntry.queries("dedup_cluster")(spark, dir).count()
+          ((System.nanoTime() - t0) / 1e9, Pipeline.lastCcRounds.get(), cnt)
+        }
+        val (wJump, rJump, cntJump) = run()
+        // Retire ONLY the staged label artifact so the star run recomputes
+        // the fixpoint (the pair list stays staged — shared input).
+        graft.Staging.deleteRecursively(java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_derived",
+          graft.Tables.sourceFingerprint(s"$dir/documents.parquet") +
+            "_cc_labels08_v1"))
+        spark.conf.set("graft.cc.largeStar", "true")
+        val (wStar, rStar, cntStar) =
+          try run() finally spark.conf.unset("graft.cc.largeStar")
+        println(f"[scale] n=$n%7d jump=$wJump%6.1f s ($rJump rounds) " +
+          f"star=$wStar%6.1f s ($rStar rounds) labels=$cntJump/$cntStar")
+        require(cntJump == cntStar,
+          s"star CC label count diverged: $cntJump vs $cntStar")
+        retireLeg(dir, "documents.parquet")
+        CLeg(n, wJump, rJump, wStar, rStar)
+      }
+      val decadesOk = legs.sliding(2).collect { case Seq(a, b) =>
+        val rj = b.wJump / a.wJump
+        val rs = b.wStar / a.wStar
+        println(f"[scale] ${a.n}%d -> ${b.n}%d: jump ${rj}%.1fx star ${rs}%.1fx")
+        rj <= 20 && rs <= 20
+      }.forall(identity)
+      val roundsOk = legs.forall(l => l.rStar <= l.rJump)
+      val ok = decadesOk && roundsOk
+      println(s"[scale] ${if (ok) "PASS" else "FAIL"}" +
+        (if (!roundsOk) " (star took more rounds than pointer jumping)" else ""))
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     val legs = mults.map { mult =>
       val n = base * mult
       val dir = java.nio.file.Files
@@ -186,26 +271,34 @@ object ScaleProbe {
       val wc = time(SparkEntry.queries("dedup_cluster")(spark, dir).count())
       val rounds = Pipeline.lastCcRounds.get()
       val wp = time(SparkEntry.queries("pipeline_clean_pack")(spark, dir).count())
-      // The other two near-dup families — band-LSH self-joins with their
-      // own hot-bucket exposure — measured on the same corpus and gated
-      // by the same per-decade ratio. Skipped in dupheavy mode: their
-      // declared OUTPUT is the pair list, which is inherently quadratic
-      // on a dup-heavy corpus (every copy pairs with every copy) — the
-      // production order is exact dedup first, then near-dup over
-      // distinct texts, which is exactly what groupExact does for the
-      // clustering path.
-      val wm = if (dupHeavy) 0.0
-        else time(SparkEntry.queries("dedup_minhash")(spark, dir).count())
-      val ws = if (dupHeavy) 0.0
-        else time(SparkEntry.queries("dedup_simhash")(spark, dir).count())
-      // Incremental ingest (newest 10% vs older corpus, asymmetric
-      // PPJoin over the already-staged gram relation) — the ingest-cost
-      // scaling claim, measured like the rest.
-      val wi = if (dupHeavy) 0.0
-        else time(SparkEntry.queries("dedup_incremental")(spark, dir).count())
+      // The other near-dup families — band-LSH self-joins with their own
+      // hot-bucket exposure — measured on the same corpus and gated by
+      // the same per-decade ratio. In dupheavy mode their declared plain
+      // OUTPUT is inherently quadratic (every copy pairs with every
+      // copy), so the mode measures the GROUPED report variant
+      // (graft.dedup.groupedReport — pairs over distinct texts +
+      // multiplicities, the production report shape for a crawl corpus;
+      // GroupedReportSpec proves it expands losslessly).
+      if (dupHeavy) spark.conf.set("graft.dedup.groupedReport", "true")
+      val wm = time(SparkEntry.queries("dedup_minhash")(spark, dir).count())
+      val ws = time(SparkEntry.queries("dedup_simhash")(spark, dir).count())
+      // dupheavy: grouped ngram_jaccard rides the wi slot (the plain
+      // incremental key's declared output is batch × copies — quadratic
+      // on this corpus by the same argument as the pair reports).
+      // Default mode: incremental ingest (newest 10% vs older corpus,
+      // asymmetric PPJoin over the already-staged gram relation) — the
+      // ingest-cost scaling claim, measured like the rest.
+      val wi = time(SparkEntry.queries(
+        if (dupHeavy) "dedup_ngram_jaccard" else "dedup_incremental")(
+        spark, dir).count())
+      if (dupHeavy) spark.conf.unset("graft.dedup.groupedReport")
+      val labels =
+        if (dupHeavy) Seq("dedup_minhash(grp)", "dedup_simhash(grp)",
+          "dedup_ngram_jaccard(grp)")
+        else Seq("dedup_minhash", "dedup_simhash", "dedup_incremental")
       println(f"[scale] n=$n%6d dedup_cluster=$wc%6.1f s (cc_rounds=$rounds) " +
-        f"pipeline_clean_pack=$wp%6.1f s dedup_minhash=$wm%6.1f s " +
-        f"dedup_simhash=$ws%6.1f s dedup_incremental=$wi%6.1f s")
+        f"pipeline_clean_pack=$wp%6.1f s ${labels(0)}=$wm%6.1f s " +
+        f"${labels(1)}=$ws%6.1f s ${labels(2)}=$wi%6.1f s")
       retireLeg(dir, "documents.parquet")
       Leg(n, wc, wp, wm, ws, wi, rounds)
     }
@@ -217,9 +310,9 @@ object ScaleProbe {
     val decades = legs.sliding(2).collect { case Seq(a, b) =>
       val rc = b.wallCluster / a.wallCluster
       val rp = b.wallPack / a.wallPack
-      val rm = if (dupHeavy) 1.0 else b.wallMinhash / a.wallMinhash
-      val rs = if (dupHeavy) 1.0 else b.wallSimhash / a.wallSimhash
-      val ri = if (dupHeavy) 1.0 else b.wallIncr / a.wallIncr
+      val rm = b.wallMinhash / a.wallMinhash
+      val rs = b.wallSimhash / a.wallSimhash
+      val ri = b.wallIncr / a.wallIncr
       println(f"[scale] ${a.n}%d -> ${b.n}%d: dedup_cluster ${rc}%.1fx  " +
         f"pipeline_clean_pack ${rp}%.1fx  dedup_minhash ${rm}%.1fx  " +
         f"dedup_simhash ${rs}%.1fx  dedup_incremental ${ri}%.1fx  " +

@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_cosine_topk", "embed_knn_label", "embed_neardup", "embed_ann_ivf",
     "embed_ann_pq",        // broadcast probe LUTs vs corpus codes
     "text_tfidf", "text_unigram_nll", // nll: 1-row broadcast total, like tfidf
-    "dedup_incremental")              // 1-row broadcast max(doc_id) boundary
+    "dedup_incremental",              // 1-row broadcast max(doc_id) boundary
+    "embed_ann_incremental")          // 1-row broadcast max(vec_id) boundary
 
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation
@@ -211,6 +212,17 @@ class PlanAuditSpec extends AnyFunSuite {
         finally spark.conf.unset("graft.ann.topkShards")
       assert(windows(off) === 1, s"'off' did not force the single window:\n$off")
     } finally sys.props.remove("graft.staging")
+  }
+
+  test("sink_partitioned read is partition-pruned, not post-scan filtered") {
+    // The day predicate must land in the scan's PartitionFilters (file
+    // listing pruned to one day's directory); a Filter node over a full
+    // scan would read the whole lake at 100 TB.
+    val p = plans("sink_partitioned")
+    assert("PartitionFilters: \\[[^\\]]*day#\\d+ = ".r.findFirstIn(p).isDefined,
+      s"day predicate not in PartitionFilters:\n$p")
+    assert(!"Filter [^\\n]*day#\\d+ = ".r.findFirstIn(p).isDefined,
+      "day predicate degraded to a post-scan Filter")
   }
 
   test("bucketed join is co-located: no exchange feeds the join") {
