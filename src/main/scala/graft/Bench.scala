@@ -10,22 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Bench-only: put stream-drain checkpoints (offsets/commits/state) on
-    // tmpfs — the WAL fsyncs per micro-batch are pure fixed cost against
-    // the baseline's warm numbers. Root is per-run unique: a reused root
-    // would make a drain RESUME a prior run's committed offsets and
-    // return an empty sink. Verify/tests keep Spark's default temp
-    // checkpoints — semantics are identical, this only moves the files.
-    val ckptRoot = java.nio.file.Paths.get("/dev/shm",
-      s"graft_bench_ckpt_${java.util.UUID.randomUUID()}")
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) {
-      java.nio.file.Files.createDirectories(ckptRoot)
-      spark.conf.set("spark.sql.streaming.checkpointLocation", ckptRoot.toString)
-    }
-    // Everything below runs under try/finally: a fatal error (OOM is
-    // deliberately NOT swallowed by the NonFatal catches) must still drop
-    // the tmpfs checkpoint tree — /dev/shm is a shared resource — and
-    // stop the session.
+    // Stream-drain checkpoints live on per-drain tmpfs dirs since r7
+    // (Streams.drain self-manages and deletes them), so Bench no longer
+    // needs a global checkpoint override. try/finally so a fatal error
+    // (OOM is deliberately NOT swallowed by the NonFatal catches) still
+    // stops the session.
     try {
       // Warm-up (untimed): one batch query + one streaming drain. The first
       // query of a cold JVM pays ~4-5 s of one-time JIT/codegen/session init
@@ -58,6 +47,23 @@ object Bench {
       val p1 = pass()
       val p2 = pass()
       val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+      // Keys whose min-of-2 is a STAGED-ARTIFACT READ, not the build: the
+      // derived-relation cache (Staging) or an amortized table write
+      // (bucketed tables, the partitioned sink) persists across runs
+      // keyed by the corpus fingerprint, so run 2 — and, when /tmp
+      // survived from a prior bench, run 1 too — reads parquet the build
+      // produced earlier. That IS the production read path (indexes are
+      // built once, read per query), but cross-round bench diffs for
+      // these keys compare reads, not builds — annotated so a diff is
+      // never misread as a compute speedup. Build costs are measured
+      // cold in tools/ScaleProbe + tools/AnnScaleProbe instead.
+      val stagedReadKeys = Seq(
+        "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_incremental", "dedup_cluster", "pipeline_clean_pack",
+        "text_unigram_nll", "text_bigram_nll", "text_contamination",
+        "embed_ann_ivf", "embed_ann_lsh", "embed_ann_pq",
+        "embed_ann_incremental", "join_bucketed", "sink_partitioned")
+        .filter(results.contains)
       // 4-decimal seconds (sub-0.1ms noise is meaningless) keep the line
       // short, and the total is REPEATED as the last key: the driver's
       // capture front-truncates long output, so the leading "value" can be
@@ -67,7 +73,8 @@ object Bench {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":"$sfDir","total_sec":${f(total)}}"""
+      val staged = stagedReadKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":2,"agg":"min","staged_read_keys":$staged,"queries":$qs,"sf":"$sfDir","total_sec":${f(total)}}"""
       // The driver's tail capture has front-truncated the single long line
       // three rounds running ("parsed": null in BENCH_r0{1,2,3}.json). Emit
       // a compact parseable summary FIRST, keep the full line (its trailing
@@ -79,10 +86,6 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(_) => () } // read-only cwd: line output stands
     } finally {
-      try {
-        if (java.nio.file.Files.exists(ckptRoot))
-          Staging.deleteRecursively(ckptRoot)
-      } catch { case scala.util.control.NonFatal(_) => () }
       spark.stop()
     }
   }

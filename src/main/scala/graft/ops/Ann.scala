@@ -66,6 +66,29 @@ object Ann {
                           rounds: Int): Seq[Seq[Seq[Double]]] =
     (1 to rounds).foldLeft(seed)((cb, _) => lloydRound(e, cb))
 
+  /** Lloyd-training stride: the refinement round trains on every
+    * `stride`-th vector (`vec_id % stride == 0` — deterministic and
+    * driver-replayable, unlike a sample()). AUTO (conf unset): ~65k
+    * training vectors are plenty to place an 8×16 codebook, so stride
+    * grows linearly past that — a 500k corpus trains on 1/7 of itself
+    * and the Lloyd pass stops scaling with corpus size. The ENCODE pass
+    * still touches every vector (the codes ARE the index); training is
+    * the only stage a subsample can bound without changing what the
+    * index covers. `graft.pq.trainStride` forces a value (≥ 1; 1 = train
+    * on everything, the exact pre-r7 behavior). AnnSpec replays a
+    * strided build bit-exactly. */
+  private def pqTrainStride(s: SparkSession, n: Long): Long =
+    s.conf.getOption("graft.pq.trainStride") match {
+      case Some(v) =>
+        val k = try v.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft.pq.trainStride must be an integer >= 1, got '$v'")
+        }
+        require(k >= 1, s"graft.pq.trainStride must be >= 1 (got $k)")
+        k
+      case None => math.max(1L, n / 65536L)
+    }
+
   private def lloydRound(e: DataFrame, seed: Seq[Seq[Seq[Double]]])
       : Seq[Seq[Seq[Double]]] = {
     val seedLit: Seq[Seq[Column]] =
@@ -119,19 +142,27 @@ object Ann {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // Codebook = index metadata: seed (subspace-j slices of the PqK
       // lowest-vec_id vectors, deterministic bounded collect) + ONE Lloyd
-      // round — see lloydRefine for the exact-fixed-point determinism
-      // story. The Lloyd round is a full corpus pass, so the 8×16 result
-      // is staged per corpus version alongside the code table: built once
-      // at index time, every search loads 128 rows (doubles round-trip
-      // parquet bit-exactly, so staged == freshly refined).
+      // round over the stride-subsampled training set (see pqTrainStride;
+      // stride 1 at driver SFs) — see lloydRefine for the exact-fixed-
+      // point determinism story. The 8×16 result is staged per corpus
+      // version alongside the code table: built once at index time, every
+      // search loads 128 rows (doubles round-trip parquet bit-exactly, so
+      // staged == freshly refined). A stride > 1 yields a DIFFERENT
+      // codebook, so strided artifacts carry the stride in their names
+      // and can never alias the full-train ones. (The corpus count feeding
+      // the auto stride is a parquet-metadata count — no row scan.)
+      val stride = pqTrainStride(s, e.count())
+      val sfx = if (stride > 1) s"_s$stride" else ""
       val cbDf = graft.Staging.materialize(
-        s, Tables.path(dir, "embeddings"), "pq_codebook8x16_lloyd1_v1") {
+        s, Tables.path(dir, "embeddings"), s"pq_codebook8x16_lloyd1${sfx}_v1") {
         val cbRows = e.where(col("vec_id") < PqK).collect().toSeq
           .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
         val seed: Seq[Seq[Seq[Double]]] = (0 until PqSub).map { j =>
           cbRows.map(_.slice(j * PqDim, (j + 1) * PqDim).toSeq)
         }
-        val refined = lloydRefine(e, seed, 1)
+        val train =
+          if (stride > 1) e.where(col("vec_id") % stride === 0) else e
+        val refined = lloydRefine(train, seed, 1)
         import s.implicits._
         (for (j <- 0 until PqSub; c <- refined(j).indices)
           yield (j, c, refined(j)(c))).toDF("j", "c", "cw")
@@ -155,7 +186,7 @@ object Ann {
       // v1 seed-codebook codes.
       val encoded = graft.Staging.materialize(
         e.select(col("vec_id"), codes.as("codes")),
-        Tables.path(dir, "embeddings"), "pq_codes8x16_v2_lloyd1")
+        Tables.path(dir, "embeddings"), s"pq_codes8x16_v2_lloyd1$sfx")
       // per-probe ADC lookup table: lut(j)(c) = d(q_subvec_j, codeword_jc)
       val lut = array((0 until PqSub).map { j =>
         array(codebook(j).map(cw =>

@@ -132,19 +132,19 @@ object Streams {
   /** Drain a streaming DataFrame to completion into a memory sink and
     * return the sink contents as a batch DataFrame.
     *
-    * State partitioning is scoped down to 2 for the drain (overridable via
+    * State partitioning is scoped down to 1 for the drain (overridable via
     * session conf `graft.drain.statePartitions`): each stateful operator
     * spins up one state-store instance PER shuffle partition per
     * micro-batch, a fixed cost that dwarfs the per-row work at test SF.
-    * Probed on this box (tools/StreamProbe, sf0.1, 5 keys; re-validated
-    * after fixing the probe's baseline leg): 8 partitions 8.4-9.3 s /
-    * 2 partitions 5.9-6.3 s; RocksDB at 8 partitions 6.9-10.3 s (the
-    * high end includes one-time native-lib load) — still behind
-    * HDFS-backed at 2 partitions, so it stays off for drains. Results
-    * are unaffected — state partition count never changes WHAT is
-    * computed — and the previous value is always restored. On a real
-    * cluster raise it to the executor-core count via the same conf
-    * before starting jobs.
+    * Probed on this box (tools/StreamProbe, sf0.1, 5 keys): 8 partitions
+    * 8.85 s / 4: 7.09 / 2: 6.19 / 1: 5.93; RocksDB at 8 partitions
+    * 7.62 s — still behind HDFS-backed at low partition counts, so it
+    * stays off for drains. tools/DrainTune sized the r7 defaults over all
+    * 7 draining keys: statePartitions 2→1 and the 4 MB drain-scoped
+    * maxPartitionBytes are each worth ~5-8%. Results are unaffected —
+    * state partition count never changes WHAT is computed — and the
+    * previous values are always restored. On a real cluster raise it to
+    * the executor-core count via the same conf before starting jobs.
     */
   def drain(out: DataFrame, mode: OutputMode,
             noDataBatch: Option[Boolean] = None): DataFrame = {
@@ -163,25 +163,57 @@ object Streams {
     // the no-data batch only evicts state).
     val runNoData = noDataBatch.getOrElse(mode != OutputMode.Complete())
     val prevNd = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    // The staged events file is ONE parquet file well under the default
+    // 128 MB split size, so the micro-batch's map side (scan + project +
+    // partial agg of ~100k rows at sf0.1) would run as a SINGLE task —
+    // measured as the bulk of addBatch. Scoping maxPartitionBytes down
+    // for the drain splits the file across cores (1 MB → ~10 map tasks
+    // at bench SF — tools/DrainTune measured 1 MB consistently fastest;
+    // tune via `graft.drain.maxPartitionBytes`, ≤0 disables). Split-size
+    // never changes WHAT is computed, only scan parallelism — on a real
+    // cluster the source is many files and this is moot.
+    val prevMpb = s.conf.get("spark.sql.files.maxPartitionBytes")
+    val mpb = s.conf.getOption("graft.drain.maxPartitionBytes")
+      .getOrElse("1048576").toLong
     // restored only AFTER the drain completes: micro-batch planning runs
     // on the stream's own thread after start() returns, so an earlier
     // restore would race it. Queries on this session are sequential
     // (Verify/Bench/tests), so the scoped value can't leak into another
     // query's plan.
+    // Drain checkpoints (offset/commit WALs + state deltas) go to tmpfs
+    // when the box has one: every WAL write is a create+fsync+rename, and
+    // a full drain commits 1-2 micro-batches of pure fixed cost — on the
+    // default disk-backed temp dir that's ~0.1-0.15 s per drain for
+    // checkpoint state nothing ever reads back (the memory sink holds the
+    // result; a drain is never resumed). The dir is per-drain unique — a
+    // reused root would RESUME a prior drain's committed offsets and
+    // return an empty sink — and is removed once the drain completes.
+    val shmCkpt =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        // UUID suffix: the sink counter is only JVM-unique, and two
+        // concurrent JVMs must not share (or delete) each other's WALs.
+        Some(java.nio.file.Paths.get("/dev/shm",
+          s"graft_drain_${name}_${java.util.UUID.randomUUID}"))
+      else None
     try {
       s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.getOption("graft.drain.statePartitions").getOrElse("2"))
+        s.conf.getOption("graft.drain.statePartitions").getOrElse("1"))
+      if (mpb > 0) s.conf.set("spark.sql.files.maxPartitionBytes", mpb.toString)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         runNoData.toString)
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      val w = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+      shmCkpt.foreach(p => w.option("checkpointLocation", p.toString))
+      val q = w.start()
       q.awaitTermination()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
       prevNd match {
         case Some(v) => s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
         case None => s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
       }
+      shmCkpt.foreach(p => graft.Staging.deleteRecursively(p))
     }
     s.table(name)
   }
@@ -295,7 +327,11 @@ object Streams {
         .select(col("user_id"), col("event_type"), col("ts"))
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
-      drain(out, OutputMode.Append())
+      // Streaming dedup emits each FIRST occurrence in the data batch
+      // itself — the watermark only bounds dedup state, so the trailing
+      // no-data batch can only evict state, never add sink rows. Skip it
+      // (the DuckDB oracle + StreamingSpec pin the output either way).
+      drain(out, OutputMode.Append(), noDataBatch = Some(false))
         .orderBy("user_id", "event_type")
     }),
 
@@ -348,7 +384,14 @@ object Streams {
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.EventTimeTimeout())(countUpdates)
-      drain(out.toDF(), OutputMode.Append())
+      // countUpdates emits the RUNNING count on every data batch; the
+      // no-data batch can only fire event-time timeouts, which re-emit a
+      // final count already emitted by the last data batch — max(cnt)
+      // per user is invariant to it. Skip the extra planning + state
+      // load/commit cycle (the timeout PATH itself is exercised by
+      // StreamingSpec's multi-batch drain, where data batches advance
+      // the watermark past idle users' timeouts).
+      drain(out.toDF(), OutputMode.Append(), noDataBatch = Some(false))
         .groupBy("user_id").agg(max(col("cnt")).as("n_events"))
         .orderBy("user_id")
     })

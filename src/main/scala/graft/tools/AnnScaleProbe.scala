@@ -60,7 +60,8 @@ object AnnScaleProbe {
       case None => sys.props -= "graft.staging"
     }
 
-    case class Leg(n: Int, walls: Map[String, Double])
+    case class Leg(n: Int, walls: Map[String, Double],
+                   searches: Map[String, Double])
     val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
                 else Seq(1, 10, 100)
     val legs = mults.map { mult =>
@@ -80,20 +81,30 @@ object AnnScaleProbe {
       def time(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      // First run per key is COLD (index build — Lloyd, encode, cells,
+      // sigs — included: the honest full cost); the second reads the
+      // staged index, isolating SEARCH cost — the per-query price once
+      // the index exists, which is what build-vs-search gating needs.
       val walls = Keys.map { k =>
         k -> time(SparkEntry.queries(k)(spark, dir).count())
       }.toMap
-      println(f"[annscale] n=$n%7d " + Keys.map(k =>
+      val searches = Keys.map { k =>
+        k -> time(SparkEntry.queries(k)(spark, dir).count())
+      }.toMap
+      println(f"[annscale] n=$n%7d cold   " + Keys.map(k =>
         f"$k=${walls(k)}%6.1f s").mkString(" "))
+      println(f"[annscale] n=$n%7d search " + Keys.map(k =>
+        f"$k=${searches(k)}%6.1f s").mkString(" "))
       ScaleProbe.retireLeg(dir, "embeddings.parquet")
-      Leg(n, walls)
+      Leg(n, walls, searches)
     }
 
     val ok = legs.sliding(2).collect { case Seq(a, b) =>
       Keys.map { k =>
         val r = b.walls(k) / a.walls(k)
-        println(f"[annscale] ${a.n}%d -> ${b.n}%d $k ${r}%.1fx")
-        r <= 20
+        val rs = b.searches(k) / a.searches(k)
+        println(f"[annscale] ${a.n}%d -> ${b.n}%d $k cold ${r}%.1fx search ${rs}%.1fx")
+        r <= 20 && rs <= 20
       }.forall(identity)
     }.forall(identity)
     println(s"[annscale] ${if (ok) "PASS" else "FAIL"}")

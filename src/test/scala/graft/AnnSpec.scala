@@ -76,12 +76,13 @@ class AnnSpec extends AnyFunSuite {
     assert(r >= 0.6, s"PQ recall@5 degenerated to $r")
   }
 
-  test("PQ output equals a full driver-side ADC replay (scores exact)") {
-    // Independent plain-Scala reimplementation of the whole PQ path —
-    // codebook slicing, encode argmin, probe LUTs, ADC sums, top-5
-    // ranking — replicating Spark's round() (BigDecimal.valueOf HALF_UP)
-    // and its left-to-right fold order so scores must match BIT-EXACTLY,
-    // not just rank. This is the no-oracle key's oracle in all but name.
+  /** Independent plain-Scala reimplementation of the whole PQ path —
+    * codebook slicing, Lloyd round over the `stride`-subsampled training
+    * set, encode argmin, probe LUTs, ADC sums, top-5 ranking —
+    * replicating Spark's round() (BigDecimal.valueOf HALF_UP) and its
+    * left-to-right fold order so scores must match BIT-EXACTLY, not just
+    * rank. This is the no-oracle key's oracle in all but name. */
+  private def pqExpected(stride: Int): Seq[(Long, Int, Long, Double)] = {
     def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     def l2sq(a: Array[Double], b: Array[Double]): Double = {
@@ -100,17 +101,19 @@ class AnnSpec extends AnyFunSuite {
     }
     def argmin(sub: Array[Double], cbj: Array[Array[Double]]): Int =
       (0 until 16).map(c => (r6(l2sq(sub, cbj(c))), c)).min._2
-    // ...then ONE Lloyd round, replicating the engine's exact fixed-point
-    // mean: per-dim sums of round(x·10⁶) as longs (Spark round = HALF_UP
-    // via BigDecimal.valueOf), centroid dim = sum.toDouble / n / 1e6 in
-    // that division order; empty cells keep the seed codeword.
+    // ...then ONE Lloyd round over every stride-th vector, replicating
+    // the engine's exact fixed-point mean: per-dim sums of round(x·10⁶)
+    // as longs (Spark round = HALF_UP via BigDecimal.valueOf), centroid
+    // dim = sum.toDouble / n / 1e6 in that division order; empty cells
+    // keep the seed codeword.
     def fx(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val train = vs.filter(_._1 % stride == 0)
     def lloydRound(prev: Array[Array[Array[Double]]])
         : Array[Array[Array[Double]]] = {
       val sums = Array.fill(8, 16)(new Array[Long](8))
       val ns = Array.fill(8, 16)(0L)
-      for ((_, v) <- vs; j <- 0 until 8) {
+      for ((_, v) <- train; j <- 0 until 8) {
         val sub = v.slice(j * 8, (j + 1) * 8)
         val c = argmin(sub, prev(j))
         ns(j)(c) += 1
@@ -122,11 +125,11 @@ class AnnSpec extends AnyFunSuite {
       }
     }
     val cb = lloydRound(seed)
-    // the Lloyd step's actual guarantee: total quantization error is
-    // monotone non-increasing (each subvector moves to a no-worse
-    // codeword, each codeword to its members' mean)
+    // the Lloyd step's actual guarantee: total quantization error over
+    // its TRAINING set is monotone non-increasing (each subvector moves
+    // to a no-worse codeword, each codeword to its members' mean)
     def qerr(b: Array[Array[Array[Double]]]): Double =
-      (for ((_, v) <- vs; j <- 0 until 8) yield {
+      (for ((_, v) <- train; j <- 0 until 8) yield {
         val sub = v.slice(j * 8, (j + 1) * 8)
         (0 until 16).map(c => l2sq(sub, b(j)(c))).min
       }).sum
@@ -137,7 +140,7 @@ class AnnSpec extends AnyFunSuite {
     }
     val codes = vs.map { case (id, v) => id -> encode(v) }.toMap
     val vmap = vs.toMap
-    val expected = vs.filter(_._1 < 10).flatMap { case (q, qv) =>
+    vs.filter(_._1 < 10).flatMap { case (q, qv) =>
       val lut: Array[Array[Double]] = Array.tabulate(8, 16) { (j, c) =>
         r6(l2sq(qv.slice(j * 8, (j + 1) * 8), cb(j)(c)))
       }
@@ -152,9 +155,25 @@ class AnnSpec extends AnyFunSuite {
         .sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
         .map { case ((id, d), i) => (q, i + 1, id, d) }
     }.toSeq
-    val got = SparkEntry.queries("embed_ann_pq")(spark, sf).collect()
+  }
+
+  private def pqGot(): Seq[(Long, Int, Long, Double)] =
+    SparkEntry.queries("embed_ann_pq")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
-    assert(got === expected)
+
+  test("PQ output equals a full driver-side ADC replay (scores exact)") {
+    assert(pqGot() === pqExpected(stride = 1))
+  }
+
+  test("stride-subsampled Lloyd training replays bit-exactly (graft.pq.trainStride)") {
+    // The 100×-corpus build posture: training on every stride-th vector
+    // must stay deterministic and driver-replayable, and the strided
+    // artifacts must not alias the full-train ones (distinct names).
+    spark.conf.set("graft.pq.trainStride", "4")
+    try assert(pqGot() === pqExpected(stride = 4))
+    finally spark.conf.unset("graft.pq.trainStride")
+    // and the full-train path is untouched by the strided run
+    assert(pqGot() === pqExpected(stride = 1))
   }
 
   test("sharded two-stage top-k (graft.ann.topkShards) is bit-identical to the unsharded plan") {
