@@ -199,13 +199,17 @@ object Ann {
       // per probe by (rounded ADC distance, vec_id). The ADC scan touches
       // the WHOLE code table per probe, so this ranking is corpus-sized
       // and runs the sharded two-stage shape by default.
+      // Projected narrow before ranking: codes (8 B) and the 8×16 LUT
+      // (~1 KB) are consumed by the map-side ADC sum and must not ride
+      // the two ranking shuffles.
       val cands = Vector.rankPerProbe(
         encoded.crossJoin(broadcast(probes.select("q_id", "lut")))
           .where(col("vec_id") =!= col("q_id"))
           .withColumn("adist", round(aggregate(
             zip_with(col("codes"), col("lut"),
               (c, l) => element_at(l, c.cast("int") + 1)),
-            lit(0.0), _ + _), 6)),
+            lit(0.0), _ + _), 6))
+          .select("q_id", "vec_id", "adist"),
         Seq(col("adist"), col("vec_id")), PqRerank, "cr", corpusSized = true)
         .select("q_id", "vec_id")
       // Stage 2 — exact re-rank (IVFADC+R): fetch ONLY the R survivors'
@@ -240,36 +244,41 @@ object Ann {
       Vector.rankPerProbe(
         cells.join(broadcast(probeCells), "cell")
           .where(col("vec_id") =!= col("q_id"))
-          .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6)),
+          .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
+          .select("q_id", "vec_id", "sim"), // vectors stay out of the window shuffle
         Seq(col("sim").desc, col("vec_id")), 5, "rnk")
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
         .orderBy("q_id", "rnk")
     }),
 
     /** Incremental ingest for the embedding family — the mirror of
-      * `dedup_incremental`: the newest ~10% of vectors (vec_id·10 ≥
-      * 9·max_id, the same integral boundary both engines compute
-      * identically) are ASSIGNED to the already-staged IVF cells
+      * `dedup_incremental`: the ingest batch — the newest ~10% of
+      * vectors CAPPED at the newest 1000 (both predicates integral, so
+      * both engines compute the identical batch; a real ingest batch is
+      * FIXED-SIZE, not a corpus fraction — an uncapped 10% made total
+      * work batch×corpus = quadratic, measured 100×/decade before the
+      * cap) — is ASSIGNED to the already-staged IVF cells
       * (`ivf_cells16_v1` — the exact artifact embed_ann_ivf searches)
       * and searched against ONLY their own nprobe cells' OLDER members.
       * No index retrain, no corpus re-scan: the batch-side work is
       * batch-proportional (map-side cell assignment against the
       * broadcast centroids) and the corpus side reads the staged
-      * inverted file pre-filtered by the batch's cells. This is what an
-      * embedding pipeline runs on every ingest — dedup/attach the new
-      * batch against a standing index. The cell join deliberately has NO
-      * broadcast hint: an ingest batch is corpus-proportional, so the
-      * scale shape is a shuffle join on `cell` (AQE still broadcasts it
-      * at test SF). Ranking stays on the single-window path for the same
-      * reason as embed_ann_ivf: candidates are bucket-bounded by the
-      * probe's cells. */
+      * inverted file pre-filtered by the batch's cells — per-probe cost
+      * is cell-bounded (nprobe/C of the corpus at the toy C=16;
+      * production sizes C ≈ √N so it stays sublinear). The cell join
+      * deliberately has NO broadcast hint: ingest batches can be large,
+      * so the scale shape is a shuffle join on `cell` (AQE still
+      * broadcasts it at test SF). Ranking stays on the single-window
+      * path for the same reason as embed_ann_ivf: candidates are
+      * bucket-bounded by the probe's cells. */
     "embed_ann_incremental" -> ((s, dir) => {
       val e = embDouble(s, dir)
       val centLit = ivfCentroids(e)
       val cells = ivfCells(s, dir, e, centLit)
       val mx = e.agg(max("vec_id").as("mx"))
       val probeCells = e.crossJoin(broadcast(mx))
-        .where(col("vec_id") * 10 >= col("mx") * 9)
+        .where(col("vec_id") * 10 >= col("mx") * 9 &&
+          col("vec_id") > col("mx") - 1000)
         .select(col("vec_id").as("q_id"), col("v").as("q"),
           explode(transform(nearestCells(col("v"), centLit, NProbe),
             x => x("c_id"))).as("cell"))
@@ -278,7 +287,8 @@ object Ann {
         .select("vec_id", "v", "cell")
       Vector.rankPerProbe(
         older.join(probeCells, "cell")
-          .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6)),
+          .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
+          .select("q_id", "vec_id", "sim"), // vectors stay out of the window shuffle
         Seq(col("sim").desc, col("vec_id")), 5, "rnk")
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
         .orderBy("q_id", "rnk")
@@ -312,7 +322,8 @@ object Ann {
       Vector.rankPerProbe(
         sig.join(broadcast(probes), "bucket")
           .where(col("vec_id") =!= col("q_id"))
-          .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6)),
+          .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
+          .select("q_id", "vec_id", "sim"), // vectors stay out of the window shuffle
         Seq(col("sim").desc, col("vec_id")), 5, "rnk")
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
         .orderBy("q_id", "rnk")
@@ -360,7 +371,8 @@ object Ann {
         "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
         "FROM e CROSS JOIN cent), " +
         "cells AS (SELECT vec_id, v, c_id AS cell FROM assign WHERE rc = 1), " +
-        "probes AS (SELECT vec_id AS q_id, v AS q FROM e, mx WHERE vec_id * 10 >= mx.mx * 9), " +
+        "probes AS (SELECT vec_id AS q_id, v AS q FROM e, mx " +
+        "WHERE vec_id * 10 >= mx.mx * 9 AND vec_id > mx.mx - 1000), " +
         "pcells AS (SELECT q_id, q, c_id AS cell, row_number() OVER (PARTITION BY q_id " +
         "ORDER BY round(list_cosine_similarity(q, cv), 6) DESC, c_id) AS pr " +
         "FROM probes CROSS JOIN cent), " +

@@ -73,7 +73,57 @@ object Sinks {
     }
   }
 
+  /** Two schema-evolved generations of `orders` under one parent dir —
+    * v1 wrote (o_orderkey, o_totalprice); v2 added `o_orderstatus` (the
+    * classic additive column evolution). Split is `o_orderkey % 2` so
+    * the DuckDB oracle can replay which rows lack the late column
+    * without reading our files. Same fingerprint-keyed atomic-publish
+    * discipline as the partitioned sink. */
+  def ensureEvolvedOrders(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val out = Paths.get(sys.props("java.io.tmpdir"), "graft_sink",
+      s"${Tables.sourceFingerprint(Tables.path(dir, "orders"))}_orders_evolved_v1")
+    locks.computeIfAbsent(out.toString, _ => new Object).synchronized {
+      if (!Files.exists(out.resolve("_SUCCESS"))) {
+        val tmp = Paths.get(out.toString + ".tmp-" +
+          java.util.UUID.randomUUID.toString)
+        val o = Tables.table(s, dir, "orders")
+        o.where(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.parquet(s"$tmp/gen1")
+        o.where(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .write.parquet(s"$tmp/gen2")
+        Files.createFile(tmp.resolve("_SUCCESS"))
+        try Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.DirectoryNotEmptyException =>
+          // racing JVM completed it (or stale leftover — same discipline
+          // as ensurePartitionedEvents, but the window is one test corpus
+          // write, so lost races just use the winner's copy)
+          graft.Staging.deleteRecursively(tmp)
+          if (!Files.exists(out.resolve("_SUCCESS")))
+            throw new IllegalStateException(s"evolved sink $out incomplete")
+        }
+      }
+      out.toString
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    // Schema evolution across file generations — the ETL reality a 100 TB
+    // lake accumulates: a column added later must read back as NULL for
+    // old files, with one reconciled schema. mergeSchema unions the
+    // per-file footers at planning time; no data rewrite.
+    "source_merge_schema" -> ((s, dir) => {
+      val root = ensureEvolvedOrders(s, dir)
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/gen1", s"$root/gen2")
+        .select(col("o_orderkey"), col("o_totalprice").as("total"),
+          col("o_orderstatus").as("st"))
+        .orderBy("o_orderkey")
+    }),
+
     // Partitioned sink + partition-pruned read: write events by day (once
     // per corpus version), read ONE day back through a literal partition
     // predicate, aggregate per type. The day literal is the corpus's
@@ -95,6 +145,10 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    "source_merge_schema" ->
+      ("SELECT o_orderkey, o_totalprice AS total, " +
+       "CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS st " +
+       "FROM orders ORDER BY o_orderkey"),
     "sink_partitioned" ->
       ("WITH d AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events) " +
        "SELECT CAST(d.d0 AS TIMESTAMP) AS day, event_type, count(*) AS n, " +

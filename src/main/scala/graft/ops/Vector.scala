@@ -108,12 +108,18 @@ object Vector {
 
   /** Broadcast `probes` (q_id, q) against the corpus, rank neighbors by
     * rounded cosine, keep top k per probe. The candidate set IS the
-    * corpus, so the ranking defaults to the sharded two-stage shape. */
+    * corpus, so the ranking defaults to the sharded two-stage shape.
+    * The ranking input is projected NARROW (ids + label + rounded sim)
+    * before any window: the 64-dim vectors are consumed by the map-side
+    * cosine and must not ride the ranking shuffles — at corpus scale
+    * they are ~50× the width of the rows the windows actually order. */
   private def topK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
     rankPerProbe(
       corpus.crossJoin(broadcast(probes))
         .where(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", round(cosine(col("q"), col("v")), 6)),
+        .withColumn("sim", round(cosine(col("q"), col("v")), 6))
+        .select((corpus.columns.filter(_ != "v").map(col) ++
+          Seq(col("q_id"), col("sim"))): _*),
       Seq(col("sim").desc, col("vec_id")), k, "rnk", corpusSized = true)
 
   val queries: Map[String, Q] = Map(
