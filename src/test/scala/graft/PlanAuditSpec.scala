@@ -214,6 +214,29 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.staging")
   }
 
+  test("ranking windows order NARROW rows — no array column rides a window shuffle") {
+    // Round-7 scale fix, guarded: the 64-dim vectors / PQ ADC LUTs are
+    // consumed by the map-side score and must be projected away BEFORE
+    // the per-probe ranking windows — the probe's 50k leg measured a
+    // ranking that carried them at ~8× the narrow cost (arrays are ~50×
+    // the ordered row). Assert on the physical plan: no WindowExec /
+    // WindowGroupLimitExec input schema contains an ArrayType column.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.types.ArrayType
+    val keys = Seq("embed_cosine_topk", "embed_knn_label", "embed_ann_ivf",
+      "embed_ann_lsh", "embed_ann_pq", "embed_ann_incremental")
+    sys.props("graft.staging") = "false"
+    try keys.foreach { k =>
+      val plan = SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan
+      val wide = plan.collect {
+        case w: WindowExec => w.child.schema.fields.toSeq
+        case w: WindowGroupLimitExec => w.child.schema.fields.toSeq
+      }.flatten.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(wide.isEmpty,
+        s"$k ranking window orders array columns: ${wide.map(_.name)}")
+    } finally sys.props.remove("graft.staging")
+  }
+
   test("sink_partitioned read is partition-pruned, not post-scan filtered") {
     // The day predicate must land in the scan's PartitionFilters (file
     // listing pruned to one day's directory); a Filter node over a full
