@@ -123,10 +123,33 @@ object Aggs {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"))
         .where(col("cnt") > 100)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // PIVOT: priorities × order statuses cross-tab. Pivot values are
+    // LISTED explicitly — with them, Spark skips the extra distinct-scan
+    // job AND the output schema is static (an inferred pivot would make
+    // the schema data-dependent, which a declared contract query must
+    // not be). A (priority, status) combo with no rows yields NULL from
+    // the pivot; coalesced to 0 to match the oracle's FILTER counts.
+    "agg_pivot" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority").as("prio"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("prio"))
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_pivot" ->
+      ("SELECT o_orderpriority AS prio, " +
+       "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+       "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
+       "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
+       "FROM orders GROUP BY 1 ORDER BY prio"),
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "round(sum(l_quantity), 2) AS sum_qty, " +

@@ -107,6 +107,20 @@ object Windows {
             w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
             .as("bot_bal"))
         .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    // Distribution analytics: percent_rank + cume_dist per priority over
+    // total price. Order key is (price, key) — a TOTAL order, so both
+    // functions are exactly reproducible rationals; rounded 6dp on both
+    // sides only to keep the text representation stable.
+    "win_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+          D.r6(percent_rank().over(w)).as("pr"),
+          D.r6(cume_dist().over(w)).as("cd"))
+        .orderBy("prio", "o_orderkey")
     })
   )
 
@@ -115,6 +129,13 @@ object Windows {
     "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey"
 
   val oracles: Map[String, String] = Map(
+    "win_distribution" ->
+      ("SELECT o_orderpriority AS prio, o_orderkey, " +
+       "round(percent_rank() OVER (PARTITION BY o_orderpriority " +
+       "ORDER BY o_totalprice, o_orderkey), 6) AS pr, " +
+       "round(cume_dist() OVER (PARTITION BY o_orderpriority " +
+       "ORDER BY o_totalprice, o_orderkey), 6) AS cd " +
+       "FROM orders ORDER BY prio, o_orderkey"),
     "win_row_number_topk" ->
       ("SELECT o_custkey, rn, o_orderkey, total FROM " +
        "(SELECT o_custkey, o_orderkey, o_totalprice AS total, " +
