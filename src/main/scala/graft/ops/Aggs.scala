@@ -125,6 +125,16 @@ object Aggs {
         .where(col("cnt") > 100)
         .orderBy("event_type")),
 
+    // Boolean/conditional aggregate surface: count_if + bool_and/bool_or
+    // per event_type — all three fold map-side like any hash aggregate.
+    "agg_bool" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count_if(col("value") > 50).as("n_hi"),
+          bool_and(col("value") >= 0).as("all_nonneg"),
+          bool_or(col("value") > 99).as("any_gt99"))
+        .orderBy("event_type")),
+
     // PIVOT: priorities × order statuses cross-tab. Pivot values are
     // LISTED explicitly — with them, Spark skips the extra distinct-scan
     // job AND the output schema is static (an inferred pivot would make
@@ -144,6 +154,10 @@ object Aggs {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_bool" ->
+      ("SELECT event_type, count(*) FILTER (WHERE value > 50) AS n_hi, " +
+       "bool_and(value >= 0) AS all_nonneg, bool_or(value > 99) AS any_gt99 " +
+       "FROM events GROUP BY 1 ORDER BY event_type"),
     "agg_pivot" ->
       ("SELECT o_orderpriority AS prio, " +
        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +

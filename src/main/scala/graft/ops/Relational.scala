@@ -129,6 +129,14 @@ object Relational {
         .intersectAll(o.where(col("o_orderstatus") === "O")
           .select("o_custkey"))
         .orderBy("o_custkey")
+    }),
+
+    "set_except_all" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .exceptAll(o.where(col("o_orderstatus") === "O")
+          .select("o_custkey"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -193,6 +201,10 @@ object Relational {
        "ORDER BY o_custkey"),
     "set_intersect_all" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT ALL " +
+       "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+       "ORDER BY o_custkey"),
+    "set_except_all" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' EXCEPT ALL " +
        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
        "ORDER BY o_custkey")
   )
