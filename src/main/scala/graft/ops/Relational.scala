@@ -137,8 +137,31 @@ object Relational {
         .exceptAll(o.where(col("o_orderstatus") === "O")
           .select("o_custkey"))
         .orderBy("o_custkey")
+    }),
+
+    // The SQL-text entry point (SURVEY §3 EP2) as a declared key, built
+    // to exercise the subquery machinery Catalyst must decorrelate: a
+    // CTE, an UNCORRELATED scalar subquery (the avg threshold), a
+    // CORRELATED scalar subquery (per-customer count — rewritten to an
+    // aggregate + outer join), and a correlated EXISTS (rewritten to a
+    // semi join). The oracle is the IDENTICAL SQL text — both engines
+    // speak it unchanged, which is itself the portability claim.
+    "sql_subquery_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SubqueryCteSql)
     })
   )
+
+  private val SubqueryCteSql =
+    """WITH big AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+      |SELECT c_custkey, c_name,
+      |       (SELECT count(*) FROM big b
+      |        WHERE b.o_custkey = c.c_custkey) AS n_big
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "scan_project" ->
@@ -206,6 +229,7 @@ object Relational {
     "set_except_all" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' EXCEPT ALL " +
        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
-       "ORDER BY o_custkey")
+       "ORDER BY o_custkey"),
+    "sql_subquery_cte" -> SubqueryCteSql
   )
 }
