@@ -34,8 +34,18 @@ object Ann {
   private val PqDim = 8      // dims per subspace
   private val PqRerank = 50  // ADC candidates kept for exact re-rank
 
-  /** Squared L2 between two equal-length vectors — left-to-right fold. */
+  /** Squared L2 between two equal-length vectors, via the native
+    * codegen'd Catalyst expression ([[org.apache.spark.sql.graft.L2Sq]])
+    * — bit-identical to [[l2sqHof]] (same left-to-right fold; L2SqSpec
+    * asserts parity), one fused loop instead of a zipped-array
+    * allocation + two lambda folds. The PQ encode/Lloyd argmin evaluates
+    * this 16× per subspace per row, so it is the index build's hot loop. */
   private def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.L2Sq(a, b)
+
+  /** HOF reference formulation — kept as the parity baseline for the
+    * native expression (same pattern as Vector.cosineHof). */
+  private[graft] def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
   /** Argmin seed codeword for subspace j of `v` — (rounded l2², index)
