@@ -150,7 +150,64 @@ object Aggs {
           coalesce(col("F"), lit(0L)).as("n_f"),
           coalesce(col("O"), lit(0L)).as("n_o"),
           coalesce(col("P"), lit(0L)).as("n_p"))
-        .orderBy("prio"))
+        .orderBy("prio")),
+
+    // Batch tumbling time-window aggregation via the native `window()`
+    // expression (the batch twin of stream_tumbling). Spark time windows
+    // are epoch-aligned in microseconds, so the bucket start is emitted
+    // as epoch SECONDS (bigint) — tz-independent on both engines.
+    // Per-group state is one row per (6h bucket × type): partial-agg
+    // shrinks the shuffle to the bucket count regardless of fact size.
+    "agg_time_bucket" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), D.r2(sum("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("bucket_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket_s", "event_type")),
+
+    // Linear-regression aggregate family (regr_*) — single-pass
+    // moment-merging aggregates, so they partial-combine map-side like
+    // sum/avg. Slope/intercept of extendedprice on quantity per flag.
+    "agg_regr" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          D.r6(regr_slope(col("l_extendedprice"), col("l_quantity")))
+            .as("slope"),
+          D.r6(regr_intercept(col("l_extendedprice"), col("l_quantity")))
+            .as("icept"),
+          D.r6(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"))
+        .orderBy("l_returnflag")),
+
+    // Fixed-width histogram: width_bucket + count per bin. Bin width is
+    // (600000-0)/24 = 25000 EXACTLY representable, so Spark's
+    // (v-min)/((max-min)/n) and the oracle's floor(v/25000) are the same
+    // double op (DuckDB has no width_bucket — the oracle spells out the
+    // arithmetic, including the 0 / n+1 out-of-range sentinel bins).
+    "agg_histogram" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0),
+          lit(24L)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // UNPIVOT (melt): wide per-priority metrics back to long
+    // (prio, metric, v) rows — the inverse surface of agg_pivot. The
+    // Expand happens AFTER aggregation (5 groups × 3 metrics), so the
+    // 3× row expansion never touches fact-table-sized data.
+    "agg_unpivot" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(D.r2(sum("o_totalprice")).as("sum_total"),
+          D.r2(avg("o_totalprice")).as("avg_total"),
+          D.r2(max(col("o_totalprice"))).as("max_total"))
+        .unpivot(Array(col("prio")),
+          Array(col("sum_total"), col("avg_total"), col("max_total")),
+          "metric", "v")
+        .orderBy("prio", "metric"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -215,6 +272,34 @@ object Aggs {
        "GROUP BY n_name ORDER BY n_name"),
     "agg_top_groups_having" ->
       ("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type " +
-       "HAVING count(*) > 100 ORDER BY event_type")
+       "HAVING count(*) > 100 ORDER BY event_type"),
+    // epoch() of the second-truncated ts is an integral double; the
+    // BIGINT cast is exact, and // floors to the same 6h boundary
+    // Spark's epoch-aligned window() picks.
+    "agg_time_bucket" ->
+      ("SELECT CAST((CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 21600) " +
+       "* 21600 AS BIGINT) AS bucket_s, event_type, count(*) AS n, " +
+       "round(sum(value), 2) AS sum_value " +
+       "FROM events GROUP BY 1, 2 ORDER BY bucket_s, event_type"),
+    "agg_regr" ->
+      ("SELECT l_returnflag, regr_count(l_extendedprice, l_quantity) AS n, " +
+       "round(regr_slope(l_extendedprice, l_quantity), 6) AS slope, " +
+       "round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept, " +
+       "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2 " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_histogram" ->
+      ("SELECT CASE WHEN o_totalprice < 0 THEN 0 " +
+       "WHEN o_totalprice >= 600000 THEN 25 " +
+       "ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1 END AS bucket, " +
+       "count(*) AS n FROM orders GROUP BY 1 ORDER BY bucket"),
+    "agg_unpivot" ->
+      ("WITH a AS (SELECT o_orderpriority AS prio, " +
+       "round(sum(o_totalprice), 2) AS sum_total, " +
+       "round(avg(o_totalprice), 2) AS avg_total, " +
+       "round(max(o_totalprice), 2) AS max_total FROM orders GROUP BY 1) " +
+       "SELECT prio, 'sum_total' AS metric, sum_total AS v FROM a " +
+       "UNION ALL SELECT prio, 'avg_total', avg_total FROM a " +
+       "UNION ALL SELECT prio, 'max_total', max_total FROM a " +
+       "ORDER BY prio, metric")
   )
 }

@@ -20,25 +20,24 @@ object Sinks {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Day-partitioned events sink, written once per MACHINE + corpus
-    * version: fingerprint-keyed dir, `_SUCCESS`-gated reuse, unique-temp +
-    * atomic-rename publish (same discipline as Staging.materialize and
-    * Joins.ensureBucketed — a racing JVM either wins the rename or uses
-    * the winner's complete copy; a reader never sees a half-written dir).
-    * NOT gated by `graft.staging`: the partitioned files ARE this
-    * operator's semantics — a plan-only consumer still needs a real
-    * directory to plan the partition-pruned scan against. */
-  def ensurePartitionedEvents(s: SparkSession, dir: String): String = {
+  /** Build-once publish for fingerprint-keyed derived dirs: `build` writes
+    * into a unique temp dir (leaving a `_SUCCESS` at its root — Spark's
+    * own writers do; multi-write builders create one explicitly), which is
+    * then atomically renamed into place. `_SUCCESS`-gated reuse; same
+    * TOCTOU discipline as Staging.materialize — a racing JVM either wins
+    * the rename or uses the winner's complete copy (a complete racing copy
+    * is used as-is; an OLD dir without `_SUCCESS` is a crash leftover and
+    * is evicted; a FRESH one may be mid-publish — wait for its `_SUCCESS`
+    * rather than deleting files under another JVM's query). A reader never
+    * sees a half-written dir. */
+  private def publishOnce(out: java.nio.file.Path)
+                         (build: java.nio.file.Path => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val out = Paths.get(sys.props("java.io.tmpdir"), "graft_sink",
-      s"${Tables.sourceFingerprint(Tables.path(dir, "events"))}_events_byday_v1")
     locks.computeIfAbsent(out.toString, _ => new Object).synchronized {
       if (!Files.exists(out.resolve("_SUCCESS"))) {
         val tmp = Paths.get(out.toString + ".tmp-" +
           java.util.UUID.randomUUID.toString)
-        Tables.events(s, dir)
-          .withColumn("day", to_date(col("ts")))
-          .write.partitionBy("day").mode("overwrite").parquet(tmp.toString)
+        build(tmp)
         Files.createDirectories(out.getParent)
         var attempts = 0
         var done = false
@@ -47,11 +46,6 @@ object Sinks {
           try { Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE); done = true }
           catch { case _: java.nio.file.FileAlreadyExistsException |
                        _: java.nio.file.DirectoryNotEmptyException =>
-            // Same TOCTOU discipline as Staging: a complete racing copy
-            // (gated by _SUCCESS) is used as-is; an OLD dir without
-            // _SUCCESS is a crash leftover and is evicted; a FRESH one may
-            // be mid-publish — wait for its _SUCCESS rather than deleting
-            // files under another JVM's query.
             if (Files.exists(out.resolve("_SUCCESS"))) {
               graft.Staging.deleteRecursively(tmp); done = true
             } else if (Files.getLastModifiedTime(out).toMillis <
@@ -66,49 +60,57 @@ object Sinks {
           graft.Staging.deleteRecursively(tmp)
           if (!Files.exists(out.resolve("_SUCCESS")))
             throw new IllegalStateException(
-              s"partitioned sink $out contended and never complete")
+              s"derived sink $out contended and never complete")
         }
       }
       out.toString
     }
   }
 
+  private def sinkPath(dir: String, table: String, tag: String) =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_sink",
+      s"${Tables.sourceFingerprint(Tables.path(dir, table))}_$tag")
+
+  /** Day-partitioned events sink, written once per MACHINE + corpus
+    * version. NOT gated by `graft.staging`: the partitioned files ARE this
+    * operator's semantics — a plan-only consumer still needs a real
+    * directory to plan the partition-pruned scan against. */
+  def ensurePartitionedEvents(s: SparkSession, dir: String): String =
+    publishOnce(sinkPath(dir, "events", "events_byday_v1")) { tmp =>
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").mode("overwrite").parquet(tmp.toString)
+    }
+
   /** Two schema-evolved generations of `orders` under one parent dir —
     * v1 wrote (o_orderkey, o_totalprice); v2 added `o_orderstatus` (the
     * classic additive column evolution). Split is `o_orderkey % 2` so
     * the DuckDB oracle can replay which rows lack the late column
-    * without reading our files. Same fingerprint-keyed atomic-publish
-    * discipline as the partitioned sink. */
-  def ensureEvolvedOrders(s: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val out = Paths.get(sys.props("java.io.tmpdir"), "graft_sink",
-      s"${Tables.sourceFingerprint(Tables.path(dir, "orders"))}_orders_evolved_v1")
-    locks.computeIfAbsent(out.toString, _ => new Object).synchronized {
-      if (!Files.exists(out.resolve("_SUCCESS"))) {
-        val tmp = Paths.get(out.toString + ".tmp-" +
-          java.util.UUID.randomUUID.toString)
-        val o = Tables.table(s, dir, "orders")
-        o.where(col("o_orderkey") % 2 === 0)
-          .select("o_orderkey", "o_totalprice")
-          .write.parquet(s"$tmp/gen1")
-        o.where(col("o_orderkey") % 2 === 1)
-          .select("o_orderkey", "o_totalprice", "o_orderstatus")
-          .write.parquet(s"$tmp/gen2")
-        Files.createFile(tmp.resolve("_SUCCESS"))
-        try Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException |
-                     _: java.nio.file.DirectoryNotEmptyException =>
-          // racing JVM completed it (or stale leftover — same discipline
-          // as ensurePartitionedEvents, but the window is one test corpus
-          // write, so lost races just use the winner's copy)
-          graft.Staging.deleteRecursively(tmp)
-          if (!Files.exists(out.resolve("_SUCCESS")))
-            throw new IllegalStateException(s"evolved sink $out incomplete")
-        }
-      }
-      out.toString
+    * without reading our files. */
+  def ensureEvolvedOrders(s: SparkSession, dir: String): String =
+    publishOnce(sinkPath(dir, "orders", "orders_evolved_v1")) { tmp =>
+      val o = Tables.table(s, dir, "orders")
+      o.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.parquet(s"$tmp/gen1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.parquet(s"$tmp/gen2")
+      // subdir writes leave _SUCCESS in gen1/gen2, not the publish root
+      java.nio.file.Files.createFile(tmp.resolve("_SUCCESS"))
     }
-  }
+
+  /** `orders` re-written as header'd CSV — the delimited-text source
+    * surface. The `tag` column embeds a comma so the roundtrip exercises
+    * quoting, not just tokenization. */
+  def ensureCsvOrders(s: SparkSession, dir: String): String =
+    publishOnce(sinkPath(dir, "orders", "orders_csv_v1")) { tmp =>
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          concat_ws(",", col("o_orderpriority"), col("o_orderstatus"))
+            .as("tag"))
+        .write.option("header", "true").mode("overwrite").csv(tmp.toString)
+    }
 
   val queries: Map[String, Q] = Map(
     // Schema evolution across file generations — the ETL reality a 100 TB
@@ -141,7 +143,40 @@ object Sinks {
         .select(lit(d0).cast("timestamp").as("day"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy("event_type")
-    })
+    }),
+
+    // Dynamic partition pruning: the day predicate is NOT a literal — it
+    // is the output of a dimension query (Mondays), so static pruning
+    // can't fire. The broadcast of the filtered dim is reused as a
+    // dynamicpruning subquery in the fact scan's PartitionFilters
+    // (PlanAuditSpec asserts it), so only matching day directories are
+    // listed/read — at 100 TB that is the difference between scanning
+    // half the lake and scanning all of it then filtering.
+    // broadcast() hint: a day dimension is bounded (~365 rows/year).
+    // Dim filter is odd day-of-month: engine-portable semantics (unlike
+    // dayofweek, whose origin differs between Spark and DuckDB), so the
+    // oracle SQL replays identically in BOTH engines (DifferentialSpec).
+    "join_dpp" -> ((s, dir) => {
+      val fact = s.read.parquet(ensurePartitionedEvents(s, dir))
+      val dim = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day")).distinct()
+        .where(dayofmonth(col("day")) % 2 === 1)
+      fact.join(broadcast(dim), "day")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), D.r2(sum("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // CSV source with an EXPLICIT schema (no inference pass — schema
+    // inference is a full extra scan at lake scale) + quoted-field parse.
+    // Doubles survive the text roundtrip exactly: the writer emits Java's
+    // round-trippable shortest-decimal form.
+    "source_csv" -> ((s, dir) =>
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, tag STRING")
+        .csv(ensureCsvOrders(s, dir))
+        .orderBy("o_orderkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,6 +189,16 @@ object Sinks {
        "SELECT CAST(d.d0 AS TIMESTAMP) AS day, event_type, count(*) AS n, " +
        "round(sum(value), 2) AS sum_value " +
        "FROM events, d WHERE date_trunc('day', ts) = d.d0 " +
-       "GROUP BY 1, 2 ORDER BY event_type")
+       "GROUP BY 1, 2 ORDER BY event_type"),
+    "join_dpp" ->
+      ("WITH dim AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day " +
+       "FROM events WHERE extract(day FROM ts) % 2 = 1) " +
+       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value " +
+       "FROM events e JOIN dim ON CAST(date_trunc('day', e.ts) AS DATE) = dim.day " +
+       "GROUP BY 1 ORDER BY event_type"),
+    "source_csv" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+       "o_orderpriority || ',' || o_orderstatus AS tag " +
+       "FROM orders ORDER BY o_orderkey")
   )
 }

@@ -121,6 +121,32 @@ object Windows {
           D.r6(percent_rank().over(w)).as("pr"),
           D.r6(cume_dist().over(w)).as("cd"))
         .orderBy("prio", "o_orderkey")
+    }),
+
+    // Batch sessionization (gaps-and-islands): a >30 min silence starts a
+    // new session; sessions are numbered per user by a running sum over
+    // the session-start flags, then reduced to per-session stats. Both
+    // windows AND the final groupBy hash on user_id, so the whole chain
+    // is one shuffle + per-user sorts — per-user row counts bound the
+    // task state, which is what keeps this shape viable at 100 TB (the
+    // batch twin of stream_session's gap semantics).
+    "win_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .withColumn("new_sess",
+          when(lag("tss", 1).over(w).isNull ||
+               unix_timestamp(col("tss")) -
+                 unix_timestamp(lag("tss", 1).over(w)) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("sess_no", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          min("tss").as("sess_start"),
+          (unix_timestamp(max(col("tss"))) -
+            unix_timestamp(min(col("tss")))).as("dur_s"))
+        .orderBy("user_id", "sess_no")
     })
   )
 
@@ -176,6 +202,18 @@ object Windows {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_bal, " +
        s"last_value(c_acctbal) OVER ($custW " +
        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bot_bal " +
-       "FROM customer ORDER BY c_mktsegment, c_custkey")
+       "FROM customer ORDER BY c_mktsegment, c_custkey"),
+    "win_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS tss " +
+       "FROM events), " +
+       s"f AS (SELECT user_id, event_id, tss, CASE WHEN lag(tss) OVER ($eventsW) " +
+       "IS NULL OR CAST(epoch(tss) AS BIGINT) - " +
+       s"CAST(epoch(lag(tss) OVER ($eventsW)) AS BIGINT) > 1800 " +
+       "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+       s"g AS (SELECT user_id, tss, sum(new_sess) OVER ($eventsW " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no FROM f) " +
+       "SELECT user_id, sess_no, count(*) AS n_events, min(tss) AS sess_start, " +
+       "CAST(epoch(max(tss)) AS BIGINT) - CAST(epoch(min(tss)) AS BIGINT) " +
+       "AS dur_s FROM g GROUP BY 1, 2 ORDER BY user_id, sess_no")
   )
 }

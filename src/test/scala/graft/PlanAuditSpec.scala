@@ -89,6 +89,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plans("limit_global").contains("TakeOrderedAndProject"))
   }
 
+  test("join_dpp prunes fact partitions with a dynamicpruning subquery") {
+    // The dim filter is non-literal, so the only way the fact scan skips
+    // day directories is a DPP subquery in its PartitionFilters.
+    assert(plans("join_dpp").contains("dynamicpruning"),
+      "fact scan has no dynamicpruning partition filter — " +
+        "the whole partitioned table would be read at scale")
+  }
+
   test("contamination check broadcasts the benchmark gram set") {
     // The 100 TB claim: eval-set grams broadcast, corpus streams map-side.
     assert(plans("text_contamination").contains("BroadcastHashJoin"),
