@@ -15,7 +15,8 @@ object SparkEntry {
       Scalars.queries ++ Windows.queries ++ Text.queries ++ Vector.queries ++
       Udx.queries ++ graft.streaming.Streams.queries ++
       TextQuality.queries ++ Dedup.queries ++ Ann.queries ++
-      Multimodal.queries ++ Pipeline.queries ++ Sinks.queries
+      Multimodal.queries ++ Pipeline.queries ++ Sinks.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       Scalars.oracles ++ Windows.oracles ++ Text.oracles ++ Vector.oracles ++
       Udx.oracles ++ graft.streaming.Streams.oracles ++
       TextQuality.oracles ++ Dedup.oracles ++ Ann.oracles ++
-      Multimodal.oracles ++ Pipeline.oracles ++ Sinks.oracles
+      Multimodal.oracles ++ Pipeline.oracles ++ Sinks.oracles ++
+      Analytics.oracles
 }

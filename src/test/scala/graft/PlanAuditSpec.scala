@@ -87,6 +87,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("global top-k uses TakeOrderedAndProject, not a full sort") {
     assert(plans("limit_global").contains("TakeOrderedAndProject"))
+    // q3's top-10 must be the same top-k operator over the aggregate —
+    // a global Sort + Limit would materialize every group ordered.
+    assert(plans("q3_shipping_priority").contains("TakeOrderedAndProject"))
   }
 
   test("join_dpp prunes fact partitions with a dynamicpruning subquery") {
