@@ -92,6 +92,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plans("q3_shipping_priority").contains("TakeOrderedAndProject"))
   }
 
+  test("runtime bloom filter reduces the fact side of selective shuffle joins") {
+    // The 100 TB regime for q5: dims exceed the broadcast threshold, so
+    // the fact joins shuffle — the remaining defense against shuffling
+    // unmatched lineitem rows is InjectRuntimeFilter's bloom semi-join
+    // reduction (on by default in this Spark). Thresholds are scaled to
+    // bench SF (application side must look "large", creation side has a
+    // selective filter); the assertion is that the injection fires on
+    // the fact scan side under our session defaults.
+    Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB")
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = SparkEntry.queries("q5_local_supplier")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        "no runtime bloom filter injected — every unmatched fact row " +
+          "would cross the shuffle at 100 TB")
+    } finally Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .foreach(spark.conf.unset)
+  }
+
   test("join_dpp prunes fact partitions with a dynamicpruning subquery") {
     // The dim filter is non-literal, so the only way the fact scan skips
     // day directories is a DPP subquery in its PartitionFilters.
