@@ -207,7 +207,24 @@ object Aggs {
         .unpivot(Array(col("prio")),
           Array(col("sum_total"), col("avg_total"), col("max_total")),
           "metric", "v")
-        .orderBy("prio", "metric"))
+        .orderBy("prio", "metric")),
+
+    // Mergeable-sketch rollup (Datasketches HLL): per-(type, day) user
+    // sketches unioned into per-type distinct estimates. THE 100 TB
+    // pattern: the fact table is pre-reduced once to per-partition
+    // sketch rows (bytes each), and any later rollup re-merges sketches
+    // instead of rescanning the fact — union is register-wise max, so
+    // it is order-insensitive and losslessly associative. No DuckDB
+    // oracle (sketch binaries are library-specific); HllMergeSpec
+    // asserts the estimate tracks exact distincts and that the two-level
+    // rollup stays within HLL tolerance of the single-pass sketch.
+    "agg_hll_merge" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .orderBy("event_type"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -226,8 +226,29 @@ object Joins {
         .agg(count(lit(1)).as("cnt"),
           D.r2(sum(col("l_quantity"))).as("sum_qty"))
         .orderBy("o_orderstatus")
+    }),
+
+    // NULL-AWARE anti join: `NOT IN (subquery)` has three-valued
+    // semantics — one NULL in the subquery empties the result — so a
+    // plain hash anti join is wrong and Catalyst must plan the
+    // null-aware variant (single-column NAAJ lowers to a
+    // BroadcastHashJoin with isNullAwareAntiJoin=true; PlanAuditSpec
+    // asserts it). The nullif keeps the planner honest — it cannot
+    // prove the inner side non-null — while the data keeps the output
+    // non-degenerate. SQL text because NOT IN subqueries have no
+    // DataFrame-API spelling; the oracle is the identical SQL.
+    "join_null_anti" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(NullAntiSql)
     })
   )
+
+  private[ops] val NullAntiSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice AS total
+      |FROM orders
+      |WHERE o_custkey NOT IN (
+      |  SELECT nullif(c_custkey, -1) FROM customer WHERE c_acctbal < 100)
+      |ORDER BY o_orderkey""".stripMargin
 
   private val Buckets = 8
 
@@ -325,6 +346,7 @@ object Joins {
   }
 
   val oracles: Map[String, String] = Map(
+    "join_null_anti" -> NullAntiSql,
     "join_broadcast" ->
       ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +

@@ -131,7 +131,21 @@ object Scalars {
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
-        .limit(20))
+        .limit(20)),
+
+    // Bitwise surface: and/or/xor, shifts, popcount — all codegen'd
+    // primitive ops (ids here are non-negative, so arithmetic >> in both
+    // engines agrees).
+    "fn_bitwise" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        col("user_id").bitwiseAND(lit(255L)).as("band"),
+        col("user_id").bitwiseOR(lit(4096L)).as("bor"),
+        col("user_id").bitwiseXOR(col("event_id")).as("bxor"),
+        shiftleft(col("user_id"), 3).as("shl"),
+        shiftright(col("user_id"), 2).as("shr"),
+        bit_count(col("user_id")).cast("long").as("bits"))
+        .orderBy("event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -198,6 +212,12 @@ object Scalars {
     "explode_udtf_shape" ->
       ("SELECT token, count(*) AS cnt FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
-       "GROUP BY token ORDER BY cnt DESC, token LIMIT 20")
+       "GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
+    // DuckDB spells xor as a function (its ^ is exponentiation)
+    "fn_bitwise" ->
+      ("SELECT event_id, user_id & 255 AS band, user_id | 4096 AS bor, " +
+       "xor(user_id, event_id) AS bxor, user_id << 3 AS shl, " +
+       "user_id >> 2 AS shr, CAST(bit_count(user_id) AS BIGINT) AS bits " +
+       "FROM events ORDER BY event_id")
   )
 }

@@ -58,6 +58,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plans("join_broadcast").contains("BroadcastHashJoin"))
     assert(plans("join_shuffle_hash").contains("ShuffledHashJoin"))
     assert(plans("join_sort_merge").contains("SortMergeJoin"))
+    // NOT IN must plan the NULL-AWARE anti join (the trailing `true` is
+    // isNullAwareAntiJoin) — a plain anti join would be wrong the day
+    // the inner side actually produces a NULL.
+    assert("LeftAnti, BuildRight, true".r
+      .findFirstIn(plans("join_null_anti")).isDefined,
+      "NOT IN did not plan a null-aware anti join")
     assert(plans("join_skew_salted").contains("BroadcastHashJoin") ||
       plans("join_skew_salted").contains("SortMergeJoin") ||
       plans("join_skew_salted").contains("ShuffledHashJoin"))
