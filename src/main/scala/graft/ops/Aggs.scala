@@ -224,7 +224,27 @@ object Aggs {
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
         .groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Mergeable QUANTILE sketch (Greenwald-Khanna summaries): the exact
+    // `agg_median_percentile` twin that survives 100 TB — exact
+    // percentiles buffer every value per group; the GK summary is a
+    // bounded partial-aggregate merged map-side. Accuracy 10000 exceeds
+    // the per-group cardinality at the sf0.01 gate, so the summary never
+    // compresses there and the declared output is exact + deterministic;
+    // the compressed (real approximation) path is driven separately by
+    // ApproxQuantileSpec with accuracy 100 under a rank-error bound. No
+    // DuckDB oracle: summary compression is engine-specific at bench SF.
+    "agg_approx_quantile" -> ((s, dir) => {
+      val qs = percentile_approx(col("o_totalprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+      Tables.table(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(D.r2(element_at(qs, 1)).as("q50"),
+             D.r2(element_at(qs, 2)).as("q90"),
+             D.r2(element_at(qs, 3)).as("q99"))
+        .orderBy("o_orderstatus")
+    })
   )
 
   val oracles: Map[String, String] = Map(

@@ -145,7 +145,20 @@ object Scalars {
         shiftleft(col("user_id"), 3).as("shl"),
         shiftright(col("user_id"), 2).as("shr"),
         bit_count(col("user_id")).cast("long").as("bits"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Cryptographic content hashing — the fingerprint primitive every
+    // dedup/partition/lineage pipeline leans on (stable across engines,
+    // unlike xxhash64/`hash` whose seeds are implementation-specific).
+    // Both digests are codegen'd single-pass over the text bytes; a
+    // truncated prefix doubles as a compact 64-bit shard/fingerprint key.
+    "fn_hash" -> ((s, dir) =>
+      Tables.table(s, dir, "documents").select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("h_md5"),
+        sha2(col("text").cast("binary"), 256).as("h_sha256"),
+        substring(sha2(col("text").cast("binary"), 256), 1, 16).as("h_pfx"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -218,6 +231,10 @@ object Scalars {
       ("SELECT event_id, user_id & 255 AS band, user_id | 4096 AS bor, " +
        "xor(user_id, event_id) AS bxor, user_id << 3 AS shl, " +
        "user_id >> 2 AS shr, CAST(bit_count(user_id) AS BIGINT) AS bits " +
-       "FROM events ORDER BY event_id")
+       "FROM events ORDER BY event_id"),
+    "fn_hash" ->
+      ("SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256, " +
+       "substring(sha256(text), 1, 16) AS h_pfx " +
+       "FROM documents ORDER BY doc_id")
   )
 }

@@ -111,6 +111,34 @@ object Streams {
     dir.toString
   }
 
+  /** Stage `events.parquet` as an N-file directory (range-split on
+    * event_id, raw long-nanos `ts` preserved so [[eventsStreamDir]]'s
+    * conversion applies uniformly) so a maxFilesPerTrigger=1 drain runs N
+    * genuine micro-batches. Built once per (source, n) fingerprint via
+    * dot-prefixed temp dir + atomic rename — the same crash/concurrency
+    * discipline as [[stageDir]] (a half-written split is never listed;
+    * the loser of a concurrent build race discards its copy). */
+  def stageDirSplit(s: SparkSession, path: String, n: Int): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src")
+    val dir = root.resolve(Tables.sourceFingerprint(path) + s"_split$n")
+    if (!Files.isDirectory(dir)) {
+      Files.createDirectories(root)
+      val tmp = Files.createTempDirectory(root, ".split")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.schema(rawSchema).parquet(path)
+        .repartitionByRange(n, col("event_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          graft.Staging.deleteRecursively(tmp) // concurrent builder won
+      }
+    }
+    dir.toString
+  }
+
   /** File-source stream over a DIRECTORY of events parquet files, with
     * microsecond TimestampType ts. `maxFiles` bounds files per micro-batch —
     * StreamingSpec uses it with a multi-file copy to exercise multi-batch
@@ -394,6 +422,78 @@ object Streams {
       drain(out.toDF(), OutputMode.Append(), noDataBatch = Some(false))
         .groupBy("user_id").agg(max(col("cnt")).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // CDC-style UPSERT sink: each micro-batch folds into a keyed parquet
+    // snapshot via foreachBatch — the merge loop every warehouse ingest
+    // runs (dedup the batch to latest-per-key, union-merge with the prior
+    // snapshot, publish a new version). 4 staged source files ×
+    // maxFilesPerTrigger=1 force 4 REAL merge rounds; the merge rule
+    // (keep max (ts, event_id) per user — event_id breaks exact-ts ties)
+    // is associative and commutative, so the final snapshot is invariant
+    // to batch boundaries, which is what gives a streaming upsert a batch
+    // oracle: latest event per user over the whole table. Scale shape:
+    // each round is a union + keyed hash agg (map-side partial; the
+    // snapshot never rides more than one shuffle). At 100 TB the snapshot
+    // would be bucketed by user_id so the merge co-locates and only the
+    // batch side shuffles — the same asymmetric-ingest posture as
+    // dedup_incremental/embed_ann_incremental — with per-partition
+    // incremental compaction instead of a full rewrite.
+    "stream_upsert_snapshot" -> ((s, dir) => {
+      val src = stageDirSplit(s, Tables.path(dir, "events"), 4)
+      def latest(df: DataFrame): DataFrame =
+        df.groupBy("user_id")
+          .agg(max_by(
+            struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"), col("m.value").as("value"))
+      val stream = eventsStreamDir(s, src, maxFiles = Some(1))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val snapRoot = java.nio.file.Files.createTempDirectory(
+        if (java.nio.file.Files.isDirectory(shm)) shm
+        else java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+        "graft_upsert_")
+      // Same conf scoping as drain(): tiny snapshot merges don't want 32
+      // shuffle partitions' fixed cost, and the split files want map
+      // parallelism. Restored after the drain completes (see drain()).
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val prevMpb = s.conf.get("spark.sql.files.maxPartitionBytes")
+      @volatile var cur: Option[String] = None
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
+        val bl = latest(batch)
+        val merged = cur match {
+          case Some(p) => latest(s.read.parquet(p).unionByName(bl))
+          case None    => bl
+        }
+        val out = snapRoot.resolve(s"v$id").toString
+        merged.write.parquet(out)
+        cur = Some(out)
+      }
+      try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          s.conf.getOption("graft.drain.statePartitions").getOrElse("1"))
+        s.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+        val q = stream.writeStream
+          .foreachBatch(mergeBatch)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", snapRoot.resolve("ckpt").toString)
+          .start()
+        q.awaitTermination()
+        // Materialize the final snapshot (eager localCheckpoint) so the
+        // version chain + WALs can be reclaimed before returning.
+        s.read.parquet(cur.get)
+          .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"),
+            col("event_id"), col("event_type"), col("value"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevSp)
+        s.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
+        graft.Staging.deleteRecursively(snapRoot)
+      }
     })
   )
 
@@ -443,6 +543,13 @@ object Streams {
     "stream_stateful_count" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_upsert_snapshot" ->
+      """SELECT user_id, date_trunc('second', ts) AS ts_s,
+        |       event_id, event_type, value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_stream_join" ->
       """WITH v AS (SELECT event_id AS v_id, user_id,
         |            date_trunc('second', ts) AS v_ts
