@@ -158,7 +158,26 @@ object Scalars {
         md5(col("text").cast("binary")).as("h_md5"),
         sha2(col("text").cast("binary"), 256).as("h_sha256"),
         substring(sha2(col("text").cast("binary"), 256), 1, 16).as("h_pfx"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Nested-type surface: build a two-level struct + array, navigate it
+    // with field access, and serialize it — the declared output is the
+    // compact JSON encoding (both engines emit identical `{"k":v}` text
+    // for string/long/array fields) because the driver's hasher can't
+    // take struct cells. All struct work is codegen'd CreateNamedStruct/
+    // GetStructField — no shuffle, no serialization until to_json.
+    "fn_struct" -> ((s, dir) => {
+      val nested = struct(
+        col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"),
+        struct(col("o_custkey").as("id")).as("cust"),
+        array(substring(col("o_orderpriority"), 1, 1),
+          col("o_orderstatus")).as("flags"))
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), to_json(nested).as("doc"),
+          nested.getField("cust").getField("id").as("cust_id"))
+        .orderBy("o_orderkey")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,6 +254,11 @@ object Scalars {
     "fn_hash" ->
       ("SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256, " +
        "substring(sha256(text), 1, 16) AS h_pfx " +
-       "FROM documents ORDER BY doc_id")
+       "FROM documents ORDER BY doc_id"),
+    "fn_struct" ->
+      ("SELECT o_orderkey, to_json(struct_pack(key := o_orderkey, " +
+       "status := o_orderstatus, cust := struct_pack(id := o_custkey), " +
+       "flags := [substring(o_orderpriority, 1, 1), o_orderstatus])) AS doc, " +
+       "o_custkey AS cust_id FROM orders ORDER BY o_orderkey")
   )
 }
