@@ -248,18 +248,18 @@ object Aggs {
 
     // arg-max/arg-min: "which key holds the extreme" — single-pass keyed
     // max_by/min_by (map-side partial), replacing the window-rank idiom
-    // for top-1 lookups. The ordering key folds the tiebreak into exact
-    // integer arithmetic (price cents × 1e7 + orderkey: cents ≤ 6e7 and
-    // keys < 1e7, so the composite is collision-free in a long) because
-    // DuckDB's arg_max can't take a struct ordering key and o_totalprice
-    // alone has a real tie in this data.
+    // for top-1 lookups. The ordering key is a STRUCT (price, orderkey):
+    // lexicographic struct comparison gives an exact, overflow-free
+    // tiebreak at any scale (an earlier integer-packed key had a silent
+    // collision bound once orderkeys outgrow the packed slot). DuckDB's
+    // arg_max can't take a struct ordering key, so the oracle spells the
+    // same selection as row_number windows.
     "agg_minmax_by" -> ((s, dir) => {
-      val ckey = round(col("o_totalprice") * 100).cast("long") *
-        lit(10000000L) + col("o_orderkey")
+      val okey = struct(col("o_totalprice"), col("o_orderkey"))
       Tables.table(s, dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(max_by(col("o_orderkey"), ckey).as("key_of_max"),
-             min_by(col("o_orderkey"), ckey).as("key_of_min"),
+        .agg(max_by(col("o_orderkey"), okey).as("key_of_max"),
+             min_by(col("o_orderkey"), okey).as("key_of_min"),
              D.r2(max(col("o_totalprice"))).as("max_price"),
              D.r2(min(col("o_totalprice"))).as("min_price"))
         .orderBy("o_orderstatus")
@@ -268,12 +268,16 @@ object Aggs {
 
   val oracles: Map[String, String] = Map(
     "agg_minmax_by" ->
-      ("SELECT o_orderstatus, " +
-       "arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey) AS key_of_max, " +
-       "arg_min(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey) AS key_of_min, " +
+      ("WITH ranked AS (SELECT o_orderstatus, o_orderkey, o_totalprice, " +
+       "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax, " +
+       "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin " +
+       "FROM orders) " +
+       "SELECT o_orderstatus, " +
+       "max(CASE WHEN rmax = 1 THEN o_orderkey END) AS key_of_max, " +
+       "max(CASE WHEN rmin = 1 THEN o_orderkey END) AS key_of_min, " +
        "round(max(o_totalprice), 2) AS max_price, " +
        "round(min(o_totalprice), 2) AS min_price " +
-       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+       "FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "agg_bool" ->
       ("SELECT event_type, count(*) FILTER (WHERE value > 50) AS n_hi, " +
        "bool_and(value >= 0) AS all_nonneg, bool_or(value > 99) AS any_gt99 " +

@@ -124,6 +124,18 @@ object Streams {
     val dir = root.resolve(Tables.sourceFingerprint(path) + s"_split$n")
     if (!Files.isDirectory(dir)) {
       Files.createDirectories(root)
+      // sweep .split* build dirs orphaned by a JVM killed mid-build (same
+      // hygiene as stageDir's .tmp sweep — these hold a full dataset copy)
+      try {
+        val ls = Files.list(root)
+        try ls.forEach { c =>
+          if (c.getFileName.toString.startsWith(".split") &&
+              Files.isDirectory(c) &&
+              Files.getLastModifiedTime(c).toMillis <
+                System.currentTimeMillis() - 3600000L)
+            graft.Staging.deleteRecursively(c)
+        } finally ls.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
       val tmp = Files.createTempDirectory(root, ".split")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.schema(rawSchema).parquet(path)
@@ -472,10 +484,13 @@ object Streams {
         merged.write.parquet(out)
         cur = Some(out)
       }
+      // honor the same tuning conf drain() does (≤0 disables the scoping)
+      val mpb = s.conf.getOption("graft.drain.maxPartitionBytes")
+        .getOrElse("1048576").toLong
       try {
         s.conf.set("spark.sql.shuffle.partitions",
           s.conf.getOption("graft.drain.statePartitions").getOrElse("1"))
-        s.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+        if (mpb > 0) s.conf.set("spark.sql.files.maxPartitionBytes", mpb.toString)
         val q = stream.writeStream
           .foreachBatch(mergeBatch)
           .trigger(Trigger.AvailableNow())
@@ -543,11 +558,18 @@ object Streams {
     "stream_stateful_count" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the ordering key is microsecond-truncated on the ORACLE side too:
+    // the engine compares the µs-converted ts (nanos div 1000), and the
+    // raw parquet is TIMESTAMP(NANOS) — today's data is exactly
+    // µs-granular so the trunc is an identity, but a regenerated corpus
+    // with sub-µs ts must not let DuckDB tiebreak on nanos the engine
+    // never sees.
     "stream_upsert_snapshot" ->
       """SELECT user_id, date_trunc('second', ts) AS ts_s,
         |       event_id, event_type, value
         |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        PARTITION BY user_id
+        |        ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_stream_join" ->

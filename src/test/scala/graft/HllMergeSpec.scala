@@ -38,6 +38,6 @@ class HllMergeSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     for ((t, s1) <- single)
       assert(math.abs(merged(t) - s1) <= Tol * math.max(s1, 1.0),
-        s"$t: two-level $merged(t) diverged from single-pass $s1")
+        s"$t: two-level ${merged(t)} diverged from single-pass $s1")
   }
 }
