@@ -120,12 +120,32 @@ object ScaleProbe {
   private val TextKeys = Seq("text_tfidf", "text_unigram_nll",
     "text_bigram_nll", "text_heavy_hitters")
 
+  /** Synthetic events corpus for `upsert` mode (raw-parquet schema: long
+    * nanosecond ts, µs-granular like the driver's data). user_id is drawn
+    * from n/10 keys, so the upsert snapshot grows linearly with the
+    * stream and each event has ~10 same-key rivals — the honest CDC
+    * shape where most upserts REPLACE an existing row. */
+  def eventsCorpus(n: Int, seed: Long): Seq[(Long, Long, Long, String, Double, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val types = Vector("view", "click", "purchase", "signup", "logout")
+    val t0 = 1700000000000000000L
+    (0 until n).map { i =>
+      (i.toLong,
+       t0 + rnd.nextLong(86400L * 1000000L) * 1000L,
+       rnd.nextInt(math.max(1, n / 10)).toLong,
+       types(rnd.nextInt(types.length)),
+       rnd.nextInt(1000000) / 100.0,
+       s"""{"k":${rnd.nextInt(100)}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("dupheavy", "text", "chain"))
+    val mode = args.headOption.filter(Set("dupheavy", "text", "chain", "upsert"))
       .getOrElse("")
     val dupHeavy = mode == "dupheavy"
     val textMode = mode == "text"
     val chainMode = mode == "chain"
+    val upsertMode = mode == "upsert"
     val rest = if (mode.nonEmpty) args.drop(1) else args
     val base = rest.headOption.map(_.toInt).getOrElse(5000)
     val spark = SparkSession.builder()
@@ -156,6 +176,7 @@ object ScaleProbe {
     val warmKeys =
       if (textMode) TextKeys
       else if (chainMode) Seq("dedup_cluster")
+      else if (upsertMode) Seq("stream_upsert_snapshot")
       else Seq("dedup_cluster", "pipeline_clean_pack",
                "dedup_minhash", "dedup_simhash", "dedup_incremental")
     val stagingWas = sys.props.get("graft.staging")
@@ -199,6 +220,54 @@ object ScaleProbe {
           println(f"[scale] $na%d -> $nb%d $k ${r}%.1fx")
           r <= 20
         }.forall(identity)
+      }.forall(identity)
+      println(s"[scale] ${if (ok) "PASS" else "FAIL"}")
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
+    if (upsertMode) {
+      // CDC upsert sink: per-leg cold wall for stream_upsert_snapshot —
+      // the 4-file split staging, 4 micro-batch merge rounds, and the
+      // final snapshot read are ALL in the timed path (each leg uses a
+      // fresh corpus fingerprint, so nothing is cached across legs).
+      // Work per leg is O(n) split staging + 4 merges each O(snapshot +
+      // batch) = O(n), so the per-decade gate is the usual ≤20×.
+      // Self-check: snapshot rows == distinct user_ids.
+      val legs = mults.map { mult =>
+        val n = base * mult
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-upsertscale-$n").toString
+        eventsCorpus(n, seed = 7)
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(math.max(4, n / 250000)).write.mode("overwrite")
+          .parquet(s"$dir/events.parquet")
+        val t0 = System.nanoTime()
+        val snapRows =
+          SparkEntry.queries("stream_upsert_snapshot")(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val users = spark.read.parquet(s"$dir/events.parquet")
+          .select("user_id").distinct().count()
+        require(snapRows == users,
+          s"upsert snapshot rows $snapRows != distinct users $users")
+        println(f"[scale] n=$n%7d stream_upsert_snapshot=$wall%6.1f s " +
+          f"(snapshot=$snapRows rows)")
+        // the split copy + any single-file stage live under
+        // graft_stream_src keyed by the corpus fingerprint — retire them
+        // with the leg or each run leaks a full events copy
+        val fp = graft.Tables.sourceFingerprint(s"$dir/events.parquet")
+        val srcRoot = java.nio.file.Paths
+          .get(sys.props("java.io.tmpdir"), "graft_stream_src")
+        Seq(fp, fp + "_split4").foreach { d =>
+          graft.Staging.deleteRecursively(srcRoot.resolve(d))
+        }
+        retireLeg(dir, "events.parquet")
+        (n, wall)
+      }
+      val ok = legs.sliding(2).collect { case Seq((na, a), (nb, b)) =>
+        val r = b / a
+        println(f"[scale] $na%d -> $nb%d stream_upsert_snapshot ${r}%.1fx")
+        r <= 20
       }.forall(identity)
       println(s"[scale] ${if (ok) "PASS" else "FAIL"}")
       spark.stop()
