@@ -263,10 +263,35 @@ object Aggs {
              D.r2(max(col("o_totalprice"))).as("max_price"),
              D.r2(min(col("o_totalprice"))).as("min_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Ordered string aggregation (LISTAGG … WITHIN GROUP): the report/
+    // export shape. The WITHIN GROUP order is (priority, orderkey) —
+    // total, so the concatenation is deterministic. SQL text: the
+    // ordered form is SQL-defined (Spark 4 listagg). Integral key
+    // predicate bounds per-group string size; listagg is inherently
+    // bounded-group-output work (a group's string materializes on one
+    // task) — at 100 TB you cap or bucket groups, same as collect_list.
+    "agg_listagg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus,
+          |  listagg(CAST(o_orderkey AS STRING), ',')
+          |    WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv,
+          |  listagg(o_orderpriority, '|')
+          |    WITHIN GROUP (ORDER BY o_orderpriority, o_orderkey) AS prios
+          |FROM orders WHERE o_orderkey < 500
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_listagg" ->
+      ("SELECT o_orderstatus, " +
+       "string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv, " +
+       "string_agg(o_orderpriority, '|' ORDER BY o_orderpriority, o_orderkey) AS prios " +
+       "FROM orders WHERE o_orderkey < 500 " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "agg_minmax_by" ->
       ("WITH ranked AS (SELECT o_orderstatus, o_orderkey, o_totalprice, " +
        "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax, " +

@@ -240,8 +240,28 @@ object Joins {
     "join_null_anti" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(NullAntiSql)
+    }),
+
+    // LATERAL correlated join: top-2 customers per nation — the inner
+    // subquery references the outer row and carries ORDER BY + LIMIT, so
+    // Catalyst must decorrelate a per-row dependent subquery
+    // (DecorrelateInnerQuery rewrites the correlated limit into a
+    // partitioned rank — one shuffle on the correlation key, never a
+    // per-outer-row rescan of customer). SQL text: LATERAL has no
+    // DataFrame spelling; the oracle is the identical SQL.
+    "join_lateral" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(LateralSql)
     })
   )
+
+  private[ops] val LateralSql =
+    """SELECT n_name, c.c_name, c.c_acctbal
+      |FROM nation,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_nationkey = n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      |ORDER BY n_name, c.c_acctbal DESC, c.c_name""".stripMargin
 
   private[ops] val NullAntiSql =
     """SELECT o_orderkey, o_custkey, o_totalprice AS total
@@ -347,6 +367,7 @@ object Joins {
 
   val oracles: Map[String, String] = Map(
     "join_null_anti" -> NullAntiSql,
+    "join_lateral" -> LateralSql,
     "join_broadcast" ->
       ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
