@@ -64,6 +64,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("LeftAnti, BuildRight, true".r
       .findFirstIn(plans("join_null_anti")).isDefined,
       "NOT IN did not plan a null-aware anti join")
+    // The LATERAL correlated LIMIT must decorrelate into a partitioned
+    // rank with the group-limit pushed map-side (WindowGroupLimit
+    // Partial before the shuffle) — a per-outer-row rescan of the inner
+    // table would be quadratic at scale.
+    assert(plans("join_lateral").contains("WindowGroupLimit"),
+      "LATERAL top-k did not decorrelate to a window group limit")
     assert(plans("join_skew_salted").contains("BroadcastHashJoin") ||
       plans("join_skew_salted").contains("SortMergeJoin") ||
       plans("join_skew_salted").contains("ShuffledHashJoin"))
@@ -81,6 +87,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val read = "ReadSchema: [^\\n]*".r
       .findFirstIn(plans("agg_pricing_summary")).getOrElse("")
     assert(read.split(",").length <= 8, s"scan too wide: $read")
+    // fn_hash projects three digests of one column: the documents scan
+    // must read exactly (doc_id, text), not the 5-column row.
+    val hr = "ReadSchema: [^\\n]*".r
+      .findFirstIn(plans("fn_hash")).getOrElse("")
+    assert(hr.contains("doc_id") && hr.contains("text") &&
+      hr.split(",").length <= 2, s"fn_hash scan too wide: $hr")
   }
 
   test("aggregations are two-phase (map-side partial before the shuffle)") {
