@@ -282,10 +282,41 @@ object Aggs {
           |    WITHIN GROUP (ORDER BY o_orderpriority, o_orderkey) AS prios
           |FROM orders WHERE o_orderkey < 500
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
-    })
+    }),
+
+    // Deterministic per-group mode: `mode(col, deterministic=true)`
+    // returns the LOWEST value among tied frequencies, so the answer is
+    // reproducible at any parallelism (the one-arg form is tie-arbitrary
+    // and could never hash-match an oracle). One hash-agg shuffle on
+    // user_id; per-group state is the distinct-value frequency map —
+    // bounded by the value domain, not the row count (5 event types /
+    // ~500 rounded dollar values here). The numeric mode rounds 2dp
+    // values to whole dollars first (ties at .50 are exact doubles and
+    // both engines round half away from zero on positives).
+    "agg_mode" -> ((s, dir) =>
+      Tables.table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("mode(event_type, true)").as("mode_type"),
+             expr("mode(CAST(round(value) AS BIGINT), true)").as("mode_val"))
+        .orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's mode() is tie-arbitrary, so the oracle spells the same
+    // deterministic selection explicitly: rank (count DESC, value ASC),
+    // take rank 1 — exactly mode(col, true)'s lowest-on-ties contract.
+    "agg_mode" ->
+      ("WITH ct AS (SELECT user_id, event_type, count(*) AS n " +
+       "FROM events GROUP BY 1, 2), " +
+       "rt AS (SELECT user_id, event_type, row_number() OVER " +
+       "(PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM ct), " +
+       "cv AS (SELECT user_id, CAST(round(value) AS BIGINT) AS v, " +
+       "count(*) AS n FROM events GROUP BY 1, 2), " +
+       "rv AS (SELECT user_id, v, row_number() OVER " +
+       "(PARTITION BY user_id ORDER BY n DESC, v) AS rn FROM cv) " +
+       "SELECT rt.user_id, rt.event_type AS mode_type, rv.v AS mode_val " +
+       "FROM rt JOIN rv ON rt.user_id = rv.user_id " +
+       "WHERE rt.rn = 1 AND rv.rn = 1 ORDER BY rt.user_id"),
     "agg_listagg" ->
       ("SELECT o_orderstatus, " +
        "string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv, " +

@@ -139,6 +139,25 @@ object TextQuality {
           aggregate(
             transform(split(lower(col("text")), " "), tokenHash(_)),
             lit(0L), (a, b) => (a * 131 + b) % 1000000007L).as("fp"))
+        .orderBy("doc_id")),
+
+    // Text canonicalization — the normalize-before-dedup step every
+    // ingest pipeline runs ahead of exact/near dedup: lowercase, collapse
+    // every non-alphanumeric run to one space, trim, then emit the md5
+    // content key + length + head. Pure per-row map work (no shuffle
+    // before the output sort), codegen'd built-ins only, so it scales as
+    // a scan. The single `[^a-z0-9]+` class handles punctuation strip
+    // and whitespace collapse in one pass and reads identically in Java
+    // regex (Spark) and RE2 (the DuckDB oracle).
+    "text_normalize" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+            .as("norm"))
+        .select(col("doc_id"),
+          md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast("long").as("norm_len"),
+          substring(col("norm"), 1, 40).as("head"))
         .orderBy("doc_id"))
   )
 
@@ -183,6 +202,13 @@ object TextQuality {
         "CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_re, " +
         "round(avg(len(string_split(text, ' '))), 2) AS avg_ws " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "text_normalize" ->
+      ("WITH n AS (SELECT doc_id, " +
+       "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm " +
+       "FROM documents) " +
+       "SELECT doc_id, md5(norm) AS norm_md5, " +
+       "CAST(length(norm) AS BIGINT) AS norm_len, " +
+       "substring(norm, 1, 40) AS head FROM n ORDER BY doc_id"),
     "text_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split(lower(text), ' '), " +

@@ -147,6 +147,29 @@ object Windows {
           (unix_timestamp(max(col("tss"))) -
             unix_timestamp(min(col("tss")))).as("dur_s"))
         .orderBy("user_id", "sess_no")
+    }),
+
+    // Time-interval RANGE frame: per-user rolling 1-hour window — the
+    // event-time twin of the numeric range frame (`win_range_frame`).
+    // Frame membership is defined by the timestamp VALUE (tie-safe by
+    // construction), computed on the SECOND-truncated ts: the raw column
+    // carries sub-µs nanos that Spark truncates to µs while the DuckDB
+    // oracle keeps ns, so an untruncated frame boundary could admit a row
+    // in one engine and not the other. The rolling sum is carried in
+    // integer cents (value has 2dp) so no float accumulation order can
+    // perturb the hash. One shuffle on user_id; per-user sorted frames,
+    // same bounded-task-state posture as every window here.
+    "win_time_range" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+          |  count(*) OVER w AS n_1h,
+          |  sum(CAST(round(value*100) AS BIGINT)) OVER w AS cents_1h
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id
+          |  ORDER BY date_trunc('second', ts)
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, event_id""".stripMargin)
     })
   )
 
@@ -155,6 +178,15 @@ object Windows {
     "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey"
 
   val oracles: Map[String, String] = Map(
+    "win_time_range" ->
+      """SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |  count(*) OVER w AS n_1h,
+        |  sum(CAST(round(value*100) AS BIGINT)) OVER w AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY date_trunc('second', ts)
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_distribution" ->
       ("SELECT o_orderpriority AS prio, o_orderkey, " +
        "round(percent_rank() OVER (PARTITION BY o_orderpriority " +

@@ -301,6 +301,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "day predicate degraded to a post-scan Filter")
   }
 
+  test("text_normalize is map-side scan work: no hash shuffle anywhere") {
+    // Canonicalization must scale as a scan — the only exchange allowed
+    // is the declared output sort's range partitioning.
+    assert(!plans("text_normalize").contains("Exchange hashpartitioning"),
+      "text_normalize introduced a hash shuffle — no longer map-side")
+  }
+
+  test("agg_mode aggregates partial+final with bounded per-group state") {
+    // mode's buffer is a value-domain frequency map (ObjectHashAggregate);
+    // the partial phase must run map-side so only (group, value, count)
+    // triples cross the shuffle, never raw rows.
+    val p = plans("agg_mode")
+    assert("(Object)?HashAggregate".r.findAllIn(p).length >= 2,
+      "agg_mode is not a partial+final aggregate")
+  }
+
+  test("win_time_range windows once on user_id over the events scan") {
+    val p = plans("win_time_range")
+    assert(p.contains("Window "), "interval RANGE frame planned no window")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"win_time_range has $n hash exchanges, expected 1")
+  }
+
   test("bucketed join is co-located: no exchange feeds the join") {
     val p = plans("join_bucketed")
     assert(p.contains("SortMergeJoin"), "bucketed join should sort-merge")
