@@ -71,4 +71,16 @@ object Tables {
     ident.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
     java.lang.Long.toHexString(h & 0xffffffffffffL)
   }
+
+  /** Memoized row count of a parquet source. The count itself is
+    * metadata-only (no row scan), but it still launches a job per call —
+    * and callers that derive plan PARAMETERS from corpus size (the PQ
+    * auto train stride) re-ask on every invocation. Keyed by the same
+    * source fingerprint as every other derived value, so a regenerated
+    * file re-counts instead of serving a stale size. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def rowCount(spark: SparkSession, path: String): Long =
+    countMemo.computeIfAbsent(sourceFingerprint(path),
+      _ => spark.read.parquet(path).count())
 }

@@ -160,8 +160,10 @@ object Ann {
       // staged == freshly refined). A stride > 1 yields a DIFFERENT
       // codebook, so strided artifacts carry the stride in their names
       // and can never alias the full-train ones. (The corpus count feeding
-      // the auto stride is a parquet-metadata count — no row scan.)
-      val stride = pqTrainStride(s, e.count())
+      // the auto stride is a parquet-metadata count — no row scan — and
+      // memoized per source fingerprint, so only the first invocation
+      // pays even the metadata job.)
+      val stride = pqTrainStride(s, Tables.rowCount(s, Tables.path(dir, "embeddings")))
       val sfx = if (stride > 1) s"_s$stride" else ""
       val cbDf = graft.Staging.materialize(
         s, Tables.path(dir, "embeddings"), s"pq_codebook8x16_lloyd1${sfx}_v1") {

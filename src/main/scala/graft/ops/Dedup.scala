@@ -90,10 +90,14 @@ object Dedup {
       * grouped shape (see [[groupedReport]]). */
     "dedup_simhash" -> ((s, dir) =>
       if (groupedReportOn(s))
-        groupedReport(Tables.table(s, dir, "documents")
-            .select(col("doc_id"), col("text")),
-          "hamming", lit(0), lit(true))(reps =>
-          simhashPairsFromFp(simhashFp(reps).localCheckpoint(true)))
+        // Staged per corpus version like the plain pair artifact: the
+        // grouped report is a pure function of the corpus text.
+        graft.Staging.materialize(
+          groupedReport(Tables.table(s, dir, "documents")
+              .select(col("doc_id"), col("text")),
+            "hamming", lit(0), lit(true))(reps =>
+            simhashPairsFromFp(simhashFp(reps).localCheckpoint(true))),
+          Tables.path(dir, "documents"), "simhash_grouped_h3_v1")
           .orderBy("doc_a", "doc_b")
       else {
         // Stage the pair ARTIFACT per corpus version, like the trigram and
@@ -126,11 +130,17 @@ object Dedup {
         val cap = s.conf.getOption("graft.ngram.hotGramCap").map(_.toLong)
         val dfOrdered = cap.isDefined ||
           s.conf.getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean)
-        groupedReport(Tables.table(s, dir, "documents")
-            .select(col("doc_id"), col("text")),
-          "jac", lit(1.0), size(split(lower(col("text")), " ")) >= 3)(reps =>
-          ngramJaccardFromGrams(ngramGrams(reps).localCheckpoint(true),
-            dfOrdered, cap))
+        // Staged like the plain pair list; the cap posture is lossy and
+        // gets its own artifact name (dfOrdered alone is lossless — same
+        // pair set, same name), mirroring ngramPairs exactly.
+        graft.Staging.materialize(
+          groupedReport(Tables.table(s, dir, "documents")
+              .select(col("doc_id"), col("text")),
+            "jac", lit(1.0), size(split(lower(col("text")), " ")) >= 3)(reps =>
+            ngramJaccardFromGrams(ngramGrams(reps).localCheckpoint(true),
+              dfOrdered, cap)),
+          Tables.path(dir, "documents"),
+          cap.fold("ngram_grouped08_v1")(c => s"ngram_grouped08_cap${c}_v1"))
           .orderBy("doc_a", "doc_b")
       }),
 

@@ -81,10 +81,15 @@ object Text {
       * order is re-applied after the staged read. */
     "dedup_minhash" -> ((s, dir) =>
       if (Dedup.groupedReportOn(s))
-        Dedup.groupedReport(Tables.table(s, dir, "documents")
-            .select(col("doc_id"), col("text")),
-          "est_jac", lit(1.0), lit(true))(reps =>
-          minhashPairsFromSig(minhashSign(reps).localCheckpoint(true)))
+        // The grouped report is a pure function of the corpus text, so it
+        // stages per corpus version exactly like the plain pair list —
+        // built once at ingest, read by every downstream consumer.
+        graft.Staging.materialize(
+          Dedup.groupedReport(Tables.table(s, dir, "documents")
+              .select(col("doc_id"), col("text")),
+            "est_jac", lit(1.0), lit(true))(reps =>
+            minhashPairsFromSig(minhashSign(reps).localCheckpoint(true))),
+          Tables.path(dir, "documents"), "minhash_grouped09_v1")
           .orderBy("doc_a", "doc_b")
       else
         graft.Staging.materialize(

@@ -118,7 +118,7 @@ object Vector {
       corpus.crossJoin(broadcast(probes))
         .where(col("vec_id") =!= col("q_id"))
         .withColumn("sim", round(cosine(col("q"), col("v")), 6))
-        .select((corpus.columns.filter(_ != "v").map(col) ++
+        .select((corpus.columns.filter(_ != "v").map(col).toIndexedSeq ++
           Seq(col("q_id"), col("sim"))): _*),
       Seq(col("sim").desc, col("vec_id")), k, "rnk", corpusSized = true)
 
