@@ -11,6 +11,12 @@ object Verify {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, k) => (s, o, Some(k.split(',').toSet))
     }
+    // Fail fast on a misspelled key — a silently-empty filter would
+    // write no results yet let the oracle check report "0 fail".
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

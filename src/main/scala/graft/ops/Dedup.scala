@@ -91,14 +91,16 @@ object Dedup {
     "dedup_simhash" -> ((s, dir) =>
       if (groupedReportOn(s))
         // Staged per corpus version like the plain pair artifact: the
-        // grouped report is a pure function of the corpus text.
+        // grouped report is a pure function of the corpus text. THUNKED
+        // overload: building the report runs an eager localCheckpoint
+        // job, which must only happen on a cache miss.
         graft.Staging.materialize(
+          s, Tables.path(dir, "documents"), "simhash_grouped_h3_v1") {
           groupedReport(Tables.table(s, dir, "documents")
               .select(col("doc_id"), col("text")),
             "hamming", lit(0), lit(true))(reps =>
-            simhashPairsFromFp(simhashFp(reps).localCheckpoint(true))),
-          Tables.path(dir, "documents"), "simhash_grouped_h3_v1")
-          .orderBy("doc_a", "doc_b")
+            simhashPairsFromFp(simhashFp(reps).localCheckpoint(true)))
+        }.orderBy("doc_a", "doc_b")
       else {
         // Stage the pair ARTIFACT per corpus version, like the trigram and
         // minhash pair lists — order re-applied after the staged read.
@@ -132,16 +134,16 @@ object Dedup {
           s.conf.getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean)
         // Staged like the plain pair list; the cap posture is lossy and
         // gets its own artifact name (dfOrdered alone is lossless — same
-        // pair set, same name), mirroring ngramPairs exactly.
-        graft.Staging.materialize(
+        // pair set, same name), mirroring ngramPairs exactly. THUNKED:
+        // the build runs an eager localCheckpoint job — cache-miss only.
+        graft.Staging.materialize(s, Tables.path(dir, "documents"),
+          cap.fold("ngram_grouped08_v1")(c => s"ngram_grouped08_cap${c}_v1")) {
           groupedReport(Tables.table(s, dir, "documents")
               .select(col("doc_id"), col("text")),
             "jac", lit(1.0), size(split(lower(col("text")), " ")) >= 3)(reps =>
             ngramJaccardFromGrams(ngramGrams(reps).localCheckpoint(true),
-              dfOrdered, cap)),
-          Tables.path(dir, "documents"),
-          cap.fold("ngram_grouped08_v1")(c => s"ngram_grouped08_cap${c}_v1"))
-          .orderBy("doc_a", "doc_b")
+              dfOrdered, cap))
+        }.orderBy("doc_a", "doc_b")
       }),
 
     /** Incremental ingest dedup: the newest ~10% of docs (doc_id·10 ≥

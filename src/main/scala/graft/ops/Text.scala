@@ -84,13 +84,15 @@ object Text {
         // The grouped report is a pure function of the corpus text, so it
         // stages per corpus version exactly like the plain pair list —
         // built once at ingest, read by every downstream consumer.
+        // THUNKED overload: the build runs an eager localCheckpoint job,
+        // which must only happen on a cache miss.
         graft.Staging.materialize(
+          s, Tables.path(dir, "documents"), "minhash_grouped09_v1") {
           Dedup.groupedReport(Tables.table(s, dir, "documents")
               .select(col("doc_id"), col("text")),
             "est_jac", lit(1.0), lit(true))(reps =>
-            minhashPairsFromSig(minhashSign(reps).localCheckpoint(true))),
-          Tables.path(dir, "documents"), "minhash_grouped09_v1")
-          .orderBy("doc_a", "doc_b")
+            minhashPairsFromSig(minhashSign(reps).localCheckpoint(true)))
+        }.orderBy("doc_a", "doc_b")
       else
         graft.Staging.materialize(
           minhashPairsFromSig(minhashSigned(s, dir)),

@@ -17,8 +17,11 @@ import pandas as pd
 
 
 def load(d):
+    # A query that threw inside Verify can leave an empty dir — report
+    # it as a diffable empty frame instead of crashing the whole probe.
     files = sorted(glob.glob(os.path.join(d, "*.parquet")))
-    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    return (pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            if files else pd.DataFrame())
 
 
 def main():
