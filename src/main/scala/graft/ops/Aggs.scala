@@ -135,6 +135,38 @@ object Aggs {
           bool_or(col("value") > 99).as("any_gt99"))
         .orderBy("event_type")),
 
+    // Exact DECIMAL money aggregation — the correctness twin of the
+    // double-typed sums everywhere else. At 10⁹+ rows a double sum
+    // drifts with partition count (fp addition is non-associative, so
+    // the same data under AQE re-planning can emit different cents);
+    // DECIMAL(18,2) sums are exact integers underneath — associative,
+    // partition-invariant, and identical on every engine. The cast
+    // rounds HALF_UP at 2dp on both sides; 2dp-intent doubles are never
+    // at a .005 midpoint, so the casts agree. Still a plain partial+final
+    // hash aggregate — exactness costs no extra pass.
+    // Operand precisions are deliberately narrow (15,2 × 5,2): wide
+    // enough for any line value, and the product precision stays ≤ 38
+    // in BOTH engines' inference — DuckDB silently falls back to DOUBLE
+    // past 38, which would reintroduce exactly the drift this key exists
+    // to rule out. The declared output is the canonical decimal TEXT
+    // (scale pinned by the decimal type, so renderings agree): the
+    // comparison harness round-trips decimals through pandas, which
+    // downcasts wide decimals to float64 — text is the one encoding
+    // that stays exact end-to-end, as fn_struct does for structs.
+    "agg_decimal_exact" -> ((s, dir) => {
+      val price = col("l_extendedprice").cast("decimal(15,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      Tables.table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(price).cast("string").as("sum_price"),
+          sum(col("l_quantity").cast("decimal(15,2)")).cast("string")
+            .as("sum_qty"),
+          sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("string")
+            .as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // PIVOT: priorities × order statuses cross-tab. Pivot values are
     // LISTED explicitly — with them, Spark skips the extra distinct-scan
     // job AND the output schema is static (an inferred pivot would make
@@ -344,6 +376,15 @@ object Aggs {
        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
        "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
        "FROM orders GROUP BY 1 ORDER BY prio"),
+    "agg_decimal_exact" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS sum_price, " +
+       "CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS sum_qty, " +
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * " +
+       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+       "AS VARCHAR) AS sum_disc_price, count(*) AS n " +
+       "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+       "ORDER BY l_returnflag, l_linestatus"),
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "round(sum(l_quantity), 2) AS sum_qty, " +

@@ -148,6 +148,24 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 
+    // CONTENT-hash Bernoulli sampling — sample_stratified keys its draw
+    // on doc_id, which breaks the moment ids are reassigned (every
+    // re-crawl/re-shard does); keying on md5(text) makes membership a
+    // pure function of the BYTES, so the same document lands in the same
+    // split across corpus versions, engines, and partitionings — the
+    // train/eval-holdout contract a 100 TB pipeline actually needs.
+    // First 2 hex chars < '14' keeps 20/256 ≈ 7.8%; the comparison is
+    // lexicographic over [0-9a-f] (= numeric). Pure map-side filter —
+    // no RNG state, no shuffle, and the md5 doubles as the dedup
+    // fingerprint (fn_hash), so sample membership survives dedup.
+    "sample_hash" -> ((s, dir) => {
+      val bucket = substring(md5(col("text").cast("binary")), 1, 2)
+      Tables.table(s, dir, "documents")
+        .where(bucket < lit("14"))
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Contiguous token-budget packing: shard = exclusive-prefix token count
     // div budget, per source, docs in doc_id order. A doc larger than the
     // budget gets its own shard(s) boundary — counts stay exact either way.
@@ -642,6 +660,10 @@ object Pipeline {
         "WHERE ((doc_id * 48271) % 2147483647) % 100 < " +
         "(CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'es' THEN 75 " +
         "WHEN 'fr' THEN 90 ELSE 100 END) ORDER BY doc_id"),
+    "sample_hash" ->
+      ("SELECT doc_id, lang, substring(md5(text), 1, 2) AS bucket " +
+       "FROM documents WHERE substring(md5(text), 1, 2) < '14' " +
+       "ORDER BY doc_id"),
     "pack_manifest" ->
       ("WITH t AS (SELECT source, doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +

@@ -160,6 +160,24 @@ object Scalars {
         substring(sha2(col("text").cast("binary"), 256), 1, 16).as("h_pfx"))
         .orderBy("doc_id")),
 
+    // Regex pack beyond fn_string's single extract: extract-all (the
+    // tokenizer/scraper primitive), match counting, boolean match, and
+    // class-replace masking. All four are codegen'd single-pass scans —
+    // the per-row cost is the regex automaton, not Spark — and the
+    // patterns are pinned to the ASCII subset where Java regex and RE2
+    // (the oracle's engine) agree: plain classes, \b on [a-z] word
+    // boundaries, no backrefs, no Unicode case folding.
+    "fn_regexp" -> ((s, dir) =>
+      Tables.table(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "\\b(s[a-z]+)", 1).as("first_s"),
+        array_join(regexp_extract_all(col("text"), lit("\\b([a-z]{3})\\b"), lit(1)), "|")
+          .as("all3"),
+        regexp_count(col("text"), lit("[aeiou]{2}")).cast("long").as("n_vv"),
+        col("text").rlike("scan").as("has_scan"),
+        regexp_replace(col("text"), "[aeiou]", "*").as("masked"))
+        .orderBy("doc_id")),
+
     // Nested-type surface: build a two-level struct + array, navigate it
     // with field access, and serialize it — the declared output is the
     // compact JSON encoding (both engines emit identical `{"k":v}` text
@@ -254,6 +272,15 @@ object Scalars {
     "fn_hash" ->
       ("SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256, " +
        "substring(sha256(text), 1, 16) AS h_pfx " +
+       "FROM documents ORDER BY doc_id"),
+    "fn_regexp" ->
+      ("SELECT doc_id, regexp_extract(text, '\\b(s[a-z]+)', 1) AS first_s, " +
+       // array_to_string(NULL-free empty list) is NULL in DuckDB where
+       // Spark's array_join yields '' — coalesce pins the '' contract
+       "coalesce(array_to_string(regexp_extract_all(text, '\\b([a-z]{3})\\b', 1), '|'), '') AS all3, " +
+       "CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_vv, " +
+       "regexp_matches(text, 'scan') AS has_scan, " +
+       "regexp_replace(text, '[aeiou]', '*', 'g') AS masked " +
        "FROM documents ORDER BY doc_id"),
     "fn_struct" ->
       ("SELECT o_orderkey, to_json(struct_pack(key := o_orderkey, " +

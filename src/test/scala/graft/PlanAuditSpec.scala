@@ -324,6 +324,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 1, s"win_time_range has $n hash exchanges, expected 1")
   }
 
+  test("sample_hash is a pure map-side filter: no hash shuffle, filter at scan") {
+    // Content-hash sampling must cost one scan at 100 TB — the md5
+    // filter runs map-side; the only exchange is the output sort's
+    // range partitioning.
+    val p = plans("sample_hash")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "sample_hash introduced a hash shuffle — no longer map-side")
+    assert(p.contains("Filter"), "sample predicate vanished from the plan")
+  }
+
+  test("fn_regexp is scan-project with the 2-column read schema") {
+    // Five regex expressions over one scan: no shuffle except the output
+    // sort, and the scan reads only (doc_id, text) — a full-schema read
+    // would drag lang/source/n_chars through a 100 TB scan for nothing.
+    val p = plans("fn_regexp")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "fn_regexp introduced a hash shuffle")
+    assert("ReadSchema: [^\\n]*doc_id[^\\n]*text".r.findFirstIn(p).isDefined &&
+      !"ReadSchema: [^\\n]*n_chars".r.findFirstIn(p).isDefined,
+      s"fn_regexp scan is not pruned to (doc_id, text):\n$p")
+  }
+
+  test("agg_decimal_exact aggregates partial+final like its double twin") {
+    // Decimal sums are associative, so exactness must not cost the
+    // map-side combine: partial HashAggregate before the shuffle,
+    // final after — same shape as agg_pricing_summary.
+    val p = plans("agg_decimal_exact")
+    assert("(Object)?HashAggregate".r.findAllIn(p).length >= 2,
+      "agg_decimal_exact is not a partial+final aggregate")
+  }
+
   test("bucketed join is co-located: no exchange feeds the join") {
     val p = plans("join_bucketed")
     assert(p.contains("SortMergeJoin"), "bucketed join should sort-merge")
