@@ -167,6 +167,52 @@ object Aggs {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Calendar-spine gap fill — the reporting contract "every day
+    // appears, zero-filled". The spine is generated from the data's own
+    // [min, max] date bounds (a 1-row agg → sequence-explode, ~2.4k rows
+    // regardless of fact size), the fact is pre-aggregated to one row
+    // per day BEFORE the join, and AQE broadcasts the join of two
+    // day-sized relations — fact rows never meet the spine. Day is
+    // emitted as 'yyyy-MM-dd' text (tz-proof, identical both engines).
+    "agg_calendar_spine" -> ((s, dir) => {
+      val orders = Tables.table(s, dir, "orders")
+      val daily = orders
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"), D.r2(sum("o_totalprice")).as("rev"))
+      val spine = orders
+        .agg(to_date(min("o_orderdate")).as("d0"),
+          to_date(max("o_orderdate")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      spine.join(daily, Seq("d"), "left")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("rev"), lit(0.0)).as("rev"))
+        .orderBy("day")
+    }),
+
+    // Ordered-stage funnel (view → click → purchase): per-user earliest
+    // time of each stage via conditional min (one hash agg on user_id —
+    // partial map-side, so only 3 timestamps per user cross the
+    // shuffle), then stage flags demand TIME ORDER (click at-or-after
+    // first view, purchase at-or-after that click), reduced to one
+    // conversion row. Second-truncated times: sub-µs nanos differ
+    // between engines and a boundary tie must not.
+    "agg_funnel" -> ((s, dir) => {
+      val tss = date_trunc("second", col("ts"))
+      val stage = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", tss)).as("t_view"),
+          min(when(col("event_type") === "click", tss)).as("t_click"),
+          min(when(col("event_type") === "purchase", tss)).as("t_purchase"))
+      val s2 = col("t_view").isNotNull && col("t_click").isNotNull &&
+        col("t_click") >= col("t_view")
+      stage.agg(count(lit(1)).as("n_users"),
+        count_if(col("t_view").isNotNull).as("n_view"),
+        count_if(s2).as("n_view_click"),
+        count_if(s2 && col("t_purchase").isNotNull &&
+          col("t_purchase") >= col("t_click")).as("n_funnel"))
+    }),
+
     // PIVOT: priorities × order statuses cross-tab. Pivot values are
     // LISTED explicitly — with them, Spark skips the extra distinct-scan
     // job AND the output schema is static (an inferred pivot would make
@@ -376,6 +422,29 @@ object Aggs {
        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
        "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
        "FROM orders GROUP BY 1 ORDER BY prio"),
+    "agg_calendar_spine" ->
+      ("WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0, " +
+       "max(CAST(o_orderdate AS DATE)) AS d1 FROM orders), " +
+       "spine AS (SELECT CAST(unnest(generate_series(d0, d1, " +
+       "INTERVAL 1 DAY)) AS DATE) AS d FROM b), " +
+       "daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n, " +
+       "round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1) " +
+       "SELECT strftime(s.d, '%Y-%m-%d') AS day, " +
+       "coalesce(n, 0) AS n_orders, coalesce(rev, 0) AS rev " +
+       "FROM spine s LEFT JOIN daily USING (d) ORDER BY day"),
+    "agg_funnel" ->
+      ("WITH st AS (SELECT user_id, " +
+       "min(CASE WHEN event_type = 'view' THEN date_trunc('second', ts) END) AS t_view, " +
+       "min(CASE WHEN event_type = 'click' THEN date_trunc('second', ts) END) AS t_click, " +
+       "min(CASE WHEN event_type = 'purchase' THEN date_trunc('second', ts) END) AS t_purchase " +
+       "FROM events GROUP BY user_id) " +
+       "SELECT count(*) AS n_users, " +
+       "count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view, " +
+       "count(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL " +
+       "AND t_click >= t_view) AS n_view_click, " +
+       "count(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL " +
+       "AND t_click >= t_view AND t_purchase IS NOT NULL " +
+       "AND t_purchase >= t_click) AS n_funnel FROM st"),
     "agg_decimal_exact" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS sum_price, " +

@@ -170,6 +170,29 @@ object Windows {
           |  ORDER BY date_trunc('second', ts)
           |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
           |ORDER BY user_id, event_id""".stripMargin)
+    }),
+
+    // Gap imputation — forward-fill + backward-fill of a sparse
+    // measurement (the sensor/metrics backfill every time-series ETL
+    // runs). The measurement is value where the event is a
+    // purchase/signup, NULL elsewhere (~60% sparse); fills COPY doubles
+    // (no arithmetic), so per-row values stay bitwise-identical across
+    // engines. Both frames share the (user_id, (tss, event_id)) window
+    // → one hash exchange, one per-user sort, bounded task state.
+    "win_fill_forward" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .withColumn("v",
+          when(col("event_type").isin("purchase", "signup"), col("value")))
+        .select(col("event_id"), col("user_id"), col("v"),
+          last("v", ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("ffill"),
+          first("v", ignoreNulls = true)
+            .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            .as("bfill"))
+        .orderBy("event_id")
     })
   )
 
@@ -246,6 +269,16 @@ object Windows {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no FROM f) " +
        "SELECT user_id, sess_no, count(*) AS n_events, min(tss) AS sess_start, " +
        "CAST(epoch(max(tss)) AS BIGINT) - CAST(epoch(min(tss)) AS BIGINT) " +
-       "AS dur_s FROM g GROUP BY 1, 2 ORDER BY user_id, sess_no")
+       "AS dur_s FROM g GROUP BY 1, 2 ORDER BY user_id, sess_no"),
+    "win_fill_forward" ->
+      ("WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss, " +
+       "CASE WHEN event_type IN ('purchase', 'signup') THEN value END AS v " +
+       "FROM events) " +
+       "SELECT event_id, user_id, v, " +
+       s"last_value(v IGNORE NULLS) OVER ($eventsW " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill, " +
+       s"first_value(v IGNORE NULLS) OVER ($eventsW " +
+       "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill " +
+       "FROM e ORDER BY event_id")
   )
 }

@@ -355,6 +355,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_decimal_exact is not a partial+final aggregate")
   }
 
+  test("win_fill_forward shares one exchange across both fill frames") {
+    // ffill and bfill differ only in frame bounds; both must ride the
+    // same (user_id) partitioning — a second hash exchange would mean
+    // the window specs diverged.
+    val p = plans("win_fill_forward")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"win_fill_forward has $n hash exchanges, expected 1")
+  }
+
+  test("agg_calendar_spine joins day-sized relations, broadcast not sort-merge") {
+    // The fact is pre-aggregated to one row per day BEFORE the join and
+    // the spine is ~2.4k rows — a SortMergeJoin here would mean the
+    // join slipped below the aggregate (fact-sized join at 100 TB).
+    val p = plans("agg_calendar_spine")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"spine join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "spine join degraded to sort-merge")
+  }
+
+  test("agg_funnel shuffles once on user_id with map-side partials") {
+    // Conditional mins fold map-side: only 3 timestamps/user cross the
+    // user_id shuffle; the conversion rollup is a 1-row final agg.
+    val p = plans("agg_funnel")
+    assert("(Object)?HashAggregate".r.findAllIn(p).length >= 2,
+      "agg_funnel is not partial+final")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"agg_funnel has $n hash exchanges, expected 1")
+  }
+
   test("bucketed join is co-located: no exchange feeds the join") {
     val p = plans("join_bucketed")
     assert(p.contains("SortMergeJoin"), "bucketed join should sort-merge")
