@@ -213,6 +213,30 @@ object Aggs {
           col("t_purchase") >= col("t_click")).as("n_funnel"))
     }),
 
+    // Cohort retention (cohort = first-active day; users still active
+    // at day offsets 0/1/7/14/30). Per-user min(day) AND the distinct
+    // active-day set come out of ONE user_id aggregation — both
+    // partial-aggregate map-side, and the per-user state is bounded by
+    // CALENDAR DAYS in range, not by event count, so a hot user costs
+    // the same as a quiet one. Explode → offsets → one (cohort, offset)
+    // rollup: two exchanges total (plan-asserted). Each user contributes
+    // at most one row per (cohort, offset) — the set was distinct — so
+    // count(*) IS distinct users, with no count_distinct expansion.
+    "agg_retention" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy("user_id")
+        .agg(min("d").as("cohort"), collect_set("d").as("ds"))
+      perUser.select(col("cohort"), explode(col("ds")).as("d"))
+        .select(col("cohort"), datediff(col("d"), col("cohort")).as("off"))
+        .where(col("off").isin(0, 1, 7, 14, 30))
+        .groupBy("cohort", "off")
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          col("off").cast("long").as("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // PIVOT: priorities × order statuses cross-tab. Pivot values are
     // LISTED explicitly — with them, Spark skips the extra distinct-scan
     // job AND the output schema is static (an inferred pivot would make
@@ -422,6 +446,15 @@ object Aggs {
        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
        "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
        "FROM orders GROUP BY 1 ORDER BY prio"),
+    "agg_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id, " +
+       "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), " +
+       "c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1) " +
+       "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, " +
+       "CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset, " +
+       "count(*) AS n_users FROM a JOIN c USING (user_id) " +
+       "WHERE date_diff('day', cohort, d) IN (0, 1, 7, 14, 30) " +
+       "GROUP BY 1, 2 ORDER BY 1, 2"),
     "agg_calendar_spine" ->
       ("WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0, " +
        "max(CAST(o_orderdate AS DATE)) AS d1 FROM orders), " +

@@ -166,6 +166,28 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Deterministic MIXTURE sampling — the data-mixing step of a training
+    // run: each source gets its own target keep rate ((k+1)·2048/65536
+    // for source 'srcK', 3.1%–65.6%), and membership is still a pure
+    // function of the content bytes (md5 4-hex prefix), so the mixture
+    // reproduces across corpus versions, engines, and partitionings,
+    // and composes with sample_hash's holdout (same draw family,
+    // different hex window). The rate derives ARITHMETICALLY from the
+    // source name — no mixture dim table, no join, no RNG state: a pure
+    // map-side scan+filter at 100 TB (plan-asserted no hash shuffle).
+    // The threshold renders as fixed-width lowercase hex, where
+    // lexicographic compare = numeric compare; hex() of the same
+    // integer prints identically in both engines (verified).
+    "sample_weighted" -> ((s, dir) => {
+      val k = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+      val thr = lower(lpad(hex((k + lit(1)) * lit(2048)), 4, "0"))
+      val h = substring(md5(col("text").cast("binary")), 1, 4)
+      Tables.table(s, dir, "documents")
+        .where(h < thr)
+        .select(col("doc_id"), col("source"), h.as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Contiguous token-budget packing: shard = exclusive-prefix token count
     // div budget, per source, docs in doc_id order. A doc larger than the
     // budget gets its own shard(s) boundary — counts stay exact either way.
@@ -664,6 +686,11 @@ object Pipeline {
       ("SELECT doc_id, lang, substring(md5(text), 1, 2) AS bucket " +
        "FROM documents WHERE substring(md5(text), 1, 2) < '14' " +
        "ORDER BY doc_id"),
+    "sample_weighted" ->
+      ("SELECT doc_id, source, substring(md5(text), 1, 4) AS bucket " +
+       "FROM documents WHERE substring(md5(text), 1, 4) < " +
+       "lower(lpad(hex((CAST(regexp_extract(source, '([0-9]+)$', 1) " +
+       "AS INTEGER) + 1) * 2048), 4, '0')) ORDER BY doc_id"),
     "pack_manifest" ->
       ("WITH t AS (SELECT source, doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +

@@ -384,6 +384,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 1, s"agg_funnel has $n hash exchanges, expected 1")
   }
 
+  test("agg_retention shuffles exactly twice, both aggs partial+final") {
+    // One user_id exchange (min + collect_set fold map-side), one
+    // (cohort, offset) exchange for the rollup. A third exchange would
+    // mean the day-set stopped riding the user_id aggregation.
+    val p = plans("agg_retention")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 2, s"agg_retention has $n hash exchanges, expected 2")
+    assert("(Object)?HashAggregate".r.findAllIn(p).length >= 4,
+      "agg_retention aggs are not partial+final")
+  }
+
+  test("sample_weighted is a pure map-side filter: no hash shuffle") {
+    // Mixture sampling must cost one scan at 100 TB: the per-source
+    // rate derives from the name (no dim join) and the md5 draw is a
+    // map-side filter; the only exchange is the output sort's range
+    // partitioning.
+    val p = plans("sample_weighted")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "sample_weighted introduced a hash shuffle — no longer map-side")
+    assert(p.contains("Filter"), "mixture predicate vanished from the plan")
+  }
+
   test("bucketed join is co-located: no exchange feeds the join") {
     val p = plans("join_bucketed")
     assert(p.contains("SortMergeJoin"), "bucketed join should sort-merge")
