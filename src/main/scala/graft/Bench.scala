@@ -37,16 +37,25 @@ object Bench {
       // pass's locality comparable). Streaming drains are re-runnable:
       // each drain call takes a fresh sink name → fresh checkpoint
       // subdir, so pass 2 never resumes pass 1's offsets.
-      def pass(): Map[String, Double] = SparkEntry.queries.map {
+      // A crashed key is recorded as None and listed in `failed`, NOT as
+      // its ~0.05 s time-to-exception: 29 crashing keys in r7/r8 silently
+      // deflated total_sec by an estimated 4-6 s of real work, making the
+      // bench look faster while the engine was broken.
+      def pass(): Map[String, Option[Double]] = SparkEntry.queries.map {
         case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case scala.util.control.NonFatal(_) => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case scala.util.control.NonFatal(_) => false }
+          name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
       val p1 = pass()
       val p2 = pass()
-      val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+      // min-of-2 over the runs that SUCCEEDED (a key that crashed once but
+      // ran once still reports its one honest time).
+      val merged = p1.map { case (k, v) =>
+        k -> (v.toSeq ++ p2(k).toSeq).minOption }
+      val results = merged.collect { case (k, Some(v)) => k -> v }
+      val failedKeys = merged.collect { case (k, None) => k }.toSeq.sorted
       // Keys whose min-of-2 is a STAGED-ARTIFACT READ, not the build: the
       // derived-relation cache (Staging) or an amortized table write
       // (bucketed tables, the partitioned sink) persists across runs
@@ -74,13 +83,14 @@ object Bench {
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
       val staged = stagedReadKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":2,"agg":"min","staged_read_keys":$staged,"queries":$qs,"sf":"$sfDir","total_sec":${f(total)}}"""
+      val failed = failedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":2,"agg":"min","staged_read_keys":$staged,"failed":$failed,"queries":$qs,"sf":"$sfDir","total_sec":${f(total)}}"""
       // The driver's tail capture has front-truncated the single long line
       // three rounds running ("parsed": null in BENCH_r0{1,2,3}.json). Emit
       // a compact parseable summary FIRST, keep the full line (its trailing
       // total_sec survives front truncation), and persist the full record
       // to a file the round notes can reference losslessly.
-      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","summary_only":true}""")
+      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedKeys.size},"sf":"$sfDir","summary_only":true}""")
       println(full)
       try java.nio.file.Files.write(java.nio.file.Paths.get("tools/bench_last.json"),
         (full + "\n").getBytes("UTF-8"))

@@ -6,25 +6,45 @@ import org.apache.spark.sql.functions._
 /** Table loaders for the driver-generated parquet test data.
   *
   * One parquet file per table per scale-factor directory (TESTDATA.md).
-  * All access goes through here so the `events.ts` nanos fix (SURVEY.md §1)
-  * is applied exactly once: Spark 4.1.2 refuses parquet TIMESTAMP(NANOS)
-  * unless `spark.sql.legacy.parquet.nanosAsLong=true`, after which the
-  * column arrives as LongType nanos and is converted to a proper
-  * microsecond TimestampType with integer division (no double round-trip,
-  * which would lose precision above 2^53 ns).
+  * All access goes through here so the `events.ts` physical-type handling
+  * is applied exactly once, and ADAPTIVELY: the driver has shipped this
+  * column as both parquet TIMESTAMP(NANOS) (read as LongType nanos under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`) and, after a testdata
+  * regeneration, native TIMESTAMP(MICROS) (read as TimestampNTZType).
+  * Hard-coding either physical type broke the whole events surface when
+  * the contract's physical layout drifted, so [[normalizeTs]] branches on
+  * the FOOTER type that actually arrived and converges every variant to
+  * the same logical column: microsecond TimestampType under the UTC
+  * session this engine always runs with.
   */
 object Tables {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Converge `ts` to microsecond TimestampType regardless of the physical
+    * type the parquet footer declared:
+    *  - LongType (legacy nanos under nanosAsLong): integer `div 1000` then
+    *    `timestamp_micros` — no double round-trip, which would lose
+    *    precision above 2^53 ns;
+    *  - TimestampNTZType (native µs, the current testdata): cast, which is
+    *    value-identity under the UTC session timezone;
+    *  - TimestampType already: pass through.
+    * Works on batch and streaming frames alike (schema-only dispatch). */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType        => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _               => df
+  }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def path(sfDir: String, table: String): String = s"$sfDir/$table.parquet"
 
-  /** events with `ts` converted to TimestampType (microsecond precision). */
+  /** events with `ts` converged to TimestampType (microsecond precision),
+    * whatever physical type the current testdata generation uses. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(sfDir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(spark.read.parquet(path(sfDir, "events")))
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -48,8 +68,20 @@ object Tables {
     val dataKey = sfDir + "|" +
       names.map(n => sourceFingerprint(path(sfDir, n))).mkString(",")
     if (registeredViews.get(sessionKey) != dataKey) {
-      names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
-      registeredViews.put(sessionKey, dataKey)
+      // Per-table isolation: one unreadable source must not take down the
+      // other nine views (a single bad `events` footer killed EVERY
+      // SQL-text key in round 7/8). A partial registration is NOT
+      // memoized, so the failing table is retried — and stays loud — on
+      // the next call instead of being silently absent for the session.
+      var failed = List.empty[String]
+      names.foreach { n =>
+        try table(spark, sfDir, n).createOrReplaceTempView(n)
+        catch { case scala.util.control.NonFatal(e) =>
+          failed ::= n
+          System.err.println(s"[tables] view '$n' failed to register: ${e.getMessage}")
+        }
+      }
+      if (failed.isEmpty) registeredViews.put(sessionKey, dataKey)
     }
   }
 

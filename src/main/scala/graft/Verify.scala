@@ -26,12 +26,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures are LOUD: a crashed query is recorded in errors.json and a
+    // final "[verify] N failed" line, never just dropped — a silently
+    // missing dump shrinks CORRECTNESS_r{N}.json and reads as "0 fail"
+    // (exactly how the round-7/8 events regression went unnoticed).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -51,6 +57,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val ran = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
+    println(s"[verify] ${errors.size} failed of $ran" +
+      (if (errors.nonEmpty) s": ${errors.keys.mkString(",")}" else ""))
     spark.stop()
   }
 }

@@ -55,12 +55,22 @@ class CountProcessor
   */
 object Streams {
 
-  /** Raw schema of the events parquet under nanosAsLong: `ts` arrives as
-    * LongType nanoseconds (see Tables.events for the batch-side twin). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw (pre-normalization) schema of an events parquet source, read
+    * from the actual footer instead of hard-coded: the driver's testdata
+    * has shipped `ts` as both TIMESTAMP(NANOS) (→ LongType under
+    * nanosAsLong) and native TIMESTAMP(MICROS) (→ TimestampNTZType), and
+    * forcing one physical type silently corrupted every ts-dependent
+    * stream when the layout drifted (µs values divided as if they were
+    * ns). File-source streams require an explicit schema, so the footer
+    * is probed with a batch reader (schema-only, no row scan) and
+    * memoized per source fingerprint. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private def footerSchema(s: SparkSession, dir: String): StructType = {
+    val key = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).sorted.mkString(",")
+    schemaMemo.computeIfAbsent(key, _ => s.read.parquet(dir).schema)
+  }
 
   private val sinkId = new AtomicLong(0)
 
@@ -121,7 +131,14 @@ object Streams {
   def stageDirSplit(s: SparkSession, path: String, n: Int): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src")
-    val dir = root.resolve(Tables.sourceFingerprint(path) + s"_split$n")
+    // "v2" = staging FORMAT version: v1 (unversioned) split dirs were
+    // written through a forced long-`ts` schema, so a v1 artifact built
+    // from µs testdata holds µs-as-long rows that the adaptive reader
+    // would then mis-convert as nanos. The source fingerprint alone can't
+    // see that (the source didn't change — the staging code did), so the
+    // format version is part of the key. Bump it whenever the bytes this
+    // writer lays down change meaning.
+    val dir = root.resolve(Tables.sourceFingerprint(path) + s"_split${n}v2")
     if (!Files.isDirectory(dir)) {
       Files.createDirectories(root)
       // sweep .split* build dirs orphaned by a JVM killed mid-build (same
@@ -138,7 +155,9 @@ object Streams {
       } catch { case scala.util.control.NonFatal(_) => () }
       val tmp = Files.createTempDirectory(root, ".split")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.schema(rawSchema).parquet(path)
+      // Footer schema as-is (raw `ts` preserved, whatever its physical
+      // type) so [[eventsStreamDir]]'s normalization applies uniformly.
+      s.read.parquet(path)
         .repartitionByRange(n, col("event_id"))
         .write.mode("overwrite").parquet(tmp.toString)
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
@@ -159,10 +178,9 @@ object Streams {
   def eventsStreamDir(s: SparkSession, srcDir: String,
                       maxFiles: Option[Int] = None): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = s.readStream.schema(rawSchema)
+    val reader = s.readStream.schema(footerSchema(s, srcDir))
     maxFiles.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(reader.parquet(srcDir))
   }
 
   /** `events` as a file-source stream (stages the single file first). */
