@@ -463,22 +463,18 @@ object Streams {
     // is associative and commutative, so the final snapshot is invariant
     // to batch boundaries, which is what gives a streaming upsert a batch
     // oracle: latest event per user over the whole table. Scale shape:
-    // each round is a union + keyed hash agg (map-side partial; the
-    // snapshot never rides more than one shuffle). At 100 TB the snapshot
-    // would be bucketed by user_id so the merge co-locates and only the
-    // batch side shuffles — the same asymmetric-ingest posture as
-    // dedup_incremental/embed_ann_incremental — with per-partition
-    // incremental compaction instead of a full rewrite.
+    // the snapshot is a BUCKETED parquet table (user_id, 8 buckets), so
+    // each merge round is a full-outer sort-merge join where the
+    // snapshot side reads bucket-aligned with NO exchange — only the
+    // batch-latest side (batch-proportional, the small side of an
+    // ingest) shuffles. Same asymmetric posture as dedup_incremental /
+    // embed_ann_incremental; UpsertPlanSpec asserts the single-exchange
+    // plan. Retired versions are dropped from the catalog per round and
+    // their files reclaimed with the snapshot root (at 100 TB version
+    // reclamation would be per-round too, plus per-bucket incremental
+    // compaction instead of a full rewrite).
     "stream_upsert_snapshot" -> ((s, dir) => {
       val src = stageDirSplit(s, Tables.path(dir, "events"), 4)
-      def latest(df: DataFrame): DataFrame =
-        df.groupBy("user_id")
-          .agg(max_by(
-            struct(col("ts"), col("event_id"), col("event_type"), col("value")),
-            struct(col("ts"), col("event_id"))).as("m"))
-          .select(col("user_id"), col("m.ts").as("ts"),
-            col("m.event_id").as("event_id"),
-            col("m.event_type").as("event_type"), col("m.value").as("value"))
       val stream = eventsStreamDir(s, src, maxFiles = Some(1))
         .select("user_id", "ts", "event_id", "event_type", "value")
       val shm = java.nio.file.Paths.get("/dev/shm")
@@ -491,16 +487,24 @@ object Streams {
       // parallelism. Restored after the drain completes (see drain()).
       val prevSp = s.conf.get("spark.sql.shuffle.partitions")
       val prevMpb = s.conf.get("spark.sql.files.maxPartitionBytes")
+      // run-scoped table-name prefix: the catalog is session-global and
+      // two concurrent drains (tests + Verify in one JVM) must not
+      // collide on version names
+      val runTag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       @volatile var cur: Option[String] = None
       val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
-        val bl = latest(batch)
+        val bl = upsertLatest(batch)
         val merged = cur match {
-          case Some(p) => latest(s.read.parquet(p).unionByName(bl))
+          case Some(t) => upsertMerge(s.table(t), bl)
           case None    => bl
         }
-        val out = snapRoot.resolve(s"v$id").toString
-        merged.write.parquet(out)
-        cur = Some(out)
+        val name = s"graft_upsert_${runTag}_v$id"
+        writeBucketedSnapshot(merged, name, snapRoot.resolve(s"v$id").toString)
+        // merged was fully materialized by the write above, so the prior
+        // version can be retired immediately (external table: DROP only
+        // removes the catalog entry; files die with snapRoot)
+        cur.foreach(prev => s.sql(s"DROP TABLE IF EXISTS $prev"))
+        cur = Some(name)
       }
       // honor the same tuning conf drain() does (≤0 disables the scoping)
       val mpb = s.conf.getOption("graft.drain.maxPartitionBytes")
@@ -517,7 +521,7 @@ object Streams {
         q.awaitTermination()
         // Materialize the final snapshot (eager localCheckpoint) so the
         // version chain + WALs can be reclaimed before returning.
-        s.read.parquet(cur.get)
+        s.table(cur.get)
           .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"),
             col("event_id"), col("event_type"), col("value"))
           .orderBy("user_id")
@@ -525,10 +529,59 @@ object Streams {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevSp)
         s.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
+        cur.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         graft.Staging.deleteRecursively(snapRoot)
       }
     })
   )
+
+  /** Latest event per user within one frame: the map side of the upsert
+    * (hash agg with map-side partial; at scale this is the only full
+    * shuffle the batch pays, and it is batch-proportional). */
+  def upsertLatest(df: DataFrame): DataFrame =
+    df.groupBy("user_id")
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"))
+
+  /** One CDC merge round: prev snapshot FULL OUTER JOIN batch-latest on
+    * user_id, keeping the greater (ts, event_id) per user. When `prev`
+    * is a bucketed-table scan (user_id buckets), its side of the
+    * sort-merge join satisfies the join's required distribution from the
+    * bucket layout — no exchange — and only the batch side shuffles (to
+    * the bucket count). The per-column `when(takeB, …)` fold keeps the
+    * merge associative/commutative, so the final snapshot is invariant
+    * to batch boundaries. Public (not private) so UpsertPlanSpec can
+    * assert the single-exchange plan on a real bucketed table. */
+  def upsertMerge(prev: DataFrame, batchLatest: DataFrame): DataFrame = {
+    val b = batchLatest.select(col("user_id"),
+      col("ts").as("b_ts"), col("event_id").as("b_event_id"),
+      col("event_type").as("b_event_type"), col("value").as("b_value"))
+    // batch wins iff it has a row for the user AND (no prior row, or the
+    // batch row is strictly newer by (ts, event_id) — ids are unique so
+    // struct equality cannot occur between distinct events)
+    val takeB = col("b_ts").isNotNull && (col("ts").isNull ||
+      struct(col("b_ts"), col("b_event_id")) >
+        struct(col("ts"), col("event_id")))
+    prev.join(b, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(takeB, col("b_ts")).otherwise(col("ts")).as("ts"),
+        when(takeB, col("b_event_id")).otherwise(col("event_id")).as("event_id"),
+        when(takeB, col("b_event_type")).otherwise(col("event_type")).as("event_type"),
+        when(takeB, col("b_value")).otherwise(col("value")).as("value"))
+  }
+
+  /** Publish a snapshot version as an EXTERNAL bucketed+sorted parquet
+    * table (8 user_id buckets — matches ops.Joins' bucket convention).
+    * saveAsTable is the only writer API that records bucket metadata;
+    * external `path` keeps the files under the caller's snapshot root so
+    * retiring a version is DROP TABLE + one directory delete. */
+  def writeBucketedSnapshot(df: DataFrame, name: String, loc: String): Unit =
+    df.write.bucketBy(8, "user_id").sortBy("user_id")
+      .option("path", loc).format("parquet").saveAsTable(name)
 
   /** Keys whose invocation RUNS an AvailableNow drain (plan-only tools
     * must skip these — the returned DataFrame is just the memory sink).
