@@ -164,7 +164,7 @@ object Windows {
       s.sql(
         """SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
           |  count(*) OVER w AS n_1h,
-          |  sum(CAST(round(value*100) AS BIGINT)) OVER w AS cents_1h
+          |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
           |FROM events
           |WINDOW w AS (PARTITION BY user_id
           |  ORDER BY date_trunc('second', ts)
@@ -201,10 +201,14 @@ object Windows {
     "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey"
 
   val oracles: Map[String, String] = Map(
+    // The outer CAST(... AS BIGINT) on the windowed sum is load-bearing on
+    // the ORACLE side: DuckDB widens integer sum() to INT128 (HUGEINT),
+    // which the driver's hasher materializes as float64, breaking the hash
+    // against Spark's BIGINT even when every value matches (r9 verdict).
     "win_time_range" ->
       """SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
         |  count(*) OVER w AS n_1h,
-        |  sum(CAST(round(value*100) AS BIGINT)) OVER w AS cents_1h
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY date_trunc('second', ts)
@@ -265,8 +269,10 @@ object Windows {
        "IS NULL OR CAST(epoch(tss) AS BIGINT) - " +
        s"CAST(epoch(lag(tss) OVER ($eventsW)) AS BIGINT) > 1800 " +
        "THEN 1 ELSE 0 END AS new_sess FROM e), " +
-       s"g AS (SELECT user_id, tss, sum(new_sess) OVER ($eventsW " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no FROM f) " +
+       // CAST to BIGINT: DuckDB's integer sum() widens to HUGEINT → float64
+       // in the driver hash, vs Spark's BIGINT (r9 verdict root cause).
+       s"g AS (SELECT user_id, tss, CAST(sum(new_sess) OVER ($eventsW " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no FROM f) " +
        "SELECT user_id, sess_no, count(*) AS n_events, min(tss) AS sess_start, " +
        "CAST(epoch(max(tss)) AS BIGINT) - CAST(epoch(min(tss)) AS BIGINT) " +
        "AS dur_s FROM g GROUP BY 1, 2 ORDER BY user_id, sess_no"),

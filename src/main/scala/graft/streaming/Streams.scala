@@ -67,8 +67,9 @@ object Streams {
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
   private def footerSchema(s: SparkSession, dir: String): StructType = {
-    val key = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
-      .map(_.toString).sorted.mkString(",")
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val key = try ls.toArray.map(_.toString).sorted.mkString(",")
+              finally ls.close() // the key runs on every call, even memo hits
     schemaMemo.computeIfAbsent(key, _ => s.read.parquet(dir).schema)
   }
 
