@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.{D, Tables}
 import graft.QueryDefs.Q
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -470,10 +470,14 @@ object Streams {
     // batch-latest side (batch-proportional, the small side of an
     // ingest) shuffles. Same asymmetric posture as dedup_incremental /
     // embed_ann_incremental; UpsertPlanSpec asserts the single-exchange
-    // plan. Retired versions are dropped from the catalog per round and
-    // their files reclaimed with the snapshot root (at 100 TB version
-    // reclamation would be per-round too, plus per-bucket incremental
-    // compaction instead of a full rewrite).
+    // plan. Versions publish through [[publishVersion]]: only buckets
+    // the batch touches are merged and rewritten, untouched bucket files
+    // are carried forward by hardlink — version-write bytes are
+    // touched-bucket-proportional, not snapshot-proportional
+    // (UpsertProbe measures it), and a replayed micro-batch id
+    // (foreachBatch redelivery after a checkpoint restart) republishes
+    // idempotently. Retired versions are dropped from the catalog per
+    // round and their files reclaimed with the snapshot root.
     "stream_upsert_snapshot" -> ((s, dir) => {
       val src = stageDirSplit(s, Tables.path(dir, "events"), 4)
       val stream = eventsStreamDir(s, src, maxFiles = Some(1))
@@ -492,20 +496,16 @@ object Streams {
       // two concurrent drains (tests + Verify in one JVM) must not
       // collide on version names
       val runTag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      @volatile var cur: Option[String] = None
+      @volatile var cur: Option[(String, String)] = None
       val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
-        val bl = upsertLatest(batch)
-        val merged = cur match {
-          case Some(t) => upsertMerge(s.table(t), bl)
-          case None    => bl
-        }
         val name = s"graft_upsert_${runTag}_v$id"
-        writeBucketedSnapshot(merged, name, snapRoot.resolve(s"v$id").toString)
-        // merged was fully materialized by the write above, so the prior
-        // version can be retired immediately (external table: DROP only
-        // removes the catalog entry; files die with snapRoot)
-        cur.foreach(prev => s.sql(s"DROP TABLE IF EXISTS $prev"))
-        cur = Some(name)
+        val loc = snapRoot.resolve(s"v$id").toString
+        publishVersion(s, cur, upsertLatest(batch), name, loc)
+        // the new version was fully materialized by the write above, so
+        // the prior version can be retired immediately (external table:
+        // DROP only removes the catalog entry; files die with snapRoot)
+        cur.foreach { case (prev, _) => s.sql(s"DROP TABLE IF EXISTS $prev") }
+        cur = Some((name, loc))
       }
       // honor the same tuning conf drain() does (≤0 disables the scoping)
       val mpb = s.conf.getOption("graft.drain.maxPartitionBytes")
@@ -522,7 +522,7 @@ object Streams {
         q.awaitTermination()
         // Materialize the final snapshot (eager localCheckpoint) so the
         // version chain + WALs can be reclaimed before returning.
-        s.table(cur.get)
+        s.table(cur.get._1)
           .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"),
             col("event_id"), col("event_type"), col("value"))
           .orderBy("user_id")
@@ -530,7 +530,7 @@ object Streams {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevSp)
         s.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
-        cur.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        cur.foreach { case (t, _) => s.sql(s"DROP TABLE IF EXISTS $t") }
         graft.Staging.deleteRecursively(snapRoot)
       }
     })
@@ -576,13 +576,87 @@ object Streams {
   }
 
   /** Publish a snapshot version as an EXTERNAL bucketed+sorted parquet
-    * table (8 user_id buckets — matches ops.Joins' bucket convention).
-    * saveAsTable is the only writer API that records bucket metadata;
-    * external `path` keeps the files under the caller's snapshot root so
-    * retiring a version is DROP TABLE + one directory delete. */
-  def writeBucketedSnapshot(df: DataFrame, name: String, loc: String): Unit =
-    df.write.bucketBy(8, "user_id").sortBy("user_id")
+    * table (default 8 user_id buckets — matches ops.Joins' bucket
+    * convention; probes pass larger counts to model a cluster-scale
+    * snapshot). saveAsTable is the only writer API that records bucket
+    * metadata; external `path` keeps the files under the caller's
+    * snapshot root so retiring a version is DROP TABLE + one directory
+    * delete. */
+  def writeBucketedSnapshot(df: DataFrame, name: String, loc: String,
+                            n: Int = 8): Unit =
+    df.write.bucketBy(n, "user_id").sortBy("user_id")
       .option("path", loc).format("parquet").saveAsTable(name)
+
+  /** Bucket id a row lands in under [[writeBucketedSnapshot]]'s layout.
+    * Spark's bucketed writer assigns `pmod(murmur3(col), n)` — the same
+    * Murmur3 (seed 42) the SQL `hash()` function exposes — so the engine
+    * can compute, per ingest batch, exactly which snapshot buckets the
+    * batch will touch. UpsertIncrementalSpec pins this equivalence
+    * against the writer's actual file layout. */
+  def bucketOf(c: Column, n: Int): Column = pmod(hash(c), lit(n))
+
+  /** Spark bucket files are named `part-...-<uuid>_<bucketId5>.c...`;
+    * parse the bucket id back out of a file name. */
+  private val bucketIdInName = raw"_(\d{5})\.".r
+  private[graft] def bucketIdOfFile(name: String): Option[Int] =
+    bucketIdInName.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  /** Publish one snapshot version incrementally: merge + rewrite ONLY
+    * the buckets `batchLatest` touches; carry every untouched bucket's
+    * files forward from the previous version by HARDLINK (same
+    * filesystem — both versions live under one snapshot root; falls back
+    * to copy). This is what makes version publication batch-proportional
+    * at scale: a 100 TB snapshot in 10k buckets absorbing a small CDC
+    * batch rewrites only the touched buckets, not the world. The
+    * touched-bucket collect is bounded by the bucket count (fixed model
+    * state, like Ann's centroid collects — never O(rows)).
+    *
+    * Replay-idempotent: a redelivered micro-batch id (foreachBatch
+    * replay after a failure/restart from the same checkpoint) finds the
+    * half-published table/dir, drops both, and republishes — the merge
+    * reads only the PREVIOUS version, which the caller retires strictly
+    * after this returns, so a replay recomputes from the same inputs. */
+  def publishVersion(s: SparkSession, prev: Option[(String, String)],
+                     batchLatest: DataFrame, name: String, loc: String,
+                     n: Int = 8): Unit = {
+    import java.nio.file.{Files, Paths}
+    s.sql(s"DROP TABLE IF EXISTS $name") // replay guard (see Scaladoc)
+    graft.Staging.deleteRecursively(Paths.get(loc))
+    prev match {
+      case None =>
+        writeBucketedSnapshot(batchLatest, name, loc, n)
+      case Some((prevName, prevLoc)) =>
+        val bl = batchLatest.persist()
+        try {
+          val touched = bl.select(bucketOf(col("user_id"), n).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          // Filter ABOVE the bucketed scan: preserves the scan's
+          // HashPartitioning, so the merge join still requires no
+          // exchange on the snapshot side (UpsertPlanSpec's invariant).
+          val prevTouched = s.table(prevName)
+            .where(bucketOf(col("user_id"), n)
+              .isin(touched.toSeq.map(Int.box): _*))
+          writeBucketedSnapshot(upsertMerge(prevTouched, bl), name, loc, n)
+          // untouched buckets: link the previous version's files in place
+          val ls = Files.list(Paths.get(prevLoc))
+          try ls.forEach { f =>
+            val fn = f.getFileName.toString
+            if (!fn.startsWith(".") && !fn.startsWith("_") &&
+                bucketIdOfFile(fn).exists(!touched.contains(_))) {
+              val dst = Paths.get(loc).resolve(fn)
+              try Files.createLink(dst, f)
+              catch { case _: UnsupportedOperationException |
+                           _: java.nio.file.FileSystemException =>
+                Files.copy(f, dst)
+              }
+            }
+          } finally ls.close()
+          // the carried files postdate table creation — drop any cached
+          // listing so the next scan of `name` sees all buckets
+          s.catalog.refreshTable(name)
+        } finally bl.unpersist()
+    }
+  }
 
   /** Keys whose invocation RUNS an AvailableNow drain (plan-only tools
     * must skip these — the returned DataFrame is just the memory sink).

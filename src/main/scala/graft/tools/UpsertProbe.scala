@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.streaming.Streams.{upsertLatest, upsertMerge, writeBucketedSnapshot}
+import graft.streaming.Streams.{publishVersion, upsertLatest, upsertMerge, writeBucketedSnapshot}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -13,17 +13,21 @@ import java.util.concurrent.atomic.AtomicLong
   * replaced. The decisive metric is SHUFFLE BYTES per round — the join
   * merge's shuffle should stay ~constant (batch-proportional) while the
   * union merge's grows with the snapshot — because at 100 TB shuffle, not
-  * wall-clock on a warm 32-core box, is what kills a merge. Wall-clock is
-  * printed too (both variants pay the O(snapshot) version write; that
-  * cost is the documented per-bucket-compaction follow-up, not shuffle).
+  * wall-clock on a warm 32-core box, is what kills a merge.
+  *
+  * Second axis (r10): version-WRITE bytes under per-bucket incremental
+  * publication. A cluster-scale snapshot (modeled with 256 buckets) absorbs
+  * a small batch by rewriting only the touched buckets and hardlinking the
+  * rest forward — new-file bytes per version must stay ~constant as the
+  * snapshot grows, while the full-rewrite write grows linearly.
   *
   * Scratch tool, not part of the driver contract.
-  * Usage: runMain graft.tools.UpsertProbe [sizes...]  (default 100000 1000000)
+  * Usage: runMain graft.tools.UpsertProbe [sizes...]  (default 100000 1000000 4000000)
   */
 object UpsertProbe {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
-                else Seq(100000L, 1000000L)
+                else Seq(100000L, 1000000L, 4000000L)
     val batchUsers = 10000L
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -84,6 +88,44 @@ object UpsertProbe {
             .write.parquet(root.resolve("v1u").toString)
         }
         println(f"[probe] n=$n%8d union-groupBy ${sec2}%6.2f s  shuffle=${sb2 / 1024}%8d KiB")
+
+        // ---- per-bucket incremental publication: version-write bytes ----
+        // cluster-scale bucket count; a 16-user batch touches ≤16 of 256
+        // buckets, so new-file bytes must track the batch, not n
+        def dirBytes(p: java.nio.file.Path, skip: Set[String]): Long = {
+          val ls = java.nio.file.Files.list(p)
+          try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter { f =>
+              val fn = f.getFileName.toString
+              !fn.startsWith(".") && !fn.startsWith("_") && !skip(fn)
+            }.map(java.nio.file.Files.size).sum
+          finally ls.close()
+        }
+        def names(p: java.nio.file.Path): Set[String] = {
+          val ls = java.nio.file.Files.list(p)
+          try ls.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString).toSet
+          finally ls.close()
+        }
+        // bucket count scales with the snapshot (constant ~15.6k users per
+        // bucket — how a cluster sizes buckets to executor memory), so the
+        // 16-user batch rewrites a FIXED byte volume as n grows while the
+        // full rewrite grows linearly.
+        val nb = ((n / 15625L).max(8L).min(1024L)).toInt
+        val wide = snapName + "_wide"
+        writeBucketedSnapshot(snapDf, wide, root.resolve("w0").toString, n = nb)
+        val smallBatch = users(16, 1900000000000000L)
+          .withColumn("event_id", col("event_id") + lit(2000000000L))
+        val (sec3, _) = measured {
+          publishVersion(spark, Some((wide, root.resolve("w0").toString)),
+            upsertLatest(smallBatch), wide + "_v1",
+            root.resolve("w1").toString, n = nb)
+        }
+        val newBytes = dirBytes(root.resolve("w1"), names(root.resolve("w0")))
+        val fullBytes = dirBytes(root.resolve("w0"), Set.empty)
+        println(f"[probe] n=$n%8d incremental   ${sec3}%6.2f s  buckets=$nb%4d  " +
+          f"new-file=${newBytes / 1024}%8d KiB  (full rewrite=${fullBytes / 1024}%8d KiB)")
+        spark.sql(s"DROP TABLE IF EXISTS ${wide}_v1")
+        spark.sql(s"DROP TABLE IF EXISTS $wide")
       } finally {
         spark.sql(s"DROP TABLE IF EXISTS $snapName")
         graft.Staging.deleteRecursively(root)
