@@ -24,6 +24,26 @@ object Staging {
   def enabled: Boolean =
     sys.props.getOrElse("graft.staging", "true").toBoolean
 
+  /** Engine-wide staging FORMAT version, part of EVERY staged-artifact
+    * key (derived relations here, split stream dirs in Streams). Bump it
+    * whenever any staging writer changes what its bytes MEAN — a source
+    * fingerprint can't see that (the source didn't change, the staging
+    * code did), and r9 shipped a stale-artifact bug exactly because a
+    * writer's semantics changed under an unversioned key (µs-as-long
+    * split files read as nanos). One constant, so a semantic change
+    * anywhere invalidates everything at once instead of case-by-case.
+    * Old-version artifacts are swept as orphans (see [[sweepOrphans]]). */
+  val formatVersion = 2
+  private[graft] def versionTag(v: Int = formatVersion) = s"v$v"
+
+  /** The staged-artifact directory for (source, name) under version `v` —
+    * exposed so tests can pin that a version bump relocates every key
+    * (forcing a cold rebuild) while an unchanged version is byte-stable. */
+  private[graft] def derivedDir(sourcePath: String, name: String,
+                                v: Int = formatVersion): Path =
+    Paths.get(sys.props("java.io.tmpdir"), "graft_derived",
+      s"${Tables.sourceFingerprint(sourcePath)}_${name}_${versionTag(v)}")
+
   def materialize(df: DataFrame, sourcePath: String, name: String): DataFrame =
     materialize(df.sparkSession, sourcePath, name)(df)
 
@@ -59,8 +79,7 @@ object Staging {
       session: SparkSession, sourcePath: String, name: String)(
       build: => DataFrame): (DataFrame, Boolean) = {
     if (!enabled) return (build, false)
-    val dir = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_derived", s"${Tables.sourceFingerprint(sourcePath)}_$name")
+    val dir = derivedDir(sourcePath, name)
     dirLocks.computeIfAbsent(dir.toString, _ => new Object).synchronized {
       // Cache hit: serve the staged copy without touching `build` at all.
       // Only a broken READ degrades to the uncached plan here.
@@ -156,15 +175,19 @@ object Staging {
   }
 
   /** Remove `.tmp-<uuid>` staging dirs orphaned by a crashed writer or a
-    * lost race, so they don't accumulate in the tmpdir across runs. Only
-    * dirs older than 1h are swept — a live writer's temp is never touched. */
-  private def sweepOrphans(parent: Path): Unit =
+    * lost race, AND retired-format artifacts (dirs not carrying the
+    * current [[formatVersion]] tag — full dataset copies that no current
+    * code will ever read again), so neither accumulates in the tmpdir
+    * across runs/rounds. Only dirs older than 1h are swept — a live
+    * writer's temp or a concurrent same-version publish is never raced. */
+  private[graft] def sweepOrphans(parent: Path): Unit =
     try {
       if (parent != null && Files.isDirectory(parent)) {
         val cutoff = System.currentTimeMillis() - 3600000L
         val s = Files.list(parent)
         try s.forEach { c =>
-          if (c.getFileName.toString.contains(".tmp-") &&
+          val n = c.getFileName.toString
+          if ((n.contains(".tmp-") || !n.endsWith(s"_${versionTag()}")) &&
               Files.getLastModifiedTime(c).toMillis < cutoff)
             deleteRecursively(c)
         } finally s.close()

@@ -79,6 +79,13 @@ object Tables {
         catch { case scala.util.control.NonFatal(e) =>
           failed ::= n
           System.err.println(s"[tables] view '$n' failed to register: ${e.getMessage}")
+          // Drop any PREVIOUS registration of this view: after a
+          // mid-session testdata regeneration a surviving stale view
+          // would silently serve OLD data to SQL keys — queries must
+          // instead fail loudly with TABLE_OR_VIEW_NOT_FOUND until the
+          // table registers again.
+          try spark.catalog.dropTempView(n)
+          catch { case scala.util.control.NonFatal(_) => () }
         }
       }
       if (failed.isEmpty) registeredViews.put(sessionKey, dataKey)

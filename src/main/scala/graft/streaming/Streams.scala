@@ -132,23 +132,31 @@ object Streams {
   def stageDirSplit(s: SparkSession, path: String, n: Int): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src")
-    // "v2" = staging FORMAT version: v1 (unversioned) split dirs were
-    // written through a forced long-`ts` schema, so a v1 artifact built
-    // from µs testdata holds µs-as-long rows that the adaptive reader
-    // would then mis-convert as nanos. The source fingerprint alone can't
-    // see that (the source didn't change — the staging code did), so the
-    // format version is part of the key. Bump it whenever the bytes this
-    // writer lays down change meaning.
-    val dir = root.resolve(Tables.sourceFingerprint(path) + s"_split${n}v2")
+    // The key carries graft.Staging.formatVersion (engine-wide): v1
+    // (unversioned) split dirs were written through a forced long-`ts`
+    // schema, so a v1 artifact built from µs testdata holds µs-as-long
+    // rows that the adaptive reader would then mis-convert as nanos. The
+    // source fingerprint alone can't see that (the source didn't change —
+    // the staging code did). Bump the shared constant whenever ANY
+    // staging writer's bytes change meaning.
+    val vtag = graft.Staging.versionTag()
+    val dir = root.resolve(Tables.sourceFingerprint(path) + s"_split$n$vtag")
     if (!Files.isDirectory(dir)) {
       Files.createDirectories(root)
-      // sweep .split* build dirs orphaned by a JVM killed mid-build (same
-      // hygiene as stageDir's .tmp sweep — these hold a full dataset copy)
+      // sweep (a) .split* build dirs orphaned by a JVM killed mid-build,
+      // (b) retired-FORMAT split artifacts — any version tag but the
+      // current one, including the unversioned v1 shape. Both hold a full
+      // dataset copy nothing will read again; 1h age guard so a
+      // concurrent same-version build's fresh rename is never raced.
+      // (Plain stageDir copies carry no version: they are byte-identical
+      // to the source, so their meaning cannot drift with staging code.)
       try {
         val ls = Files.list(root)
         try ls.forEach { c =>
-          if (c.getFileName.toString.startsWith(".split") &&
-              Files.isDirectory(c) &&
+          val nm = c.getFileName.toString
+          val orphan = nm.startsWith(".split") ||
+            (nm.contains("_split") && !nm.endsWith(vtag))
+          if (orphan && Files.isDirectory(c) &&
               Files.getLastModifiedTime(c).toMillis <
                 System.currentTimeMillis() - 3600000L)
             graft.Staging.deleteRecursively(c)

@@ -308,10 +308,8 @@ object ScaleProbe {
         val (wJump, rJump, cntJump) = run()
         // Retire ONLY the staged label artifact so the star run recomputes
         // the fixpoint (the pair list stays staged — shared input).
-        graft.Staging.deleteRecursively(java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_derived",
-          graft.Tables.sourceFingerprint(s"$dir/documents.parquet") +
-            "_cc_labels08_v1"))
+        graft.Staging.deleteRecursively(
+          graft.Staging.derivedDir(s"$dir/documents.parquet", "cc_labels08_v1"))
         spark.conf.set("graft.cc.largeStar", "true")
         val (wStar, rStar, cntStar) =
           try run() finally spark.conf.unset("graft.cc.largeStar")

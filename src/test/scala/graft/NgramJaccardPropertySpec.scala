@@ -142,9 +142,8 @@ class NgramJaccardPropertySpec extends AnyFunSuite {
     spark.conf.set("graft.ngram.hotGramCap", "2")
     try {
       q(spark, sf).count()
-      val fp = Tables.sourceFingerprint(Tables.path(sf, "documents"))
-      val capped = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_derived", s"${fp}_ngram_pairs08_cap2_v1")
+      val capped =
+        Staging.derivedDir(Tables.path(sf, "documents"), "ngram_pairs08_cap2_v1")
       assert(java.nio.file.Files.exists(capped.resolve("_SUCCESS")),
         s"capped artifact not staged under its own name: $capped")
     } finally spark.conf.unset("graft.ngram.hotGramCap")

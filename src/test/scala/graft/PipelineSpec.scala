@@ -119,9 +119,8 @@ class PipelineSpec extends AnyFunSuite {
     spark.conf.set("graft.ngram.hotGramCap", "2")
     val capped = try {
       val rows = rowSet(SparkEntry.queries("dedup_cluster")(spark, sf))
-      val fp = Tables.sourceFingerprint(Tables.path(sf, "documents"))
-      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_derived", s"${fp}_cc_labels08_cap2_v1")
+      val dir =
+        Staging.derivedDir(Tables.path(sf, "documents"), "cc_labels08_cap2_v1")
       assert(java.nio.file.Files.exists(dir.resolve("_SUCCESS")),
         s"capped label artifact not staged under its own name: $dir")
       rows

@@ -13,6 +13,10 @@ class StagingSpec extends AnyFunSuite {
 
   test("unusable tmpdir degrades to the uncached plan, not a failure") {
     import spark.implicits._
+    // Force session init AND first-query lazies (ArtifactManager's static
+    // artifact root) BEFORE breaking tmpdir — both need a writable temp
+    // dir once per JVM, and this suite may run first / in isolation.
+    Seq((0, "z")).toDF("id", "s").collect()
     val src = Tables.path(sf, "region")
     // Point java.io.tmpdir at a FILE so the graft_derived dir can't be
     // created: materialize must return the original plan (identical
@@ -35,8 +39,7 @@ class StagingSpec extends AnyFunSuite {
     import spark.implicits._
     val src = Tables.path(sf, "region") // any real file, for the fingerprint
     val name = "stagingspec_probe_v1"
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_derived", s"${Tables.sourceFingerprint(src)}_$name")
+    val dir = Staging.derivedDir(src, name)
     Staging.deleteRecursively(dir)
     var builds = 0
     def build = { builds += 1; Seq((1, "a"), (2, "b")).toDF("id", "s") }
@@ -59,6 +62,37 @@ class StagingSpec extends AnyFunSuite {
         case None => sys.props -= "graft.staging"
       }
       Staging.deleteRecursively(dir)
+    }
+  }
+
+  test("format version is part of every staged key; old formats are swept") {
+    import spark.implicits._
+    val src = Tables.path(sf, "region")
+    val name = "stagingspec_fmt_probe"
+    val cur = Staging.derivedDir(src, name)
+    // a bumped version RELOCATES the key → nothing at the new path → the
+    // next materialize cold-rebuilds; an unchanged version is byte-stable
+    val bumped = Staging.derivedDir(src, name, Staging.formatVersion + 1)
+    assert(cur.toString.endsWith("_v" + Staging.formatVersion))
+    assert(cur != bumped && !java.nio.file.Files.exists(bumped))
+    // seed a retired-format artifact (the pre-version unsuffixed shape)
+    // plus a CURRENT-format sibling; the sweep must take only the former
+    val parent = cur.getParent
+    java.nio.file.Files.createDirectories(parent)
+    val retired = parent.resolve(s"${Tables.sourceFingerprint(src)}_${name}_stale")
+    java.nio.file.Files.createDirectories(retired)
+    java.nio.file.Files.setLastModifiedTime(retired,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L)) // past the 1h guard
+    Staging.deleteRecursively(cur)
+    try {
+      Staging.materialize(spark, src, name)(Seq((1, "a")).toDF("id", "s"))
+      assert(java.nio.file.Files.isDirectory(cur), "current-format key missing")
+      assert(!java.nio.file.Files.exists(retired),
+        "retired-format artifact survived the sweep")
+    } finally {
+      Staging.deleteRecursively(cur)
+      Staging.deleteRecursively(retired)
     }
   }
 }
