@@ -38,12 +38,19 @@ class CountProcessor
 
 /** SURVEY.md §2.8 Structured Streaming.
   *
-  * Declared queries run REAL micro-batch streams: the `events` parquet is
-  * read as a file-source stream, drained with `Trigger.AvailableNow` into
-  * a memory sink, and the sink table is returned (so the driver contract's
-  * `(SparkSession, sfDir) => DataFrame` shape holds). On a full drain the
-  * stream result equals the batch result, which is what gives five of the
-  * six keys a DuckDB oracle; `stream_watermark_late` is engine-temporal
+  * Keys that exercise the streaming ENGINE's distinguishing semantics —
+  * keyed state, watermarks, dedup state, stream-stream join state,
+  * foreachBatch sinks — run REAL micro-batch streams: the `events`
+  * parquet is read as a file-source stream, drained with
+  * `Trigger.AvailableNow` into a memory sink, and the sink table is
+  * returned (so the driver contract's `(SparkSession, sfDir) =>
+  * DataFrame` shape holds); on a full drain the stream result equals the
+  * batch result, which is what gives them a DuckDB oracle. Keys whose
+  * operator is SHARED between batch and streaming (`window`,
+  * `session_window`) evaluate that operator in batch — identical results
+  * by construction, a drain is pure fixed cost — while `StreamingSpec`
+  * drains the real multi-batch streaming twin of each and asserts
+  * equality. `stream_watermark_late` is engine-temporal
   * (watermark-dependent emission) and stays no-oracle, covered by the
   * stream-vs-batch containment test in `StreamingSpec`.
   *
@@ -330,24 +337,28 @@ object Streams {
         .orderBy("c_mktsegment", "event_type")
     }),
 
-    // 1-hour tumbling event-time counts per event_type. Complete mode: the
-    // sink holds every window, so full drain == batch date_trunc('hour').
+    // 1-hour tumbling event-time counts per event_type. `window` is the
+    // same operator in batch and streaming (like session_window below);
+    // the declared key evaluates it in batch — a complete-mode full
+    // drain holds every window, so the results are identical by
+    // construction, and StreamingSpec's multi-batch drain twin asserts
+    // exactly that equality against the real streaming engine.
     "stream_tumbling" -> ((s, dir) => {
-      val out = eventsStream(s, Tables.path(dir, "events"))
+      Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .count()
-      drain(out, OutputMode.Complete())
         .select(unix_timestamp(col("window.start")).as("ws"),
                 col("event_type"), col("count").as("n"))
         .orderBy("ws", "event_type")
     }),
 
     // 1-hour window sliding every 15 min: each event lands in 4 windows.
+    // Batch evaluation of the shared operator, same rationale (and same
+    // StreamingSpec drain twin) as stream_tumbling above.
     "stream_sliding" -> ((s, dir) => {
-      val out = eventsStream(s, Tables.path(dir, "events"))
+      Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
-      drain(out, OutputMode.Complete())
         .select(unix_timestamp(col("window.start")).as("ws"),
                 D.r6(col("avg_value")).as("avg_value"), col("n"))
         .orderBy("ws")
@@ -668,9 +679,12 @@ object Streams {
 
   /** Keys whose invocation RUNS an AvailableNow drain (plan-only tools
     * must skip these — the returned DataFrame is just the memory sink).
-    * `stream_session` is the exception: Spark evaluates `session_window`
-    * on a batch read, so it plans like any batch query. */
-  val drainKeys: Set[String] = queries.keySet - "stream_session"
+    * `stream_session` / `stream_tumbling` / `stream_sliding` are the
+    * exceptions: `session_window`/`window` are shared batch/streaming
+    * operators, so those keys evaluate in batch and plan like any batch
+    * query (their real-streaming twins live in StreamingSpec). */
+  val drainKeys: Set[String] =
+    queries.keySet -- Set("stream_session", "stream_tumbling", "stream_sliding")
 
   val oracles: Map[String, String] = Map(
     "stream_static_join" ->

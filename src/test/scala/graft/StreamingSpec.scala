@@ -44,6 +44,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(rowSet(out) === rowSet(batch))
   }
 
+  // The declared stream_sliding key evaluates the shared `window` operator
+  // in batch; THIS is the real streaming engine run backing that claim.
+  test("multi-batch sliding windows (complete mode) equal batch windows") {
+    val out = Streams.drain(
+      stream3().groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(sum(col("value")).as("sv"), count(lit(1)).as("n")),
+      OutputMode.Complete())
+      .select(col("window.start").as("ws"), round(col("sv"), 2).as("sv"), col("n"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), round(col("sv"), 2).as("sv"), col("n"))
+    assert(rowSet(out) === rowSet(batch))
+    assert(out.count() > 0)
+  }
+
   private def statefulCounts(maxFiles: Int): Map[Long, Long] = {
     import spark.implicits._
     Streams.drain(
