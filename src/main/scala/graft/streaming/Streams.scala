@@ -81,6 +81,8 @@ object Streams {
   }
 
   private val sinkId = new AtomicLong(0)
+  private val splitSweepDone =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Spark's file stream source lists a DIRECTORY for new files, so the
     * single-file `events.parquet` is staged (copied once per sf dir) into
@@ -148,15 +150,16 @@ object Streams {
     // staging writer's bytes change meaning.
     val vtag = graft.Staging.versionTag()
     val dir = root.resolve(Tables.sourceFingerprint(path) + s"_split$n$vtag")
-    if (!Files.isDirectory(dir)) {
-      Files.createDirectories(root)
-      // sweep (a) .split* build dirs orphaned by a JVM killed mid-build,
-      // (b) retired-FORMAT split artifacts — any version tag but the
-      // current one, including the unversioned v1 shape. Both hold a full
-      // dataset copy nothing will read again; 1h age guard so a
-      // concurrent same-version build's fresh rename is never raced.
-      // (Plain stageDir copies carry no version: they are byte-identical
-      // to the source, so their meaning cannot drift with staging code.)
+    // Sweep (a) .split* build dirs orphaned by a JVM killed mid-build,
+    // (b) retired-FORMAT split artifacts — any version tag but the
+    // current one, including the unversioned v1 shape. Both hold a full
+    // dataset copy nothing will read again; 1h age guard so a concurrent
+    // same-version build's fresh rename is never raced. Runs once per JVM
+    // UNCONDITIONALLY (not only on a cache miss): a format bump strands
+    // the old artifacts precisely when the new ones are already built.
+    // (Plain stageDir copies carry no version: they are byte-identical
+    // to the source, so their meaning cannot drift with staging code.)
+    if (splitSweepDone.compareAndSet(false, true) && Files.isDirectory(root))
       try {
         val ls = Files.list(root)
         try ls.forEach { c =>
@@ -169,6 +172,8 @@ object Streams {
             graft.Staging.deleteRecursively(c)
         } finally ls.close()
       } catch { case scala.util.control.NonFatal(_) => () }
+    if (!Files.isDirectory(dir)) {
+      Files.createDirectories(root)
       val tmp = Files.createTempDirectory(root, ".split")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Footer schema as-is (raw `ts` preserved, whatever its physical
