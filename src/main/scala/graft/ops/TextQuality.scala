@@ -158,7 +158,54 @@ object TextQuality {
           md5(col("norm")).as("norm_md5"),
           length(col("norm")).cast("long").as("norm_len"),
           substring(col("norm"), 1, 40).as("head"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Intra-document repetition signals — the Gopher-class repetition
+    // filters (top-n-gram mass, duplicate-token mass) every LLM corpus
+    // pipeline scores before training, adapted to this corpus's flat
+    // word streams (no line structure exists to measure dup-line
+    // fractions on). Per document: most frequent word and its mass,
+    // repeated-word mass, most frequent adjacent bigram's mass. Ties on
+    // the top word break to the lexicographically smallest, so the
+    // emitted word is deterministic. All fractions are ratios of exact
+    // integer counts (bit-identical double division in both engines,
+    // same posture as win_distribution) rounded 6dp. Scale shape: one
+    // posexplode, then every shuffle hashes on doc_id (window + aggs) —
+    // per-task state is bounded by document length, and the bigram
+    // window reuses the tokens relation, not the corpus. Single-word
+    // documents have no bigram and drop out via the inner join —
+    // identically in the oracle (its bigram CTE is empty for them).
+    "text_repetition" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      val wc = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      // totals DERIVE from the word counts (sum(c) = n_words, row count =
+      // n_distinct): one corpus explode serves both, instead of a second
+      // full pass re-aggregating the token stream
+      val tot = wc.groupBy("doc_id")
+        .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"))
+      val mx = wc.groupBy("doc_id").agg(max("c").as("mc"))
+      val topw = wc.join(mx, "doc_id").where(col("c") === col("mc"))
+        .groupBy("doc_id").agg(min("w").as("top_word"), min("mc").as("mc"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // concat (not concat_ws): NULL lead at document end must null the
+      // bigram out, matching the oracle's `||` null propagation
+      val bc = tok
+        .withColumn("bg", concat(col("w"), lit(" "), lead("w", 1).over(w)))
+        .where(col("bg").isNotNull)
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val bmx = bc.groupBy("doc_id").agg(max("c").as("bc"))
+      tot.join(topw, "doc_id").join(bmx, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("top_word"),
+          D.r6(col("mc") / col("n_words")).as("top_word_frac"),
+          D.r6(lit(1.0) - col("n_distinct") / col("n_words"))
+            .as("dup_word_frac"),
+          D.r6(col("bc") / (col("n_words") - lit(1)))
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -215,6 +262,31 @@ object TextQuality {
         "t -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), " +
         "(a, b) -> (a * 31 + b) % 1000000007))), " +
-        "(a, b) -> (a * 131 + b) % 1000000007) AS fp FROM documents ORDER BY doc_id")
+        "(a, b) -> (a * 131 + b) % 1000000007) AS fp FROM documents ORDER BY doc_id"),
+    // count(*)/count(DISTINCT) are BIGINT in DuckDB (no HUGEINT hazard);
+    // `w || ' ' || lead(w)` propagates the NULL lead at document end,
+    // matching the Spark side's concat + isNotNull filter.
+    "text_repetition" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(string_split(lower(text), ' ')) AS w, " +
+        "generate_subscripts(string_split(lower(text), ' '), 1) AS pos " +
+        "FROM documents), " +
+        "tot AS (SELECT doc_id, count(*) AS n_words, " +
+        "count(DISTINCT w) AS n_distinct FROM toks GROUP BY 1), " +
+        "wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2), " +
+        "mx AS (SELECT doc_id, max(c) AS mc FROM wc GROUP BY 1), " +
+        "topw AS (SELECT wc.doc_id, min(wc.w) AS top_word, min(mx.mc) AS mc " +
+        "FROM wc JOIN mx ON wc.doc_id = mx.doc_id AND wc.c = mx.mc GROUP BY 1), " +
+        "bi AS (SELECT doc_id, w || ' ' || " +
+        "lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg FROM toks), " +
+        "bc AS (SELECT doc_id, bg, count(*) AS c FROM bi " +
+        "WHERE bg IS NOT NULL GROUP BY 1, 2), " +
+        "bmx AS (SELECT doc_id, max(c) AS bc FROM bc GROUP BY 1) " +
+        "SELECT t.doc_id, t.n_words, p.top_word, " +
+        "round(p.mc / CAST(t.n_words AS DOUBLE), 6) AS top_word_frac, " +
+        "round(1.0 - t.n_distinct / CAST(t.n_words AS DOUBLE), 6) AS dup_word_frac, " +
+        "round(b.bc / CAST(t.n_words - 1 AS DOUBLE), 6) AS top_bigram_frac " +
+        "FROM tot t JOIN topw p ON t.doc_id = p.doc_id " +
+        "JOIN bmx b ON t.doc_id = b.doc_id ORDER BY t.doc_id")
   )
 }

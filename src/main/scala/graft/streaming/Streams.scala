@@ -639,7 +639,14 @@ object Streams {
     * replay after a failure/restart from the same checkpoint) finds the
     * half-published table/dir, drops both, and republishes — the merge
     * reads only the PREVIOUS version, which the caller retires strictly
-    * after this returns, so a replay recomputes from the same inputs. */
+    * after this returns, so a replay recomputes from the same inputs.
+    *
+    * Read side: key-equality probes against a published version are
+    * bucket-PRUNED (`SelectedBucketsCount: 1 out of n` — the point-lookup
+    * path a serving layer wants); lookup-heavy sessions should set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`, since
+    * that rule only weighs join/agg distribution needs, not pruning
+    * (UpsertIncrementalSpec pins the pruned plan). */
   def publishVersion(s: SparkSession, prev: Option[(String, String)],
                      batchLatest: DataFrame, name: String, loc: String,
                      n: Int = 8): Unit = {

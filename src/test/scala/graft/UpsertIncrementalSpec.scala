@@ -98,6 +98,43 @@ class UpsertIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("point lookup on the published snapshot is bucket-pruned") {
+    // The read-side payoff of the bucketed layout: a key-equality probe
+    // against the snapshot scans ONE bucket's files, not the table — at
+    // 100 TB in 10k buckets that is the difference between a point
+    // lookup and a table scan. Spark prunes buckets for equality/IN
+    // predicates on the bucket column; the plan advertises it as
+    // SelectedBucketsCount.
+    val snap = upsertLatest(eventsSlim())
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_inc_")
+    val name = "graft_inc_probe_snap"
+    // DisableUnnecessaryBucketedScan would turn the bucketed scan off here
+    // (no join/agg needs the distribution) WITHOUT weighing the pruning
+    // benefit — a lookup workload disables that rule, as documented on
+    // publishVersion. Scoped + restored.
+    val prevAuto =
+      spark.conf.getOption("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      writeBucketedSnapshot(snap, name, root.resolve("v0").toString)
+      val someKey = snap.select("user_id").head().getLong(0)
+      val probe = spark.table(name).where(col("user_id") === lit(someKey))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"point lookup is not bucket-pruned:\n$plan")
+      assert(probe.count() === 1)
+    } finally {
+      prevAuto match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Staging.deleteRecursively(root)
+    }
+  }
+
   test("republishing the same version id is idempotent (foreachBatch replay)") {
     val ev = eventsSlim()
     val snap0 = upsertLatest(ev.where(col("event_id") % 2 === 0))
