@@ -17,6 +17,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Staging {
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+  /** Monotone count of staged-artifact BUILDS (cache misses) across every
+    * staging layer in the engine — derived relations here, the stream
+    * source copies/splits in Streams.stageDir/stageDirSplit, the
+    * publish-once sink artifacts in Sinks, the bucketed tables in Joins.
+    * Degraded reads (staged copy unreadable → uncached plan) count too:
+    * the caller did not get a warm staged read. Bench samples deltas
+    * around each timed key and reports per-key `staged_hit` booleans, so
+    * a cross-round bench diff can tell a warm-read measurement from one
+    * that silently paid an artifact build (the r10 driver-vs-builder
+    * 64.6 s vs 46.6 s gap was unattributable without this). */
+  val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Set `-Dgraft.staging=false` to bypass materialization: plan-only
     * consumers (graft.Explain, PlanAuditSpec) use it so they see the full
     * computation subtree instead of a staged-file scan, and pay no
@@ -90,12 +102,14 @@ object Staging {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[staging] $name staged copy unreadable (${e.getMessage}); running uncached")
+          buildCount.incrementAndGet()
           return (build, false)
       }
       // Cache miss: force the build ONCE, outside the IO-degradation
       // try. A failing build is a real query error and must propagate —
       // retrying it from a catch handler would re-run the entire eager
       // construction (CC fixpoint, Lloyd pass) just to fail again.
+      buildCount.incrementAndGet()
       val df = build
       try {
         // Write to a private temp dir, then atomically rename into place:

@@ -308,6 +308,7 @@ object Joins {
           // metadata), drop the catalog entry (files survive — external),
           // atomically publish the dir, then attach the real name to it.
           import java.nio.file.{Files, Paths, StandardCopyOption}
+          Staging.buildCount.incrementAndGet() // cold bucketed-table build
           val tmpLoc = Paths.get(loc.toString + ".tmp-" +
             java.util.UUID.randomUUID.toString)
           val tmpName = name + "_w" // scratch name; session-local catalog

@@ -35,6 +35,7 @@ object Sinks {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     locks.computeIfAbsent(out.toString, _ => new Object).synchronized {
       if (!Files.exists(out.resolve("_SUCCESS"))) {
+        graft.Staging.buildCount.incrementAndGet() // cold publish, not a warm read
         val tmp = Paths.get(out.toString + ".tmp-" +
           java.util.UUID.randomUUID.toString)
         build(tmp)
@@ -98,6 +99,24 @@ object Sinks {
         .write.parquet(s"$tmp/gen2")
       // subdir writes leave _SUCCESS in gen1/gen2, not the publish root
       java.nio.file.Files.createFile(tmp.resolve("_SUCCESS"))
+    }
+
+  /** Columns `orders` round-trips through the ORC source (everything but
+    * the CSV key's synthetic quoted column — ORC is a typed columnar
+    * format, so the surface worth declaring is plain typed columns
+    * including a timestamp, which text sources degrade to strings). */
+  private val orcOrderCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+
+  /** `orders` re-written as ORC — the second columnar lake format a real
+    * ingest surface must read (Hive-era lakes are ORC). Written once per
+    * corpus version like the CSV artifact. */
+  def ensureOrcOrders(s: SparkSession, dir: String): String =
+    publishOnce(sinkPath(dir, "orders", "orders_orc_v1")) { tmp =>
+      Tables.table(s, dir, "orders")
+        .select(orcOrderCols.map(col): _*)
+        .write.mode("overwrite").orc(tmp.toString)
     }
 
   /** `orders` re-written as header'd CSV — the delimited-text source
@@ -176,7 +195,20 @@ object Sinks {
         .schema("o_orderkey BIGINT, o_orderstatus STRING, " +
           "o_totalprice DOUBLE, tag STRING")
         .csv(ensureCsvOrders(s, dir))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // ORC source with an EXPLICIT schema (skips footer-merge planning the
+    // way a production reader with a known catalog schema does). The
+    // schema is DERIVED from the live orders table, not hard-coded: the
+    // driver regenerates testdata between rounds and physical types have
+    // drifted before (ts nanos→µs) — deriving keeps the read adaptive
+    // while still exercising the user-supplied-schema path.
+    "source_orc" -> ((s, dir) => {
+      val sch = Tables.table(s, dir, "orders")
+        .select(orcOrderCols.map(col): _*).schema
+      s.read.schema(sch).orc(ensureOrcOrders(s, dir))
+        .orderBy("o_orderkey")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -199,6 +231,9 @@ object Sinks {
     "source_csv" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
        "o_orderpriority || ',' || o_orderstatus AS tag " +
-       "FROM orders ORDER BY o_orderkey")
+       "FROM orders ORDER BY o_orderkey"),
+    "source_orc" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+       "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey")
   )
 }

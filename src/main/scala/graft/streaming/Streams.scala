@@ -13,9 +13,10 @@ case class UserCount(user_id: Long, cnt: Long)
 
 /** Spark 4 successor-API twin of `Streams.countUpdates`: the same running
   * per-user counter as a `StatefulProcessor` for `transformWithState`
-  * (SURVEY §2.8 names it as the alternative stateful API). The declared
-  * `stream_stateful_count` key stays on `flatMapGroupsWithState`; this twin
-  * is exercised by StreamingSpec. `TimeMode.None` — the counter needs no
+  * (SURVEY §2.8 names it as the alternative stateful API). Backs the
+  * declared `stream_transform_state` key (the `stream_stateful_count` key
+  * stays on `flatMapGroupsWithState`, so both stateful APIs are covered)
+  * and StreamingSpec's multi-batch twin. `TimeMode.None` — the counter needs no
   * timers, so state lives until the query ends (production would pass a
   * TTLConfig). transformWithState requires the RocksDB state-store
   * provider; the spec scopes that conf to its own drain. */
@@ -100,6 +101,7 @@ object Streams {
     Files.createDirectories(dir)
     val dst = dir.resolve(src.getFileName)
     if (!Files.exists(dst)) {
+      graft.Staging.buildCount.incrementAndGet() // cold copy, not a warm read
       // copy via a UNIQUE temp name + atomic rename: a JVM killed mid-copy
       // must not leave a truncated file the existence check would trust,
       // and two concurrent JVMs must not share a temp path (a fixed name
@@ -173,6 +175,7 @@ object Streams {
         } finally ls.close()
       } catch { case scala.util.control.NonFatal(_) => () }
     if (!Files.isDirectory(dir)) {
+      graft.Staging.buildCount.incrementAndGet() // cold split build
       Files.createDirectories(root)
       val tmp = Files.createTempDirectory(root, ".split")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -479,6 +482,42 @@ object Streams {
         .orderBy("user_id")
     }),
 
+    // The same running per-user counter on Spark 4's SUCCESSOR stateful
+    // API: `transformWithState` + StatefulProcessor (CountProcessor above)
+    // — the API a new streaming user reaches for, declared alongside the
+    // flatMapGroupsWithState key so both stateful surfaces are
+    // driver-verified. TimeMode.None: the counter needs no timers, so
+    // emission is schedule-independent and max(cnt) per user equals the
+    // batch count exactly (no watermark, no late-drop — a strictly
+    // stronger equality than the fMGWS key's). transformWithState
+    // requires the RocksDB state-store provider; scoped to this drain and
+    // restored after (drain() is synchronous, so the restore cannot race
+    // micro-batch planning).
+    "stream_transform_state" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      try {
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+        val out = eventsStream(s, Tables.path(dir, "events"))
+          .select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(new CountProcessor,
+            TimeMode.None(), OutputMode.Append())
+        // No timers and no watermark: the no-data batch cannot emit —
+        // skip its planning + state load/commit cycle.
+        drain(out.toDF(), OutputMode.Append(), noDataBatch = Some(false))
+          .groupBy("user_id").agg(max(col("cnt")).as("n_events"))
+          .orderBy("user_id")
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     // CDC-style UPSERT sink: each micro-batch folds into a keyed parquet
     // snapshot via foreachBatch — the merge loop every warehouse ingest
     // runs (dedup the batch to latest-per-key, union-merge with the prior
@@ -661,6 +700,17 @@ object Streams {
         try {
           val touched = bl.select(bucketOf(col("user_id"), n).as("b"))
             .distinct().collect().map(_.getInt(0)).toSet
+          if (touched.size == n) {
+            // Every bucket is touched (the declared key's shape: a broad
+            // ingest batch over few buckets): the isin filter, hardlink
+            // carry-forward, and catalog refresh are pure overhead over a
+            // plain full merge + rewrite — fast-path them away. The
+            // incremental machinery below stays the scale path (a small
+            // CDC batch over a 10k-bucket snapshot touches few buckets)
+            // and stays exercised by UpsertIncrementalSpec + UpsertProbe.
+            writeBucketedSnapshot(upsertMerge(s.table(prevName), bl),
+              name, loc, n)
+          } else {
           // Filter ABOVE the bucketed scan: preserves the scan's
           // HashPartitioning, so the merge join still requires no
           // exchange on the snapshot side (UpsertPlanSpec's invariant).
@@ -685,6 +735,7 @@ object Streams {
           // the carried files postdate table creation — drop any cached
           // listing so the next scan of `name` sees all buckets
           s.catalog.refreshTable(name)
+          }
         } finally bl.unpersist()
     }
   }
@@ -736,6 +787,9 @@ object Streams {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
     "stream_stateful_count" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_transform_state" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the ordering key is microsecond-truncated on the ORACLE side too:

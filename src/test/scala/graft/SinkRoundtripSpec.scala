@@ -34,6 +34,19 @@ class SinkRoundtripSpec extends AnyFunSuite {
     assert(rowSet(spark.read.orc(p)) === rowSet(result))
   }
 
+  test("source_orc key equals the raw orders projection") {
+    // The declared ORC SOURCE key (ops.Sinks): staged ORC artifact read
+    // back with an explicit (derived) schema must be an identity
+    // projection of the raw orders table — including the timestamp
+    // column, which text formats degrade and ORC must round-trip.
+    import org.apache.spark.sql.functions.col
+    val back = SparkEntry.queries("source_orc")(spark, sf)
+    val raw = Tables.table(spark, sf, "orders")
+      .select(back.schema.fieldNames.map(col).toSeq: _*)
+    assert(rowSet(back) === rowSet(raw))
+    assert(back.schema === raw.schema)
+  }
+
   test("json sink round-trip") {
     val p = tmp("json")
     result.write.mode("overwrite").json(p)

@@ -98,6 +98,41 @@ class UpsertIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("all-buckets-touched publish takes the full-merge fast path, same result") {
+    // When the batch touches every bucket (the declared key's shape),
+    // publishVersion skips the isin filter + hardlink carry and does a
+    // plain full merge+rewrite. Same contents as the incremental oracle,
+    // and NO v0 file may be carried by name+size into v1 — every bucket
+    // was merged, so every file is a rewrite.
+    val ev = eventsSlim()
+    val snap0 = upsertLatest(ev.where(col("event_id") % 2 === 0))
+    // synthetic 100-user batch: the test corpus has only 15 users at this
+    // SF, which murmur3 happens to spread over 7 of 8 buckets — too few
+    // to exercise the all-touched shape. 100 sequential user_ids cover
+    // all 8 (asserted below); ts far in the future so the merge must
+    // prefer the batch for every overlapping user.
+    val batch = spark.range(0, 100).select(
+      col("id").as("user_id"),
+      expr("timestamp_micros(1900000000000000 + id)").as("ts"),
+      (col("id") + lit(2000000000L)).as("event_id"),
+      lit("click").as("event_type"),
+      col("id").cast("double").as("value"))
+    // fixture sanity: the batch really does touch all 8 buckets
+    assert(batch.select(bucketOf(col("user_id"), 8)).distinct().count() === 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_inc_")
+    val v0 = "graft_inc_fp_v0"
+    val v1 = "graft_inc_fp_v1"
+    try {
+      writeBucketedSnapshot(snap0, v0, root.resolve("v0").toString)
+      publishVersion(spark, Some((v0, root.resolve("v0").toString)),
+        batch, v1, root.resolve("v1").toString)
+      assert(rowSet(spark.table(v1)) === rowSet(upsertMerge(snap0, batch)))
+    } finally {
+      Seq(v0, v1).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Staging.deleteRecursively(root)
+    }
+  }
+
   test("point lookup on the published snapshot is bucket-pruned") {
     // The read-side payoff of the bucketed layout: a key-equality probe
     // against the snapshot scans ONE bucket's files, not the table — at
