@@ -50,7 +50,13 @@ object Staging {
 
   /** The staged-artifact directory for (source, name) under version `v` —
     * exposed so tests can pin that a version bump relocates every key
-    * (forcing a cold rebuild) while an unchanged version is byte-stable. */
+    * (forcing a cold rebuild) while an unchanged version is byte-stable.
+    *
+    * INVARIANT: every write under the `graft_derived` root MUST take its
+    * path from this method. [[sweepOrphans]] reaps ANY entry there (older
+    * than 1h) whose name lacks the current `_v<N>` suffix — a writer that
+    * invents its own name under this root will have its artifact silently
+    * deleted as a retired-format orphan. */
   private[graft] def derivedDir(sourcePath: String, name: String,
                                 v: Int = formatVersion): Path =
     Paths.get(sys.props("java.io.tmpdir"), "graft_derived",

@@ -82,6 +82,8 @@ object Streams {
   }
 
   private val sinkId = new AtomicLong(0)
+  private val ckptRootLogged =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
   private val splitSweepDone =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -161,7 +163,10 @@ object Streams {
     // the old artifacts precisely when the new ones are already built.
     // (Plain stageDir copies carry no version: they are byte-identical
     // to the source, so their meaning cannot drift with staging code.)
-    if (splitSweepDone.compareAndSet(false, true) && Files.isDirectory(root))
+    // isDirectory FIRST: CAS-ing before the check would consume the
+    // once-per-JVM flag even when the root doesn't exist yet, so a root
+    // created later in the same JVM would never be swept.
+    if (Files.isDirectory(root) && splitSweepDone.compareAndSet(false, true))
       try {
         val ls = Files.list(root)
         try ls.forEach { c =>
@@ -277,6 +282,14 @@ object Streams {
         Some(java.nio.file.Paths.get("/dev/shm",
           s"graft_drain_${name}_${java.util.UUID.randomUUID}"))
       else None
+    // Logged once per JVM: the r10 driver-vs-builder bench gap pointed at
+    // environment differences, and whether drain WALs hit tmpfs or disk is
+    // exactly the kind of difference a bench JSON can't show — make it
+    // greppable in any run's stderr.
+    if (ckptRootLogged.compareAndSet(false, true))
+      System.err.println("[drain] checkpoint root: " +
+        (if (shmCkpt.isDefined) "/dev/shm (tmpfs)"
+         else s"${sys.props("java.io.tmpdir")} (no /dev/shm)"))
     try {
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.getOption("graft.drain.statePartitions").getOrElse("1"))
