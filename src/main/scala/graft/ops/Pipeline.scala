@@ -357,6 +357,32 @@ object Pipeline {
         s)
     }),
 
+    // Context-window CHUNKING with overlap — the RAG/pretraining prep
+    // step pack_sequences does NOT cover (packing concatenates many docs
+    // into fixed budgets; chunking splits each doc into overlapping token
+    // windows so no context boundary loses information). Window 32
+    // tokens, stride 24 (8-token overlap between consecutive chunks);
+    // chunk k of a doc covers tokens [k*24, k*24+32), k = 0 ..
+    // floor((n-1)/24) — every token lands in ≥1 chunk, short tails stay
+    // short (slice truncates). Scale shape: one map-side posexplode —
+    // no join, no aggregation, no shuffle except the declared total-order
+    // sort; at 100 TB chunking is embarrassingly parallel and the output
+    // is written straight back to the lake partitioned like its input.
+    "text_chunk" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          posexplode(sequence(lit(0), floor((col("n") - 1) / 24).cast("int"))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          // k*24 ≤ n-1 by the sequence bound, so the slice is never empty
+          // and its length is exactly least(32, n - k*24)
+          least(lit(32), col("n") - col("pos") * 24).cast("long").as("n_toks"),
+          array_join(slice(col("toks"), col("pos") * 24 + 1, lit(32)), " ")
+            .as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Near-dup cluster resolution: min-label propagation over the exact
     // trigram-Jaccard pair graph until fixpoint. Output is (doc_id,
     // cluster) for every doc that participates in at least one near-dup
@@ -677,6 +703,19 @@ object Pipeline {
   val lastCcNamespace = new ThreadLocal[String]
 
   val oracles: Map[String, String] = Map(
+    // list_slice is 1-based inclusive-both-ends, so [k*24+1 : k*24+32]
+    // is Spark's slice(toks, k*24+1, 32); generate_series is inclusive,
+    // matching Spark's sequence.
+    "text_chunk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "len(string_split(text, ' ')) AS n FROM documents), " +
+        "g AS (SELECT doc_id, toks, n, " +
+        "unnest(generate_series(0, CAST(floor((n - 1) / 24) AS BIGINT))) AS k " +
+        "FROM t) " +
+        "SELECT doc_id, k AS chunk_id, " +
+        "CAST(least(32, n - k * 24) AS BIGINT) AS n_toks, " +
+        "array_to_string(toks[k * 24 + 1 : k * 24 + 32], ' ') AS chunk " +
+        "FROM g ORDER BY doc_id, chunk_id"),
     "sample_stratified" ->
       ("SELECT doc_id, lang, source FROM documents " +
         "WHERE ((doc_id * 48271) % 2147483647) % 100 < " +

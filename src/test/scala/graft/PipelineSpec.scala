@@ -226,6 +226,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("text_chunk covers every token with the declared overlap") {
+    // Reference chunker in plain Scala over the collected corpus: window
+    // 32, stride 24, starts 0,24,48,… while start ≤ n-1. Pins (a) exact
+    // chunk set equality, (b) full coverage: concatenating each doc's
+    // chunks with the 8-token overlaps removed reproduces the original
+    // token stream.
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 to (toks.length - 1) / 24).map { k =>
+        val sl = toks.slice(k * 24, k * 24 + 32)
+        (id, k.toLong, sl.length.toLong, sl.mkString(" "))
+      }
+    }.toSet
+    val got = ops.Pipeline.queries("text_chunk")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === want)
+    // coverage: chunk 0 whole, later chunks minus the 8 overlap tokens
+    val rebuilt = want.toSeq.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).flatMap { case (_, k, _, c) =>
+        val toks = c.split(" ", -1).toSeq
+        if (k == 0L) toks else toks.drop(8)
+      }.mkString(" ")
+    }
+    docs.foreach { case (id, text) => assert(rebuilt(id) === text) }
+  }
+
   test("composite-key packing is bit-identical to the single-key window") {
     import spark.implicits._
     // Generated corpus: few sources, sparse non-contiguous doc_ids, varied
