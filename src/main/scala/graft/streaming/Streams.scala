@@ -373,6 +373,26 @@ object Streams {
         .orderBy("ws", "event_type")
     }),
 
+    // The REAL-DRAIN twin of stream_tumbling, declared and oracled:
+    // complete-mode AvailableNow drain of the same 1-hour windowed count
+    // through the streaming ENGINE (state store, window finalization) —
+    // a full complete-mode drain holds every window, so it equals the
+    // batch form exactly and shares its oracle. Declared alongside the
+    // batch-form key so the driver verifies streaming windowed
+    // aggregation end-to-end (r10 moved the shared-operator keys to
+    // batch; this restores one oracled windowed key on the drain path —
+    // stream_watermark_late covers append/watermark semantics but is
+    // necessarily no-oracle).
+    "stream_tumbling_drain" -> ((s, dir) => {
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count()
+      drain(out, OutputMode.Complete())
+        .select(unix_timestamp(col("window.start")).as("ws"),
+                col("event_type"), col("count").as("n"))
+        .orderBy("ws", "event_type")
+    }),
+
     // 1-hour window sliding every 15 min: each event lands in 4 windows.
     // Batch evaluation of the shared operator, same rationale (and same
     // StreamingSpec drain twin) as stream_tumbling above.
@@ -770,6 +790,10 @@ object Streams {
        "GROUP BY c_mktsegment, event_type " +
        "ORDER BY c_mktsegment, event_type"),
     "stream_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_tumbling_drain" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
