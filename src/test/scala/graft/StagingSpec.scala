@@ -11,6 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class StagingSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("Bench.stagedReadKeys are all declared queries") {
+    // The bench warm-up force-builds every stagedReadKeys artifact by
+    // invoking the key; a renamed/removed key would make the warm-up
+    // silently skip it (NonFatal-swallowed) and the timed pass would pay
+    // a cold build again — exactly the r10 driver-bench failure mode.
+    val unknown = Bench.stagedReadKeys.toSet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"stagedReadKeys not in queries: $unknown")
+  }
+
   test("unusable tmpdir degrades to the uncached plan, not a failure") {
     import spark.implicits._
     // Force session init AND first-query lazies (ArtifactManager's static
