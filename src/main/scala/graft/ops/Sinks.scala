@@ -63,10 +63,38 @@ object Sinks {
             throw new IllegalStateException(
               s"derived sink $out contended and never complete")
         }
+        sweepRetired(out)
       }
       out.toString
     }
   }
+
+  /** Sweep RETIRED-corpus siblings of a just-published sink artifact:
+    * same `_tag` suffix (same artifact class), different fingerprint
+    * prefix (a prior testdata generation nothing will read again — the
+    * driver regenerates parquet between rounds, and the day-partitioned
+    * events copy alone is events-sized, so leaked generations stack fast).
+    * Same discipline as Staging.sweepOrphans / stageDirSplit's sweep:
+    * 1h age guard so a concurrent JVM's fresh publish is never raced;
+    * `.tmp-` dirs of any age belong to live writers and are left to the
+    * publish loop's own handling. Best-effort. */
+  private[graft] def sweepRetired(published: java.nio.file.Path): Unit =
+    try {
+      import java.nio.file.Files
+      val name = published.getFileName.toString
+      val tag = name.dropWhile(_ != '_') // "_<tag>", fingerprint stripped
+      val parent = published.getParent
+      if (tag.nonEmpty && parent != null && Files.isDirectory(parent)) {
+        val cutoff = System.currentTimeMillis() - 3600000L
+        val ls = Files.list(parent)
+        try ls.forEach { c =>
+          val n = c.getFileName.toString
+          if (n != name && n.endsWith(tag) && !n.contains(".tmp-") &&
+              Files.getLastModifiedTime(c).toMillis < cutoff)
+            graft.Staging.deleteRecursively(c)
+        } finally ls.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def sinkPath(dir: String, table: String, tag: String) =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_sink",

@@ -47,6 +47,31 @@ class SinkRoundtripSpec extends AnyFunSuite {
     assert(back.schema === raw.schema)
   }
 
+  test("sink publish sweeps retired-corpus siblings of the same class only") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val parent = Files.createTempDirectory("graft_sink_sweep_")
+    def mk(name: String, old: Boolean): java.nio.file.Path = {
+      val d = Files.createDirectories(parent.resolve(name))
+      Files.createFile(d.resolve("_SUCCESS"))
+      if (old) Files.setLastModifiedTime(d,
+        FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+      d
+    }
+    try {
+      val kept = mk("bbbb12345678_foo_v1", old = false) // the live publish
+      mk("aaaa12345678_foo_v1", old = true)              // retired, same class
+      val young = mk("cccc12345678_foo_v1", old = false) // other fp, too fresh
+      val otherClass = mk("aaaa12345678_bar_v1", old = true) // different tag
+      ops.Sinks.sweepRetired(kept)
+      assert(!Files.exists(parent.resolve("aaaa12345678_foo_v1")),
+        "old same-class sibling not swept")
+      assert(Files.exists(kept) && Files.exists(young) &&
+        Files.exists(otherClass),
+        "sweep touched the live publish, a fresh sibling, or another class")
+    } finally Staging.deleteRecursively(parent)
+  }
+
   test("json sink round-trip") {
     val p = tmp("json")
     result.write.mode("overwrite").json(p)
