@@ -308,6 +308,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_normalize introduced a hash shuffle — no longer map-side")
   }
 
+  test("text_chunk is map-side generate work: no hash shuffle anywhere") {
+    // Chunking must scale as a scan + generate — the only exchange
+    // allowed is the declared output sort's range partitioning; a hash
+    // shuffle would mean a join/agg crept into a per-row operator.
+    assert(!plans("text_chunk").contains("Exchange hashpartitioning"),
+      "text_chunk introduced a hash shuffle — no longer map-side")
+    assert(plans("text_chunk").contains("Generate"),
+      "text_chunk lost its posexplode Generate")
+  }
+
   test("agg_mode aggregates partial+final with bounded per-group state") {
     // mode's buffer is a value-domain frequency map (ObjectHashAggregate);
     // the partial phase must run map-side so only (group, value, count)
