@@ -30,7 +30,8 @@ object Sinks {
     * is evicted; a FRESH one may be mid-publish — wait for its `_SUCCESS`
     * rather than deleting files under another JVM's query). A reader never
     * sees a half-written dir. */
-  private def publishOnce(out: java.nio.file.Path)
+  private def publishOnce(out: java.nio.file.Path,
+                          src: java.nio.file.Path)
                          (build: java.nio.file.Path => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     locks.computeIfAbsent(out.toString, _ => new Object).synchronized {
@@ -63,7 +64,7 @@ object Sinks {
             throw new IllegalStateException(
               s"derived sink $out contended and never complete")
         }
-        sweepRetired(out)
+        sweepRetired(out, src)
       }
       out.toString
     }
@@ -74,22 +75,56 @@ object Sinks {
     * prefix (a prior testdata generation nothing will read again — the
     * driver regenerates parquet between rounds, and the day-partitioned
     * events copy alone is events-sized, so leaked generations stack fast).
+    *
+    * Two guards keep "retired" exact (r11 ADVICE):
+    *  - the class match is the EXACT post-fingerprint suffix
+    *    (`dropWhile(_ != '_') == tag`), not endsWith — a future tag that
+    *    happens to be a suffix of another tag must not cross-delete
+    *    artifact classes;
+    *  - a sibling is only retired if its fingerprint matches NO
+    *    currently-live corpus generation of this table: the sf dirs
+    *    coexist (sf0.001 tests, sf0.01 verify, sf0.1 bench), so the same
+    *    artifact class legitimately has one live publish per scale
+    *    factor, and age alone cannot distinguish "old generation" from
+    *    "other-SF artifact a long-running reader may still hold open".
+    *    Live fingerprints are recomputed from disk at sweep time (stat
+    *    of each corpus sibling dir's same-named table file — exactly the
+    *    identity [[graft.Tables.sourceFingerprint]] hashes).
+    *
     * Same discipline as Staging.sweepOrphans / stageDirSplit's sweep:
     * 1h age guard so a concurrent JVM's fresh publish is never raced;
     * `.tmp-` dirs of any age belong to live writers and are left to the
     * publish loop's own handling. Best-effort. */
-  private[graft] def sweepRetired(published: java.nio.file.Path): Unit =
+  private[graft] def sweepRetired(published: java.nio.file.Path,
+                                  src: java.nio.file.Path): Unit =
     try {
       import java.nio.file.Files
       val name = published.getFileName.toString
       val tag = name.dropWhile(_ != '_') // "_<tag>", fingerprint stripped
       val parent = published.getParent
       if (tag.nonEmpty && parent != null && Files.isDirectory(parent)) {
+        val live: Set[String] = {
+          val root = Option(src.getParent).flatMap(p => Option(p.getParent))
+          root match {
+            case Some(r) if Files.isDirectory(r) =>
+              val ls = Files.list(r)
+              try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+                .map(_.resolve(src.getFileName))
+                .filter(Files.isRegularFile(_))
+                .map(p => Tables.sourceFingerprint(p.toString)).toSet
+              finally ls.close()
+            case _ if Files.isRegularFile(src) =>
+              Set(Tables.sourceFingerprint(src.toString))
+            case _ => return // can't establish liveness — sweep nothing
+          }
+        }
         val cutoff = System.currentTimeMillis() - 3600000L
         val ls = Files.list(parent)
         try ls.forEach { c =>
           val n = c.getFileName.toString
-          if (n != name && n.endsWith(tag) && !n.contains(".tmp-") &&
+          if (n != name && n.dropWhile(_ != '_') == tag &&
+              !n.contains(".tmp-") &&
+              !live.contains(n.takeWhile(_ != '_')) &&
               Files.getLastModifiedTime(c).toMillis < cutoff)
             graft.Staging.deleteRecursively(c)
         } finally ls.close()
@@ -100,12 +135,21 @@ object Sinks {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_sink",
       s"${Tables.sourceFingerprint(Tables.path(dir, table))}_$tag")
 
+  /** [[publishOnce]] with the fingerprint key + live-corpus source both
+    * derived from the same (dir, table) — keeps the two in lockstep so
+    * [[sweepRetired]]'s liveness check always stats the file the key
+    * hashed. */
+  private def publishSink(dir: String, table: String, tag: String)
+                         (build: java.nio.file.Path => Unit): String =
+    publishOnce(sinkPath(dir, table, tag),
+      java.nio.file.Paths.get(Tables.path(dir, table)))(build)
+
   /** Day-partitioned events sink, written once per MACHINE + corpus
     * version. NOT gated by `graft.staging`: the partitioned files ARE this
     * operator's semantics — a plan-only consumer still needs a real
     * directory to plan the partition-pruned scan against. */
   def ensurePartitionedEvents(s: SparkSession, dir: String): String =
-    publishOnce(sinkPath(dir, "events", "events_byday_v1")) { tmp =>
+    publishSink(dir, "events", "events_byday_v1") { tmp =>
       Tables.events(s, dir)
         .withColumn("day", to_date(col("ts")))
         .write.partitionBy("day").mode("overwrite").parquet(tmp.toString)
@@ -117,7 +161,7 @@ object Sinks {
     * the DuckDB oracle can replay which rows lack the late column
     * without reading our files. */
   def ensureEvolvedOrders(s: SparkSession, dir: String): String =
-    publishOnce(sinkPath(dir, "orders", "orders_evolved_v1")) { tmp =>
+    publishSink(dir, "orders", "orders_evolved_v1") { tmp =>
       val o = Tables.table(s, dir, "orders")
       o.where(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_totalprice")
@@ -141,7 +185,7 @@ object Sinks {
     * ingest surface must read (Hive-era lakes are ORC). Written once per
     * corpus version like the CSV artifact. */
   def ensureOrcOrders(s: SparkSession, dir: String): String =
-    publishOnce(sinkPath(dir, "orders", "orders_orc_v1")) { tmp =>
+    publishSink(dir, "orders", "orders_orc_v1") { tmp =>
       Tables.table(s, dir, "orders")
         .select(orcOrderCols.map(col): _*)
         .write.mode("overwrite").orc(tmp.toString)
@@ -151,7 +195,7 @@ object Sinks {
     * surface. The `tag` column embeds a comma so the roundtrip exercises
     * quoting, not just tokenization. */
   def ensureCsvOrders(s: SparkSession, dir: String): String =
-    publishOnce(sinkPath(dir, "orders", "orders_csv_v1")) { tmp =>
+    publishSink(dir, "orders", "orders_csv_v1") { tmp =>
       Tables.table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           concat_ws(",", col("o_orderpriority"), col("o_orderstatus"))

@@ -393,6 +393,24 @@ object Streams {
         .orderBy("ws", "event_type")
     }),
 
+    // The REAL-DRAIN twin of stream_sliding, declared and oracled: the
+    // same 1-hour/15-min sliding aggregate drained complete-mode through
+    // the streaming engine (each event expands to 4 windows INSIDE the
+    // stateful agg; a full complete drain holds every window, so it
+    // equals the batch form and shares its oracle). Declared so the
+    // driver exercises sliding-window state finalization — r11 verdict:
+    // the batch-form key never touches the state store and the
+    // StreamingSpec twin is invisible to the driver.
+    "stream_sliding_drain" -> ((s, dir) => {
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      drain(out, OutputMode.Complete())
+        .select(unix_timestamp(col("window.start")).as("ws"),
+                D.r6(col("avg_value")).as("avg_value"), col("n"))
+        .orderBy("ws")
+    }),
+
     // 1-hour window sliding every 15 min: each event lands in 4 windows.
     // Batch evaluation of the shared operator, same rationale (and same
     // StreamingSpec drain twin) as stream_tumbling above.
@@ -413,6 +431,29 @@ object Streams {
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+        .select(col("user_id"),
+                unix_micros(col("session_window.start")).as("start_us"),
+                col("n_events"),
+                (unix_micros(col("mx")) -
+                 unix_micros(col("session_window.start"))).as("dur_us"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // The REAL-DRAIN twin of stream_session, declared and oracled:
+    // complete-mode AvailableNow drain of the same 30-min-gap session
+    // windows through the streaming engine — this is the one aggregation
+    // whose STREAMING form runs a dedicated physical operator
+    // (sessionization + window MERGE in the state store, not just window
+    // assignment), so driver-side coverage matters more here than for
+    // tumbling/sliding. Complete mode holds and re-emits all session
+    // state (no watermark required; eviction is disabled), so a full
+    // drain merges every event into its final session and equals the
+    // batch session_window form exactly — shared oracle.
+    "stream_session_drain" -> ((s, dir) => {
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+      drain(out, OutputMode.Complete())
         .select(col("user_id"),
                 unix_micros(col("session_window.start")).as("start_us"),
                 col("n_events"),
@@ -572,8 +613,12 @@ object Streams {
     // touched-bucket-proportional, not snapshot-proportional
     // (UpsertProbe measures it), and a replayed micro-batch id
     // (foreachBatch redelivery after a checkpoint restart) republishes
-    // idempotently. Retired versions are dropped from the catalog per
-    // round and their files reclaimed with the snapshot root.
+    // idempotently — see [[mergeBatchFn]] for the derived-prev +
+    // deferred-retirement discipline that makes a mid-drain crash +
+    // restart-from-the-same-checkpoint converge to the identical
+    // snapshot (UpsertRecoverySpec drives that cycle). Retired versions
+    // are dropped from the catalog one batch later and their files
+    // reclaimed with the snapshot root.
     "stream_upsert_snapshot" -> ((s, dir) => {
       val src = stageDirSplit(s, Tables.path(dir, "events"), 4)
       val stream = eventsStreamDir(s, src, maxFiles = Some(1))
@@ -593,16 +638,8 @@ object Streams {
       // collide on version names
       val runTag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       @volatile var cur: Option[(String, String)] = None
-      val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
-        val name = s"graft_upsert_${runTag}_v$id"
-        val loc = snapRoot.resolve(s"v$id").toString
-        publishVersion(s, cur, upsertLatest(batch), name, loc)
-        // the new version was fully materialized by the write above, so
-        // the prior version can be retired immediately (external table:
-        // DROP only removes the catalog entry; files die with snapRoot)
-        cur.foreach { case (prev, _) => s.sql(s"DROP TABLE IF EXISTS $prev") }
-        cur = Some((name, loc))
-      }
+      val mergeBatch: (DataFrame, Long) => Unit =
+        mergeBatchFn(s, snapRoot, runTag, c => cur = Some(c))
       // honor the same tuning conf drain() does (≤0 disables the scoping)
       val mpb = s.conf.getOption("graft.drain.maxPartitionBytes")
         .getOrElse("1048576").toLong
@@ -626,11 +663,52 @@ object Streams {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevSp)
         s.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
-        cur.foreach { case (t, _) => s.sql(s"DROP TABLE IF EXISTS $t") }
+        // retirement is deferred one batch (see mergeBatchFn), so up to
+        // TWO versions are still catalog-live here
+        dropRunTables(s, runTag)
         graft.Staging.deleteRecursively(snapRoot)
       }
     })
   )
+
+  /** The foreachBatch merge function of `stream_upsert_snapshot`,
+    * factored out so UpsertRecoverySpec can drive the SAME code through
+    * a crash + restart-from-checkpoint cycle.
+    *
+    * Restart-safe by construction, with no mutable state the engine
+    * can't rebuild:
+    *  - `prev` is DERIVED from the micro-batch id (batch id merges onto
+    *    version id-1), not read from a variable — a replayed id after a
+    *    restart recomputes the same publish from the same inputs, and a
+    *    fresh JVM needs no recovered pointer.
+    *  - retirement is DEFERRED one batch: batch id retires v(id-2), not
+    *    v(id-1). foreachBatch redelivers batch id whenever the stream's
+    *    commit log lacks it, and the commit is written only AFTER this
+    *    function returns — so a crash after publishVersion(v_id) but
+    *    before the commit replays id, and the replay needs v(id-1) to
+    *    still exist. v(id-2) is safe to drop: the engine starts batch id
+    *    only after committing id-1, so no future replay reaches below
+    *    v(id-1). (DROP is catalog-only — external tables' files die with
+    *    the snapshot root.)
+    * `onPublish` observes each (name, loc) so the caller can read the
+    * final snapshot. */
+  def mergeBatchFn(s: SparkSession, snapRoot: java.nio.file.Path,
+                   runTag: String, onPublish: ((String, String)) => Unit)
+      : (DataFrame, Long) => Unit = (batch, id) => {
+    def nm(i: Long) = s"graft_upsert_${runTag}_v$i"
+    def lc(i: Long) = snapRoot.resolve(s"v$i").toString
+    val prev = if (id == 0) None else Some((nm(id - 1), lc(id - 1)))
+    publishVersion(s, prev, upsertLatest(batch), nm(id), lc(id))
+    if (id >= 2) s.sql(s"DROP TABLE IF EXISTS ${nm(id - 2)}")
+    onPublish((nm(id), lc(id)))
+  }
+
+  /** Drop every catalog table a `graft_upsert_<runTag>_v*` run left
+    * live (≤2 under deferred retirement, plus replay leftovers). */
+  def dropRunTables(s: SparkSession, runTag: String): Unit =
+    s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(s"graft_upsert_${runTag}_"))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
 
   /** Latest event per user within one frame: the map side of the upsert
     * (hash agg with map-side partial; at scale this is the only full
@@ -797,6 +875,12 @@ object Streams {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_sliding_drain" ->
+      """WITH slid AS (
+        |  SELECT CAST(floor(epoch(ts)/900)*900 - k.k*900 AS BIGINT) AS ws, value
+        |  FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k))
+        |SELECT ws, round(avg(value), 6) AS avg_value, count(*) AS n
+        |FROM slid GROUP BY ws ORDER BY ws""".stripMargin,
     "stream_sliding" ->
       """WITH slid AS (
         |  SELECT CAST(floor(epoch(ts)/900)*900 - k.k*900 AS BIGINT) AS ws, value
@@ -804,6 +888,23 @@ object Streams {
         |SELECT ws, round(avg(value), 6) AS avg_value, count(*) AS n
         |FROM slid GROUP BY ws ORDER BY ws""".stripMargin,
     "stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |       count(*) AS n_events,
+        |       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "stream_session_drain" ->
       """WITH marked AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL

@@ -51,6 +51,18 @@ class SinkRoundtripSpec extends AnyFunSuite {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     val parent = Files.createTempDirectory("graft_sink_sweep_")
+    // A fake corpus root with two LIVE scale-factor dirs holding the
+    // same table file — the sweep must protect artifacts keyed to EITHER
+    // live generation, not just the one being published against.
+    val corpus = Files.createTempDirectory("graft_sink_corpus_")
+    Files.createDirectories(corpus.resolve("sfA"))
+    Files.createDirectories(corpus.resolve("sfB"))
+    Files.write(corpus.resolve("sfA").resolve("tbl.parquet"), Array[Byte](1))
+    Files.write(corpus.resolve("sfB").resolve("tbl.parquet"), Array[Byte](1, 2))
+    val srcA = corpus.resolve("sfA").resolve("tbl.parquet")
+    val fpA = Tables.sourceFingerprint(srcA.toString)
+    val fpB = Tables.sourceFingerprint(
+      corpus.resolve("sfB").resolve("tbl.parquet").toString)
     def mk(name: String, old: Boolean): java.nio.file.Path = {
       val d = Files.createDirectories(parent.resolve(name))
       Files.createFile(d.resolve("_SUCCESS"))
@@ -59,17 +71,31 @@ class SinkRoundtripSpec extends AnyFunSuite {
       d
     }
     try {
-      val kept = mk("bbbb12345678_foo_v1", old = false) // the live publish
-      mk("aaaa12345678_foo_v1", old = true)              // retired, same class
+      val kept = mk(s"${fpA}_foo_v1", old = false)  // the live publish
+      mk("aaaa12345678_foo_v1", old = true)          // retired, same class
       val young = mk("cccc12345678_foo_v1", old = false) // other fp, too fresh
       val otherClass = mk("aaaa12345678_bar_v1", old = true) // different tag
-      ops.Sinks.sweepRetired(kept)
+      // old + same class, but keyed to the OTHER still-live SF dir: the
+      // r11 endsWith/age sweep would have deleted this (forcing rebuilds
+      // and potentially yanking files under a concurrent reader)
+      val otherSf = mk(s"${fpB}_foo_v1", old = true)
+      // old + tag that merely ENDS WITH "_foo_v1" — a different class;
+      // the exact-suffix match must leave it alone
+      val suffixClass = mk("dddd12345678_my_foo_v1", old = true)
+      ops.Sinks.sweepRetired(kept, srcA)
       assert(!Files.exists(parent.resolve("aaaa12345678_foo_v1")),
         "old same-class sibling not swept")
       assert(Files.exists(kept) && Files.exists(young) &&
         Files.exists(otherClass),
         "sweep touched the live publish, a fresh sibling, or another class")
-    } finally Staging.deleteRecursively(parent)
+      assert(Files.exists(otherSf),
+        "sweep deleted an artifact keyed to a still-live corpus dir")
+      assert(Files.exists(suffixClass),
+        "sweep cross-deleted a class whose tag is a suffix of this tag")
+    } finally {
+      Staging.deleteRecursively(parent)
+      Staging.deleteRecursively(corpus)
+    }
   }
 
   test("json sink round-trip") {

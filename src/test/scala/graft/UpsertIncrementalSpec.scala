@@ -127,6 +127,14 @@ class UpsertIncrementalSpec extends AnyFunSuite {
       publishVersion(spark, Some((v0, root.resolve("v0").toString)),
         batch, v1, root.resolve("v1").toString)
       assert(rowSet(spark.table(v1)) === rowSet(upsertMerge(snap0, batch)))
+      // the promised no-carry property, asserted on the actual layout: a
+      // regression that silently fell back to the hardlink carry path
+      // would reproduce some v0 (name, size) pair in v1
+      val f0 = dataFiles(root.resolve("v0"))
+      val f1 = dataFiles(root.resolve("v1"))
+      val carried = f1.toSet.intersect(f0.toSet)
+      assert(carried.isEmpty,
+        s"fast path carried v0 files into v1: ${carried.map(_._1)}")
     } finally {
       Seq(v0, v1).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       Staging.deleteRecursively(root)
