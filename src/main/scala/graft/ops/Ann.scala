@@ -241,13 +241,15 @@ object Ann {
         .orderBy("q_id", "rnk")
     }),
 
-    // IVF ANN: centroids = the 16 lowest vec_ids ("trained" deterministically
-    // so the oracle can replay it); every corpus vector lands in its nearest
-    // cell; each probe (vec_id < 10) searches its 4 nearest cells and ranks
-    // candidates by rounded cosine with vec_id tie-break.
+    // IVF ANN: centroids = the 16 lowest vec_ids refined by ONE
+    // distributed Lloyd round (see ivfCentroids — deterministic
+    // fixed-point arithmetic, so the oracle CTE replays the refinement
+    // from the raw table); every corpus vector lands in its nearest
+    // cell; each probe (vec_id < 10) searches its 4 nearest cells and
+    // ranks candidates by rounded cosine with vec_id tie-break.
     "embed_ann_ivf" -> ((s, dir) => {
       val e = embDouble(s, dir)
-      val centLit = ivfCentroids(e)
+      val centLit = ivfCentroids(s, dir, e)
       val cells = ivfCells(s, dir, e, centLit)
       val probeCells = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("q"),
@@ -270,7 +272,8 @@ object Ann {
       * FIXED-SIZE, not a corpus fraction — an uncapped 10% made total
       * work batch×corpus = quadratic, measured 100×/decade before the
       * cap) — is ASSIGNED to the already-staged IVF cells
-      * (`ivf_cells16_v1` — the exact artifact embed_ann_ivf searches)
+      * (`ivf_cells16_lloyd1_v1` — the exact artifact embed_ann_ivf
+      * searches, Lloyd-refined centroids since r12)
       * and searched against ONLY their own nprobe cells' OLDER members.
       * No index retrain, no corpus re-scan: the batch-side work is
       * batch-proportional (map-side cell assignment against the
@@ -285,7 +288,7 @@ object Ann {
       * bucket-bounded by the probe's cells. */
     "embed_ann_incremental" -> ((s, dir) => {
       val e = embDouble(s, dir)
-      val centLit = ivfCentroids(e)
+      val centLit = ivfCentroids(s, dir, e)
       val cells = ivfCells(s, dir, e, centLit)
       val mx = e.agg(max("vec_id").as("mx"))
       val probeCells = e.crossJoin(broadcast(mx))
@@ -349,27 +352,77 @@ object Ann {
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** 16 centroid vectors as literal columns via a collected broadcast —
-    * C is tiny and fixed; the corpus-side work stays fully distributed. */
-  private def ivfCentroids(e: DataFrame): Seq[(Long, Column)] =
+  /** 16 SEED centroid vectors as literal columns via a collected
+    * broadcast — C is tiny and fixed; the corpus-side work stays fully
+    * distributed. Seeds are the lowest vec_ids (deterministic, so the
+    * DuckDB oracle can replay them); searches use the Lloyd-refined
+    * centroids from [[ivfCentroids]]. */
+  private def ivfSeeds(e: DataFrame): Seq[(Long, Column)] =
     e.where(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
       .collect().toSeq.sortBy(_.getLong(0))
       .map(r => r.getLong(0) -> array(r.getSeq[Double](1).map(lit): _*))
 
+  /** IVF centroids after ONE distributed Lloyd refinement round over the
+    * seed cells (r11 verdict item 4: the first-16-vectors seeds were the
+    * only seed-grade piece left — PQ already trains a Lloyd round).
+    * Assign every corpus vector to its nearest SEED cell (the same
+    * map-side cosine argmax the search uses), then move each centroid to
+    * the per-dim MEAN of its members; empty cells keep their seed.
+    *
+    * Determinism (the property the static SQL oracle and the
+    * cross-partitioning verify diff both need): per-dim sums are EXACT
+    * fixed-point longs (`round(x·10⁶)` per element — long addition is
+    * associative, so the refined centroids are bit-identical under any
+    * partitioning), and the mean replays in DuckDB as
+    * `CAST(sum AS DOUBLE)/n/1e6` — the oracle CTE recomputes the full
+    * refinement from the raw table, so refined values never need to be
+    * embedded as literals. Staged per corpus version (64·16 doubles —
+    * index metadata, built once, read per search); the 16-row collect is
+    * bounded model state like the seed collect. */
+  private def ivfCentroids(s: SparkSession, dir: String,
+                           e: DataFrame): Seq[(Long, Column)] = {
+    val seeds = ivfSeeds(e)
+    val seedVals: Map[Long, Seq[Double]] = e.where(col("vec_id") < NumCentroids)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dim = seedVals.values.headOption.map(_.size).getOrElse(0)
+    val cents = graft.Staging.materialize(
+      s, Tables.path(dir, "embeddings"), "ivf_cent16_lloyd1_v1") {
+      val assigned = e.select(
+        element_at(nearestCells(col("v"), seeds, 1), 1)("c_id").as("cell"),
+        transform(col("v"), x => round(x * 1e6).cast("long")).as("q"))
+      val upd = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("q"), i + 1))): _*).as("sums"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          r.getLong(0) -> r.getSeq[Long](2).map(sv => sv.toDouble / n / 1e6)
+        }.toMap
+      import s.implicits._
+      seeds.map(_._1).map(cid =>
+        (cid, upd.getOrElse(cid, seedVals(cid)))).toDF("c_id", "cv")
+    }
+    cents.collect().toSeq.sortBy(_.getLong(0))
+      .map(r => r.getLong(0) -> array(r.getSeq[Double](1).map(lit): _*))
+  }
+
   /** The cell-assigned corpus IS the inverted file: staged per corpus
     * version like the PQ code table (at 100 TB this is the index layout
     * on disk — vectors stored with their cell, not recomputed per
-    * search). Assignment is a deterministic map-side argmax, so the
-    * staged copy is bit-identical to a fresh one. Shared by
-    * embed_ann_ivf (search) and embed_ann_incremental (ingest) — one
-    * artifact, two consumers, the point of an incremental index. */
+    * search). Assignment is a deterministic map-side argmax against the
+    * REFINED centroids, so the staged copy is bit-identical to a fresh
+    * one. Shared by embed_ann_ivf (search) and embed_ann_incremental
+    * (ingest) — one artifact, two consumers, the point of an incremental
+    * index. (lloyd1 in the tag: refined-centroid cells must never alias
+    * the retired seed-cell artifact.) */
   private def ivfCells(s: SparkSession, dir: String, e: DataFrame,
                        centLit: Seq[(Long, Column)]): DataFrame =
     graft.Staging.materialize(
       e.select(col("vec_id"), col("v"),
         element_at(nearestCells(col("v"), centLit, 1), 1)("c_id").as("cell")),
-      Tables.path(dir, "embeddings"), "ivf_cells16_v1")
+      Tables.path(dir, "embeddings"), "ivf_cells16_lloyd1_v1")
 
   val oracles: Map[String, String] = Map(
     // Full-CTE replay of the incremental-ingest path, same style as
@@ -378,7 +431,22 @@ object Ann {
     "embed_ann_incremental" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "mx AS (SELECT max(vec_id) AS mx FROM embeddings), " +
-        "cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16), " +
+        "cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16), " +
+        // one Lloyd refinement round, replayed exactly: assign to seed
+        // cells, per-dim FIXED-POINT mean (round(x*1e6) longs — the same
+        // exact arithmetic ivfCentroids runs, so refined values match
+        // Spark's bit-for-bit), empty cells keep their seed
+        "a0 AS (SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
+        "FROM e CROSS JOIN cent0), " +
+        "m0 AS (SELECT v, c_id FROM a0 WHERE rc = 1), " +
+        "dx AS (SELECT c_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM m0), " +
+        "ds AS (SELECT c_id, d, sum(CAST(round(x * 1e6) AS BIGINT)) AS sm, " +
+        "count(*) AS n FROM dx GROUP BY c_id, d), " +
+        "centm AS (SELECT c_id, list(CAST(sm AS DOUBLE) / n / 1e6 ORDER BY d) AS cv " +
+        "FROM ds GROUP BY c_id), " +
+        "cent AS (SELECT c_id, cv FROM centm UNION ALL " +
+        "SELECT c_id, cv FROM cent0 WHERE c_id NOT IN (SELECT c_id FROM centm)), " +
         "assign AS (SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id " +
         "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
         "FROM e CROSS JOIN cent), " +
@@ -410,7 +478,22 @@ object Ann {
         "SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"),
     "embed_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16), " +
+        "cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16), " +
+        // one Lloyd refinement round, replayed exactly: assign to seed
+        // cells, per-dim FIXED-POINT mean (round(x*1e6) longs — the same
+        // exact arithmetic ivfCentroids runs, so refined values match
+        // Spark's bit-for-bit), empty cells keep their seed
+        "a0 AS (SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
+        "FROM e CROSS JOIN cent0), " +
+        "m0 AS (SELECT v, c_id FROM a0 WHERE rc = 1), " +
+        "dx AS (SELECT c_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM m0), " +
+        "ds AS (SELECT c_id, d, sum(CAST(round(x * 1e6) AS BIGINT)) AS sm, " +
+        "count(*) AS n FROM dx GROUP BY c_id, d), " +
+        "centm AS (SELECT c_id, list(CAST(sm AS DOUBLE) / n / 1e6 ORDER BY d) AS cv " +
+        "FROM ds GROUP BY c_id), " +
+        "cent AS (SELECT c_id, cv FROM centm UNION ALL " +
+        "SELECT c_id, cv FROM cent0 WHERE c_id NOT IN (SELECT c_id FROM centm)), " +
         "assign AS (SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id " +
         "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
         "FROM e CROSS JOIN cent), " +

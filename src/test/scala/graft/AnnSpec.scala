@@ -32,9 +32,14 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf.keySet === exact.keySet)
     ivf.values.foreach(s => assert(s.size === 5))
     val r = recall(ivf)
-    // measured 0.46 on this corpus (nprobe=4 of 16 cells => ~1/4 of the
-    // corpus scanned); anything far below means the cell routing broke.
-    assert(r >= 0.3, s"IVF recall@5 degenerated to $r")
+    info(s"IVF recall@5 = $r")
+    // measured 0.46 with first-16 seed centroids, 0.94 after the r12
+    // one-round Lloyd refinement (nprobe=4 of 16 cells => ~1/4 of the
+    // corpus scanned; refined cells are balanced means instead of
+    // arbitrary early vectors, so probes' true neighbors co-locate far
+    // more often). Floor at 0.6 keeps margin for corpus regeneration
+    // while still catching a regression to seed-grade routing.
+    assert(r >= 0.6, s"IVF recall@5 degenerated to $r")
   }
 
   test("LSH: buckets non-empty for every probe, recall beats random") {
