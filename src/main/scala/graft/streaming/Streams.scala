@@ -801,8 +801,14 @@ object Streams {
                      batchLatest: DataFrame, name: String, loc: String,
                      n: Int = 8): Unit = {
     import java.nio.file.{Files, Paths}
-    s.sql(s"DROP TABLE IF EXISTS $name") // replay guard (see Scaladoc)
-    graft.Staging.deleteRecursively(Paths.get(loc))
+    // Replay guard (see Scaladoc) — conditional: the common case is a
+    // FRESH publish (no half-published leftovers), where the catalog
+    // DROP's parse+analyze round-trip and the recursive delete walk are
+    // pure overhead paid once per micro-batch. A replayed id finds the
+    // leftovers and pays the cleanup it actually needs.
+    if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE IF EXISTS $name")
+    if (Files.exists(Paths.get(loc)))
+      graft.Staging.deleteRecursively(Paths.get(loc))
     prev match {
       case None =>
         writeBucketedSnapshot(batchLatest, name, loc, n)
