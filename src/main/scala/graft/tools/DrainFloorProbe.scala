@@ -97,16 +97,13 @@ object DrainFloorProbe {
           java.nio.file.Paths.get("/dev/shm")
         else java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
         "graft_fbpub_")
+      // the EXACT batch function the declared key runs (derived-prev +
+      // deferred retirement + conditional replay-guard cleanup), so
+      // upsert − fb_publish is precisely the final-snapshot-read cost
       val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      @volatile var cur: Option[(String, String)] = None
-      try fbDrain { (batch, id) =>
-        val name = s"graft_fbprobe_${tag}_v$id"
-        val loc = snapRoot.resolve(s"v$id").toString
-        Streams.publishVersion(spark, cur, Streams.upsertLatest(batch), name, loc)
-        cur.foreach { case (p, _) => spark.sql(s"DROP TABLE IF EXISTS $p") }
-        cur = Some((name, loc))
-      } finally {
-        cur.foreach { case (t, _) => spark.sql(s"DROP TABLE IF EXISTS $t") }
+      try fbDrain(Streams.mergeBatchFn(spark, snapRoot, tag, _ => ()))
+      finally {
+        Streams.dropRunTables(spark, tag)
         graft.Staging.deleteRecursively(snapRoot)
       }
     }

@@ -30,7 +30,7 @@ object DrainTune {
         per.mkString(" "))
     }
 
-    for (sp <- Seq("2", "1"); mpb <- Seq("0", "4194304", "1048576")) {
+    for (sp <- Seq("8", "4", "2", "1"); mpb <- Seq("1048576")) {
       spark.conf.set("graft.drain.statePartitions", sp)
       spark.conf.set("graft.drain.maxPartitionBytes", mpb)
       timeAll(s"sp=$sp mpb=$mpb")
