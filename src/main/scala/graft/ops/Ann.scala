@@ -352,23 +352,14 @@ object Ann {
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** 16 SEED centroid vectors as literal columns via a collected
-    * broadcast — C is tiny and fixed; the corpus-side work stays fully
-    * distributed. Seeds are the lowest vec_ids (deterministic, so the
-    * DuckDB oracle can replay them); searches use the Lloyd-refined
-    * centroids from [[ivfCentroids]]. */
-  private def ivfSeeds(e: DataFrame): Seq[(Long, Column)] =
-    e.where(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      .collect().toSeq.sortBy(_.getLong(0))
-      .map(r => r.getLong(0) -> array(r.getSeq[Double](1).map(lit): _*))
-
   /** IVF centroids after ONE distributed Lloyd refinement round over the
     * seed cells (r11 verdict item 4: the first-16-vectors seeds were the
     * only seed-grade piece left — PQ already trains a Lloyd round).
-    * Assign every corpus vector to its nearest SEED cell (the same
-    * map-side cosine argmax the search uses), then move each centroid to
-    * the per-dim MEAN of its members; empty cells keep their seed.
+    * Seeds are the lowest 16 vec_ids (deterministic, so the DuckDB
+    * oracle can replay them). Assign every corpus vector to its nearest
+    * SEED cell (the same map-side cosine argmax the search uses), then
+    * move each centroid to the per-dim MEAN of its members; empty cells
+    * keep their seed.
     *
     * Determinism (the property the static SQL oracle and the
     * cross-partitioning verify diff both need): per-dim sums are EXACT
@@ -378,16 +369,22 @@ object Ann {
     * `CAST(sum AS DOUBLE)/n/1e6` — the oracle CTE recomputes the full
     * refinement from the raw table, so refined values never need to be
     * embedded as literals. Staged per corpus version (64·16 doubles —
-    * index metadata, built once, read per search); the 16-row collect is
-    * bounded model state like the seed collect. */
+    * index metadata, built once, read per search). ALL eager driver work
+    * (the seed collect included) lives inside the build thunk: a warm
+    * staged hit must launch exactly one job — the 16-row artifact read —
+    * not re-collect seeds the staged copy already folded in (the thunked
+    * materialize overload exists for precisely this, Staging.scala). */
   private def ivfCentroids(s: SparkSession, dir: String,
                            e: DataFrame): Seq[(Long, Column)] = {
-    val seeds = ivfSeeds(e)
-    val seedVals: Map[Long, Seq[Double]] = e.where(col("vec_id") < NumCentroids)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val dim = seedVals.values.headOption.map(_.size).getOrElse(0)
     val cents = graft.Staging.materialize(
       s, Tables.path(dir, "embeddings"), "ivf_cent16_lloyd1_v1") {
+      // one bounded collect (16 rows — fixed model state): both the seed
+      // literal columns and the empty-cell fallback values derive from it
+      val seedRows: Seq[(Long, Seq[Double])] =
+        e.where(col("vec_id") < NumCentroids).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+      val seeds = seedRows.map { case (id, v) => id -> array(v.map(lit): _*) }
+      val dim = seedRows.headOption.map(_._2.size).getOrElse(0)
       val assigned = e.select(
         element_at(nearestCells(col("v"), seeds, 1), 1)("c_id").as("cell"),
         transform(col("v"), x => round(x * 1e6).cast("long")).as("q"))
@@ -401,8 +398,8 @@ object Ann {
           r.getLong(0) -> r.getSeq[Long](2).map(sv => sv.toDouble / n / 1e6)
         }.toMap
       import s.implicits._
-      seeds.map(_._1).map(cid =>
-        (cid, upd.getOrElse(cid, seedVals(cid)))).toDF("c_id", "cv")
+      seedRows.map { case (cid, sv) =>
+        (cid, upd.getOrElse(cid, sv)) }.toDF("c_id", "cv")
     }
     cents.collect().toSeq.sortBy(_.getLong(0))
       .map(r => r.getLong(0) -> array(r.getSeq[Double](1).map(lit): _*))

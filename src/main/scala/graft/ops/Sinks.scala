@@ -107,17 +107,27 @@ object Sinks {
           val root = Option(src.getParent).flatMap(p => Option(p.getParent))
           root match {
             case Some(r) if Files.isDirectory(r) =>
+              // Files.exists, not isRegularFile: Spark-written corpora are
+              // parquet DIRECTORIES (sourceFingerprint handles both), and
+              // filtering them out here would shrink `live` below the
+              // truth — worst case to EMPTY, which would re-enable the
+              // exact cross-generation deletion this guard exists to stop.
               val ls = Files.list(r)
               try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
                 .map(_.resolve(src.getFileName))
-                .filter(Files.isRegularFile(_))
+                .filter(Files.exists(_))
                 .map(p => Tables.sourceFingerprint(p.toString)).toSet
               finally ls.close()
-            case _ if Files.isRegularFile(src) =>
+            case _ if Files.exists(src) =>
               Set(Tables.sourceFingerprint(src.toString))
-            case _ => return // can't establish liveness — sweep nothing
+            case _ => Set.empty
           }
         }
+        // An empty live set means no sibling dir carries this table at
+        // all — liveness CANNOT be established, so sweep nothing (the
+        // only safe reading; "nothing is live" is never distinguishable
+        // from "we looked in the wrong place" from here).
+        if (live.isEmpty) return
         val cutoff = System.currentTimeMillis() - 3600000L
         val ls = Files.list(parent)
         try ls.forEach { c =>

@@ -680,7 +680,11 @@ object Streams {
     *  - `prev` is DERIVED from the micro-batch id (batch id merges onto
     *    version id-1), not read from a variable — a replayed id after a
     *    restart recomputes the same publish from the same inputs, and a
-    *    fresh JVM needs no recovered pointer.
+    *    fresh JVM needs no recovered pointer: the derived name plus the
+    *    on-disk version directory suffice, because [[publishVersion]]
+    *    re-registers a missing catalog entry from the directory (a new
+    *    JVM's in-memory catalog starts empty even though the snapshot
+    *    root survived — see [[prevTable]]).
     *  - retirement is DEFERRED one batch: batch id retires v(id-2), not
     *    v(id-1). foreachBatch redelivers batch id whenever the stream's
     *    commit log lacks it, and the commit is written only AFTER this
@@ -797,6 +801,28 @@ object Streams {
     * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`, since
     * that rule only weighs join/agg distribution needs, not pruning
     * (UpsertIncrementalSpec pins the pruned plan). */
+  /** Resolve a previous version's bucketed table for merging. A fresh
+    * JVM restarting from the same checkpoint has the version FILES (the
+    * snapshot root outlives the session) but an EMPTY in-memory catalog
+    * — the name [[mergeBatchFn]] derives from the batch id is not enough
+    * by itself. Re-register the external table from its directory in
+    * that case, declaring the same CLUSTERED BY layout
+    * [[writeBucketedSnapshot]] wrote, so the merge keeps its no-exchange
+    * snapshot-side scan (a plain `read.parquet` would lose the bucket
+    * metadata and silently reintroduce the exchange UpsertPlanSpec
+    * forbids). UpsertRecoverySpec drives this path by wiping the catalog
+    * between crash and restart. */
+  private def prevTable(s: SparkSession, prevName: String, prevLoc: String,
+                        n: Int): DataFrame = {
+    if (!s.catalog.tableExists(prevName)) {
+      val ddl = s.read.parquet(prevLoc).schema.toDDL
+      s.sql(s"CREATE TABLE $prevName ($ddl) USING parquet " +
+        s"CLUSTERED BY (user_id) SORTED BY (user_id) INTO $n BUCKETS " +
+        s"LOCATION '$prevLoc'")
+    }
+    s.table(prevName)
+  }
+
   def publishVersion(s: SparkSession, prev: Option[(String, String)],
                      batchLatest: DataFrame, name: String, loc: String,
                      n: Int = 8): Unit = {
@@ -813,6 +839,7 @@ object Streams {
       case None =>
         writeBucketedSnapshot(batchLatest, name, loc, n)
       case Some((prevName, prevLoc)) =>
+        val prevDf = prevTable(s, prevName, prevLoc, n)
         val bl = batchLatest.persist()
         try {
           val touched = bl.select(bucketOf(col("user_id"), n).as("b"))
@@ -825,13 +852,13 @@ object Streams {
             // incremental machinery below stays the scale path (a small
             // CDC batch over a 10k-bucket snapshot touches few buckets)
             // and stays exercised by UpsertIncrementalSpec + UpsertProbe.
-            writeBucketedSnapshot(upsertMerge(s.table(prevName), bl),
+            writeBucketedSnapshot(upsertMerge(prevDf, bl),
               name, loc, n)
           } else {
           // Filter ABOVE the bucketed scan: preserves the scan's
           // HashPartitioning, so the merge join still requires no
           // exchange on the snapshot side (UpsertPlanSpec's invariant).
-          val prevTouched = s.table(prevName)
+          val prevTouched = prevDf
             .where(bucketOf(col("user_id"), n)
               .isin(touched.toSeq.map(Int.box): _*))
           writeBucketedSnapshot(upsertMerge(prevTouched, bl), name, loc, n)

@@ -98,6 +98,54 @@ class SinkRoundtripSpec extends AnyFunSuite {
     }
   }
 
+  test("sweep treats DIRECTORY-shaped corpus tables as live and refuses " +
+       "to sweep when liveness cannot be established") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val parent = Files.createTempDirectory("graft_sink_sweep2_")
+    val corpus = Files.createTempDirectory("graft_sink_corpus2_")
+    // Spark-written corpora are parquet DIRECTORIES, not single files —
+    // a liveness check that only fingerprints regular files would see an
+    // empty live set here and delete the other generation's artifact.
+    Files.createDirectories(corpus.resolve("sfA").resolve("tbl.parquet"))
+    Files.write(corpus.resolve("sfA").resolve("tbl.parquet").resolve("part-0"),
+      Array[Byte](1))
+    Files.createDirectories(corpus.resolve("sfB").resolve("tbl.parquet"))
+    Files.write(corpus.resolve("sfB").resolve("tbl.parquet").resolve("part-0"),
+      Array[Byte](1, 2))
+    val srcA = corpus.resolve("sfA").resolve("tbl.parquet")
+    val fpA = Tables.sourceFingerprint(srcA.toString)
+    val fpB = Tables.sourceFingerprint(
+      corpus.resolve("sfB").resolve("tbl.parquet").toString)
+    def mk(name: String, old: Boolean): java.nio.file.Path = {
+      val d = Files.createDirectories(parent.resolve(name))
+      Files.createFile(d.resolve("_SUCCESS"))
+      if (old) Files.setLastModifiedTime(d,
+        FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+      d
+    }
+    try {
+      val kept = mk(s"${fpA}_foo_v1", old = false)
+      val otherSfDir = mk(s"${fpB}_foo_v1", old = true) // live, dir-shaped
+      val retired = mk("aaaa12345678_foo_v1", old = true)
+      ops.Sinks.sweepRetired(kept, srcA)
+      assert(Files.exists(otherSfDir),
+        "sweep deleted an artifact keyed to a live DIRECTORY-shaped corpus")
+      assert(!Files.exists(retired), "old same-class sibling not swept")
+      // Liveness unestablishable (no sibling dir carries the table at
+      // all): the sweep must do NOTHING — "nothing is live" is never
+      // distinguishable from "looked in the wrong place".
+      val ghostSrc = corpus.resolve("sfGhost").resolve("none.parquet")
+      val survivor = mk("eeee12345678_foo_v1", old = true)
+      ops.Sinks.sweepRetired(kept, ghostSrc)
+      assert(Files.exists(survivor),
+        "sweep ran with an empty live set — cross-generation deletion risk")
+    } finally {
+      Staging.deleteRecursively(parent)
+      Staging.deleteRecursively(corpus)
+    }
+  }
+
   test("json sink round-trip") {
     val p = tmp("json")
     result.write.mode("overwrite").json(p)

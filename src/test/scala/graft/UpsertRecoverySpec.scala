@@ -75,4 +75,58 @@ class UpsertRecoverySpec extends AnyFunSuite {
       graft.Staging.deleteRecursively(snapRoot)
     }
   }
+
+  test("catalog wiped between crash and restart (fresh-JVM simulation): " +
+       "publishVersion re-registers prev from its version directory") {
+    // Same crash point as above, but before the restart EVERY catalog
+    // entry of the run is dropped — the in-memory catalog of a genuinely
+    // new JVM starts empty, and only the snapshot-root FILES survive a
+    // process death. The replay of batch 2 must re-register v1 from
+    // snapRoot/v1 (and batch 3 must re-register v2) or the restart dies
+    // with TABLE_OR_VIEW_NOT_FOUND. Tables are external, so the DROPs
+    // delete no files — exactly the fresh-JVM state.
+    val src = Streams.stageDirSplit(spark, Tables.path(sf, "events"), 4)
+    val snapRoot = java.nio.file.Files.createTempDirectory("graft_upsert_rec2_")
+    val runTag = "rcw" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    @volatile var cur: Option[(String, String)] = None
+    val inner = Streams.mergeBatchFn(spark, snapRoot, runTag, c => cur = Some(c))
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(fn: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+      val q = Streams.eventsStreamDir(spark, src, maxFiles = Some(1))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .writeStream.foreachBatch(fn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", snapRoot.resolve("ckpt").toString)
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run { (b, id) =>
+          inner(b, id)
+          if (id == 2 && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after v2 publish")
+        }
+      }
+      assert(crashed.get, "crash never fired — split produced <3 batches?")
+      // fresh-JVM simulation: wipe the run's catalog entries, keep files
+      Streams.dropRunTables(spark, runTag)
+      assert(java.nio.file.Files.isDirectory(snapRoot.resolve("v1")),
+        "v1 files must survive the catalog wipe (external tables)")
+      run(inner)
+      assert(cur.exists(_._1.endsWith("_v3")),
+        s"expected final version v3, got $cur")
+      val fin = spark.table(cur.get._1)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      val oracle = Streams.upsertLatest(
+        Tables.events(spark, sf)
+          .select("user_id", "ts", "event_id", "event_type", "value"))
+      assert(rowSet(fin) === rowSet(oracle),
+        "catalog-wipe recovery differs from the uninterrupted merge")
+    } finally {
+      Streams.dropRunTables(spark, runTag)
+      graft.Staging.deleteRecursively(snapRoot)
+    }
+  }
 }
