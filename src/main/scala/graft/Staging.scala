@@ -161,6 +161,7 @@ object Staging {
           if (!Files.exists(dir.resolve("_SUCCESS"))) return (df, false)
         }
         sweepOrphans(dir.getParent)
+        sweepRetiredSources(dir.getParent, Paths.get(sourcePath))
         (session.read.parquet(dir.toString), true)
       } catch {
         // Unwritable/full tmpdir must degrade to the slower uncached plan,
@@ -198,19 +199,90 @@ object Staging {
     * lost race, AND retired-format artifacts (dirs not carrying the
     * current [[formatVersion]] tag — full dataset copies that no current
     * code will ever read again), so neither accumulates in the tmpdir
-    * across runs/rounds. Only dirs older than 1h are swept — a live
-    * writer's temp or a concurrent same-version publish is never raced. */
+    * across runs/rounds. Age guards so a concurrent publish is never
+    * raced: 1h for retired-format dirs; 6h for `.tmp-` temps, because a
+    * temp's mtime is set when its WRITE STARTS (Spark creates _temporary
+    * immediately, commits at the end), so a large artifact still being
+    * written when it crosses the shorter cutoff would have its live temp
+    * deleted mid-write by a sibling publish's sweep — temps are
+    * invisible to readers either way, so patience costs nothing. */
   private[graft] def sweepOrphans(parent: Path): Unit =
     try {
       if (parent != null && Files.isDirectory(parent)) {
-        val cutoff = System.currentTimeMillis() - 3600000L
+        val now = System.currentTimeMillis()
         val s = Files.list(parent)
         try s.forEach { c =>
           val n = c.getFileName.toString
+          val cutoff =
+            if (n.contains(".tmp-")) now - 21600000L else now - 3600000L
           if ((n.contains(".tmp-") || !n.endsWith(s"_${versionTag()}")) &&
               Files.getLastModifiedTime(c).toMillis < cutoff)
             deleteRecursively(c)
         } finally s.close()
       }
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
+  /** Fingerprints of every table file/dir the CURRENTLY-LIVE corpus
+    * generations carry: `src`'s corpus root (its grandparent — corpora
+    * lay out as <root>/<sfDir>/<table>) is listed and every immediate
+    * child of every sibling scale-factor dir is fingerprinted. Same
+    * liveness notion as [[graft.ops.Sinks.sweepRetired]]'s, widened to
+    * every table (one derived root holds artifacts of several tables).
+    * Empty result means liveness could NOT be established — callers must
+    * sweep nothing in that case. */
+  private[graft] def liveSourceFingerprints(src: Path): Set[String] =
+    try {
+      val root = Option(src.getParent).flatMap(p => Option(p.getParent))
+      root match {
+        case Some(r) if Files.isDirectory(r) =>
+          val out = scala.collection.mutable.Set[String]()
+          val ls = Files.list(r)
+          try ls.forEach { sf =>
+            if (Files.isDirectory(sf)) {
+              val ls2 = Files.list(sf)
+              try ls2.forEach { t =>
+                try out += Tables.sourceFingerprint(t.toString)
+                catch { case scala.util.control.NonFatal(_) => () }
+              } finally ls2.close()
+            }
+          } finally ls.close()
+          out.toSet
+        case _ if Files.exists(src) =>
+          Set(Tables.sourceFingerprint(src.toString))
+        case _ => Set.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+
+  /** Sweep RETIRED-SOURCE artifacts under `root`: entries whose
+    * fingerprint prefix (up to the first '_', or the whole name for
+    * stageDir's plain copies) matches NO currently-live corpus
+    * generation of `src`'s tree. This is the reclamation
+    * [[sweepOrphans]] cannot do — a testdata regeneration changes every
+    * source fingerprint, so the stranded artifacts (full dataset copies:
+    * derived relations, split stream dirs) still carry the CURRENT
+    * format tag and look perfectly healthy; only liveness against the
+    * corpus tree identifies them. Runs on cold builds (a regeneration
+    * forces one). Guards mirror sweepRetired's: 1h age so a concurrent
+    * JVM's fresh build is never raced, empty live set → sweep nothing,
+    * `.tmp-`/dot temps left to [[sweepOrphans]]'s own cutoffs.
+    * Caveat (documented tradeoff): an artifact keyed to a live corpus
+    * OUTSIDE `src`'s tree (a probe's temp corpus elsewhere in tmp) looks
+    * retired from here once >1h old — probes must either finish inside
+    * the hour or tolerate a staged rebuild. */
+  private[graft] def sweepRetiredSources(root: Path, src: Path): Unit =
+    try {
+      if (!Files.isDirectory(root)) return
+      val live = liveSourceFingerprints(src)
+      if (live.isEmpty) return
+      val cutoff = System.currentTimeMillis() - 3600000L
+      val ls = Files.list(root)
+      try ls.forEach { c =>
+        val n = c.getFileName.toString
+        val fp = n.takeWhile(_ != '_')
+        if (fp.nonEmpty && !n.startsWith(".") && !n.contains(".tmp-") &&
+            !live.contains(fp) &&
+            Files.getLastModifiedTime(c).toMillis < cutoff)
+          deleteRecursively(c)
+      } finally ls.close()
     } catch { case scala.util.control.NonFatal(_) => () } // best-effort
 }

@@ -62,12 +62,25 @@ object Tables {
     * views; temp views live in the session catalog, so the memo is keyed
     * by session identity too. */
   private val registeredViews =
-    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    // weak keys (the SESSION OBJECT, not its identityHashCode — two live
+    // sessions can collide on the 32-bit identity hash, and a colliding
+    // second session would silently skip registration entirely): entries
+    // die with their session instead of accumulating per session forever
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    val sessionKey = Integer.valueOf(System.identityHashCode(spark))
     val dataKey = sfDir + "|" +
-      names.map(n => sourceFingerprint(path(sfDir, n))).mkString(",")
-    if (registeredViews.get(sessionKey) != dataKey) {
+      // a missing/unreadable source contributes a distinct placeholder
+      // instead of throwing here: an eager fingerprint pass that dies on
+      // ONE bad table would kill registration of the other nine views,
+      // the exact failure mode the per-table loop below exists to stop
+      // (and the key changes again once the file appears, so the memo
+      // can never serve a partial tree as complete)
+      names.map { n =>
+        try sourceFingerprint(path(sfDir, n))
+        catch { case scala.util.control.NonFatal(_) => "absent" }
+      }.mkString(",")
+    if (registeredViews.get(spark) != dataKey) {
       // Per-table isolation: one unreadable source must not take down the
       // other nine views (a single bad `events` footer killed EVERY
       // SQL-text key in round 7/8). A partial registration is NOT
@@ -88,7 +101,7 @@ object Tables {
           catch { case scala.util.control.NonFatal(_) => () }
         }
       }
-      if (failed.isEmpty) registeredViews.put(sessionKey, dataKey)
+      if (failed.isEmpty) registeredViews.put(spark, dataKey)
     }
   }
 

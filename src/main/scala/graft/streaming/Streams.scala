@@ -131,6 +131,10 @@ object Streams {
             Files.deleteIfExists(c)
         } finally ls.close()
       } catch { case scala.util.control.NonFatal(_) => () }
+      // retired-SOURCE copies (a testdata regeneration strands the old
+      // fingerprint's full events copy here forever — sweepOrphans can't
+      // see it, the format tag is still current): reclaim on cold builds
+      graft.Staging.sweepRetiredSources(dir.getParent, src)
     }
     dir.toString
   }
@@ -181,6 +185,9 @@ object Streams {
       } catch { case scala.util.control.NonFatal(_) => () }
     if (!Files.isDirectory(dir)) {
       graft.Staging.buildCount.incrementAndGet() // cold split build
+      // reclaim retired-SOURCE split copies on the same cold-build
+      // trigger as the derived root (see Staging.sweepRetiredSources)
+      graft.Staging.sweepRetiredSources(root, Paths.get(path))
       Files.createDirectories(root)
       val tmp = Files.createTempDirectory(root, ".split")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -233,11 +240,52 @@ object Streams {
     * previous values are always restored. On a real cluster raise it to
     * the executor-core count via the same conf before starting jobs.
     */
+  /** Depth-counted scoping for the session confs a drain narrows.
+    * A plain save/restore pair is not re-entrant: if two drains ever
+    * overlap on one session, the inner one captures the OUTER one's
+    * scoped value as "previous" and restores THAT — permanently leaking
+    * e.g. shuffle.partitions=1 into the session once both finish, which
+    * silently single-threads every later batch query. Here only the
+    * FIRST entry per key records the true pre-scope value and only the
+    * LAST exit restores it. (Overlapping drains still share the scoped
+    * VALUES while both run — session confs are global; what this
+    * guarantees is that the session always comes back to its true
+    * pre-drain state. Today's callers are sequential anyway — forked
+    * tests, Verify, Bench — this is a guard, not a concurrency feature.)
+    */
+  private object ConfScope {
+    private val state =
+      scala.collection.mutable.Map[String, (Int, Option[String])]()
+    def enter(s: SparkSession, confs: Seq[(String, String)]): Unit =
+      synchronized {
+        confs.foreach { case (k, v) =>
+          state.get(k) match {
+            case Some((d, saved)) => state(k) = (d + 1, saved)
+            case None             => state(k) = (1, s.conf.getOption(k))
+          }
+          s.conf.set(k, v)
+        }
+      }
+    def exit(s: SparkSession, keys: Seq[String]): Unit = synchronized {
+      keys.foreach { k =>
+        state.get(k) match {
+          case Some((1, saved)) =>
+            state.remove(k)
+            saved match {
+              case Some(v) => s.conf.set(k, v)
+              case None    => s.conf.unset(k)
+            }
+          case Some((d, saved)) => state(k) = (d - 1, saved)
+          case None             => () // unbalanced exit — nothing to restore
+        }
+      }
+    }
+  }
+
   def drain(out: DataFrame, mode: OutputMode,
             noDataBatch: Option[Boolean] = None): DataFrame = {
     val s = out.sparkSession
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
     // The trailing no-data micro-batch exists to advance the watermark so
     // APPEND-mode emission (window finalization, timeouts, state
     // eviction) can fire after the last data batch — append drains keep
@@ -249,7 +297,6 @@ object Streams {
     // join passes Some(false): its matches emit in the data batch and
     // the no-data batch only evicts state).
     val runNoData = noDataBatch.getOrElse(mode != OutputMode.Complete())
-    val prevNd = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     // The staged events file is ONE parquet file well under the default
     // 128 MB split size, so the micro-batch's map side (scan + project +
     // partial agg of ~100k rows at sf0.1) would run as a SINGLE task —
@@ -259,14 +306,11 @@ object Streams {
     // tune via `graft.drain.maxPartitionBytes`, ≤0 disables). Split-size
     // never changes WHAT is computed, only scan parallelism — on a real
     // cluster the source is many files and this is moot.
-    val prevMpb = s.conf.get("spark.sql.files.maxPartitionBytes")
     val mpb = s.conf.getOption("graft.drain.maxPartitionBytes")
       .getOrElse("1048576").toLong
-    // restored only AFTER the drain completes: micro-batch planning runs
-    // on the stream's own thread after start() returns, so an earlier
-    // restore would race it. Queries on this session are sequential
-    // (Verify/Bench/tests), so the scoped value can't leak into another
-    // query's plan.
+    // restored (via ConfScope) only AFTER the drain completes:
+    // micro-batch planning runs on the stream's own thread after start()
+    // returns, so an earlier restore would race it.
     // Drain checkpoints (offset/commit WALs + state deltas) go to tmpfs
     // when the box has one: every WAL write is a create+fsync+rename, and
     // a full drain commits 1-2 micro-batches of pure fixed cost — on the
@@ -290,27 +334,34 @@ object Streams {
       System.err.println("[drain] checkpoint root: " +
         (if (shmCkpt.isDefined) "/dev/shm (tmpfs)"
          else s"${sys.props("java.io.tmpdir")} (no /dev/shm)"))
+    val scoped = Seq(
+      "spark.sql.shuffle.partitions" ->
+        s.conf.getOption("graft.drain.statePartitions").getOrElse("1"),
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> runNoData.toString
+    ) ++ (if (mpb > 0)
+      Seq("spark.sql.files.maxPartitionBytes" -> mpb.toString) else Nil)
+    ConfScope.enter(s, scoped)
     try {
-      s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.getOption("graft.drain.statePartitions").getOrElse("1"))
-      if (mpb > 0) s.conf.set("spark.sql.files.maxPartitionBytes", mpb.toString)
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-        runNoData.toString)
       val w = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow())
       shmCkpt.foreach(p => w.option("checkpointLocation", p.toString))
       val q = w.start()
       q.awaitTermination()
     } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
-      prevNd match {
-        case Some(v) => s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None => s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
+      ConfScope.exit(s, scoped.map(_._1))
       shmCkpt.foreach(p => graft.Staging.deleteRecursively(p))
     }
-    s.table(name)
+    // Materialize the result (eager localCheckpoint — one pass over the
+    // already-in-memory sink rows) and DROP the sink's temp view: the
+    // sink id is unique per drain, so without this every drained result
+    // stays pinned in the session catalog for the JVM's lifetime — a
+    // Verify/Bench run over the 12 draining keys × passes accumulates
+    // every result set. Checkpoint blocks are freed by the context
+    // cleaner when the returned frame is collected/GC'd.
+    val result = s.table(name).localCheckpoint(true)
+    try s.catalog.dropTempView(name)
+    catch { case scala.util.control.NonFatal(_) => () }
+    result
   }
 
   /** Running per-user counter with an event-time timeout: the
@@ -630,9 +681,8 @@ object Streams {
         "graft_upsert_")
       // Same conf scoping as drain(): tiny snapshot merges don't want 32
       // shuffle partitions' fixed cost, and the split files want map
-      // parallelism. Restored after the drain completes (see drain()).
-      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-      val prevMpb = s.conf.get("spark.sql.files.maxPartitionBytes")
+      // parallelism. Restored after the drain completes via the same
+      // depth-counted ConfScope (see drain()).
       // run-scoped table-name prefix: the catalog is session-global and
       // two concurrent drains (tests + Verify in one JVM) must not
       // collide on version names
@@ -643,10 +693,13 @@ object Streams {
       // honor the same tuning conf drain() does (≤0 disables the scoping)
       val mpb = s.conf.getOption("graft.drain.maxPartitionBytes")
         .getOrElse("1048576").toLong
+      val scoped = Seq(
+        "spark.sql.shuffle.partitions" ->
+          s.conf.getOption("graft.drain.statePartitions").getOrElse("1")
+      ) ++ (if (mpb > 0)
+        Seq("spark.sql.files.maxPartitionBytes" -> mpb.toString) else Nil)
+      ConfScope.enter(s, scoped)
       try {
-        s.conf.set("spark.sql.shuffle.partitions",
-          s.conf.getOption("graft.drain.statePartitions").getOrElse("1"))
-        if (mpb > 0) s.conf.set("spark.sql.files.maxPartitionBytes", mpb.toString)
         val q = stream.writeStream
           .foreachBatch(mergeBatch)
           .trigger(Trigger.AvailableNow())
@@ -661,8 +714,7 @@ object Streams {
           .orderBy("user_id")
           .localCheckpoint(true)
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevSp)
-        s.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
+        ConfScope.exit(s, scoped.map(_._1))
         // retirement is deferred one batch (see mergeBatchFn), so up to
         // TWO versions are still catalog-live here
         dropRunTables(s, runTag)

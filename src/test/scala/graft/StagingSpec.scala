@@ -104,4 +104,53 @@ class StagingSpec extends AnyFunSuite {
       Staging.deleteRecursively(retired)
     }
   }
+
+  test("retired-SOURCE artifacts are reclaimed; live and unestablishable " +
+       "cases are left alone") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    // corpus root with two live sf dirs (one file-shaped, one dir-shaped
+    // table — both must count as live)
+    val corpus = Files.createTempDirectory("graft_stg_corpus_")
+    Files.createDirectories(corpus.resolve("sfA"))
+    Files.write(corpus.resolve("sfA").resolve("tbl.parquet"), Array[Byte](1))
+    Files.createDirectories(corpus.resolve("sfB").resolve("tbl.parquet"))
+    Files.write(corpus.resolve("sfB").resolve("tbl.parquet").resolve("p0"),
+      Array[Byte](2))
+    val src = corpus.resolve("sfA").resolve("tbl.parquet")
+    val fpA = Tables.sourceFingerprint(src.toString)
+    val fpB = Tables.sourceFingerprint(
+      corpus.resolve("sfB").resolve("tbl.parquet").toString)
+    val root = Files.createTempDirectory("graft_stg_root_")
+    def mk(name: String, old: Boolean): java.nio.file.Path = {
+      val d = Files.createDirectories(root.resolve(name))
+      if (old) Files.setLastModifiedTime(d,
+        FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+      d
+    }
+    try {
+      val liveA = mk(s"${fpA}_x_v2", old = true)   // live fp, old — keep
+      val liveB = mk(s"${fpB}_x_v2", old = true)   // other live SF — keep
+      val deadOld = mk("aaaa12345678_x_v2", old = true)   // retired — sweep
+      val deadNew = mk("bbbb12345678_x_v2", old = false)  // too fresh — keep
+      val tmp = mk("cccc12345678_x_v2.tmp-abc", old = true) // temps skipped
+      Staging.sweepRetiredSources(root, src)
+      assert(Files.exists(liveA) && Files.exists(liveB),
+        "sweep deleted an artifact keyed to a live corpus generation")
+      assert(!Files.exists(deadOld), "retired-source artifact not reclaimed")
+      assert(Files.exists(deadNew), "age guard ignored")
+      assert(Files.exists(tmp), "live-writer temp raced by the sweep")
+      // liveness unestablishable (corpus root itself is gone — e.g. a
+      // probe's deleted temp tree): must sweep NOTHING
+      val ghost = java.nio.file.Paths.get(
+        root.toString + "_gone", "sfX", "none.parquet")
+      val survivor = mk("dddd12345678_x_v2", old = true)
+      Staging.sweepRetiredSources(root, ghost)
+      assert(Files.exists(survivor),
+        "sweep ran with an empty live set — deletion with no liveness proof")
+    } finally {
+      Staging.deleteRecursively(root)
+      Staging.deleteRecursively(corpus)
+    }
+  }
 }
