@@ -5,6 +5,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object QueryDefs {
   /** The driver contract's query-function shape: (session, sfDir) => result. */
   type Q = (SparkSession, String) => DataFrame
+
+  /** Parse an optional integer tuning conf, naming the conf in the error —
+    * a bare `.toLong` on a mis-set 100 TB knob (`bucketWidth=50k`) throws
+    * an anonymous NumberFormatException at plan time with no hint of
+    * WHICH conf is malformed. Same contract as Ann.pqTrainStride's
+    * validation. */
+  def longConf(s: SparkSession, key: String): Option[Long] =
+    s.conf.getOption(key).map { v =>
+      try v.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be an integer, got '$v'")
+      }
+    }
 }
 
 /** Determinism helpers (SURVEY.md §7.3): every declared query must end in a

@@ -195,12 +195,22 @@ object Staging {
     Files.deleteIfExists(p)
   }
 
+  /** Artifact NAMES no current writer produces — renamed keys leave the
+    * old name's full-corpus copy stranded for LIVE corpora (the format
+    * tag is still current, the fingerprint is still live, so neither
+    * other sweep can touch it; only this registry knows the name is
+    * dead). Append here whenever a materialize name is renamed. */
+  private[graft] val retiredArtifactNames: Seq[String] =
+    Seq("ivf_cells16_v1",   // re-keyed ivf_cells16_lloyd1_v1 (Lloyd round)
+        "pq_codes8x16_v1")  // re-keyed pq_codes8x16_v2_lloyd1*
+
   /** Remove `.tmp-<uuid>` staging dirs orphaned by a crashed writer or a
-    * lost race, AND retired-format artifacts (dirs not carrying the
-    * current [[formatVersion]] tag — full dataset copies that no current
-    * code will ever read again), so neither accumulates in the tmpdir
+    * lost race, retired-FORMAT artifacts (dirs not carrying the current
+    * [[formatVersion]] tag), and retired-NAME artifacts
+    * ([[retiredArtifactNames]]) — all full dataset copies no current
+    * code will ever read again — so none accumulates in the tmpdir
     * across runs/rounds. Age guards so a concurrent publish is never
-    * raced: 1h for retired-format dirs; 6h for `.tmp-` temps, because a
+    * raced: 1h for retired dirs; 6h for `.tmp-` temps, because a
     * temp's mtime is set when its WRITE STARTS (Spark creates _temporary
     * immediately, commits at the end), so a large artifact still being
     * written when it crosses the shorter cutoff would have its live temp
@@ -215,7 +225,10 @@ object Staging {
           val n = c.getFileName.toString
           val cutoff =
             if (n.contains(".tmp-")) now - 21600000L else now - 3600000L
-          if ((n.contains(".tmp-") || !n.endsWith(s"_${versionTag()}")) &&
+          val retiredName = retiredArtifactNames
+            .exists(r => n.endsWith(s"_${r}_${versionTag()}"))
+          if ((n.contains(".tmp-") || !n.endsWith(s"_${versionTag()}") ||
+               retiredName) &&
               Files.getLastModifiedTime(c).toMillis < cutoff)
             deleteRecursively(c)
         } finally s.close()

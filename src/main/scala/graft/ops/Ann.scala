@@ -87,7 +87,7 @@ object Ann {
     * index covers. `graft.pq.trainStride` forces a value (≥ 1; 1 = train
     * on everything, the exact pre-r7 behavior). AnnSpec replays a
     * strided build bit-exactly. */
-  private def pqTrainStride(s: SparkSession, n: Long): Long =
+  private def pqTrainStride(s: SparkSession, n: => Long): Long =
     s.conf.getOption("graft.pq.trainStride") match {
       case Some(v) =>
         val k = try v.toLong catch { case _: NumberFormatException =>
@@ -148,8 +148,7 @@ object Ann {
       * the codebook literals make DuckDB replay impractical, and the
       * semantics are approximation-specific by design). */
     "embed_ann_pq" -> ((s, dir) => {
-      val e = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val e = embDouble(s, dir)
       // Codebook = index metadata: seed (subspace-j slices of the PqK
       // lowest-vec_id vectors, deterministic bounded collect) + ONE Lloyd
       // round over the stride-subsampled training set (see pqTrainStride;
@@ -163,7 +162,10 @@ object Ann {
       // the auto stride is a parquet-metadata count — no row scan — and
       // memoized per source fingerprint, so only the first invocation
       // pays even the metadata job.)
-      val stride = pqTrainStride(s, Tables.rowCount(s, Tables.path(dir, "embeddings")))
+      // by-name count: with graft.pq.trainStride pinned, the Some branch
+      // never forces `n`, so the pinned path launches no count job at all
+      val stride = pqTrainStride(s,
+        Tables.rowCount(s, Tables.path(dir, "embeddings")))
       val sfx = if (stride > 1) s"_s$stride" else ""
       val cbDf = graft.Staging.materialize(
         s, Tables.path(dir, "embeddings"), s"pq_codebook8x16_lloyd1${sfx}_v1") {
@@ -317,8 +319,7 @@ object Ann {
     // literals — no shuffle until the bucket join. Recall vs the exact
     // brute force is asserted in AnnSpec.
     "embed_ann_lsh" -> ((s, dir) => {
-      val e = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val e = embDouble(s, dir)
       val hps: Seq[(Int, Column)] = e.where(col("vec_id") < NumPlanes)
         .collect().toSeq.sortBy(_.getLong(0))
         .map(r => r.getLong(0).toInt ->

@@ -129,7 +129,7 @@ object Dedup {
       // in ngramPairs so the rep-level PPJoin runs the same plan.
       if (!groupedReportOn(s)) ngramPairs(s, dir).orderBy("doc_a", "doc_b")
       else {
-        val cap = s.conf.getOption("graft.ngram.hotGramCap").map(_.toLong)
+        val cap = graft.QueryDefs.longConf(s, "graft.ngram.hotGramCap")
         val dfOrdered = cap.isDefined ||
           s.conf.getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean)
         // Staged like the plain pair list; the cap posture is lossy and
@@ -266,7 +266,7 @@ object Dedup {
     *    from the prefix index (EXPLICITLY LOSSY → its own artifact name,
     *    never served to an uncapped read). Implies dfOrderedPrefix. */
   def ngramPairs(s: SparkSession, dir: String): DataFrame = {
-    val cap = s.conf.getOption("graft.ngram.hotGramCap").map(_.toLong)
+    val cap = graft.QueryDefs.longConf(s, "graft.ngram.hotGramCap")
     val dfOrdered = cap.isDefined ||
       s.conf.getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean)
     graft.Staging.materialize(

@@ -71,7 +71,7 @@ object Pipeline {
     * keys keep today's plan by default while the spec and a 100 TB
     * deployment flip the composite path on. */
   private def packBucketWidth(s: SparkSession): Option[Long] =
-    s.conf.getOption("graft.pack.bucketWidth").map(_.toLong).filter(_ > 0)
+    graft.QueryDefs.longConf(s, "graft.pack.bucketWidth").filter(_ > 0)
 
   /** Assign each doc its global token-budget shard id: shard = (exclusive
     * prefix sum of `toks` per `source` in `doc_id` order) div `budget`.
@@ -179,11 +179,25 @@ object Pipeline {
     // lexicographic compare = numeric compare; hex() of the same
     // integer prints identically in both engines (verified).
     "sample_weighted" -> ((s, dir) => {
-      val k = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
-      val thr = lower(lpad(hex((k + lit(1)) * lit(2048)), 4, "0"))
+      // k defaults to 0 for sources with NO trailing digits (regexp
+      // gives '' → try_cast null — a plain cast THROWS under ANSI mode):
+      // a nameless-index source gets the base 3.1% rate instead of
+      // killing the query (and the oracle side TRY_CASTs identically
+      // instead of crashing DuckDB).
+      val k = coalesce(
+        expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as int)"),
+        lit(0))
+      val num = (k + lit(1)) * lit(2048)
+      val thr = lower(lpad(hex(num), 4, "0"))
       val h = substring(md5(col("text").cast("binary")), 1, 4)
       Tables.table(s, dir, "documents")
-        .where(h < thr)
+        // num ≥ 65536 means rate 100% — keep unconditionally. Without
+        // the guard, hex(65536)='10000' lpad-TRUNCATES to '1000' and the
+        // k=31 source would silently collapse to a ~6% rate (both
+        // engines truncate the same way, so the oracle would agree with
+        // the wrong answer — the formula doc, not the hash, is the
+        // contract).
+        .where(num >= 65536 || h < thr)
         .select(col("doc_id"), col("source"), h.as("bucket"))
         .orderBy("doc_id")
     }),
@@ -283,7 +297,7 @@ object Pipeline {
       // the hottest token spreads over R reducers deterministically
       // instead of relying on runtime stats. Output is identical
       // (PipelineSpec property).
-      val joined = s.conf.getOption("graft.nll.saltReplicas")
+      val joined = graft.QueryDefs.longConf(s, "graft.nll.saltReplicas")
         .map(_.toInt).filter(_ > 1) match {
         case None => toks.join(cnt, "tok")
         case Some(r) =>
@@ -406,7 +420,7 @@ object Pipeline {
     * pair graph yields its own label artifact and can never poison the
     * uncapped one. */
   private def ccLabels(s: SparkSession, dir: String): DataFrame = {
-    val cap = s.conf.getOption("graft.ngram.hotGramCap").map(_.toLong)
+    val cap = graft.QueryDefs.longConf(s, "graft.ngram.hotGramCap")
     val groupExact =
       s.conf.getOption("graft.dedup.groupExact").exists(_.toBoolean)
     // Lossless posture shares the artifact name; the capped variant is
@@ -629,6 +643,17 @@ object Pipeline {
   private def ccStar(pairs: DataFrame): DataFrame = {
     val sess = pairs.sparkSession
     val cuts = new CcCuts(sess)
+    // Node set CUT BEFORE the fixpoint: the final label join needs every
+    // doc `pairs` mentions (self-loop-only docs included), and deriving
+    // it from `pairs` AFTER the loop would re-evaluate the caller's
+    // whole plan twice more — on the groupExact posture that plan is the
+    // full un-staged PPJoin pipeline, the most expensive thing in the
+    // query (the initial edge checkpoint that could have served is
+    // already retired by then). Not rm'd here: the returned frame reads
+    // it lazily; ccLabels reclaims the namespace once labels are staged.
+    val nodes = cuts.cut(
+      pairs.select(col("doc_a").as("doc"))
+        .union(pairs.select(col("doc_b").as("doc"))).distinct(), "nodes")
     // canonical (big, small) orientation, self-loops dropped, deduped —
     // the invariant both star steps maintain
     var edges = cuts.cut(
@@ -677,9 +702,7 @@ object Pipeline {
     lastCcRounds.set(iter)
     // At fixpoint the edges are (member, component-min) stars. Nodes that
     // never had a non-self edge (or roots) label themselves — same
-    // semantics as the default variant.
-    val nodes = pairs.select(col("doc_a").as("doc"))
-      .union(pairs.select(col("doc_b").as("doc"))).distinct()
+    // semantics as the default variant. (`nodes` was cut pre-loop.)
     nodes
       .join(edges.select(col("u").as("doc"), col("v").as("lbl")),
         Seq("doc"), "left")
@@ -726,10 +749,15 @@ object Pipeline {
        "FROM documents WHERE substring(md5(text), 1, 2) < '14' " +
        "ORDER BY doc_id"),
     "sample_weighted" ->
-      ("SELECT doc_id, source, substring(md5(text), 1, 4) AS bucket " +
-       "FROM documents WHERE substring(md5(text), 1, 4) < " +
-       "lower(lpad(hex((CAST(regexp_extract(source, '([0-9]+)$', 1) " +
-       "AS INTEGER) + 1) * 2048), 4, '0')) ORDER BY doc_id"),
+      // mirrors the Spark side exactly: TRY_CAST + COALESCE(0) for
+      // digitless sources, and the >=65536 full-keep guard against
+      // lpad truncation at k>=31
+      ("WITH t AS (SELECT doc_id, source, substring(md5(text), 1, 4) AS bucket, " +
+       "(COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) " +
+       "AS INTEGER), 0) + 1) * 2048 AS num FROM documents) " +
+       "SELECT doc_id, source, bucket FROM t " +
+       "WHERE num >= 65536 OR bucket < lower(lpad(hex(num), 4, '0')) " +
+       "ORDER BY doc_id"),
     "pack_manifest" ->
       ("WITH t AS (SELECT source, doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +

@@ -406,4 +406,32 @@ class PipelineSpec extends AnyFunSuite {
       assert(toks <= 512L + maxDoc, s"$src/$shard sum_toks=$toks exceeds budget+maxdoc")
     }
   }
+
+  test("sample_weighted: rate saturates at 100% for k>=31 and digitless " +
+       "sources default to the base rate") {
+    import spark.implicits._
+    // src31 -> (31+1)*2048 = 65536: hex is 5 chars, and lpad(...,4)
+    // TRUNCATES '10000' to '1000' in both engines — without the >=65536
+    // full-keep guard the 100% source silently collapses to ~6%. 'web'
+    // (no trailing digits) must fall back to k=0 (the base 3.1% rate),
+    // not silently lose every row to a null threshold.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sw_edge_")
+    try {
+      (0 until 400).map(i => (i.toLong, s"doc text number $i payload",
+          "en", if (i % 2 == 0) "src31" else "web", 20))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val out = ops.Pipeline.queries("sample_weighted")(spark, dir.toString)
+        .select("doc_id", "source").collect()
+      val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+      assert(bySrc.getOrElse("src31", 0) === 200,
+        s"k=31 must keep ALL its rows (rate 100%), got $bySrc")
+      val web = bySrc.getOrElse("web", 0)
+      // base rate 2048/65536 = 3.125% of 200 ≈ 6 expected; allow a wide
+      // band (deterministic md5 draw — the exact count is fixed, the
+      // bound just avoids over-pinning testdata-speciic values)
+      assert(web > 0 && web < 40,
+        s"digitless source must sample at the base rate, got $web of 200")
+    } finally graft.Staging.deleteRecursively(dir)
+  }
 }
