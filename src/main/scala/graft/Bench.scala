@@ -34,7 +34,9 @@ object Bench {
     "text_unigram_nll", "text_bigram_nll", "text_contamination",
     "embed_ann_ivf", "embed_ann_lsh", "embed_ann_pq",
     "embed_ann_incremental", "join_bucketed", "sink_partitioned",
-    "join_dpp", "source_csv", "source_orc", "source_merge_schema")
+    "join_dpp", "source_csv", "source_orc", "source_merge_schema",
+    "dedup_semantic", "embed_quantize_int8", "text_dup_spans",
+    "source_text")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -343,13 +343,96 @@ object Ann {
         Seq(col("sim").desc, col("vec_id")), 5, "rnk")
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
         .orderBy("q_id", "rnk")
+    }),
+
+    /** SemDeDup-style semantic dedup over the embedding corpus: a vector
+      * is a semantic duplicate iff a LOWER-id vector in its OWN IVF cell
+      * has rounded cosine ≥ 0.35; output = (vec_id, keeper, sim) where
+      * keeper is the smallest such id (min-id-survives — the same
+      * canonical rule dedup_cluster uses) and sim is that pair's cosine.
+      * Pairs are generated ONLY within cells of the staged Lloyd-refined
+      * inverted file (`ivf_cells16_lloyd1_v1` — the exact artifact
+      * embed_ann_ivf searches): semantic near-dups sit near the same
+      * centroid, so candidate cost is Σ|cell|² instead of N² — with
+      * production C ≈ √N cells that is ~N on a cell-balanced corpus, and
+      * cross-cell near-dups are forfeit BY CONTRACT (the standard
+      * SemDeDup trade; raise nprobe-style multi-cell assignment if that
+      * loss matters). The self-join shuffles on `cell` only, and vectors
+      * leave the plan before the per-vector argmin window. */
+    "dedup_semantic" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val cells = ivfCells(s, dir, e, ivfCentroids(s, dir, e))
+      val a = cells.select(col("vec_id").as("keeper"), col("v").as("va"),
+        col("cell"))
+      val b = cells.select(col("vec_id"), col("v").as("vb"), col("cell"))
+      val pairs = a.join(b, "cell")
+        .where(col("keeper") < col("vec_id"))
+        .withColumn("sim", round(Vector.cosine(col("va"), col("vb")), 6))
+        .where(col("sim") >= 0.35)
+        .select("vec_id", "keeper", "sim") // vectors stay out of the window shuffle
+      val w = Window.partitionBy("vec_id").orderBy("keeper")
+      pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("vec_id", "keeper", "sim")
+        .orderBy("vec_id")
+    }),
+
+    /** Scalar int8 quantization of the embedding corpus — the compressed
+      * vector store an ANN index keeps at 100 TB (64 B/vector vs 256 B
+      * float32; PQ's 8 B/vector is the lossier tier below it): per
+      * dimension, the corpus [min, max] maps affinely onto 0..255,
+      * code = round((x − mn)/(mx − mn)·255); a collapsed dimension
+      * (mn = mx) encodes 0 by contract. The encoded corpus is staged per
+      * corpus version (`sq8_enc_v1`: vec_id, codes, per-vector
+      * reconstruction MSE — the artifact IS the index file), and ALL
+      * eager driver work (the 64-row limits collect — bounded quantizer
+      * state, same pattern as the IVF centroid collect) lives inside the
+      * build thunk, so a warm call is one staged read + a map-side md5.
+      * Output pins the EXACT encoding (md5 over the comma-joined code
+      * array) and the MSE (error left-fold in dim order, round 6): the
+      * limits are exact min/max doubles and the affine map is the same
+      * IEEE expression tree in both engines, so the oracle replays the
+      * whole quantizer from the raw table. */
+    "embed_quantize_int8" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val enc = graft.Staging.materialize(
+        s, Tables.path(dir, "embeddings"), "sq8_enc_v1") {
+        val lims = e.select(posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+          .toSeq.sortBy(_._1)
+        val mns = array(lims.map(l => lit(l._2)): _*)
+        val mxs = array(lims.map(l => lit(l._3)): _*)
+        val dim = lims.size
+        def mn(i: Column) = element_at(mns, i)
+        def mx(i: Column) = element_at(mxs, i)
+        def x(i: Column) = element_at(col("v"), i)
+        def recon(i: Column, c: Column) =
+          mn(i) + c.cast("double") / 255 * (mx(i) - mn(i))
+        val codes = transform(sequence(lit(1), lit(dim)), i =>
+          when(mx(i) > mn(i),
+            round((x(i) - mn(i)) / (mx(i) - mn(i)) * 255).cast("int"))
+            .otherwise(lit(0)))
+        e.select(col("vec_id"), col("v"), codes.as("codes"))
+          .select(col("vec_id"), col("codes"),
+            round(aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+              (acc, i) => acc +
+                (x(i) - recon(i, element_at(col("codes"), i))) *
+                (x(i) - recon(i, element_at(col("codes"), i)))) / dim, 6)
+              .as("mse"))
+      }
+      enc.select(col("vec_id"),
+          md5(array_join(transform(col("codes"), _.cast("string")), ","))
+            .as("codes_md5"),
+          col("mse"))
+        .orderBy("vec_id")
     })
   )
 
   private val NumPlanes = 6
 
   /** embeddings with the float vector widened to array<double> once. */
-  private def embDouble(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
@@ -375,7 +458,7 @@ object Ann {
     * staged hit must launch exactly one job — the 16-row artifact read —
     * not re-collect seeds the staged copy already folded in (the thunked
     * materialize overload exists for precisely this, Staging.scala). */
-  private def ivfCentroids(s: SparkSession, dir: String,
+  private[graft] def ivfCentroids(s: SparkSession, dir: String,
                            e: DataFrame): Seq[(Long, Column)] = {
     val cents = graft.Staging.materialize(
       s, Tables.path(dir, "embeddings"), "ivf_cent16_lloyd1_v1") {
@@ -415,14 +498,69 @@ object Ann {
     * (ingest) — one artifact, two consumers, the point of an incremental
     * index. (lloyd1 in the tag: refined-centroid cells must never alias
     * the retired seed-cell artifact.) */
-  private def ivfCells(s: SparkSession, dir: String, e: DataFrame,
+  private[graft] def ivfCells(s: SparkSession, dir: String, e: DataFrame,
                        centLit: Seq[(Long, Column)]): DataFrame =
     graft.Staging.materialize(
       e.select(col("vec_id"), col("v"),
         element_at(nearestCells(col("v"), centLit, 1), 1)("c_id").as("cell")),
       Tables.path(dir, "embeddings"), "ivf_cells16_lloyd1_v1")
 
+  /** Shared oracle prefix: the full IVF index replay (seed cells → one
+    * fixed-point Lloyd round → refined centroids → cell assignment),
+    * identical CTE text to the inline copies in embed_ann_ivf /
+    * embed_ann_incremental — ends with `cells(vec_id, v, cell)`. */
+  private val ivfCellsCte =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16), " +
+      "a0 AS (SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
+      "FROM e CROSS JOIN cent0), " +
+      "m0 AS (SELECT v, c_id FROM a0 WHERE rc = 1), " +
+      "dx AS (SELECT c_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM m0), " +
+      "ds AS (SELECT c_id, d, sum(CAST(round(x * 1e6) AS BIGINT)) AS sm, " +
+      "count(*) AS n FROM dx GROUP BY c_id, d), " +
+      "centm AS (SELECT c_id, list(CAST(sm AS DOUBLE) / n / 1e6 ORDER BY d) AS cv " +
+      "FROM ds GROUP BY c_id), " +
+      "cent AS (SELECT c_id, cv FROM centm UNION ALL " +
+      "SELECT c_id, cv FROM cent0 WHERE c_id NOT IN (SELECT c_id FROM centm)), " +
+      "assign AS (SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
+      "FROM e CROSS JOIN cent), " +
+      "cells AS (SELECT vec_id, v, c_id AS cell FROM assign WHERE rc = 1), "
+
   val oracles: Map[String, String] = Map(
+    // Within-cell pairs over the replayed IVF cells; keeper = min lower
+    // id with rounded cosine >= 0.35 (row_number argmin, same total
+    // order as the Spark window).
+    "dedup_semantic" ->
+      (ivfCellsCte +
+        "pairs AS (SELECT a.vec_id AS keeper, b.vec_id AS vec_id, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
+        "FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35), " +
+        "pick AS (SELECT vec_id, keeper, sim, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY keeper) AS rn FROM pairs) " +
+        "SELECT vec_id, keeper, sim FROM pick WHERE rn = 1 ORDER BY vec_id"),
+    // Full quantizer replay: per-dim exact min/max, affine int8 encode,
+    // reconstruction-error left-fold in dim order (list_reduce over the
+    // 0.0-prepended error list ≡ Spark's aggregate fold) — identical
+    // IEEE expression trees, so values match bit-for-bit.
+    "embed_quantize_int8" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "dx AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e), " +
+        "mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM dx GROUP BY d), " +
+        "lims AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm), " +
+        "enc AS (SELECT vec_id, v, list_transform(range(1, 65), i -> " +
+        "CASE WHEN mxs[i] > mns[i] " +
+        "THEN CAST(round((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255) AS INTEGER) " +
+        "ELSE 0 END) AS codes FROM e, lims), " +
+        "err AS (SELECT vec_id, codes, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(1, 65), i -> " +
+        "(v[i] - (mns[i] + CAST(codes[i] AS DOUBLE) / 255 * (mxs[i] - mns[i]))) * " +
+        "(v[i] - (mns[i] + CAST(codes[i] AS DOUBLE) / 255 * (mxs[i] - mns[i]))))), " +
+        "(a, b) -> a + b) AS sse FROM enc, lims) " +
+        "SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_md5, " +
+        "round(sse / 64, 6) AS mse FROM err ORDER BY vec_id"),
     // Full-CTE replay of the incremental-ingest path, same style as
     // embed_ann_ivf's: rebuild cells + probe assignment from scratch and
     // apply the identical integral newest-10% boundary on both sides.

@@ -322,19 +322,7 @@ object Pipeline {
     // gram. 4-grams chosen over 8 (vacuous on this short-doc corpus) and
     // 3 (flags a third of it): 7 docs at sf0.01 — selective, non-trivial.
     "text_contamination" -> ((s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-        .where(size(col("t")) >= 4)
-      // The (doc_id, 4-gram) relation feeds BOTH join sides (benchmark +
-      // corpus), so it's materialized once per corpus version — the same
-      // two-reference rule as the dedup signatures.
-      val grams = graft.Staging.materialize(
-        docs.select(col("doc_id"),
-          explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 3),
-            i => concat_ws(" ", element_at(col("t"), i),
-              element_at(col("t"), i + 1), element_at(col("t"), i + 2),
-              element_at(col("t"), i + 3))))).as("gram")),
-        Tables.path(dir, "documents"), "contam_grams4_v1")
+      val grams = grams4(s, dir)
       val bench = grams.where(col("doc_id") % 97 === 0)
         .select("gram").distinct()
       grams.where(col("doc_id") % 97 =!= 0)
@@ -342,6 +330,35 @@ object Pipeline {
         .groupBy("doc_id").agg(countDistinct("gram").as("n_shared"))
         .orderBy("doc_id")
     }),
+
+    // Cross-document duplicated-n-gram mass — the RefinedWeb/Gopher-class
+    // corpus-level repetition filter (text_repetition measures WITHIN-doc
+    // repetition; this measures how much of each doc recurs ELSEWHERE in
+    // the corpus): per doc, the fraction of its distinct word 4-grams
+    // carried by at least one OTHER document. Grams are distinct per doc,
+    // so gram-df ≥ 2 ⇔ "another doc has it" with no self-count
+    // correction. Shape: one gram-keyed two-phase count over the SAME
+    // staged 4-gram artifact text_contamination reads (built once per
+    // corpus version), joined back gram-keyed — work scales with gram
+    // instances, never doc pairs, and the df relation is the aggregated
+    // (smaller) join side. Output is exact-integer-derived (round-6 ratio
+    // of two counts).
+    "text_dup_spans" -> ((s, dir) =>
+      // The per-doc relation is a pure function of the corpus version —
+      // staged like the dedup pair lists (at 100 TB the repetition scores
+      // live next to the corpus; filters read them, not the gram join).
+      // Order re-applied after the staged read (parquet keeps no order).
+      graft.Staging.materialize(s, Tables.path(dir, "documents"),
+        "dup_spans4_v1") {
+        val grams = grams4(s, dir)
+        val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        grams.join(df, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"),
+            round(col("n_dup") / col("n_grams"), 6).as("dup_frac"))
+      }.orderBy("doc_id")),
 
     // The end-to-end corpus-cleaning flagship — what this engine is FOR —
     // composing four independently-verified stages into one declared,
@@ -419,6 +436,27 @@ object Pipeline {
     * mirrors `Dedup.ngramPairs`' cap suffix: a capped (explicitly lossy)
     * pair graph yields its own label artifact and can never poison the
     * uncapped one. */
+  /** The staged (doc_id, distinct word-4-gram) relation — one artifact
+    * per corpus version, shared by `text_contamination` (benchmark
+    * overlap) and `text_dup_spans` (cross-doc duplication mass). The
+    * explode feeds multiple join sides across both consumers, so it is
+    * materialized once (the same two-reference rule as the dedup
+    * signatures): at 100 TB the gram relation is built next to the
+    * corpus and every consumer reads the columnar artifact instead of
+    * re-exploding the text. */
+  private def grams4(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .where(size(col("t")) >= 4)
+    graft.Staging.materialize(
+      docs.select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 3),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2),
+            element_at(col("t"), i + 3))))).as("gram")),
+      Tables.path(dir, "documents"), "contam_grams4_v1")
+  }
+
   private def ccLabels(s: SparkSession, dir: String): DataFrame = {
     val cap = graft.QueryDefs.longConf(s, "graft.ngram.hotGramCap")
     val groupExact =
@@ -814,6 +852,23 @@ object Pipeline {
         "SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared " +
         "FROM g JOIN bench USING (gram) WHERE doc_id % 97 <> 0 " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // Same gram CTE as text_contamination (the shared staged artifact);
+    // grams are DISTINCT per doc, so df >= 2 ⇔ another document carries
+    // the gram. sum(CASE) is HUGEINT in DuckDB → CAST BIGINT (the
+    // text_tokens precedent); the ratio is exact-int division both sides.
+    "text_dup_spans" ->
+      ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram " +
+        "FROM toks WHERE len(t) >= 4), " +
+        "df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1), " +
+        "pd AS (SELECT doc_id, count(*) AS n_grams, " +
+        "sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup " +
+        "FROM g JOIN df USING (gram) GROUP BY 1) " +
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, " +
+        "CAST(n_dup AS BIGINT) AS n_dup, " +
+        "round(n_dup / CAST(n_grams AS DOUBLE), 6) AS dup_frac " +
+        "FROM pd ORDER BY doc_id"),
     // Composes the four verified stage oracles (cluster CTE = dedup_cluster's,
     // quality CASE = text_quality's, draw = sample_stratified's, window =
     // pack_sequences') — any drift in a stage shows up in its own row first.

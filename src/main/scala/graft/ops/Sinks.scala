@@ -201,6 +201,18 @@ object Sinks {
         .write.mode("overwrite").orc(tmp.toString)
     }
 
+  /** `documents` re-written as raw line-oriented text (`doc_id<TAB>text`,
+    * one document per line — the web-crawl / log-dump shape
+    * `spark.read.text` exists for; corpus text is single-line and
+    * tab-free by construction, so line ⇔ document exactly). Written once
+    * per corpus version like the CSV/ORC artifacts. */
+  def ensureTextDocs(s: SparkSession, dir: String): String =
+    publishSink(dir, "documents", "documents_txt_v1") { tmp =>
+      Tables.table(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(tmp.toString)
+    }
+
   /** `orders` re-written as header'd CSV — the delimited-text source
     * surface. The `tag` column embeds a comma so the roundtrip exercises
     * quoting, not just tokenization. */
@@ -290,6 +302,26 @@ object Sinks {
         .select(orcOrderCols.map(col): _*).schema
       s.read.schema(sch).orc(ensureOrcOrders(s, dir))
         .orderBy("o_orderkey")
+    }),
+
+    // Raw line-oriented text source — the remaining feasible file format
+    // after parquet/JSON-lines/CSV/ORC (Avro: datasource jar absent, see
+    // SURVEY §2.1): `spark.read.text` over the staged one-doc-per-line
+    // dump, then the parse-after-read step every raw-text ingest performs
+    // (split at the first tab → typed doc_id + payload). Output pins the
+    // FULL payload round-trip byte-for-byte (md5 + length per doc) — a
+    // dropped/mangled line or a split that eats payload tabs would
+    // hash-mismatch, not just change counts. Splits are per-line, so the
+    // read parallelizes like any text lake scan.
+    "source_text" -> ((s, dir) => {
+      val p = split(col("value"), "\t", 2)
+      s.read.text(ensureTextDocs(s, dir))
+        .select(element_at(p, 1).cast("long").as("doc_id"),
+          element_at(p, 2).as("text"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_txt"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -316,6 +348,11 @@ object Sinks {
        "FROM orders ORDER BY o_orderkey"),
     "source_orc" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
-       "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey")
+       "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
+    // The text round-trip is lossless (single-line, tab-free corpus), so
+    // the oracle replays the payload digest from the source table.
+    "source_text" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt, " +
+       "md5(text) AS text_md5 FROM documents ORDER BY doc_id")
   )
 }

@@ -255,4 +255,71 @@ class AnnSpec extends AnyFunSuite {
     assert(topkSets("embed_ann_lsh") === topkSets("embed_ann_lsh"))
     assert(topkSets("embed_ann_pq") === topkSets("embed_ann_pq"))
   }
+
+  /** In-order accumulation replica of the native CosineSim expression
+    * (dot/(√na·√nb), index-order sums) — bit-identical by construction. */
+  private def cosRef(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("semantic dedup equals a driver-side within-cell min-id reference") {
+    val e = ops.Ann.embDouble(spark, sf)
+    val cells = ops.Ann.ivfCells(spark, sf, e,
+        ops.Ann.ivfCentroids(spark, sf, e)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    // reference: for each vector, the smallest lower-id same-cell vector
+    // with rounded cosine >= 0.35 (and that pair's sim)
+    val byCell = cells.groupBy(_._3)
+    val want = byCell.values.flatMap { ms =>
+      val sorted = ms.sortBy(_._1)
+      sorted.flatMap { case (id, v, _) =>
+        sorted.iterator.takeWhile(_._1 < id)
+          .map { case (kid, kv, _) => (kid, r6(cosRef(kv, v))) }
+          .find(_._2 >= 0.35)
+          .map { case (kid, sim) => (id, kid, sim) }
+      }
+    }.toSet
+    val got = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    got.foreach { case (id, keeper, sim) =>
+      assert(keeper < id); assert(sim >= 0.35)
+    }
+  }
+
+  test("int8 quantization replays bit-exactly driver-side (codes md5 + mse)") {
+    val vs = ops.Ann.embDouble(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val dim = vs.head._2.length
+    val mns = (0 until dim).map(d => vs.map(_._2(d)).min)
+    val mxs = (0 until dim).map(d => vs.map(_._2(d)).max)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = vs.map { case (id, v) =>
+      val codes = (0 until dim).map { d =>
+        if (mxs(d) > mns(d))
+          // same HALF_UP-on-double semantics as Spark's round()
+          BigDecimal((v(d) - mns(d)) / (mxs(d) - mns(d)) * 255)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+        else 0
+      }
+      var sse = 0.0
+      (0 until dim).foreach { d =>
+        val recon = mns(d) + codes(d).toDouble / 255 * (mxs(d) - mns(d))
+        sse += (v(d) - recon) * (v(d) - recon)
+      }
+      (id, md5hex(codes.mkString(",")), r6(sse / dim))
+    }.toSet
+    val got = SparkEntry.queries("embed_quantize_int8")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
 }

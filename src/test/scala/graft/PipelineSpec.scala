@@ -182,6 +182,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("text_dup_spans equals a driver-side gram-df recount") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val gsets = docs.collect { case (id, t) if t.split(" ", -1).length >= 4 =>
+      id -> t.toLowerCase.split(" ", -1).sliding(4).map(_.mkString(" ")).toSet
+    }
+    val df = gsets.flatMap(_._2.toSeq).groupBy(identity).map {
+      case (g, xs) => g -> xs.size
+    }
+    val want = gsets.map { case (id, gs) =>
+      val nd = gs.count(g => df(g) >= 2)
+      (id, gs.size.toLong, nd.toLong,
+        BigDecimal(nd.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("text_dup_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === want)
+  }
+
   test("stratified sample is deterministic and respects per-lang rates") {
     val q = ops.Pipeline.queries("sample_stratified")
     val a = q(spark, sf).collect().map(_.toString).toSeq

@@ -277,7 +277,8 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     import org.apache.spark.sql.types.ArrayType
     val keys = Seq("embed_cosine_topk", "embed_knn_label", "embed_ann_ivf",
-      "embed_ann_lsh", "embed_ann_pq", "embed_ann_incremental")
+      "embed_ann_lsh", "embed_ann_pq", "embed_ann_incremental",
+      "dedup_semantic") // its per-vector argmin window must stay narrow too
     sys.props("graft.staging") = "false"
     try keys.foreach { k =>
       val plan = SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan
