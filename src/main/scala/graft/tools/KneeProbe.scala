@@ -148,7 +148,12 @@ object KneeProbe {
           .repartition(4).write.parquet(s"$dir/embeddings.parquet")
         replicate(Tables.events(spark, sfDir), m, 100000000L, "event_id", "user_id")
           .repartition(4).write.parquet(s"$dir/events.parquet")
+        // dedup_semantic rides the same replica: its within-cell pair count
+        // grows ~m²/C at FIXED C=16 (the toy cell count shared with the IVF
+        // index) — the measured decade quantifies why production sizes
+        // C ≈ √N (keeps Σ|cell|² ~N), per the operator's Scaladoc contract.
         for (k <- Seq("embed_ann_ivf", "embed_ann_pq", "embed_ann_incremental",
+                      "dedup_semantic", "embed_quantize_int8",
                       "stream_upsert_snapshot")) {
           val tag = if (k == "stream_upsert_snapshot") "E" else "D"
           if (warm) { graft.SparkEntry.queries(k)(spark, dir.toString).count(); () }
