@@ -393,39 +393,45 @@ object Ann {
       * limits are exact min/max doubles and the affine map is the same
       * IEEE expression tree in both engines, so the oracle replays the
       * whole quantizer from the raw table. */
-    "embed_quantize_int8" -> ((s, dir) => {
-      val e = embDouble(s, dir)
-      val enc = graft.Staging.materialize(
-        s, Tables.path(dir, "embeddings"), "sq8_enc_v1") {
-        val lims = e.select(posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
-          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-          .toSeq.sortBy(_._1)
-        val mns = array(lims.map(l => lit(l._2)): _*)
-        val mxs = array(lims.map(l => lit(l._3)): _*)
-        val dim = lims.size
-        def mn(i: Column) = element_at(mns, i)
-        def mx(i: Column) = element_at(mxs, i)
-        def x(i: Column) = element_at(col("v"), i)
-        def recon(i: Column, c: Column) =
-          mn(i) + c.cast("double") / 255 * (mx(i) - mn(i))
-        val codes = transform(sequence(lit(1), lit(dim)), i =>
-          when(mx(i) > mn(i),
-            round((x(i) - mn(i)) / (mx(i) - mn(i)) * 255).cast("int"))
-            .otherwise(lit(0)))
-        e.select(col("vec_id"), col("v"), codes.as("codes"))
-          .select(col("vec_id"), col("codes"),
-            round(aggregate(sequence(lit(1), lit(dim)), lit(0.0),
-              (acc, i) => acc +
-                (x(i) - recon(i, element_at(col("codes"), i))) *
-                (x(i) - recon(i, element_at(col("codes"), i)))) / dim, 6)
-              .as("mse"))
-      }
-      enc.select(col("vec_id"),
+    "embed_quantize_int8" -> ((s, dir) =>
+      sq8Enc(s, dir).select(col("vec_id"),
           md5(array_join(transform(col("codes"), _.cast("string")), ","))
             .as("codes_md5"),
           col("mse"))
-        .orderBy("vec_id")
+        .orderBy("vec_id")),
+
+    /** ANN search over the int8-quantized store — the reason the store
+      * exists: the classic SQ8 flat scan (probe query EXACT, corpus
+      * DECODED from its 64 B codes map-side against the broadcast 64-row
+      * limits — the asymmetric-distance trade PQ's ADC also makes, at a
+      * much lower error). Each probe (vec_id < 10) ranks the whole
+      * decoded corpus by rounded cosine with vec_id tie-break, top-5. At
+      * 100 TB the scan reads the 4×-smaller code artifact instead of the
+      * float corpus — bandwidth, not compute, is what the quantization
+      * buys — and the same decode expression composes with the IVF cell
+      * filter for a sub-linear variant. Reconstruction error here is
+      * tiny (MSE ~1e-6, AnnSpec floor), so recall vs the exact scan is
+      * near-perfect; the oracle replays quantize → decode → rank
+      * end-to-end from the raw table. */
+    "embed_ann_sq8" -> ((s, dir) => {
+      val lims = sq8Lims(s, dir)
+      val mns = array(lims.map(l => lit(l._2)): _*)
+      val mxs = array(lims.map(l => lit(l._3)): _*)
+      val rv = transform(sequence(lit(1), lit(lims.size)), i =>
+        element_at(mns, i) +
+          element_at(col("codes"), i).cast("double") / 255 *
+            (element_at(mxs, i) - element_at(mns, i)))
+      val probes = embDouble(s, dir).where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))
+      Vector.rankPerProbe(
+        sq8Enc(s, dir).select(col("vec_id"), rv.as("rv"))
+          .crossJoin(broadcast(probes))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(Vector.cosine(col("q"), col("rv")), 6))
+          .select("q_id", "vec_id", "sim"), // vectors stay out of the window shuffle
+        Seq(col("sim").desc, col("vec_id")), 5, "rnk")
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
+        .orderBy("q_id", "rnk")
     })
   )
 
@@ -505,6 +511,49 @@ object Ann {
         element_at(nearestCells(col("v"), centLit, 1), 1)("c_id").as("cell")),
       Tables.path(dir, "embeddings"), "ivf_cells16_lloyd1_v1")
 
+  /** Per-dim [min, max] of the embedding corpus — the SQ8 quantizer's
+    * entire model state (64 rows), staged per corpus version and
+    * collected on read (the ivfCentroids 16-row pattern: bounded model
+    * state, never data). Shared by the encoder and the SQ8 search's
+    * decoder, so the two can never drift. */
+  private def sq8Lims(s: SparkSession, dir: String): Seq[(Int, Double, Double)] =
+    graft.Staging.materialize(s, Tables.path(dir, "embeddings"),
+      "sq8_lims_v1") {
+      embDouble(s, dir).select(posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+    }.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+
+  /** The int8-encoded corpus (`sq8_enc_v1`: vec_id, codes, per-vector
+    * reconstruction MSE) — the artifact IS the compressed index file.
+    * All eager driver work (the limits collect) stays inside the build
+    * thunk; a warm call is one staged read. */
+  private def sq8Enc(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.materialize(
+      s, Tables.path(dir, "embeddings"), "sq8_enc_v1") {
+      val e = embDouble(s, dir)
+      val lims = sq8Lims(s, dir)
+      val mns = array(lims.map(l => lit(l._2)): _*)
+      val mxs = array(lims.map(l => lit(l._3)): _*)
+      val dim = lims.size
+      def mn(i: Column) = element_at(mns, i)
+      def mx(i: Column) = element_at(mxs, i)
+      def x(i: Column) = element_at(col("v"), i)
+      def recon(i: Column, c: Column) =
+        mn(i) + c.cast("double") / 255 * (mx(i) - mn(i))
+      val codes = transform(sequence(lit(1), lit(dim)), i =>
+        when(mx(i) > mn(i),
+          round((x(i) - mn(i)) / (mx(i) - mn(i)) * 255).cast("int"))
+          .otherwise(lit(0)))
+      e.select(col("vec_id"), col("v"), codes.as("codes"))
+        .select(col("vec_id"), col("codes"),
+          round(aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+            (acc, i) => acc +
+              (x(i) - recon(i, element_at(col("codes"), i))) *
+              (x(i) - recon(i, element_at(col("codes"), i)))) / dim, 6)
+            .as("mse"))
+    }
+
   /** Shared oracle prefix: the full IVF index replay (seed cells → one
     * fixed-point Lloyd round → refined centroids → cell assignment),
     * identical CTE text to the inline copies in embed_ann_ivf /
@@ -561,6 +610,26 @@ object Ann {
         "(a, b) -> a + b) AS sse FROM enc, lims) " +
         "SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_md5, " +
         "round(sse / 64, 6) AS mse FROM err ORDER BY vec_id"),
+    // Quantize → decode → rank, end-to-end from the raw table: the same
+    // encoder CTE as embed_quantize_int8, corpus decoded per dim, probes
+    // exact, (rounded sim DESC, vec_id) total order.
+    "embed_ann_sq8" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "dx AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e), " +
+        "mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM dx GROUP BY d), " +
+        "lims AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm), " +
+        "enc AS (SELECT vec_id, list_transform(range(1, 65), i -> " +
+        "CASE WHEN mxs[i] > mns[i] " +
+        "THEN CAST(round((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255) AS INTEGER) " +
+        "ELSE 0 END) AS codes FROM e, lims), " +
+        "dec AS (SELECT vec_id, list_transform(range(1, 65), i -> " +
+        "mns[i] + CAST(codes[i] AS DOUBLE) / 255 * (mxs[i] - mns[i])) AS rv FROM enc, lims), " +
+        "probes AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 10), " +
+        "ranked AS (SELECT q_id, dec.vec_id, round(list_cosine_similarity(q, rv), 6) AS sim, " +
+        "row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_cosine_similarity(q, rv), 6) DESC, dec.vec_id) AS rnk " +
+        "FROM probes CROSS JOIN dec WHERE dec.vec_id <> probes.q_id) " +
+        "SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"),
     // Full-CTE replay of the incremental-ingest path, same style as
     // embed_ann_ivf's: rebuild cells + probe assignment from scratch and
     // apply the identical integral newest-10% boundary on both sides.

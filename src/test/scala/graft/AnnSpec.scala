@@ -256,6 +256,19 @@ class AnnSpec extends AnyFunSuite {
     assert(topkSets("embed_ann_pq") === topkSets("embed_ann_pq"))
   }
 
+  test("SQ8 scan: near-perfect recall vs the exact cosine scan") {
+    val sq = topkSets("embed_ann_sq8")
+    assert(sq.keySet === exact.keySet)
+    sq.values.foreach(s => assert(s.size === 5))
+    val r = recall(sq)
+    info(s"SQ8 recall@5 = $r")
+    // int8 reconstruction error is ~1e-6 MSE on unit-ish dims, so the
+    // decoded scan should rank almost identically to the exact one —
+    // a big margin below the measured value still catches a broken
+    // decode (wrong limits, off-by-one dim indexing) instantly.
+    assert(r >= 0.8, s"SQ8 recall@5 degenerated to $r")
+  }
+
   /** In-order accumulation replica of the native CosineSim expression
     * (dot/(√na·√nb), index-order sums) — bit-identical by construction. */
   private def cosRef(a: Array[Double], b: Array[Double]): Double = {

@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_ann_pq",        // broadcast probe LUTs vs corpus codes
     "text_tfidf", "text_unigram_nll", // nll: 1-row broadcast total, like tfidf
     "dedup_incremental",              // 1-row broadcast max(doc_id) boundary
-    "embed_ann_incremental")          // 1-row broadcast max(vec_id) boundary
+    "embed_ann_incremental",          // 1-row broadcast max(vec_id) boundary
+    "embed_ann_sq8")                  // broadcast probes vs decoded corpus
 
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation
@@ -278,7 +279,8 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.types.ArrayType
     val keys = Seq("embed_cosine_topk", "embed_knn_label", "embed_ann_ivf",
       "embed_ann_lsh", "embed_ann_pq", "embed_ann_incremental",
-      "dedup_semantic") // its per-vector argmin window must stay narrow too
+      "dedup_semantic", // its per-vector argmin window must stay narrow too
+      "embed_ann_sq8")  // decoded vectors must not ride the ranking window
     sys.props("graft.staging") = "false"
     try keys.foreach { k =>
       val plan = SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan
