@@ -527,7 +527,11 @@ object Ann {
   /** The int8-encoded corpus (`sq8_enc_v1`: vec_id, codes, per-vector
     * reconstruction MSE) — the artifact IS the compressed index file.
     * All eager driver work (the limits collect) stays inside the build
-    * thunk; a warm call is one staged read. */
+    * thunk; a warm call is one staged read. Codes are LOGICALLY uint8
+    * (0..255); Spark has no unsigned byte type and a signed cast would
+    * wrap 128..255, so the column is int32 in memory — on disk parquet
+    * dictionary/bit-packing stores the ≤256-value range at ~1 B/code
+    * anyway, which is where the 64 B/vector claim lives. */
   private def sq8Enc(s: SparkSession, dir: String): DataFrame =
     graft.Staging.materialize(
       s, Tables.path(dir, "embeddings"), "sq8_enc_v1") {
