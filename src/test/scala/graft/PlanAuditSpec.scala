@@ -97,7 +97,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("aggregations are two-phase (map-side partial before the shuffle)") {
-    for (k <- Seq("agg_pricing_summary", "text_stats", "join_broadcast")) {
+    // text_dup_spans: the gram-df count must partial-aggregate map-side —
+    // at 100 TB the gram relation is the corpus-dominant term and a
+    // single-phase count would shuffle every gram instance.
+    for (k <- Seq("agg_pricing_summary", "text_stats", "join_broadcast",
+                  "text_dup_spans")) {
       val p = plans(k)
       assert("HashAggregate".r.findAllIn(p).length >= 2,
         s"$k is not a partial+final aggregate")
