@@ -423,13 +423,17 @@ object Ann {
             (element_at(mxs, i) - element_at(mns, i)))
       val probes = embDouble(s, dir).where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("q"))
+      // corpusSized: the flat scan ranks the WHOLE decoded corpus per
+      // probe (that is what "flat" means), so the candidate set is
+      // corpus-sized and must run the sharded two-stage top-k — the same
+      // contract the exact scan, kNN, and the PQ ADC scan declare.
       Vector.rankPerProbe(
         sq8Enc(s, dir).select(col("vec_id"), rv.as("rv"))
           .crossJoin(broadcast(probes))
           .where(col("vec_id") =!= col("q_id"))
           .withColumn("sim", round(Vector.cosine(col("q"), col("rv")), 6))
           .select("q_id", "vec_id", "sim"), // vectors stay out of the window shuffle
-        Seq(col("sim").desc, col("vec_id")), 5, "rnk")
+        Seq(col("sim").desc, col("vec_id")), 5, "rnk", corpusSized = true)
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
         .orderBy("q_id", "rnk")
     })
@@ -516,13 +520,20 @@ object Ann {
     * collected on read (the ivfCentroids 16-row pattern: bounded model
     * state, never data). Shared by the encoder and the SQ8 search's
     * decoder, so the two can never drift. */
-  private def sq8Lims(s: SparkSession, dir: String): Seq[(Int, Double, Double)] =
-    graft.Staging.materialize(s, Tables.path(dir, "embeddings"),
+  private def sq8Lims(s: SparkSession, dir: String): Seq[(Int, Double, Double)] = {
+    val lims = graft.Staging.materialize(s, Tables.path(dir, "embeddings"),
       "sq8_lims_v1") {
       embDouble(s, dir).select(posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
     }.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .toSeq.sortBy(_._1)
+    // The SQ8 oracles hardcode dim 64 (range(1, 65), sse / 64) while this
+    // side derives it from the data — a corpus of any other width must
+    // fail LOUDLY here, not silently diverge from the oracle (r12 ADVICE).
+    require(lims.size == 64,
+      s"SQ8 oracles assume 64-dim embeddings; corpus has dim ${lims.size}")
+    lims
+  }
 
   /** The int8-encoded corpus (`sq8_enc_v1`: vec_id, codes, per-vector
     * reconstruction MSE) — the artifact IS the compressed index file.

@@ -208,8 +208,16 @@ object Sinks {
     * per corpus version like the CSV/ORC artifacts. */
   def ensureTextDocs(s: SparkSession, dir: String): String =
     publishSink(dir, "documents", "documents_txt_v1") { tmp =>
+      // NULL text must fail the WRITE loudly (r12 ADVICE): concat_ws
+      // silently skips NULLs, so a NULL document would emit a tab-less
+      // doc_id-only line whose NULL payload then md5-matches the oracle's
+      // md5(NULL) — a data-loss case round-tripping as a silent pass.
       Tables.table(s, dir, "documents")
-        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .select(concat_ws("\t", col("doc_id"),
+          when(col("text").isNotNull, col("text"))
+            .otherwise(raise_error(concat(
+              lit("source_text: NULL text for doc_id "),
+              col("doc_id").cast("string"))))).as("value"))
         .write.mode("overwrite").text(tmp.toString)
     }
 
