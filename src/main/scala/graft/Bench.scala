@@ -111,8 +111,9 @@ object Bench {
       // hit map means NO staged-artifact build ran during that timed run
       // (with the warm-up above, anything else is a bug or a mid-bench
       // testdata swap).
-      def pass(): Map[String, (Option[Double], Boolean)] =
-        SparkEntry.queries.map { case (name, fn) =>
+      def passOver(qs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+          : Map[String, (Option[Double], Boolean)] =
+        qs.map { case (name, fn) =>
           val b0 = Staging.buildCount.get()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
@@ -121,15 +122,31 @@ object Bench {
           val warm = Staging.buildCount.get() == b0
           name -> (if (ok) (Some(dt), warm) else (None, warm))
         }
+      def pass(): Map[String, (Option[Double], Boolean)] =
+        passOver(SparkEntry.queries)
       val p1 = pass()
       val p2 = pass()
-      // min-of-2 over the runs that SUCCEEDED (a key that crashed once but
+      // Third pass for the NOISY keys only (r12 verdict item 1): the
+      // streaming drain keys' per-run swing on a loaded box is up to 2.2×
+      // on identical code (two back-to-back DrainTune sweeps, r12 notes) —
+      // wider than min-of-2 can absorb, so one scheduler spike in both
+      // passes set stream_upsert_snapshot's driver record 2× over its
+      // same-box control. One extra run of just those keys (+~10 s) makes
+      // the reported min a 3-sample statistic where the noise actually
+      // lives; the quiet batch keys keep min-of-2. embed_ann_pq rides
+      // along: its ADC scan is the one batch key whose driver-visible
+      // number has straddled its bar inside the same noise band.
+      val noisyKeys: Set[String] =
+        graft.streaming.Streams.queries.keySet + "embed_ann_pq"
+      val p3 = passOver(SparkEntry.queries.filter(q => noisyKeys(q._1)))
+      // min over the runs that SUCCEEDED (a key that crashed once but
       // ran once still reports its one honest time), carrying the hit flag
       // of the run that PRODUCED the min — staged_hit describes the
-      // reported number, not the other run.
+      // reported number, not the other runs.
       val merged = p1.map { case (k, (v1, w1)) =>
         val (v2, w2) = p2(k)
-        val runs = (v1.map((_, w1)).toSeq ++ v2.map((_, w2)).toSeq)
+        val runs = (v1.map((_, w1)).toSeq ++ v2.map((_, w2)).toSeq ++
+          p3.get(k).toSeq.flatMap { case (v3, w3) => v3.map((_, w3)) })
         k -> runs.sortBy(_._1).headOption
       }
       val results = merged.collect { case (k, Some((v, _))) => k -> v }
@@ -155,7 +172,9 @@ object Bench {
         case (k, false) if !stagedPresent.contains(k) => "\"" + k + "\""
       }.toSeq.sorted.mkString("[", ",", "]")
       val failed = failedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":2,"agg":"min","warmup_sec":${f(warmSec)},"warmup_staged_builds":$warmBuilds,"staged_read_keys":$staged,"staged_hit":$hitJson,"staged_cold_other":$coldOther,"failed":$failed,"queries":$qs,"sf":"$sfDir","total_sec":${f(total)}}"""
+      val noisyJson = noisyKeys.toSeq.sorted.filter(results.contains)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":2,"noisy_runs":3,"noisy_keys":$noisyJson,"agg":"min","warmup_sec":${f(warmSec)},"warmup_staged_builds":$warmBuilds,"staged_read_keys":$staged,"staged_hit":$hitJson,"staged_cold_other":$coldOther,"failed":$failed,"queries":$qs,"sf":"$sfDir","total_sec":${f(total)}}"""
       // The driver's tail capture has front-truncated the single long line
       // three rounds running ("parsed": null in BENCH_r0{1,2,3}.json). Emit
       // a compact parseable summary FIRST, keep the full line (its trailing
