@@ -308,6 +308,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "day predicate degraded to a post-scan Filter")
   }
 
+  test("source_jdbc scan is range-partitioned across 8 parallel reads") {
+    // The JDBC relation must carry numPartitions=8 (each task issues its
+    // own bounded-range query); a single-partition JDBCRelation funnels
+    // the whole table through one connection — the ingest anti-pattern
+    // the partitionColumn options exist to prevent.
+    val p = plans("source_jdbc")
+    assert(p.contains("JDBCRelation"), s"no JDBC scan in plan:\n$p")
+    assert(p.contains("numPartitions=8"),
+      s"JDBC read not range-partitioned into 8:\n$p")
+  }
+
   test("text_normalize is map-side scan work: no hash shuffle anywhere") {
     // Canonicalization must scale as a scan — the only exchange allowed
     // is the declared output sort's range partitioning.
