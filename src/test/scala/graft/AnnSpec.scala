@@ -269,6 +269,23 @@ class AnnSpec extends AnyFunSuite {
     assert(r >= 0.8, s"SQ8 recall@5 degenerated to $r")
   }
 
+  test("IVF-SQ8 composition: recall matches the float IVF search") {
+    // The decode error (~1e-6 MSE) is orders of magnitude below the
+    // rounded-cosine resolution that decides cell routing and ranking,
+    // so searching DECODED codes through the same nprobe=4 cell filter
+    // must land the same floor as the float IVF key — any gap means the
+    // composition broke (codes joined to the wrong cell, stale limits),
+    // not that quantization "cost recall".
+    val sqIvf = topkSets("embed_ann_sq8_ivf")
+    assert(sqIvf.keySet === exact.keySet)
+    sqIvf.values.foreach(s => assert(s.size === 5))
+    val rIvf = recall(topkSets("embed_ann_ivf"))
+    val r = recall(sqIvf)
+    info(s"IVF-SQ8 recall@5 = $r (float IVF = $rIvf)")
+    assert(r >= rIvf - 0.05,
+      s"IVF-SQ8 recall $r fell below the float IVF floor $rIvf")
+  }
+
   /** In-order accumulation replica of the native CosineSim expression
     * (dot/(√na·√nb), index-order sums) — bit-identical by construction. */
   private def cosRef(a: Array[Double], b: Array[Double]): Double = {

@@ -284,7 +284,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val keys = Seq("embed_cosine_topk", "embed_knn_label", "embed_ann_ivf",
       "embed_ann_lsh", "embed_ann_pq", "embed_ann_incremental",
       "dedup_semantic", // its per-vector argmin window must stay narrow too
-      "embed_ann_sq8")  // decoded vectors must not ride the ranking window
+      "embed_ann_sq8",  // decoded vectors must not ride the ranking window
+      "embed_ann_sq8_ivf") // codes AND decoded vectors both projected away
     sys.props("graft.staging") = "false"
     try keys.foreach { k =>
       val plan = SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan
