@@ -63,15 +63,16 @@ class MinhashSpec extends AnyFunSuite {
     assert(row.getDouble(1) >= 0.8, s"mean reported-pair jac=${row.getDouble(1)}")
   }
 
-  test("banding pipeline matches a driver-side reference on the real corpus") {
-    // Full independent replay of signature → banding → candidate →
-    // estimate on the actual documents table: tokens hashed with the same
-    // XXH64 primitive the query's xxhash64() calls (seed 42, the
-    // multi-arg chaining Spark defines), but the banding, bucketing,
-    // pair formation, and estimate logic reimplemented driver-side.
-    // Anything the distributed pipeline drops, duplicates, or mis-hashes
-    // shows up as a set difference here — this is the no-oracle key's
-    // oracle in all but name.
+  /** Full independent replay of signature → banding → candidate →
+    * estimate on the actual documents table at `sfDir`: tokens hashed
+    * with the same XXH64 primitive the query's xxhash64() calls (seed
+    * 42, the multi-arg chaining Spark defines), but the banding,
+    * bucketing, pair formation, and estimate logic reimplemented
+    * driver-side in plain Scala collections. Anything the distributed
+    * pipeline drops, duplicates, or mis-hashes shows up as a set
+    * difference here — this is the no-oracle key's oracle in all but
+    * name. */
+  private def bandingReplay(sfDir: String): Unit = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
     val Seed = 42L
@@ -81,7 +82,7 @@ class MinhashSpec extends AnyFunSuite {
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-    val docs = Tables.table(spark, sf, "documents")
+    val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), lower(col("text"))).collect()
       .map(r => r.getLong(0) -> r.getString(1))
     // Spark split(text, " ") keeps trailing empties: split(_, -1) matches.
@@ -100,10 +101,21 @@ class MinhashSpec extends AnyFunSuite {
       val est = round6(sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 32.0)
       if (est >= 0.9) Some((a, b, est)) else None
     }
-    val got = pairs.collect()
+    val got = SparkEntry.queries("dedup_minhash")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, s"replay found no pairs at $sfDir — degenerate corpus?")
     assert(got === expected,
       s"banding diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("banding pipeline matches a driver-side reference on the real corpus") {
+    bandingReplay(sf)
+  }
+
+  test("banding replay also holds on the driver's gate corpus (sf0.01)") {
+    // r12 verdict item 5: the exact pair SET at the scale factor the
+    // driver's correctness gate actually runs — not just the spec corpus.
+    bandingReplay("/root/testdata/sf0.01")
   }
 
   test("minhash estimate tracks exact Jaccard (mean abs error small)") {
