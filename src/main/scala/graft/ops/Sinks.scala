@@ -371,6 +371,13 @@ object Sinks {
         .option("url", s"jdbc:derby:$root/db")
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .option("dbtable", "orders")
+        // Derby TIMESTAMP is wall-clock; the corpus reads o_orderdate as
+        // TIMESTAMP_NTZ (also wall-clock). Mapping the JDBC read to NTZ
+        // keeps the round-trip timezone-FREE — the default instant
+        // mapping would re-interpret the wall clock in the session zone,
+        // silently shifting values on any non-UTC deployment (and
+        // drifting the column type from every other orders reader's).
+        .option("preferTimestampNTZ", "true")
         .option("partitionColumn", "o_orderkey")
         .option("lowerBound", b.getLong(0))
         .option("upperBound", b.getLong(1))

@@ -148,10 +148,11 @@ object KneeProbe {
           .repartition(4).write.parquet(s"$dir/embeddings.parquet")
         replicate(Tables.events(spark, sfDir), m, 100000000L, "event_id", "user_id")
           .repartition(4).write.parquet(s"$dir/events.parquet")
-        // dedup_semantic rides the same replica: its within-cell pair count
-        // grows ~m²/C at FIXED C=16 (the toy cell count shared with the IVF
-        // index) — the measured decade quantifies why production sizes
-        // C ≈ √N (keeps Σ|cell|² ~N), per the operator's Scaladoc contract.
+        // dedup_semantic rides the same replica: since r13 it derives
+        // C = max(16, ⌈√N⌉) (was pinned to the 16-cell toy artifact, which
+        // made Σ|cell|² ≈ N²/16 — measured super-linear here, ~4.7× per
+        // decade); with C ~ √N the decade ratio should sit near the other
+        // linear D legs'. This leg is the regression check for that.
         for (k <- Seq("embed_ann_ivf", "embed_ann_pq", "embed_ann_incremental",
                       "dedup_semantic", "embed_quantize_int8",
                       "stream_upsert_snapshot")) {

@@ -300,9 +300,12 @@ class AnnSpec extends AnyFunSuite {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("semantic dedup equals a driver-side within-cell min-id reference") {
+    // Cells come from the DERIVED-C inverted file the declared key reads
+    // (r13: C = max(16, ceil(sqrt(N))) — semCells, not the fixed-16
+    // search artifact); the pairing/argmin reference below is
+    // independent of how the cells were computed.
     val e = ops.Ann.embDouble(spark, sf)
-    val cells = ops.Ann.ivfCells(spark, sf, e,
-        ops.Ann.ivfCentroids(spark, sf, e)).collect()
+    val cells = ops.Ann.semCells(spark, sf, e).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
     // reference: for each vector, the smallest lower-id same-cell vector
     // with rounded cosine >= 0.35 (and that pair's sim)

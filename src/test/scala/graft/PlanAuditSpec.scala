@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_tfidf", "text_unigram_nll", // nll: 1-row broadcast total, like tfidf
     "dedup_incremental",              // 1-row broadcast max(doc_id) boundary
     "embed_ann_incremental",          // 1-row broadcast max(vec_id) boundary
-    "embed_ann_sq8")                  // broadcast probes vs decoded corpus
+    "embed_ann_sq8",                  // broadcast probes vs decoded corpus
+    "dedup_semantic")                 // broadcast √N centroid set vs corpus (assignCells)
 
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation
