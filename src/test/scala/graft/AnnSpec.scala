@@ -299,6 +299,22 @@ class AnnSpec extends AnyFunSuite {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("semantic dedup derives C = max(16, ceil(sqrt(N))) at every corpus scale") {
+    // Pins the formula the oracle replays in SQL (greatest/ceil/sqrt on
+    // count(*)) against the LIVE corpus counts — the driver regenerates
+    // testdata between rounds, so the expectation is the formula applied
+    // to the actual N, restated here literally, not cached values. A
+    // formula drift in semCellCount would desync the staged artifact
+    // name AND the oracle replay at the same time.
+    for (d <- Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val n = Tables.rowCount(spark, Tables.path(d, "embeddings"))
+      val c = ops.Ann.semCellCount(spark, d)
+      info(s"$d: N=$n -> C=$c")
+      assert(c === math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+      assert(c >= 16 && c <= math.max(16, n))
+    }
+  }
+
   test("semantic dedup equals a driver-side within-cell min-id reference") {
     // Cells come from the DERIVED-C inverted file the declared key reads
     // (r13: C = max(16, ceil(sqrt(N))) — semCells, not the fixed-16

@@ -310,6 +310,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "day predicate degraded to a post-scan Filter")
   }
 
+  test("dedup_semantic cell assignment is a partial+final argmin, not a window") {
+    // The derived-C build scores N·C (vector, centroid) rows; the argmin
+    // MUST collapse them to N map-side (partial_min over the (-sim, c_id)
+    // struct) before any shuffle — a row_number window here would shuffle
+    // the full N·C scored relation, the exact shape the join-based
+    // assignment exists to avoid.
+    val p = plans("dedup_semantic")
+    assert("partial_min".r.findFirstIn(p).isDefined,
+      s"assignment argmin not partial-aggregated:\n$p")
+  }
+
   test("source_jdbc scan is range-partitioned across 8 parallel reads") {
     // The JDBC relation must carry numPartitions=8 (each task issues its
     // own bounded-range query); a single-partition JDBCRelation funnels
