@@ -127,7 +127,7 @@ object Ann {
 
   val queries: Map[String, Q] = Map(
 
-    /** no-oracle: product-quantization ANN — the third classic scale path
+    /** Product-quantization ANN — the third classic scale path
       * (IVF bounds which vectors are scored, LSH bounds them by bucket; PQ
       * bounds the COST PER SCORE: 8 table lookups instead of a 64-dim
       * distance, and the corpus stores 8 small codes per vector instead
@@ -144,9 +144,12 @@ object Ann {
       * (see lloydRefine), and the ADC scan keeps top-R=50 per probe which
       * an exact-L2 re-rank over ONLY those R full vectors turns into the
       * final top-5 — the classic IVFADC+R search shape. Recall vs exact
-      * L2 and structural invariants are asserted in AnnSpec (no-oracle:
-      * the codebook literals make DuckDB replay impractical, and the
-      * semantics are approximation-specific by design). */
+      * L2 and structural invariants are asserted in AnnSpec, and since
+      * r13 the key is FULLY ORACLED: the codebook is not a literal — it
+      * derives deterministically from the raw table (seed slices + one
+      * fixed-point Lloyd round), so the DuckDB CTE rebuilds codebook,
+      * codes, LUTs, the ADC left-fold, and the re-rank end-to-end the
+      * same way the IVF oracles rebuild their centroids. */
     "embed_ann_pq" -> ((s, dir) => {
       val e = embDouble(s, dir)
       // Codebook = index metadata: seed (subspace-j slices of the PqK
@@ -723,7 +726,90 @@ object Ann {
       "FROM embeddings), " +
       "cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e, nn WHERE vec_id < nn.c)")
 
+  /** Σ(aᵢ−bᵢ)² as the SAME left fold both engines run: list_reduce over
+    * a 0.0-prepended squared-error list ≡ Spark's aggregate fold (the
+    * pattern the quantize oracle already proved IEEE-identical). `a`/`b`
+    * are SQL expressions yielding DOUBLE[] of length `dim`. */
+  private def sqlL2sq(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${dim + 1}), i -> " +
+      s"(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (x, y) -> x + y)"
+
   val oracles: Map[String, String] = Map(
+    /** Full end-to-end PQ replay — seed codebook (subspace slices of the
+      * 16 lowest vec_ids; dense ids ⇒ c = vec_id), one fixed-point Lloyd
+      * round per (j, c), corpus encode (argmin by (rounded l2², c)),
+      * per-probe 8×16 ADC LUT assembled as an ORDERED list-of-lists so
+      * the ADC score is the identical left fold (sum() would re-order
+      * the additions), top-R=50 by (adist, vec_id), exact-L2 re-rank,
+      * top-5. Assumes the default train stride (the conf-unset path:
+      * stride = max(1, N // 65536), replayed below — 1 at every driver
+      * SF) exactly as the other flag-gated keys' oracles assume default
+      * confs. This retires embed_ann_pq's no-oracle status (r13): the
+      * codebook is NOT a literal — it derives deterministically from the
+      * raw table, so SQL can rebuild it the same way the IVF oracles
+      * rebuild their centroids. */
+    "embed_ann_pq" -> {
+      val sub = (v: String, j: String) => s"list_slice($v, $j * 8 + 1, $j * 8 + 8)"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "nn AS (SELECT greatest(1, count(*) // 65536) AS stride FROM e), " +
+        "train AS (SELECT vec_id, v FROM e, nn WHERE vec_id % nn.stride = 0), " +
+        "js AS (SELECT unnest(range(0, 8)) AS j), " +
+        // seed codewords: subspace-j slices of the 16 lowest vec_ids
+        s"cw0 AS (SELECT j, CAST(vec_id AS INT) AS c, ${sub("v", "j")} AS cw " +
+        "FROM e, js WHERE vec_id < 16), " +
+        // seed assignment of the TRAIN set, argmin by (rounded l2^2, c)
+        "a0 AS (SELECT t.vec_id, cw0.j, cw0.c, " +
+        s"round(${sqlL2sq(sub("t.v", "cw0.j"), "cw0.cw", 8)}, 6) AS d " +
+        "FROM train t CROSS JOIN cw0), " +
+        "m0 AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c, " +
+        "row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rc FROM a0) " +
+        "WHERE rc = 1), " +
+        // one fixed-point Lloyd round per (j, c): exact long sums of
+        // round(x*1e6) per dim, mean = CAST(sm AS DOUBLE)/n/1e6
+        "dx AS (SELECT m0.j, m0.c, generate_subscripts(s.sub, 1) AS d, " +
+        "unnest(s.sub) AS x FROM m0 JOIN " +
+        s"(SELECT vec_id, j, ${sub("v", "j")} AS sub FROM e, js) s " +
+        "ON m0.vec_id = s.vec_id AND m0.j = s.j), " +
+        "ds AS (SELECT j, c, d, sum(CAST(round(x * 1e6) AS BIGINT)) AS sm, " +
+        "count(*) AS n FROM dx GROUP BY j, c, d), " +
+        "cwm AS (SELECT j, c, list(CAST(sm AS DOUBLE) / n / 1e6 ORDER BY d) AS cw " +
+        "FROM ds GROUP BY j, c), " +
+        "cw AS (SELECT j, c, cw FROM cwm UNION ALL SELECT j, c, cw FROM cw0 " +
+        "WHERE NOT EXISTS (SELECT 1 FROM cwm WHERE cwm.j = cw0.j AND cwm.c = cw0.c)), " +
+        // encode the WHOLE corpus against the refined codebook
+        "enc0 AS (SELECT e.vec_id, cw.j, cw.c, " +
+        s"round(${sqlL2sq(sub("e.v", "cw.j"), "cw.cw", 8)}, 6) AS d " +
+        "FROM e CROSS JOIN cw), " +
+        "codes AS (SELECT vec_id, list(c ORDER BY j) AS codes FROM " +
+        "(SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j " +
+        "ORDER BY d, c) AS rc FROM enc0) WHERE rc = 1 GROUP BY vec_id), " +
+        // per-probe ADC lookup table, assembled ORDERED (c within j, j
+        // within the outer list) so positions mirror Spark's arrays
+        "probes AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 10), " +
+        "lutd AS (SELECT p.q_id, cw.j, cw.c, " +
+        s"round(${sqlL2sq(sub("p.q", "cw.j"), "cw.cw", 8)}, 6) AS d " +
+        "FROM probes p CROSS JOIN cw), " +
+        "lutj AS (SELECT q_id, j, list(d ORDER BY c) AS lrow FROM lutd GROUP BY q_id, j), " +
+        "lut AS (SELECT q_id, list(lrow ORDER BY j) AS lut FROM lutj GROUP BY q_id), " +
+        // ADC scan: left-fold the 8 table lookups in j order (≡ Spark's
+        // aggregate(zip_with(codes, lut, element_at)))
+        "scored AS (SELECT l.q_id, cs.vec_id, round(list_reduce(" +
+        "list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), " +
+        "jj -> l.lut[jj][cs.codes[jj] + 1])), (x, y) -> x + y), 6) AS adist " +
+        "FROM lut l CROSS JOIN codes cs WHERE cs.vec_id <> l.q_id), " +
+        "cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rr " +
+        "FROM scored) WHERE rr <= 50), " +
+        // exact-L2 re-rank of ONLY the R survivors
+        "rer AS (SELECT c.q_id, c.vec_id, " +
+        s"round(${sqlL2sq("p.q", "e.v", 64)}, 6) AS dist " +
+        "FROM cand c JOIN e ON c.vec_id = e.vec_id " +
+        "JOIN probes p ON c.q_id = p.q_id), " +
+        "ranked AS (SELECT q_id, vec_id, dist, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM rer) " +
+        "SELECT q_id, rnk, vec_id, dist FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"
+    },
     // Within-cell pairs over the replayed DERIVED-C cells; keeper = min
     // lower id with rounded cosine >= 0.35 (row_number argmin, same
     // total order as the Spark window).

@@ -155,6 +155,7 @@ object KneeProbe {
         // linear D legs'. This leg is the regression check for that.
         for (k <- Seq("embed_ann_ivf", "embed_ann_pq", "embed_ann_incremental",
                       "dedup_semantic", "embed_quantize_int8",
+                      "embed_ann_sq8_ivf", // r13: cell-filtered SQ8 decade
                       "stream_upsert_snapshot")) {
           val tag = if (k == "stream_upsert_snapshot") "E" else "D"
           if (warm) { graft.SparkEntry.queries(k)(spark, dir.toString).count(); () }
