@@ -152,58 +152,8 @@ object Ann {
       * same way the IVF oracles rebuild their centroids. */
     "embed_ann_pq" -> ((s, dir) => {
       val e = embDouble(s, dir)
-      // Codebook = index metadata: seed (subspace-j slices of the PqK
-      // lowest-vec_id vectors, deterministic bounded collect) + ONE Lloyd
-      // round over the stride-subsampled training set (see pqTrainStride;
-      // stride 1 at driver SFs) — see lloydRefine for the exact-fixed-
-      // point determinism story. The 8×16 result is staged per corpus
-      // version alongside the code table: built once at index time, every
-      // search loads 128 rows (doubles round-trip parquet bit-exactly, so
-      // staged == freshly refined). A stride > 1 yields a DIFFERENT
-      // codebook, so strided artifacts carry the stride in their names
-      // and can never alias the full-train ones. (The corpus count feeding
-      // the auto stride is a parquet-metadata count — no row scan — and
-      // memoized per source fingerprint, so only the first invocation
-      // pays even the metadata job.)
-      // by-name count: with graft.pq.trainStride pinned, the Some branch
-      // never forces `n`, so the pinned path launches no count job at all
-      val stride = pqTrainStride(s,
-        Tables.rowCount(s, Tables.path(dir, "embeddings")))
-      val sfx = if (stride > 1) s"_s$stride" else ""
-      val cbDf = graft.Staging.materialize(
-        s, Tables.path(dir, "embeddings"), s"pq_codebook8x16_lloyd1${sfx}_v1") {
-        val cbRows = e.where(col("vec_id") < PqK).collect().toSeq
-          .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
-        val seed: Seq[Seq[Seq[Double]]] = (0 until PqSub).map { j =>
-          cbRows.map(_.slice(j * PqDim, (j + 1) * PqDim).toSeq)
-        }
-        val train =
-          if (stride > 1) e.where(col("vec_id") % stride === 0) else e
-        val refined = lloydRefine(train, seed, 1)
-        import s.implicits._
-        (for (j <- 0 until PqSub; c <- refined(j).indices)
-          yield (j, c, refined(j)(c))).toDF("j", "c", "cw")
-      }
-      val cbMap = cbDf.collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-      // codebook(j)(c) = literal array for codeword c of subspace j.
-      // Sized from the artifact, not PqK: a tiny corpus seeds fewer
-      // codewords per subspace.
-      val codebook: Seq[Seq[Column]] = (0 until PqSub).map { j =>
-        cbMap.keys.collect { case (`j`, c) => c }.toSeq.sorted
-          .map(c => array(cbMap((j, c)).map(lit): _*))
-      }
+      val (_, codebook, encoded) = pqIndex(s, dir, e)
       def sub(v: Column, j: Int): Column = slice(v, j * PqDim + 1, PqDim)
-      // encode: per subspace, argmin codeword by (rounded l2², index)
-      val codes = array((0 until PqSub).map(j =>
-        argminCode(col("v"), j, codebook(j))): _*)
-      // The code table IS the PQ index — staged per corpus version like
-      // the dedup artifacts (encode once, every search reads the codes).
-      // v2: Lloyd-refined codebook — a new artifact, never mixes with the
-      // v1 seed-codebook codes.
-      val encoded = graft.Staging.materialize(
-        e.select(col("vec_id"), codes.as("codes")),
-        Tables.path(dir, "embeddings"), s"pq_codes8x16_v2_lloyd1$sfx")
       // per-probe ADC lookup table: lut(j)(c) = d(q_subvec_j, codeword_jc)
       val lut = array((0 until PqSub).map { j =>
         array(codebook(j).map(cw =>
@@ -488,6 +438,72 @@ object Ann {
         Seq(col("sim").desc, col("vec_id")), 5, "rnk")
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
         .orderBy("q_id", "rnk")
+    }),
+
+    /** IVFADC — the composition FAISS actually deploys at scale and the
+      * one the declared surface was still missing: IVF bounds WHICH
+      * vectors are scored (nprobe=4 of 16 cells — sub-linear candidates),
+      * PQ bounds the COST PER SCORE (8 LUT lookups over an 8 B/vector
+      * code table instead of a 64-dim distance). The staged
+      * `ivfpq_idx_v1` artifact (vec_id, cell, codes) is the on-disk index
+      * file — codes stored WITH their cell (the sq8_ivf layout), so a
+      * search reads one artifact pre-filtered by cell, never a join of
+      * two corpus-sized tables. Per probe: map-side 8×16 ADC LUT +
+      * nearest-cell routing against the broadcast centroids, cell join,
+      * ADC left-fold, top-R=50 by (adist, vec_id), then the exact-L2
+      * re-rank over ONLY those R full vectors (IVFADC+R). At 100 TB per-
+      * probe cost is nprobe/C of the CODE table (32× smaller than the
+      * float corpus) + R full-vector fetches — each factor already proven
+      * by its parent key, composed here. Candidates are cell-bounded so
+      * the ranking keeps the single-window plan (the embed_ann_ivf
+      * contract); the oracle replays centroid refinement + cell
+      * assignment + codebook Lloyd + encode + LUT + ADC + re-rank
+      * end-to-end from the raw table (the two proven CTE prefixes
+      * composed). Recall floor vs exact L2 asserted in AnnSpec. */
+    "embed_ann_ivfpq" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val centLit = ivfCentroids(s, dir, e)
+      val (sfx, codebook, encoded) = pqIndex(s, dir, e)
+      def sub(v: Column, j: Int): Column = slice(v, j * PqDim + 1, PqDim)
+      val idx = graft.Staging.materialize(
+        s, Tables.path(dir, "embeddings"), s"ivfpq_idx${sfx}_v1") {
+        ivfCells(s, dir, e, centLit).select("vec_id", "cell")
+          .join(encoded, "vec_id")
+      }
+      val lut = array((0 until PqSub).map { j =>
+        array(codebook(j).map(cw =>
+          round(l2sq(sub(col("v"), j), cw), 6)): _*)
+      }: _*)
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q"), lut.as("lut"))
+      val probeCells = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), lut.as("lut"),
+          explode(transform(nearestCells(col("v"), centLit, NProbe),
+            x => x("c_id"))).as("cell"))
+      // Stage 1 — cell-routed ADC: each corpus vector lives in exactly
+      // one cell and a probe's 4 cells are distinct, so the join yields
+      // each (q_id, vec_id) candidate at most once. Projected narrow
+      // before ranking (codes + LUT feed the map-side fold only).
+      val cands = Vector.rankPerProbe(
+        idx.join(broadcast(probeCells), "cell")
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("adist", round(aggregate(
+            zip_with(col("codes"), col("lut"),
+              (c, l) => element_at(l, c.cast("int") + 1)),
+            lit(0.0), _ + _), 6))
+          .select("q_id", "vec_id", "adist"),
+        Seq(col("adist"), col("vec_id")), PqRerank, "cr")
+        .select("q_id", "vec_id")
+      // Stage 2 — exact re-rank of ONLY the R survivors (broadcast side
+      // of both joins: R·|probes| rows).
+      val wEx = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+      e.join(broadcast(cands), "vec_id")
+        .join(broadcast(probes.select("q_id", "q")), "q_id")
+        .withColumn("dist", round(l2sq(col("q"), col("v")), 6))
+        .withColumn("rnk", row_number().over(wEx))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("dist"))
+        .orderBy("q_id", "rnk")
     })
   )
 
@@ -566,6 +582,65 @@ object Ann {
       e.select(col("vec_id"), col("v"),
         element_at(nearestCells(col("v"), centLit, 1), 1)("c_id").as("cell")),
       Tables.path(dir, "embeddings"), "ivf_cells16_lloyd1_v1")
+
+  /** The PQ index build, shared by `embed_ann_pq` (flat ADC scan) and
+    * `embed_ann_ivfpq` (cell-routed ADC): (stride suffix, codebook
+    * literal columns, staged code table).
+    *
+    * Codebook = index metadata: seed (subspace-j slices of the PqK
+    * lowest-vec_id vectors, deterministic bounded collect) + ONE Lloyd
+    * round over the stride-subsampled training set (see pqTrainStride;
+    * stride 1 at driver SFs) — see lloydRefine for the exact-fixed-point
+    * determinism story. The 8×16 result is staged per corpus version
+    * alongside the code table: built once at index time, every search
+    * loads 128 rows (doubles round-trip parquet bit-exactly, so staged ==
+    * freshly refined). A stride > 1 yields a DIFFERENT codebook, so
+    * strided artifacts carry the stride in their names and can never
+    * alias the full-train ones. (The corpus count feeding the auto stride
+    * is a parquet-metadata count — no row scan — and memoized per source
+    * fingerprint, so only the first invocation pays even the metadata
+    * job. By-name count: with graft.pq.trainStride pinned, the Some
+    * branch never forces `n`, so the pinned path launches no count job at
+    * all.) The code table IS the PQ index — staged per corpus version
+    * like the dedup artifacts (encode once, every search reads the
+    * codes). v2: Lloyd-refined codebook — a new artifact, never mixes
+    * with the v1 seed-codebook codes. */
+  private def pqIndex(s: SparkSession, dir: String, e: DataFrame)
+      : (String, Seq[Seq[Column]], DataFrame) = {
+    val stride = pqTrainStride(s,
+      Tables.rowCount(s, Tables.path(dir, "embeddings")))
+    val sfx = if (stride > 1) s"_s$stride" else ""
+    val cbDf = graft.Staging.materialize(
+      s, Tables.path(dir, "embeddings"), s"pq_codebook8x16_lloyd1${sfx}_v1") {
+      val cbRows = e.where(col("vec_id") < PqK).collect().toSeq
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+      val seed: Seq[Seq[Seq[Double]]] = (0 until PqSub).map { j =>
+        cbRows.map(_.slice(j * PqDim, (j + 1) * PqDim).toSeq)
+      }
+      val train =
+        if (stride > 1) e.where(col("vec_id") % stride === 0) else e
+      val refined = lloydRefine(train, seed, 1)
+      import s.implicits._
+      (for (j <- 0 until PqSub; c <- refined(j).indices)
+        yield (j, c, refined(j)(c))).toDF("j", "c", "cw")
+    }
+    val cbMap = cbDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    // codebook(j)(c) = literal array for codeword c of subspace j.
+    // Sized from the artifact, not PqK: a tiny corpus seeds fewer
+    // codewords per subspace.
+    val codebook: Seq[Seq[Column]] = (0 until PqSub).map { j =>
+      cbMap.keys.collect { case (`j`, c) => c }.toSeq.sorted
+        .map(c => array(cbMap((j, c)).map(lit): _*))
+    }
+    // encode: per subspace, argmin codeword by (rounded l2², index)
+    val codes = array((0 until PqSub).map(j =>
+      argminCode(col("v"), j, codebook(j))): _*)
+    val encoded = graft.Staging.materialize(
+      e.select(col("vec_id"), codes.as("codes")),
+      Tables.path(dir, "embeddings"), s"pq_codes8x16_v2_lloyd1$sfx")
+    (sfx, codebook, encoded)
+  }
 
   /** Cell count for the semantic-dedup inverted file: C = max(16, ⌈√N⌉).
     * N is a parquet-metadata count (no row scan, memoized per corpus
@@ -735,55 +810,71 @@ object Ann {
       s"list_transform(range(1, ${dim + 1}), i -> " +
       s"(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (x, y) -> x + y)"
 
+  /** `list_slice` of subspace j (0-based) from a 64-dim DOUBLE[]. */
+  private def sqlSub(v: String, j: String): String =
+    s"list_slice($v, $j * 8 + 1, $j * 8 + 8)"
+
+  /** The full PQ codebook+encode replay as a reusable CTE chunk — seed
+    * codebook (subspace slices of the 16 lowest vec_ids; dense ids ⇒
+    * c = vec_id), one fixed-point Lloyd round per (j, c), whole-corpus
+    * encode (argmin by (rounded l2², c)). Expects an `e(vec_id, v)` CTE
+    * upstream; ends with `{p}codes(vec_id, codes)`. Every CTE name is
+    * prefixed with `p` (aliased back to its bare name inside each query
+    * body, so the text stays the proven r13 oracle verbatim) — the
+    * composed IVFPQ oracle appends this after the IVF replay prefix,
+    * whose internal names (a0/m0/dx/ds) would otherwise collide.
+    * Assumes the default train stride (the conf-unset path: stride =
+    * max(1, N // 65536), replayed below — 1 at every driver SF) exactly
+    * as the other flag-gated keys' oracles assume default confs. */
+  private def pqReplayCte(p: String): String = {
+    val sub = sqlSub _
+    s"${p}nn AS (SELECT greatest(1, count(*) // 65536) AS stride FROM e), " +
+      s"${p}train AS (SELECT vec_id, v FROM e, ${p}nn nn WHERE vec_id % nn.stride = 0), " +
+      s"${p}js AS (SELECT unnest(range(0, 8)) AS j), " +
+      // seed codewords: subspace-j slices of the 16 lowest vec_ids
+      s"${p}cw0 AS (SELECT j, CAST(vec_id AS INT) AS c, ${sub("v", "j")} AS cw " +
+      s"FROM e, ${p}js js WHERE vec_id < 16), " +
+      // seed assignment of the TRAIN set, argmin by (rounded l2^2, c)
+      s"${p}a0 AS (SELECT t.vec_id, cw0.j, cw0.c, " +
+      s"round(${sqlL2sq(sub("t.v", "cw0.j"), "cw0.cw", 8)}, 6) AS d " +
+      s"FROM ${p}train t CROSS JOIN ${p}cw0 cw0), " +
+      s"${p}m0 AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c, " +
+      s"row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rc FROM ${p}a0) " +
+      "WHERE rc = 1), " +
+      // one fixed-point Lloyd round per (j, c): exact long sums of
+      // round(x*1e6) per dim, mean = CAST(sm AS DOUBLE)/n/1e6
+      s"${p}dx AS (SELECT m0.j, m0.c, generate_subscripts(s.sub, 1) AS d, " +
+      s"unnest(s.sub) AS x FROM ${p}m0 m0 JOIN " +
+      s"(SELECT vec_id, j, ${sub("v", "j")} AS sub FROM e, ${p}js js) s " +
+      "ON m0.vec_id = s.vec_id AND m0.j = s.j), " +
+      s"${p}ds AS (SELECT j, c, d, sum(CAST(round(x * 1e6) AS BIGINT)) AS sm, " +
+      s"count(*) AS n FROM ${p}dx GROUP BY j, c, d), " +
+      s"${p}cwm AS (SELECT j, c, list(CAST(sm AS DOUBLE) / n / 1e6 ORDER BY d) AS cw " +
+      s"FROM ${p}ds GROUP BY j, c), " +
+      s"${p}cw AS (SELECT j, c, cw FROM ${p}cwm UNION ALL SELECT j, c, cw FROM ${p}cw0 cw0 " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM ${p}cwm cwm WHERE cwm.j = cw0.j AND cwm.c = cw0.c)), " +
+      // encode the WHOLE corpus against the refined codebook
+      s"${p}enc0 AS (SELECT e.vec_id, cw.j, cw.c, " +
+      s"round(${sqlL2sq(sub("e.v", "cw.j"), "cw.cw", 8)}, 6) AS d " +
+      s"FROM e CROSS JOIN ${p}cw cw), " +
+      s"${p}codes AS (SELECT vec_id, list(c ORDER BY j) AS codes FROM " +
+      "(SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j " +
+      s"ORDER BY d, c) AS rc FROM ${p}enc0) WHERE rc = 1 GROUP BY vec_id), "
+  }
+
   val oracles: Map[String, String] = Map(
-    /** Full end-to-end PQ replay — seed codebook (subspace slices of the
-      * 16 lowest vec_ids; dense ids ⇒ c = vec_id), one fixed-point Lloyd
-      * round per (j, c), corpus encode (argmin by (rounded l2², c)),
-      * per-probe 8×16 ADC LUT assembled as an ORDERED list-of-lists so
-      * the ADC score is the identical left fold (sum() would re-order
-      * the additions), top-R=50 by (adist, vec_id), exact-L2 re-rank,
-      * top-5. Assumes the default train stride (the conf-unset path:
-      * stride = max(1, N // 65536), replayed below — 1 at every driver
-      * SF) exactly as the other flag-gated keys' oracles assume default
-      * confs. This retires embed_ann_pq's no-oracle status (r13): the
-      * codebook is NOT a literal — it derives deterministically from the
-      * raw table, so SQL can rebuild it the same way the IVF oracles
-      * rebuild their centroids. */
+    /** Full end-to-end PQ replay (see pqReplayCte) + per-probe 8×16 ADC
+      * LUT assembled as an ORDERED list-of-lists so the ADC score is the
+      * identical left fold (sum() would re-order the additions),
+      * top-R=50 by (adist, vec_id), exact-L2 re-rank, top-5. This
+      * retired embed_ann_pq's no-oracle status (r13): the codebook is
+      * NOT a literal — it derives deterministically from the raw table,
+      * so SQL can rebuild it the same way the IVF oracles rebuild their
+      * centroids. */
     "embed_ann_pq" -> {
-      val sub = (v: String, j: String) => s"list_slice($v, $j * 8 + 1, $j * 8 + 8)"
+      val sub = sqlSub _
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "nn AS (SELECT greatest(1, count(*) // 65536) AS stride FROM e), " +
-        "train AS (SELECT vec_id, v FROM e, nn WHERE vec_id % nn.stride = 0), " +
-        "js AS (SELECT unnest(range(0, 8)) AS j), " +
-        // seed codewords: subspace-j slices of the 16 lowest vec_ids
-        s"cw0 AS (SELECT j, CAST(vec_id AS INT) AS c, ${sub("v", "j")} AS cw " +
-        "FROM e, js WHERE vec_id < 16), " +
-        // seed assignment of the TRAIN set, argmin by (rounded l2^2, c)
-        "a0 AS (SELECT t.vec_id, cw0.j, cw0.c, " +
-        s"round(${sqlL2sq(sub("t.v", "cw0.j"), "cw0.cw", 8)}, 6) AS d " +
-        "FROM train t CROSS JOIN cw0), " +
-        "m0 AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c, " +
-        "row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rc FROM a0) " +
-        "WHERE rc = 1), " +
-        // one fixed-point Lloyd round per (j, c): exact long sums of
-        // round(x*1e6) per dim, mean = CAST(sm AS DOUBLE)/n/1e6
-        "dx AS (SELECT m0.j, m0.c, generate_subscripts(s.sub, 1) AS d, " +
-        "unnest(s.sub) AS x FROM m0 JOIN " +
-        s"(SELECT vec_id, j, ${sub("v", "j")} AS sub FROM e, js) s " +
-        "ON m0.vec_id = s.vec_id AND m0.j = s.j), " +
-        "ds AS (SELECT j, c, d, sum(CAST(round(x * 1e6) AS BIGINT)) AS sm, " +
-        "count(*) AS n FROM dx GROUP BY j, c, d), " +
-        "cwm AS (SELECT j, c, list(CAST(sm AS DOUBLE) / n / 1e6 ORDER BY d) AS cw " +
-        "FROM ds GROUP BY j, c), " +
-        "cw AS (SELECT j, c, cw FROM cwm UNION ALL SELECT j, c, cw FROM cw0 " +
-        "WHERE NOT EXISTS (SELECT 1 FROM cwm WHERE cwm.j = cw0.j AND cwm.c = cw0.c)), " +
-        // encode the WHOLE corpus against the refined codebook
-        "enc0 AS (SELECT e.vec_id, cw.j, cw.c, " +
-        s"round(${sqlL2sq(sub("e.v", "cw.j"), "cw.cw", 8)}, 6) AS d " +
-        "FROM e CROSS JOIN cw), " +
-        "codes AS (SELECT vec_id, list(c ORDER BY j) AS codes FROM " +
-        "(SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j " +
-        "ORDER BY d, c) AS rc FROM enc0) WHERE rc = 1 GROUP BY vec_id), " +
+        pqReplayCte("") +
         // per-probe ADC lookup table, assembled ORDERED (c within j, j
         // within the outer list) so positions mirror Spark's arrays
         "probes AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 10), " +
@@ -802,6 +893,45 @@ object Ann {
         "row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rr " +
         "FROM scored) WHERE rr <= 50), " +
         // exact-L2 re-rank of ONLY the R survivors
+        "rer AS (SELECT c.q_id, c.vec_id, " +
+        s"round(${sqlL2sq("p.q", "e.v", 64)}, 6) AS dist " +
+        "FROM cand c JOIN e ON c.vec_id = e.vec_id " +
+        "JOIN probes p ON c.q_id = p.q_id), " +
+        "ranked AS (SELECT q_id, vec_id, dist, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM rer) " +
+        "SELECT q_id, rnk, vec_id, dist FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"
+    },
+    /** IVFADC composition: the shared IVF index-replay prefix (cells +
+      * refined cent) + the p-prefixed PQ replay (codebook → codes), then
+      * per-probe LUT, nprobe=4 cell routing, cell-filtered ADC left-fold,
+      * top-R=50, exact-L2 re-rank — each piece verbatim from its proven
+      * parent oracle. */
+    "embed_ann_ivfpq" -> {
+      val sub = sqlSub _
+      ivfCellsCte +
+        pqReplayCte("p") +
+        "probes AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 10), " +
+        "lutd AS (SELECT p.q_id, cw.j, cw.c, " +
+        s"round(${sqlL2sq(sub("p.q", "cw.j"), "cw.cw", 8)}, 6) AS d " +
+        "FROM probes p CROSS JOIN pcw cw), " +
+        "lutj AS (SELECT q_id, j, list(d ORDER BY c) AS lrow FROM lutd GROUP BY q_id, j), " +
+        "lut AS (SELECT q_id, list(lrow ORDER BY j) AS lut FROM lutj GROUP BY q_id), " +
+        // nprobe=4 nearest cells per probe against the REFINED centroids
+        "qcells AS (SELECT q_id, cell FROM (SELECT q_id, c_id AS cell, " +
+        "row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_cosine_similarity(q, cv), 6) DESC, c_id) AS pr " +
+        "FROM probes CROSS JOIN cent) WHERE pr <= 4), " +
+        // cell-filtered ADC scan: candidates = members of the probe's 4
+        // cells, scored by the identical left fold over 8 LUT lookups
+        "scored AS (SELECT qc.q_id, c.vec_id, round(list_reduce(" +
+        "list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), " +
+        "jj -> l.lut[jj][cs.codes[jj] + 1])), (x, y) -> x + y), 6) AS adist " +
+        "FROM qcells qc JOIN cells c ON qc.cell = c.cell " +
+        "JOIN pcodes cs ON c.vec_id = cs.vec_id " +
+        "JOIN lut l ON l.q_id = qc.q_id WHERE c.vec_id <> qc.q_id), " +
+        "cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rr " +
+        "FROM scored) WHERE rr <= 50), " +
         "rer AS (SELECT c.q_id, c.vec_id, " +
         s"round(${sqlL2sq("p.q", "e.v", 64)}, 6) AS dist " +
         "FROM cand c JOIN e ON c.vec_id = e.vec_id " +

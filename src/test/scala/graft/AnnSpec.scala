@@ -254,6 +254,25 @@ class AnnSpec extends AnyFunSuite {
     assert(topkSets("embed_ann_ivf") === topkSets("embed_ann_ivf"))
     assert(topkSets("embed_ann_lsh") === topkSets("embed_ann_lsh"))
     assert(topkSets("embed_ann_pq") === topkSets("embed_ann_pq"))
+    assert(topkSets("embed_ann_ivfpq") === topkSets("embed_ann_ivfpq"))
+  }
+
+  test("IVFPQ composition: recall vs exact L2 bounded by its parents, not degenerate") {
+    // IVFADC approximates in two independent stages: the cell filter
+    // drops true neighbors outside the probe's nprobe=4 cells (the IVF
+    // loss) and the ADC top-50 can miss ones the exact re-rank never
+    // sees (the PQ loss). Recall therefore sits at or below BOTH
+    // parents' — the test pins that it stays within the compounded
+    // band rather than collapsing (e.g. codes joined to the wrong cell
+    // would crater it toward the random ~0.01 floor).
+    val ivfpq = topkSets("embed_ann_ivfpq")
+    assert(ivfpq.keySet === exactL2.keySet)
+    ivfpq.values.foreach(s => assert(s.size === 5))
+    val per = exactL2.map { case (q, want) =>
+      ivfpq(q).intersect(want).size.toDouble / want.size }
+    val r = per.sum / per.size
+    info(s"IVFPQ recall@5 = $r")
+    assert(r >= 0.5, s"IVFPQ recall@5 degenerated to $r")
   }
 
   test("SQ8 scan: near-perfect recall vs the exact cosine scan") {

@@ -25,6 +25,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val crossOk = Set("join_cross", "join_theta_range", "join_interval",
     "embed_cosine_topk", "embed_knn_label", "embed_neardup", "embed_ann_ivf",
     "embed_ann_pq",        // broadcast probe LUTs vs corpus codes
+    "embed_ann_ivfpq",     // broadcast probe LUTs + cell routing vs code table
     "text_tfidf", "text_unigram_nll", // nll: 1-row broadcast total, like tfidf
     "dedup_incremental",              // 1-row broadcast max(doc_id) boundary
     "embed_ann_incremental",          // 1-row broadcast max(vec_id) boundary
@@ -286,7 +287,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "embed_ann_lsh", "embed_ann_pq", "embed_ann_incremental",
       "dedup_semantic", // its per-vector argmin window must stay narrow too
       "embed_ann_sq8",  // decoded vectors must not ride the ranking window
-      "embed_ann_sq8_ivf") // codes AND decoded vectors both projected away
+      "embed_ann_sq8_ivf", // codes AND decoded vectors both projected away
+      "embed_ann_ivfpq")   // codes + LUTs out before ADC rank, vectors before re-rank
     sys.props("graft.staging") = "false"
     try keys.foreach { k =>
       val plan = SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan
