@@ -335,6 +335,37 @@ object Ann {
         .orderBy("vec_id")
     }),
 
+    /** Multi-probe semantic dedup — the recovery path for the cross-cell
+      * loss `dedup_semantic` forfeits by contract: every vector is
+      * assigned to its TWO nearest cells (see [[semCellsMp]]) and pairs
+      * form whenever the probe sets overlap, so boundary near-dups that
+      * straddle a cell split are found. Candidate mass grows ~4× over
+      * the single-probe file (2× rows per cell, squared) but keeps the
+      * same Σ|cell|² sub-quadratic bound at C = √N. A pair sharing BOTH
+      * probe cells yields duplicate identical (vec_id, keeper, sim)
+      * rows; the per-vector min-keeper window is insensitive to them
+      * (any survivor carries the same values), so no distinct pass is
+      * spent — the oracle's row_number has the same property. Flagged
+      * set is a strict superset of dedup_semantic's (asserted in
+      * AnnSpec). */
+    "dedup_semantic_mp" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val cells2 = semCellsMp(s, dir, e)
+      val a = cells2.select(col("vec_id").as("keeper"), col("v").as("va"),
+        col("cell"))
+      val b = cells2.select(col("vec_id"), col("v").as("vb"), col("cell"))
+      val pairs = a.join(b, "cell")
+        .where(col("keeper") < col("vec_id"))
+        .withColumn("sim", round(Vector.cosine(col("va"), col("vb")), 6))
+        .where(col("sim") >= 0.35)
+        .select("vec_id", "keeper", "sim") // vectors stay out of the window shuffle
+      val w = Window.partitionBy("vec_id").orderBy("keeper")
+      pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("vec_id", "keeper", "sim")
+        .orderBy("vec_id")
+    }),
+
     /** Scalar int8 quantization of the embedding corpus — the compressed
       * vector store an ANN index keeps at 100 TB (64 B/vector vs 256 B
       * float32; PQ's 8 B/vector is the lossier tier below it): per
@@ -690,6 +721,18 @@ object Ann {
     val c = semCellCount(s, dir)
     graft.Staging.materialize(
       s, Tables.path(dir, "embeddings"), s"sem_cells_c${c}_lloyd1_v1") {
+      assignCells(e, semCentroids(s, dir, e, c))
+    }
+  }
+
+  /** The refined C-cell centroid relation, staged on its own so the
+    * single-probe (semCells) and multi-probe (semCellsMp) inverted files
+    * derive from the SAME training pass — doubles round-trip parquet
+    * bit-exactly, so a staged read ≡ the fresh refinement. */
+  private def semCentroids(s: SparkSession, dir: String, e: DataFrame,
+                           c: Int): DataFrame =
+    graft.Staging.materialize(
+      s, Tables.path(dir, "embeddings"), s"sem_cent_c${c}_lloyd1_v1") {
       val seeds = e.where(col("vec_id") < c)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
       val a0 = assignCells(e, seeds)
@@ -703,10 +746,36 @@ object Ann {
           (col("sm").cast("double") / col("n") / lit(1e6)).as("m")))),
           x => x("m")).as("cv"))
         .select(col("cell").as("c_id"), col("cv"))
-      val cent = seeds.select(col("c_id"), col("cv").as("cv0"))
+      seeds.select(col("c_id"), col("cv").as("cv0"))
         .join(centm, Seq("c_id"), "left")
         .select(col("c_id"), coalesce(col("cv"), col("cv0")).as("cv"))
-      assignCells(e, cent)
+    }
+
+  /** Multi-probe inverted file: every vector assigned to its TWO nearest
+    * refined cells — the standard recall lever for the cross-cell loss
+    * dedup_semantic's contract forfeits (a near-dup pair split across a
+    * cell boundary is recovered whenever the two vectors' probe sets
+    * overlap). Rank-2 assignment stays fully partial-aggregatable: a
+    * SECOND argmin pass over the candidates excluding each vector's
+    * rank-1 cell (2·N·C map-side scores, two N-row shuffles — the same
+    * collapse-before-exchange shape as assignCells; a row_number window
+    * over the N·C scored rows would instead shuffle them all). Same
+    * total order as the oracle's rc <= 2. */
+  private[graft] def semCellsMp(s: SparkSession, dir: String, e: DataFrame): DataFrame = {
+    val c = semCellCount(s, dir)
+    graft.Staging.materialize(
+      s, Tables.path(dir, "embeddings"), s"sem_cells_mp2_c${c}_lloyd1_v1") {
+      val cent = semCentroids(s, dir, e, c)
+      val a1 = assignCells(e, cent)
+      val b2 = a1.crossJoin(broadcast(cent))
+        .where(col("c_id") =!= col("cell"))
+        .select(col("vec_id"), col("v"),
+          struct((-round(Vector.cosine(col("v"), col("cv")), 6)).as("neg"),
+            col("c_id").as("c")).as("cand"))
+        .groupBy("vec_id")
+        .agg(first(col("v")).as("v"), min(col("cand")).as("best"))
+        .select(col("vec_id"), col("v"), col("best")("c").as("cell"))
+      a1.union(b2)
     }
   }
 
@@ -948,6 +1017,20 @@ object Ann {
         "pairs AS (SELECT a.vec_id AS keeper, b.vec_id AS vec_id, " +
         "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
         "FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35), " +
+        "pick AS (SELECT vec_id, keeper, sim, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY keeper) AS rn FROM pairs) " +
+        "SELECT vec_id, keeper, sim FROM pick WHERE rn = 1 ORDER BY vec_id"),
+    // Multi-probe variant: the SAME derived-C replay prefix, cells taken
+    // at rc <= 2 (each vector in its two nearest cells). Duplicate rows
+    // from pairs sharing both cells carry identical values, so the
+    // min-keeper row_number needs no DISTINCT — mirroring the Spark side.
+    "dedup_semantic_mp" ->
+      (semCellsCte +
+        "cells2 AS (SELECT vec_id, v, c_id AS cell FROM assign WHERE rc <= 2), " +
+        "pairs AS (SELECT a.vec_id AS keeper, b.vec_id AS vec_id, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
+        "FROM cells2 a JOIN cells2 b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
         "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35), " +
         "pick AS (SELECT vec_id, keeper, sim, row_number() OVER " +
         "(PARTITION BY vec_id ORDER BY keeper) AS rn FROM pairs) " +

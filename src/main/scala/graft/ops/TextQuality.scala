@@ -205,6 +205,36 @@ object TextQuality {
           D.r6(col("bc") / (col("n_words") - lit(1)))
             .as("top_bigram_frac"))
         .orderBy("doc_id")
+    }),
+
+    // Token-distribution Shannon entropy per document — the
+    // information-theoretic twin of text_repetition's count-fraction
+    // signals (a near-zero entropy flags template/repetition spam that
+    // fraction thresholds can miss; the classic diversity filter in
+    // LLM-corpus quality stacks). Entropy is emitted in NATS
+    // (-Σ p·ln p) because Spark `log` ≡ DuckDB `ln` is the proven
+    // cross-engine pair (text_unigram_nll/text_bigram_nll, green at 6dp
+    // since r6) — a log2 variant would introduce an unproven libm pair
+    // for zero semantic gain. Determinism: the fold runs over the
+    // per-doc counts SORTED BY TOKEN (array_sort(collect_list(struct)) ≡
+    // list(... ORDER BY w)), so both engines add the identical doubles
+    // in the identical order; p = c/n is exact-int division in both.
+    // Scale shape: one explode, every shuffle hashes on doc_id, and the
+    // collected list is a document's VOCABULARY (bounded by doc length —
+    // the same per-doc bound text_repetition carries), never the corpus.
+    "text_entropy" -> ((s, dir) => {
+      val wc = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      def p(x: Column) = x("c").cast("double") / col("n_toks")
+      wc.groupBy("doc_id")
+        .agg(sum("c").as("n_toks"), count(lit(1)).as("n_distinct"),
+          array_sort(collect_list(struct(col("w"), col("c")))).as("lst"))
+        .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+          round(aggregate(col("lst"), lit(0.0),
+            (acc, x) => acc - p(x) * log(p(x))), 6).as("ent"))
+        .orderBy("doc_id")
     })
   )
 
@@ -249,6 +279,18 @@ object TextQuality {
         "CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_re, " +
         "round(avg(len(string_split(text, ' '))), 2) AS avg_ws " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // Entropy fold replayed in the same token order (list ORDER BY w ≡
+    // array_sort) with the same exact-int p = c/n and the proven ln pair.
+    "text_entropy" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w), " +
+        "d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks, " +
+        "CAST(count(*) AS BIGINT) AS n_distinct, " +
+        "list(CAST(c AS DOUBLE) ORDER BY w) AS cs FROM wc GROUP BY doc_id) " +
+        "SELECT doc_id, n_toks, n_distinct, " +
+        "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(cs, c -> -(c / n_toks) * ln(c / n_toks))), " +
+        "(a, b) -> a + b), 6) AS ent FROM d ORDER BY doc_id"),
     "text_normalize" ->
       ("WITH n AS (SELECT doc_id, " +
        "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm " +

@@ -362,6 +362,22 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe semantic dedup flags a superset of the single-probe set") {
+    // Every single-probe pair survives under multi-probe (a vector's
+    // rank-1 cell is among its 2 probe cells, so same-cell pairs still
+    // co-bucket); multi-probe can only ADD boundary pairs — and may pick
+    // a SMALLER keeper for an already-flagged vector, so only the
+    // flagged-id set (not the keeper map) is monotone.
+    val sp = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val mp = SparkEntry.queries("dedup_semantic_mp")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    info(s"single-probe flagged ${sp.size}, multi-probe flagged ${mp.size} " +
+      s"(+${mp.size - sp.size} cross-cell recoveries)")
+    assert(sp.subsetOf(mp),
+      s"multi-probe lost single-probe dups: ${(sp -- mp).take(5)}")
+  }
+
   test("int8 quantization replays bit-exactly driver-side (codes md5 + mse)") {
     val vs = ops.Ann.embDouble(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)

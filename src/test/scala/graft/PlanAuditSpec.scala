@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_incremental",              // 1-row broadcast max(doc_id) boundary
     "embed_ann_incremental",          // 1-row broadcast max(vec_id) boundary
     "embed_ann_sq8",                  // broadcast probes vs decoded corpus
-    "dedup_semantic")                 // broadcast √N centroid set vs corpus (assignCells)
+    "dedup_semantic",                 // broadcast √N centroid set vs corpus (assignCells)
+    "dedup_semantic_mp")              // same broadcast centroid set, two argmin passes
 
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation
@@ -286,6 +287,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val keys = Seq("embed_cosine_topk", "embed_knn_label", "embed_ann_ivf",
       "embed_ann_lsh", "embed_ann_pq", "embed_ann_incremental",
       "dedup_semantic", // its per-vector argmin window must stay narrow too
+      "dedup_semantic_mp",
       "embed_ann_sq8",  // decoded vectors must not ride the ranking window
       "embed_ann_sq8_ivf", // codes AND decoded vectors both projected away
       "embed_ann_ivfpq")   // codes + LUTs out before ADC rank, vectors before re-rank
