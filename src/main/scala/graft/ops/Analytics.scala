@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Lineitem revenue contribution in exact integer 1e-4 currency units:
+    * price cents × (100 − discount%). Both factors are whole by data
+    * contract (2-dp price, 2-dp discount), so the long product is exact
+    * and its sum is associative — partition-order- and engine-invariant,
+    * unlike a double sum (the win_range_frame lesson; q10's first sf0.01
+    * run flaked on a .xx5 boundary with the double-sum form). */
+  private val volUnits =
+    (round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+      .as("vol_u")
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3 shape: segment-filtered customers × open orders × shipped
     // lineitems → top-10 unshipped-revenue orders. The final top-k is a
@@ -74,6 +85,112 @@ object Analytics {
         .agg(D.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two
+    // nations by ship year. The nation pair predicate lands on the two
+    // broadcast dimension joins (supplier→nation, customer→nation), so
+    // the fact side is filtered to the two-nation traffic before the
+    // group-by; year() is extracted once, map-side.
+    // Revenue is summed in exact integer 1e-4 units (price cents ×
+    // (100 − discount%)) — a double sum's value depends on partition
+    // order, and q10's first sf0.01 run landed on a .xx5 rounding
+    // boundary (the win_range_frame lesson). The final /10000.0 is IEEE
+    // division of the same exact integer on both engines — no round().
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = Tables.table(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.table(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val pair = Seq("NATION_1", "NATION_2")
+      val sup = Tables.table(s, dir, "supplier")
+        .join(broadcast(n1.where(col("supp_nation").isin(pair: _*))),
+          col("s_nationkey") === col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.table(s, dir, "customer")
+        .join(broadcast(n2.where(col("cust_nation").isin(pair: _*))),
+          col("c_nationkey") === col("n2_key"))
+        .select("c_custkey", "cust_nation")
+      val ord = Tables.table(s, dir, "orders").select("o_orderkey", "o_custkey")
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"), Analytics.volUnits)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg((sum(col("vol_u")) / 10000.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q10 shape (returned items): customers ranked by the revenue
+    // they generated on RETURNED lineitems in one quarter — the
+    // churn-investigation query. Quarter filter pushes to the orders
+    // scan, the R filter to the lineitem scan; nation broadcasts.
+    "q10_returned_items" -> ((s, dir) => {
+      val nat = Tables.table(s, dir, "nation").select("n_nationkey", "n_name")
+      val ord = Tables.table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), Analytics.volUnits)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg((sum(col("vol_u")) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    }),
+
+    // TPC-H Q14 shape (promo revenue): promo-type revenue share for one
+    // ship month — a single-row scalar report. Both sums run in exact
+    // integer 1e-4 units, so the derived ratio divides two identical
+    // exact integers (the 100.0× product stays under 2^53) — every
+    // output double is bit-identical across engines with no round().
+    "q14_promo_revenue" -> ((s, dir) => {
+      val part = Tables.table(s, dir, "part").select("p_partkey", "p_type")
+      val agg = Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("l_partkey"), Analytics.volUnits)
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("vol_u")).otherwise(lit(0L)))
+            .as("promo_u"),
+          sum(col("vol_u")).as("total_u"))
+      agg.select((col("promo_u") / 10000.0).as("promo_rev"),
+        (col("total_u") / 10000.0).as("total_rev"),
+        (lit(100.0) * col("promo_u") / col("total_u")).as("promo_pct"))
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    // clears a threshold, with their customer. The HAVING pre-aggregate
+    // runs on (l_orderkey) alone — a semi-join reduction BEFORE the
+    // 3-way join, so only qualifying orders (a tiny fraction) reach the
+    // customer join; at 100 TB the qualifying set broadcasts.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("big_okey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 160)
+      Tables.table(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("big_okey"))
+        .join(Tables.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "o_totalprice", "total_qty")
     })
   )
 
@@ -101,6 +218,57 @@ object Analytics {
        "AND r_name = 'ASIA' " +
        "AND o_orderdate >= TIMESTAMP '1997-01-01' " +
        "AND o_orderdate < TIMESTAMP '1998-01-01' " +
-       "GROUP BY n_name ORDER BY revenue DESC, n_name")
+       "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    // vol_u replicates Analytics.volUnits: exact integer 1e-4 units so
+    // the sum is associative and the final division is engine-identical.
+    "q7_volume_shipping" ->
+      ("SELECT supp_nation, cust_nation, l_year, " +
+       "CAST(sum(vol_u) AS DOUBLE) / 10000.0 AS revenue FROM (" +
+       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+       "year(l_shipdate) AS l_year, " +
+       "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+       "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS vol_u " +
+       "FROM supplier, lineitem, orders, customer, nation n1, nation n2 " +
+       "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey " +
+       "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey " +
+       "AND c_nationkey = n2.n_nationkey " +
+       "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+       "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+       "AND l_shipdate >= TIMESTAMP '1996-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1998-01-01') " +
+       "GROUP BY supp_nation, cust_nation, l_year " +
+       "ORDER BY supp_nation, cust_nation, l_year"),
+    "q10_returned_items" ->
+      ("SELECT c_custkey, c_name, " +
+       "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+       "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) " +
+       "/ 10000.0 AS revenue, c_acctbal, n_name " +
+       "FROM customer, orders, lineitem, nation " +
+       "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+       "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+       "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+       "AND l_returnflag = 'R' AND c_nationkey = n_nationkey " +
+       "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+       "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q14_promo_revenue" ->
+      ("SELECT CAST(promo_u AS DOUBLE) / 10000.0 AS promo_rev, " +
+       "CAST(total_u AS DOUBLE) / 10000.0 AS total_rev, " +
+       "100.0 * CAST(promo_u AS DOUBLE) / CAST(total_u AS DOUBLE) " +
+       "AS promo_pct FROM (" +
+       "SELECT sum(CASE WHEN p_type = 'PROMO' THEN vol_u ELSE 0 END) AS promo_u, " +
+       "sum(vol_u) AS total_u FROM (" +
+       "SELECT p_type, " +
+       "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+       "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS vol_u " +
+       "FROM lineitem, part WHERE l_partkey = p_partkey " +
+       "AND l_shipdate >= TIMESTAMP '1997-03-01' " +
+       "AND l_shipdate < TIMESTAMP '1997-04-01'))"),
+    "q18_large_orders" ->
+      ("SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, " +
+       "total_qty FROM orders, customer, " +
+       "(SELECT l_orderkey AS big_okey, sum(l_quantity) AS total_qty " +
+       "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 160) b " +
+       "WHERE o_orderkey = big_okey AND o_custkey = c_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")
   )
 }

@@ -423,7 +423,44 @@ object Pipeline {
       // dedup_ngram_jaccard — computed once per corpus version).
       ccLabels(s, dir)
         .select(col("doc").as("doc_id"), col("lbl").as("cluster"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Fixed-iteration PageRank over the near-dup graph — the iterative
+    // WEIGHTED propagation family (dedup_cluster's min-label CC is the
+    // unweighted one): rank flows along duplication edges, so a high
+    // rank marks a document whose content is echoed widely — the web-
+    // graph-style quality/centrality signal corpus curation weights by.
+    // K=5 fixed rounds (a fixpoint test would diverge from any SQL
+    // oracle); each round is one shuffle join (edges ⋈ ranks on src) +
+    // one (dst) aggregate — the standard distributed PageRank shape, 2K
+    // shuffles total, never materializing more than the edge relation.
+    // Determinism: contributions fold in sorted-src order via
+    // aggregate(array_sort(collect_list)) ≡ the oracle's list_reduce
+    // over `list(... ORDER BY s)` (the text_entropy pattern), and every
+    // op is +/*/÷ over identical doubles — exact, so the ranks are
+    // emitted UNROUNDED. Per-dst state is bounded by in-degree (≤ the
+    // near-dup cluster size, the same bound dedup_cluster's CC carries).
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val e2 = edges.join(deg, "src")
+      var r = deg.select(col("src").as("doc"), lit(1.0).as("pr"))
+      for (_ <- 1 to 5) {
+        r = e2.join(r, col("src") === col("doc"))
+          .select(col("dst"),
+            struct(col("src").as("s"), (col("pr") / col("deg")).as("c"))
+              .as("t"))
+          .groupBy("dst")
+          .agg(aggregate(array_sort(collect_list(col("t"))), lit(0.0),
+            (acc, x) => acc + x("c")).as("contrib"))
+          .select(col("dst").as("doc"),
+            (lit(0.15) + lit(0.85) * col("contrib")).as("pr"))
+      }
+      r.select(col("doc").as("doc_id"), col("pr").as("rank"))
+        .orderBy("doc_id")
+    })
   )
 
   /** CC labels over the staged near-dup pair graph, themselves staged per
@@ -920,6 +957,37 @@ object Pipeline {
         "reach(doc, r) AS (SELECT s, s FROM edges " +
         "UNION SELECT reach.doc, e.d FROM reach JOIN edges e ON e.s = reach.r) " +
         "SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster " +
-        "FROM reach GROUP BY doc ORDER BY doc")
+        "FROM reach GROUP BY doc ORDER BY doc"),
+    // Same trigram-Jaccard pair-graph prefix as dedup_cluster; then 5
+    // fixed PageRank rounds, each folding contributions in sorted-src
+    // order (list_reduce over `list(... ORDER BY s)` ≡ Spark's
+    // aggregate(array_sort(collect_list)) — the text_entropy pattern).
+    "graph_pagerank" -> {
+      val pairCte =
+        "toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, len(g) AS sz FROM grams), " +
+        "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
+        "prc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
+        "FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT doc_a, doc_b FROM prc " +
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+        "WHERE inter / (sa.sz + sb.sz - inter) >= 0.8), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "deg AS (SELECT s AS doc, count(*) AS deg FROM edges GROUP BY s), " +
+        "r0 AS (SELECT doc, CAST(1.0 AS DOUBLE) AS pr FROM deg)"
+      val iters = (1 to 5).map { k =>
+        s"r$k AS (SELECT e.d AS doc, " +
+        "CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * " +
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list(r.pr / dg.deg ORDER BY e.s)), (a, b) -> a + b) AS pr " +
+        s"FROM edges e JOIN r${k - 1} r ON r.doc = e.s " +
+        "JOIN deg dg ON dg.doc = e.s GROUP BY e.d)"
+      }.mkString(", ")
+      s"WITH $pairCte, $iters " +
+        "SELECT doc AS doc_id, pr AS rank FROM r5 ORDER BY doc_id"
+    }
   )
 }

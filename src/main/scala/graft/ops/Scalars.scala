@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{D, Tables}
 import graft.QueryDefs.Q
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
@@ -195,6 +195,31 @@ object Scalars {
         .select(col("o_orderkey"), to_json(nested).as("doc"),
           nested.getField("cust").getField("id").as("cust_id"))
         .orderBy("o_orderkey")
+    }),
+
+    // Edit-distance similarity — the fuzzy-match primitive for catalog /
+    // entity reconciliation (near-identical product names, typo'd keys).
+    // Compared pairs come from a WINDOW over (brand, partkey) — each row
+    // against its predecessor in its brand — so the pair count is exactly
+    // N-|brands|, never the all-pairs cross join an unconstrained fuzzy
+    // match degenerates to; at 100 TB the same shape holds (one shuffle
+    // on the partition key, linear pair mass). levenshtein() is a
+    // codegen'd dynamic-program per pair; the normalized similarity
+    // divides two exact ints so the IEEE quotient is engine-identical.
+    "fn_edit_distance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("p_brand").orderBy("p_partkey")
+      Tables.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_name"),
+          lag(col("p_name"), 1).over(w).as("prev_name"))
+        .where(col("prev_name").isNotNull)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"),
+          col("prev_name"),
+          levenshtein(col("p_name"), col("prev_name")).cast("long").as("lev"),
+          D.r6(lit(1.0) - levenshtein(col("p_name"), col("prev_name")) /
+            greatest(length(col("p_name")), length(col("prev_name"))))
+            .as("sim"))
+        .orderBy("p_partkey")
     })
   )
 
@@ -286,6 +311,14 @@ object Scalars {
       ("SELECT o_orderkey, to_json(struct_pack(key := o_orderkey, " +
        "status := o_orderstatus, cust := struct_pack(id := o_custkey), " +
        "flags := [substring(o_orderpriority, 1, 1), o_orderstatus])) AS doc, " +
-       "o_custkey AS cust_id FROM orders ORDER BY o_orderkey")
+       "o_custkey AS cust_id FROM orders ORDER BY o_orderkey"),
+    "fn_edit_distance" ->
+      ("SELECT p_partkey, p_brand, p_name, prev_name, " +
+       "CAST(levenshtein(p_name, prev_name) AS BIGINT) AS lev, " +
+       "round(1.0 - levenshtein(p_name, prev_name) / " +
+       "greatest(length(p_name), length(prev_name)), 6) AS sim " +
+       "FROM (SELECT p_partkey, p_brand, p_name, " +
+       "lag(p_name) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS prev_name " +
+       "FROM part) WHERE prev_name IS NOT NULL ORDER BY p_partkey")
   )
 }

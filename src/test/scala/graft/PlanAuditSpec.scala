@@ -118,6 +118,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plans("q3_shipping_priority").contains("TakeOrderedAndProject"))
   }
 
+  test("r13 composites: broadcast dims, top-k operator, semi-reduction first") {
+    // q7: both nation-filtered dim joins (supplier, customer) broadcast —
+    // the fact side must never shuffle for a dimension.
+    assert("BroadcastHashJoin".r.findAllIn(plans("q7_volume_shipping"))
+      .length >= 2, "q7 dims are not broadcast")
+    // q10/q18: the final top-k is TakeOrderedAndProject (global Sort +
+    // Limit would materialize every group/order ordered).
+    assert(plans("q10_returned_items").contains("TakeOrderedAndProject"))
+    assert(plans("q18_large_orders").contains("TakeOrderedAndProject"))
+    // q18: the qualifying-order reduction aggregates lineitem BEFORE any
+    // join — the plan must contain a partial+final agg on the lineitem
+    // subtree (2 HashAggregates) and no aggregate after the joins.
+    assert("HashAggregate".r.findAllIn(plans("q18_large_orders")).length >= 2,
+      "q18 HAVING pre-aggregate is not partial+final")
+    // fn_edit_distance: pair mass comes from ONE window shuffle — any
+    // join in this plan means the fuzzy match degenerated to a product.
+    val fed = plans("fn_edit_distance")
+    assert(!fed.contains("Join"), "fn_edit_distance must be join-free")
+    assert(fed.contains("Window"), "fn_edit_distance lost its lag window")
+  }
+
   test("runtime bloom filter reduces the fact side of selective shuffle joins") {
     // The 100 TB regime for q5: dims exceed the broadcast threshold, so
     // the fact joins shuffle — the remaining defense against shuffling
