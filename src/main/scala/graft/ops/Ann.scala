@@ -366,6 +366,39 @@ object Ann {
         .orderBy("vec_id")
     }),
 
+    /** Two-level (hierarchically routed) semantic dedup — the sub-N^1.5
+      * BUILD the single-level key's Scaladoc points at: `dedup_semantic`
+      * scores every vector against all C = √N fine centroids (N·√N
+      * assignment — the measured 3.3×/decade build in KneeProbe), while
+      * this key routes in two hops: nearest of C1 = ⌈√C⌉ ≈ N^¼ coarse
+      * seeds first, then an exact argmin over only that bucket's fine
+      * centroids — N·(C1 + C/C1) ≈ N^1.25 scored pairs for balanced
+      * buckets. The trade is APPROXIMATE routing (a vector's true
+      * nearest fine centroid may live in another coarse bucket), so the
+      * inverted file — and hence the flagged set — differs from the
+      * single-level contract: this is its own key, with the full
+      * two-hop build replayed by its oracle. Pair generation and the
+      * min-keeper rule are identical to [[dedup_semantic]]; the same
+      * Σ|cell|² ≈ N^1.5 pair-mass bound holds because the fine cell
+      * count is the same C. */
+    "dedup_semantic_2l" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val cells = semCells2l(s, dir, e)
+      val a = cells.select(col("vec_id").as("keeper"), col("v").as("va"),
+        col("cell"))
+      val b = cells.select(col("vec_id"), col("v").as("vb"), col("cell"))
+      val pairs = a.join(b, "cell")
+        .where(col("keeper") < col("vec_id"))
+        .withColumn("sim", round(Vector.cosine(col("va"), col("vb")), 6))
+        .where(col("sim") >= 0.35)
+        .select("vec_id", "keeper", "sim") // vectors stay out of the window shuffle
+      val w = Window.partitionBy("vec_id").orderBy("keeper")
+      pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("vec_id", "keeper", "sim")
+        .orderBy("vec_id")
+    }),
+
     /** Scalar int8 quantization of the embedding corpus — the compressed
       * vector store an ANN index keeps at 100 TB (64 B/vector vs 256 B
       * float32; PQ's 8 B/vector is the lossier tier below it): per
@@ -779,6 +812,75 @@ object Ann {
     }
   }
 
+  /** Nearest-centroid argmin WITHIN a routing bucket: vectors carrying a
+    * bucket id `g` joined to the broadcast (f_id, cv, g) fine-centroid
+    * relation on `g`, then the same map-side min(struct) collapse as
+    * [[assignCells]] — scored pairs are Σ_g |Vg|·|Fg| instead of N·C,
+    * which is where the two-level build's N^1.25 lives. Same total
+    * order as the oracle's row_number (rounded cosine DESC, f_id). */
+  private def assignInBucket(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.join(broadcast(cent), "g")
+      .select(col("vec_id"), col("v"),
+        struct((-round(Vector.cosine(col("v"), col("cv")), 6)).as("neg"),
+          col("f_id").as("c")).as("cand"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), min(col("cand")).as("best"))
+      .select(col("vec_id"), col("v"), col("best")("c").as("cell"))
+
+  /** The two-level inverted file (see the `dedup_semantic_2l` Scaladoc):
+    * C fine seeds, C1 = max(4, ⌈√C⌉) coarse seeds, fine seeds routed to
+    * their nearest coarse seed ONCE (frozen through the Lloyd round —
+    * the coarse seeds never move, so a vector's coarse bucket is
+    * computed once and reused for both the seed-phase assignment and
+    * the final one). Vectors route only to buckets that hold at least
+    * one fine seed (a coarse seed can lose ALL its fine seeds to a
+    * lower-id twin under the rounded-cosine tie-break; an empty bucket
+    * would strand its vectors). The fine Lloyd mean is the same exact
+    * fixed-point two-phase aggregate as [[semCentroids]] — fully
+    * distributed, no centroid collect. */
+  private[graft] def semCells2l(s: SparkSession, dir: String,
+                                e: DataFrame): DataFrame = {
+    val c = semCellCount(s, dir)
+    val c1 = math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt)
+    graft.Staging.materialize(
+      s, Tables.path(dir, "embeddings"), s"sem_cells_2l_c${c}_g${c1}_v1") {
+      val s0 = e.where(col("vec_id") < c)
+        .select(col("vec_id").as("f_id"), col("v").as("fv"))
+      val g0 = e.where(col("vec_id") < c1)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      // fine-seed → coarse-seed routing (C×C1 scores, broadcast-tiny)
+      val fr = assignCells(
+        s0.select(col("f_id").as("vec_id"), col("fv").as("v")), g0)
+        .select(col("vec_id").as("f_id"), col("v").as("fv"),
+          col("cell").as("g"))
+      val gs = fr.select("g").distinct()
+      // vector → coarse bucket, restricted to non-empty buckets; coarse
+      // seeds are fixed, so this N·C1 pass is shared by both hops below
+      val vg = assignCells(e,
+        g0.join(broadcast(gs), col("c_id") === col("g")).select("c_id", "cv"))
+        .select(col("vec_id"), col("v"), col("cell").as("g"))
+      // seed-phase fine assignment within the bucket
+      val m0 = assignInBucket(vg,
+        fr.select(col("f_id"), col("fv").as("cv"), col("g")))
+      // one fixed-point Lloyd round over the fine cells
+      val sums = m0.select(col("cell"),
+          posexplode(transform(col("v"), x => round(x * 1e6).cast("long")))
+            .as(Seq("d", "q")))
+        .groupBy("cell", "d")
+        .agg(sum("q").as("sm"), count(lit(1)).as("n"))
+      val centm = sums.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("d").as("d"),
+          (col("sm").cast("double") / col("n") / lit(1e6)).as("m")))),
+          x => x("m")).as("cv"))
+        .select(col("cell").as("f_id"), col("cv"))
+      val cf = fr.join(centm, Seq("f_id"), "left")
+        .select(col("f_id"), coalesce(col("cv"), col("fv")).as("cv"),
+          col("g"))
+      // final assignment against the refined fine centroids, same hops
+      assignInBucket(vg, cf)
+    }
+  }
+
   /** Per-dim [min, max] of the embedding corpus — the SQ8 quantizer's
     * entire model state (64 rows), staged per corpus version and
     * collected on read (the ivfCentroids 16-row pattern: bounded model
@@ -1031,6 +1133,50 @@ object Ann {
         "pairs AS (SELECT a.vec_id AS keeper, b.vec_id AS vec_id, " +
         "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
         "FROM cells2 a JOIN cells2 b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35), " +
+        "pick AS (SELECT vec_id, keeper, sim, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY keeper) AS rn FROM pairs) " +
+        "SELECT vec_id, keeper, sim FROM pick WHERE rn = 1 ORDER BY vec_id"),
+    // Two-level replay: derived C and C1 = max(4, ⌈√C⌉), fine seeds
+    // routed to coarse seeds once (frozen), vectors routed coarse-then-
+    // fine (argmin = row_number over rounded cosine DESC, id — the
+    // assignCells/assignInBucket total order), one fixed-point fine
+    // Lloyd round, final two-hop assignment, then the dedup_semantic
+    // pair/min-keeper tail verbatim.
+    "dedup_semantic_2l" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "nn0 AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings), " +
+        "nn AS (SELECT c, greatest(4, CAST(ceil(sqrt(c)) AS BIGINT)) AS c1 FROM nn0), " +
+        "s0 AS (SELECT vec_id AS f_id, v AS fv FROM e, nn WHERE vec_id < nn.c), " +
+        "g0 AS (SELECT vec_id AS g_id, v AS gv FROM e, nn WHERE vec_id < nn.c1), " +
+        "fr AS (SELECT f_id, fv, g FROM (SELECT s0.f_id, s0.fv, g0.g_id AS g, " +
+        "row_number() OVER (PARTITION BY s0.f_id " +
+        "ORDER BY round(list_cosine_similarity(s0.fv, g0.gv), 6) DESC, g0.g_id) AS rc " +
+        "FROM s0 CROSS JOIN g0) WHERE rc = 1), " +
+        "g0r AS (SELECT g0.g_id, g0.gv FROM g0 " +
+        "WHERE g0.g_id IN (SELECT DISTINCT g FROM fr)), " +
+        "vg AS (SELECT vec_id, v, g FROM (SELECT e.vec_id, e.v, g0r.g_id AS g, " +
+        "row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, g0r.gv), 6) DESC, g0r.g_id) AS rc " +
+        "FROM e CROSS JOIN g0r) WHERE rc = 1), " +
+        "m0 AS (SELECT vec_id, v, cell FROM (SELECT vg.vec_id, vg.v, fr.f_id AS cell, " +
+        "row_number() OVER (PARTITION BY vg.vec_id " +
+        "ORDER BY round(list_cosine_similarity(vg.v, fr.fv), 6) DESC, fr.f_id) AS rc " +
+        "FROM vg JOIN fr ON fr.g = vg.g) WHERE rc = 1), " +
+        "dx AS (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM m0), " +
+        "ds AS (SELECT cell, d, sum(CAST(round(x * 1e6) AS BIGINT)) AS sm, " +
+        "count(*) AS n FROM dx GROUP BY cell, d), " +
+        "centm AS (SELECT cell AS f_id, list(CAST(sm AS DOUBLE) / n / 1e6 ORDER BY d) AS cv " +
+        "FROM ds GROUP BY cell), " +
+        "cf AS (SELECT fr.f_id, coalesce(cm.cv, fr.fv) AS cv, fr.g " +
+        "FROM fr LEFT JOIN centm cm ON cm.f_id = fr.f_id), " +
+        "cells AS (SELECT vec_id, v, cell FROM (SELECT vg.vec_id, vg.v, cf.f_id AS cell, " +
+        "row_number() OVER (PARTITION BY vg.vec_id " +
+        "ORDER BY round(list_cosine_similarity(vg.v, cf.cv), 6) DESC, cf.f_id) AS rc " +
+        "FROM vg JOIN cf ON cf.g = vg.g) WHERE rc = 1), " +
+        "pairs AS (SELECT a.vec_id AS keeper, b.vec_id AS vec_id, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
+        "FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
         "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35), " +
         "pick AS (SELECT vec_id, keeper, sim, row_number() OVER " +
         "(PARTITION BY vec_id ORDER BY keeper) AS rn FROM pairs) " +

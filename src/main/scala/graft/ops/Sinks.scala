@@ -221,6 +221,34 @@ object Sinks {
         .write.mode("overwrite").text(tmp.toString)
     }
 
+  /** `documents` laid out as ONE RAW BINARY FILE PER DOCUMENT
+    * (`<doc_id>.bin`, UTF-8 text bytes) — the object-store layout image/
+    * audio/video corpora actually arrive in, and the shape
+    * `spark.read.format("binaryFile")` exists to ingest. The writer is a
+    * per-partition imperative loop because Spark has no one-file-per-row
+    * writer — exactly the sink shape a real media exporter uses (each
+    * task writes its partition's files; no shuffle, no driver loop).
+    * Written once per corpus version like the CSV/ORC/text artifacts. */
+  def ensureBinaryDocs(s: SparkSession, dir: String): String =
+    publishSink(dir, "documents", "documents_bin_v1") { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      val base = tmp.toString
+      Tables.table(s, dir, "documents").select("doc_id", "text")
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            // NULL text must fail the WRITE loudly (the source_text
+            // contract): an empty .bin file would md5-match nothing and
+            // surface as a confusing hash mismatch rows later.
+            require(!r.isNullAt(1),
+              s"source_binary: NULL text for doc_id ${r.getLong(0)}")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(base, s"${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      java.nio.file.Files.createFile(tmp.resolve("_SUCCESS"))
+    }
+
   /** Columns `orders` round-trips through the Derby JDBC source — same
     * typed surface as ORC (ints, doubles, strings, a timestamp), the
     * shapes a warehouse table actually carries. */
@@ -405,7 +433,24 @@ object Sinks {
           length(col("text")).cast("long").as("n_chars_txt"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Opaque-binary ingest: the binaryFile source over the one-file-per-
+    // document lake layout (path, length, content) — the entry point of
+    // every multimodal pipeline (mm_media_features et al. consume the
+    // same bytes from parquet; this key proves the FILE-layout ingest
+    // path). The identity is (doc_id parsed from the file name, byte
+    // length, content digest) — file length is OCTET length, so the
+    // oracle compares strlen(text), not the character count.
+    "source_binary" -> ((s, dir) =>
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(ensureBinaryDocs(s, dir))
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long")
+            .as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -442,6 +487,9 @@ object Sinks {
     // the oracle replays the payload digest from the source table.
     "source_text" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt, " +
-       "md5(text) AS text_md5 FROM documents ORDER BY doc_id")
+       "md5(text) AS text_md5 FROM documents ORDER BY doc_id"),
+    "source_binary" ->
+      ("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+       "md5(text) AS content_md5 FROM documents ORDER BY doc_id")
   )
 }

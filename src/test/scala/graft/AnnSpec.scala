@@ -378,6 +378,30 @@ class AnnSpec extends AnyFunSuite {
       s"multi-probe lost single-probe dups: ${(sp -- mp).take(5)}")
   }
 
+  test("two-level routing strands no vector and keeps the dedup contract") {
+    // The hazard the 2l build guards against: a coarse seed whose fine
+    // seeds all tie away to a lower-id twin leaves an empty bucket —
+    // vectors routed there would silently vanish from the inverted
+    // file. The invariant: every corpus vector lands in EXACTLY one
+    // fine cell (routing is restricted to non-empty buckets).
+    val e = ops.Ann.embDouble(spark, sf)
+    val n = e.count()
+    val cells = ops.Ann.semCells2l(spark, sf, e)
+    assert(cells.count() === n, "two-level file lost or duplicated vectors")
+    assert(cells.select("vec_id").distinct().count() === n)
+    val got = SparkEntry.queries("dedup_semantic_2l")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, keeper, sim) =>
+      assert(keeper < id); assert(sim >= 0.35)
+    }
+    val sp = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val tl = got.map(_._1).toSet
+    info(s"single-level flagged ${sp.size}, two-level flagged ${tl.size}, " +
+      s"overlap ${(sp & tl).size}")
+  }
+
   test("int8 quantization replays bit-exactly driver-side (codes md5 + mse)") {
     val vs = ops.Ann.embDouble(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)

@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_ann_incremental",          // 1-row broadcast max(vec_id) boundary
     "embed_ann_sq8",                  // broadcast probes vs decoded corpus
     "dedup_semantic",                 // broadcast √N centroid set vs corpus (assignCells)
-    "dedup_semantic_mp")              // same broadcast centroid set, two argmin passes
+    "dedup_semantic_mp",              // same broadcast centroid set, two argmin passes
+    "dedup_semantic_2l")              // broadcast N^¼ coarse seeds, then bucket-joined fine
 
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation
