@@ -37,11 +37,14 @@ import org.apache.spark.sql.functions._
   * names) is measured by tools/UpsertProbe's snapshot ladder — its axis
   * is snapshot/batch ratio, not corpus multiplier, so it keeps its own
   * harness. Scratch tool, not part of the driver contract; numbers in
-  * ROUND12_NOTES.md. Usage: runMain graft.tools.KneeProbe [sfDir]
+  * ROUND12_NOTES.md. Usage: runMain graft.tools.KneeProbe [sfDir] [legs]
+  * — `legs` is an optional subset of "ABCDE" (default all); the D/E loop
+  * runs when either letter is selected.
   */
 object KneeProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val legs = args.lift(1).getOrElse("ABCDE").toUpperCase
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -77,6 +80,7 @@ object KneeProbe {
     }
     // JIT/codegen warm-up: one full PPJoin pass at m=1, untimed, so the
     // first timed leg doesn't carry cold-JVM compile cost.
+    if (legs.contains('A')) {
     Dedup.ngramJaccardPairs(saltedDocs(1)).count()
     for (m <- Seq(1, 3, 10)) {
       // The production path stages the sorted-trigram relation once per
@@ -90,6 +94,7 @@ object KneeProbe {
       t(s"A m=$m cap256   ")(Dedup.ngramJaccardFromGrams(g, dfOrderedPrefix = true,
         hotGramCap = Some(256L)).count())
       g.unpersist()
+    }
     }
 
     // ---- C. CC: pointer-jump vs large-star over the m× pair graph -----
@@ -109,6 +114,7 @@ object KneeProbe {
       replicate(chains.union(stars), m, 10000000L, "doc_a", "doc_b")
         .localCheckpoint(true)
     }
+    if (legs.contains('C')) {
     Pipeline.connectedComponents(ccGraph(1)).count() // warm
     for (m <- Seq(1, 3, 10)) {
       val pairs = ccGraph(m)
@@ -118,11 +124,13 @@ object KneeProbe {
       finally spark.conf.unset("graft.cc.largeStar")
       pairs.unpersist()
     }
+    }
 
     // ---- B. packing: single window vs two-level prefix sum ------------
     val toks0 = Tables.table(spark, sfDir, "documents")
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("toks"))
+    if (legs.contains('B')) {
     Pipeline.packShards(replicate(toks0, 10, 10000000L, "doc_id"), 512, None)
       .agg(max("shard")).count() // warm
     for (m <- Seq(100, 1000, 10000)) {
@@ -133,6 +141,7 @@ object KneeProbe {
         .agg(max("shard")).count())
       d.unpersist()
     }
+    }
 
     // ---- D/E. end-to-end cold: ANN on m× embeddings, upsert on m× events
     val shm = java.nio.file.Paths.get("/dev/shm")
@@ -141,6 +150,7 @@ object KneeProbe {
     // m=1 twice: the first pass is the untimed JIT/streaming-infra warm-up
     // (cold-JVM compile cost would otherwise make m=1 look SLOWER than
     // m=10); timed legs start from the second m=1.
+    if (legs.contains('D') || legs.contains('E'))
     for ((m, warm) <- Seq((1, true), (1, false), (10, false))) {
       val dir = java.nio.file.Files.createTempDirectory(tmpBase, s"graft_knee_${m}x_")
       try {
@@ -156,6 +166,7 @@ object KneeProbe {
         for (k <- Seq("embed_ann_ivf", "embed_ann_pq", "embed_ann_incremental",
                       "dedup_semantic", "embed_quantize_int8",
                       "embed_ann_sq8_ivf", // r13: cell-filtered SQ8 decade
+                      "dedup_semantic_2l", // r13: two-hop build, ~N^1.25 target
                       "stream_upsert_snapshot")) {
           val tag = if (k == "stream_upsert_snapshot") "E" else "D"
           if (warm) { graft.SparkEntry.queries(k)(spark, dir.toString).count(); () }
@@ -167,8 +178,13 @@ object KneeProbe {
             // (Σ|cell|² — paid per query against the staged cells): a
             // second, warm-staged run isolates the per-query pair cost,
             // and cold − warm ≈ the amortized build.
-            if (k == "dedup_semantic")
-              t(s"D m=$m dedup_semantic(warm)")(
+            // same split for the two-level variant: its claim is that the
+            // BUILD decade (cold − warm) drops from the single-level
+            // ~N^1.5 (3.2×/decade) toward N^1.25 (~1.8×/decade); the
+            // warm per-query pair cost should match dedup_semantic's
+            // (same C, same Σ|cell|² bound).
+            if (k == "dedup_semantic" || k == "dedup_semantic_2l")
+              t(s"D m=$m $k(warm)")(
                 graft.SparkEntry.queries(k)(spark, dir.toString).count())
           }
         }
