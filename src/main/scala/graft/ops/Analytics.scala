@@ -173,6 +173,193 @@ object Analytics {
         (lit(100.0) * col("promo_u") / col("total_u")).as("promo_pct"))
     }),
 
+    // TPC-H Q4 shape (order priority checking): orders in one quarter
+    // that had at least one returned lineitem, counted per priority. The
+    // EXISTS is a LEFT SEMI join — the orders side never duplicates no
+    // matter how many R lineitems an order has, and the semi build side
+    // carries only l_orderkey. Both filters sit on the scans.
+    // (The corpus has no l_commitdate/l_receiptdate, so "late" is proxied
+    // by l_returnflag = 'R' — same plan shape as the TPC-H original.)
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = Tables.table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority")
+      val ret = Tables.table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      ord.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 shape (forecast revenue): the pure-scan query — no join at
+    // all; shipdate + quantity predicates push to parquet, the discount
+    // band filters map-side, and one partial+final agg produces the
+    // single row. At 100 TB this is the query whose entire cost is scan
+    // throughput — any shuffle in the plan would be a bug (PlanAuditSpec
+    // asserts the only exchange is the final single-partition gather).
+    // Discount revenue in exact integer 1e-4 units: cents × discount%.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      val discPct = round(col("l_discount") * 100, 0).cast("long")
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+               col("l_quantity") < 24)
+        .where(discPct.between(5, 7))
+        .select((round(col("l_extendedprice") * 100, 0).cast("long") *
+          discPct).as("disc_u"))
+        .agg((sum(col("disc_u")) / 10000.0).as("revenue"))
+    }),
+
+    // TPC-H Q12 shape (shipping-class report): lineitems shipped in one
+    // year, classified by their order's priority — one equi-join plus a
+    // conditional two-column count. The priority CASE evaluates after the
+    // join, map-side; the group key (l_linestatus, 2 values) makes the
+    // final agg tiny while the partial agg absorbs the fact volume.
+    // (No l_shipmode column in this corpus; l_linestatus is the group.)
+    "q12_priority_class" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+        .join(Tables.table(s, dir, "orders")
+            .select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q13 shape (customer order distribution): LEFT OUTER customer
+    // → filtered orders, count per customer (zero-order customers kept by
+    // the outer join + count(o_orderkey) null-skipping), then the
+    // second-level histogram over the counts. The first agg shuffles on
+    // c_custkey (same key as the join — AQE coalesces), the second on the
+    // tiny count domain.
+    "q13_order_distribution" -> ((s, dir) => {
+      val ord = Tables.table(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+      Tables.table(s, dir, "customer").select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): lineitems under 20% of
+    // their part's average quantity, for one brand/size family. The
+    // filtered part keys broadcast FIRST, so the per-part (count, sum)
+    // aggregate runs only over the pruned lineitems — the TPC-H text's
+    // correlated subquery over all lineitems is equivalent because the
+    // aggregate is keyed by the same partkey the outer row joins on.
+    // The 20% test is exact integer math: qty < avg/5 ⟺ 5·qty·cnt < sum
+    // in BIGINT cents — no double avg on either engine, so no boundary
+    // flake (the win_range_frame lesson applied to a comparison).
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val pk = Tables.table(s, dir, "part")
+        .where(col("p_brand") === "Brand#3" && col("p_size") <= 10)
+        .select("p_partkey")
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          round(col("l_quantity") * 100, 0).cast("long").as("qty_c"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("price_c"))
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "qty_c", "price_c")
+      val perPart = li.groupBy(col("l_partkey").as("a_pkey"))
+        .agg(count(lit(1)).as("a_cnt"), sum(col("qty_c")).as("a_sum"))
+      li.join(perPart, col("l_partkey") === col("a_pkey"))
+        .where(lit(5L) * col("qty_c") * col("a_cnt") < col("a_sum"))
+        .agg((sum(col("price_c")) / 100.0 / 7.0).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive revenue): three (brand, size, qty)
+    // conjunctions OR'd inside ONE broadcast equi-join — the hash probe
+    // stays on p_partkey and the disjunction evaluates as the join
+    // residual, so the fact table is scanned once, not three times.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val p = Tables.table(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+      Tables.table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), Analytics.volUnits)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg((sum(col("vol_u")) / 10000.0).as("revenue"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): suppliers in
+    // one nation that were the SOLE returning supplier on multi-supplier
+    // orders. The EXISTS/NOT-EXISTS pair collapses into one per-order
+    // aggregate — (distinct suppliers, distinct R-suppliers) — joined
+    // back to the distinct R (order, supplier) pairs on the same
+    // l_orderkey shuffle key, so lineitem crosses the wire once for each
+    // of the two legs and never self-joins row-to-row. Supplier × nation
+    // broadcasts. (R proxies "late" — no receipt/commit dates here.)
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // One (orderkey, suppkey) pre-aggregate feeds BOTH legs: the
+      // distinct R pairs (has_r = 1) and the per-order rollup whose
+      // count/sum over the distinct pairs ARE the two countDistincts —
+      // a literal dual-countDistinct plans an Expand that doubles the
+      // fact rows before the shuffle (measured 2.0 s vs 1.1 s at sf0.1).
+      val pairs = Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("has_r"))
+      val g = pairs.groupBy(col("l_orderkey").as("g_okey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
+        .where(col("n_supp") > 1 && col("n_r_supp") === 1)
+      val r = pairs.where(col("has_r") === 1L)
+        .select(col("l_orderkey").as("r_okey"), col("l_suppkey").as("r_skey"))
+      val sup = Tables.table(s, dir, "supplier")
+        .join(broadcast(Tables.table(s, dir, "nation")
+            .where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      r.join(g, col("r_okey") === col("g_okey"))
+        .join(broadcast(sup), col("r_skey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (dormant high-balance customers): customers above
+    // the positive-balance average with no recent orders, rolled up per
+    // country code (c_nationkey here — no c_phone column). The scalar
+    // average is a 1-row aggregate cross-broadcast into the filter; the
+    // comparison is exact BIGINT (bal·cnt > sum — no double avg), and
+    // "no recent orders" is a LEFT ANTI join against the date-pruned
+    // orders scan.
+    "q22_dormant_value" -> ((s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("int").as("cntrycode"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
+      val pos = cust.where(col("bal_c") > 0)
+        .agg(count(lit(1)).as("p_cnt"), sum(col("bal_c")).as("p_sum"))
+      val recent = Tables.table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(pos))
+        .where(col("bal_c") * col("p_cnt") > col("p_sum"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_c")) / 100.0).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // TPC-H Q18 shape (large-volume orders): orders whose total quantity
     // clears a threshold, with their customer. The HAVING pre-aggregate
     // runs on (l_orderkey) alone — a semi-join reduction BEFORE the
@@ -263,6 +450,85 @@ object Analytics {
        "FROM lineitem, part WHERE l_partkey = p_partkey " +
        "AND l_shipdate >= TIMESTAMP '1997-03-01' " +
        "AND l_shipdate < TIMESTAMP '1997-04-01'))"),
+    "q4_order_priority" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+       "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
+       "AND o_orderdate < TIMESTAMP '1997-04-01' " +
+       "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+       "AND l_returnflag = 'R') " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q6_forecast_revenue" ->
+      ("SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT) * " +
+       "CAST(round(l_discount*100,0) AS BIGINT)) AS DOUBLE)/10000.0 " +
+       "AS revenue FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+       "AND CAST(round(l_discount*100,0) AS BIGINT) BETWEEN 5 AND 7 " +
+       "AND l_quantity < 24"),
+    "q12_priority_class" ->
+      ("SELECT l_linestatus, " +
+       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+       "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+       "FROM orders, lineitem WHERE o_orderkey = l_orderkey " +
+       "AND l_shipdate >= TIMESTAMP '1997-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+       "GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "q13_order_distribution" ->
+      ("SELECT c_count, count(*) AS custdist FROM (" +
+       "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+       "LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
+       "AND o_orderpriority <> '4-NOT SPECIFIED' " +
+       "GROUP BY c_custkey) GROUP BY c_count " +
+       "ORDER BY custdist DESC, c_count DESC"),
+    // The 20% test replays as exact BIGINT: 5·qty_c·cnt < sum_c — no
+    // double average on either engine.
+    "q17_small_qty_revenue" ->
+      ("SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) " +
+       "AS DOUBLE)/100.0/7.0 AS avg_yearly FROM lineitem, part, " +
+       "(SELECT l_partkey AS a_pkey, count(*) AS a_cnt, " +
+       "sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS a_sum " +
+       "FROM lineitem GROUP BY l_partkey) a " +
+       "WHERE p_partkey = l_partkey AND l_partkey = a_pkey " +
+       "AND p_brand = 'Brand#3' AND p_size <= 10 " +
+       "AND 5 * CAST(round(l_quantity*100,0) AS BIGINT) * a_cnt < a_sum"),
+    "q19_disjunctive_revenue" ->
+      ("SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT) * " +
+       "(100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)" +
+       "/10000.0 AS revenue FROM lineitem, part " +
+       "WHERE p_partkey = l_partkey AND (" +
+       "(p_brand='Brand#1' AND p_size BETWEEN 1 AND 5 " +
+       "AND l_quantity BETWEEN 1 AND 11) " +
+       "OR (p_brand='Brand#2' AND p_size BETWEEN 1 AND 10 " +
+       "AND l_quantity BETWEEN 10 AND 20) " +
+       "OR (p_brand='Brand#3' AND p_size BETWEEN 1 AND 15 " +
+       "AND l_quantity BETWEEN 20 AND 30))"),
+    "q21_waiting_supplier" ->
+      ("SELECT s_name, count(*) AS numwait FROM (" +
+       "SELECT DISTINCT l_orderkey AS r_okey, l_suppkey AS r_skey " +
+       "FROM lineitem WHERE l_returnflag='R') r, " +
+       "(SELECT l_orderkey AS g_okey, " +
+       "count(DISTINCT l_suppkey) AS n_supp, " +
+       "count(DISTINCT CASE WHEN l_returnflag='R' THEN l_suppkey END) " +
+       "AS n_r_supp FROM lineitem GROUP BY l_orderkey) g, " +
+       "supplier, nation " +
+       "WHERE r_okey = g_okey AND n_supp > 1 AND n_r_supp = 1 " +
+       "AND r_skey = s_suppkey AND s_nationkey = n_nationkey " +
+       "AND n_name = 'NATION_3' " +
+       "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+    "q22_dormant_value" ->
+      ("SELECT cntrycode, count(*) AS numcust, " +
+       "CAST(sum(bal_c) AS DOUBLE)/100.0 AS totacctbal FROM (" +
+       "SELECT CAST(c_nationkey AS INT) AS cntrycode, " +
+       "CAST(round(c_acctbal*100,0) AS BIGINT) AS bal_c FROM customer, " +
+       "(SELECT count(*) AS p_cnt, " +
+       "sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS p_sum " +
+       "FROM customer WHERE c_acctbal > 0) p " +
+       "WHERE CAST(round(c_acctbal*100,0) AS BIGINT) * p_cnt > p_sum " +
+       "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+       "AND o_orderdate >= TIMESTAMP '1999-01-01')) " +
+       "GROUP BY cntrycode ORDER BY cntrycode"),
     "q18_large_orders" ->
       ("SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, " +
        "total_qty FROM orders, customer, " +

@@ -32,7 +32,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_ann_sq8",                  // broadcast probes vs decoded corpus
     "dedup_semantic",                 // broadcast √N centroid set vs corpus (assignCells)
     "dedup_semantic_mp",              // same broadcast centroid set, two argmin passes
-    "dedup_semantic_2l")              // broadcast N^¼ coarse seeds, then bucket-joined fine
+    "dedup_semantic_2l",              // broadcast N^¼ coarse seeds, then bucket-joined fine
+    "q22_dormant_value")              // 1-row broadcast (cnt,sum) avg threshold
 
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation
@@ -133,6 +134,33 @@ class PlanAuditSpec extends AnyFunSuite {
     // subtree (2 HashAggregates) and no aggregate after the joins.
     assert("HashAggregate".r.findAllIn(plans("q18_large_orders")).length >= 2,
       "q18 HAVING pre-aggregate is not partial+final")
+    // q4: the EXISTS must stay a semi join (an inner join would duplicate
+    // orders per returned lineitem and corrupt the counts at any scale).
+    assert(plans("q4_order_priority").contains("LeftSemi"),
+      "q4 EXISTS is not a left-semi join")
+    // q6: pure-scan query — a join anywhere means a planner regression;
+    // both pushable predicates must reach the parquet scan.
+    val q6 = plans("q6_forecast_revenue")
+    assert(!q6.contains("Join"), "q6 must be join-free")
+    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "q6 lost its scan pushdown")
+    // q13: two aggregation levels (per-customer partial+final, then the
+    // histogram partial+final) — 4 HashAggregates.
+    assert("HashAggregate".r.findAllIn(plans("q13_order_distribution"))
+      .length >= 4, "q13 lost an aggregation level")
+    // q17/q19/q21: the filtered dimension (part keys / supplier×nation)
+    // must broadcast — the fact side never shuffles for a dimension.
+    for (k <- Seq("q17_small_qty_revenue", "q19_disjunctive_revenue",
+        "q21_waiting_supplier"))
+      assert(plans(k).contains("BroadcastHashJoin"), s"$k dim not broadcast")
+    // q21: the sole-returning-supplier logic is aggregates joined on the
+    // SAME l_orderkey key, never a lineitem row×row self-join; the R-pair
+    // distinct and the per-order rollup each need partial+final.
+    assert("HashAggregate".r.findAllIn(plans("q21_waiting_supplier"))
+      .length >= 4, "q21 per-order reduction lost its two-phase aggs")
+    // q22: dormancy is an anti join against the date-pruned orders scan.
+    assert(plans("q22_dormant_value").contains("LeftAnti"),
+      "q22 dormancy is not a left-anti join")
     // fn_edit_distance: pair mass comes from ONE window shuffle — any
     // join in this plan means the fuzzy match degenerated to a product.
     val fed = plans("fn_edit_distance")
