@@ -64,6 +64,11 @@ object Pipeline {
     * shards per source at the sf0.01 correctness gate (a 2048 budget left
     * every source in one shard there — an unexercised div). */
   private val SeqBudget = 512
+  // sample_budget_topk's per-language token budget — small enough that the
+  // admission cutoff binds in EVERY language at the sf0.01 gate corpus
+  // (en keeps 62/218 docs, the others ~40/70), so the oracle exercises
+  // the selection, not a pass-through.
+  private val SelectBudget = 1500L
 
   /** Bucket width for the scale-safe two-level packing prefix sum, read
     * from session conf `graft.pack.bucketWidth` (unset/≤0 → the single-key
@@ -200,6 +205,73 @@ object Pipeline {
         .where(num >= 65536 || h < thr)
         .select(col("doc_id"), col("source"), h.as("bucket"))
         .orderBy("doc_id")
+    }),
+
+    // Fractional-EPOCH mixture — the up-sampling half of data mixing
+    // (sample_weighted is the down-sampling half): each source gets a
+    // repetition weight in hundredths (50, 125, 200, 275 by source index
+    // mod 4), every doc is emitted floor(w) times, and the fractional
+    // remainder is a deterministic per-doc content-hash draw against the
+    // same 4-hex md5 window family the other samplers use — so "2.75
+    // epochs of src3" reproduces exactly across engines, corpus versions,
+    // and partitionings. Map-side arithmetic + one generator explode —
+    // no shuffle, no RNG state, no join; output volume = Σ wᵢ·|srcᵢ|,
+    // exactly the mixture's token multiple, which is the number a 100 TB
+    // training-mix planner budgets against.
+    "sample_epochs_mix" -> ((s, dir) => {
+      val k = coalesce(
+        expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as int)"),
+        lit(0))
+      val w = (k % 4) * lit(75) + lit(50)
+      // (w%100)/100 of 65536 is exact for the four weight residues
+      // (0, 25, 50, 75 hundredths → 0, 16384, 32768, 49152), so the
+      // double division below is integral before the long cast.
+      val thr = lower(lpad(hex(((w % 100) * lit(65536) / lit(100))
+        .cast("long")), 4, "0"))
+      val extra = when(
+        substring(md5(col("text").cast("binary")), 1, 4) < thr, 1L)
+        .otherwise(0L)
+      val copies = ((w / lit(100)).cast("long") + extra).as("copies")
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), copies)
+        .where(col("copies") >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("copies"))).as("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
+    // Budget-capped quality selection — "the best docs per language that
+    // fit a token budget": rank by lexical-diversity score (distinct/total
+    // token ratio, the cheap repetition-penalizing proxy), admit in rank
+    // order while the running token total stays ≤ B. Two-level windows
+    // make this scale: the per-(lang, source) prefix sum prunes first —
+    // LOSSLESSLY, since a row's final per-lang cumulative is ≥ its
+    // within-source cumulative (the rows ahead of it in the final order
+    // are a superset of those ahead within its source), so any row whose
+    // source-local cumulative exceeds B can never be admitted. The final
+    // per-lang window then sees ≤ |sources|·B tokens per language — a
+    // bounded partition no matter how large the corpus — instead of the
+    // whole stratum landing on one of a handful of lang partitions.
+    "sample_budget_topk" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val ord = Seq(col("score").desc, col("doc_id"))
+      val pre = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fin = Window.partitionBy(col("lang"))
+        .orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.table(s, dir, "documents")
+        .select(col("lang"), col("source"), col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          (size(array_distinct(toks)).cast("double") / size(toks))
+            .as("score"))
+        .withColumn("pre_cum", sum(col("n_toks")).over(pre))
+        .where(col("pre_cum") <= SelectBudget)
+        .withColumn("cum_toks", sum(col("n_toks")).over(fin))
+        .where(col("cum_toks") <= SelectBudget)
+        .select("lang", "doc_id", "n_toks", "score", "cum_toks")
+        .orderBy("lang", "cum_toks")
     }),
 
     // Contiguous token-budget packing: shard = exclusive-prefix token count
@@ -833,6 +905,31 @@ object Pipeline {
        "SELECT doc_id, source, bucket FROM t " +
        "WHERE num >= 65536 OR bucket < lower(lpad(hex(num), 4, '0')) " +
        "ORDER BY doc_id"),
+    "sample_epochs_mix" ->
+      // same TRY_CAST/md5-window family as sample_weighted; the epoch
+      // explode is generate_series (empty at copies=0, so the WHERE is
+      // belt-and-braces — Spark's sequence() needs it to stay ascending)
+      ("WITH t AS (SELECT doc_id, source, substring(md5(text),1,4) AS bucket, " +
+       "(COALESCE(TRY_CAST(regexp_extract(source,'([0-9]+)$',1) AS INTEGER),0) " +
+       "% 4) * 75 + 50 AS w FROM documents), " +
+       "c AS (SELECT doc_id, source, CAST(w // 100 AS BIGINT) + " +
+       "(CASE WHEN bucket < lower(lpad(hex((w % 100) * 65536 // 100), 4, '0')) " +
+       "THEN 1 ELSE 0 END) AS copies FROM t) " +
+       "SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS BIGINT) " +
+       "AS epoch FROM c WHERE copies >= 1 ORDER BY doc_id, epoch"),
+    "sample_budget_topk" ->
+      // no pre-prune needed here — the two-level prune is lossless, so
+      // the single-window form is the semantic contract
+      ("WITH t AS (SELECT lang, doc_id, " +
+       "CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks, " +
+       "CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / " +
+       "len(string_split(text,' ')) AS score FROM documents), " +
+       "c AS (SELECT lang, doc_id, n_toks, score, " +
+       "CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY score DESC, doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+       "AS cum_toks FROM t) " +
+       "SELECT lang, doc_id, n_toks, score, cum_toks FROM c " +
+       "WHERE cum_toks <= 1500 ORDER BY lang, cum_toks"),
     "pack_manifest" ->
       ("WITH t AS (SELECT source, doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +

@@ -429,6 +429,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Filter"), "sample predicate vanished from the plan")
   }
 
+  test("sample_epochs_mix is map-side generate, sample_budget_topk is two-level") {
+    // The epoch mixture must cost one scan + one explode at 100 TB: the
+    // copies arithmetic and the fractional-epoch hash draw are map-side,
+    // the only exchange is the output sort's range partitioning.
+    val p = plans("sample_epochs_mix")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "sample_epochs_mix introduced a hash shuffle — no longer map-side")
+    assert(p.contains("Generate"), "epoch explode vanished from the plan")
+    // The budget selection needs BOTH windows: the per-(lang, source)
+    // prefix sum is the lossless prune that bounds the final per-lang
+    // partition to |sources|·B tokens — with only the final window, the
+    // whole stratum lands on one of a handful of lang partitions.
+    val q = plans("sample_budget_topk")
+    assert("Window".r.findAllIn(q).length >= 2,
+      "sample_budget_topk lost its two-level window prune")
+  }
+
   test("fn_regexp is scan-project with the 2-column read schema") {
     // Five regex expressions over one scan: no shuffle except the output
     // sort, and the scan reads only (doc_id, text) — a full-schema read
