@@ -169,6 +169,40 @@ object Vector {
           col("dim_mean"))
         .orderBy("label", "pos")),
 
+    // Mean-center + L2-normalize — the embedding-preprocessing step every
+    // cosine/ANN pipeline runs first (centering removes the corpus-common
+    // component that inflates all cosines; unit norm makes dot = cosine).
+    // The per-dim corpus mean is a fixed-point two-phase agg (round(x·1e6)
+    // BIGINT sums — the proven bit-exact Lloyd pattern: a double sum's
+    // value depends on partition order), reassembled into ONE broadcast
+    // 64-element array row; every per-row op after that (center, ordered
+    // square-sum fold, divide) is the same IEEE sequence on both engines,
+    // so the output doubles are bit-identical unrounded. Scale: the mean
+    // is dim-sized state, the normalize pass is map-side over the
+    // broadcast — one small shuffle, no row×row joins.
+    "embed_normalize" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val means = e.select(posexplode(col("v")))
+        .groupBy("pos")
+        .agg(sum(round(col("col") * 1000000, 0).cast("long")).as("sfx"),
+          count(lit(1)).as("n"))
+        .select(col("pos"), (col("sfx") / (col("n") * lit(1000000L))).as("m"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(transform(col("pm"), x => x.getField("m")).as("means"))
+      e.crossJoin(broadcast(means))
+        .select(col("vec_id"),
+          zip_with(col("v"), col("means"), (x, m) => x - m).as("c"))
+        .select(col("vec_id"), col("c"),
+          sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x))
+            .as("nrm"))
+        .select(col("vec_id"),
+          posexplode(transform(col("c"), x => x / col("nrm"))))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("nval"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // "Multimodal columns": text + embedding vector joined into one
     // relation, mixed-type analytics per label.
     "multimodal_join" -> ((s, dir) => {
@@ -191,6 +225,21 @@ object Vector {
        "generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos FROM embeddings) " +
        "SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(x), 6) AS dim_mean " +
        "FROM ex GROUP BY label, pos ORDER BY label, pos"),
+    "embed_normalize" ->
+      // fixed-point mean (round(x·1e6) BIGINT sums), then the centered
+      // square-sum replays Spark's aggregate() fold as a LEFT list_reduce
+      // over pos-ORDERED squares (a SQL sum() would re-associate the
+      // additions); generate_subscripts is 1-based → pos - 1.
+      ("WITH ex AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x, " +
+       "generate_subscripts(embedding, 1) AS pos FROM embeddings), " +
+       "m AS (SELECT pos, CAST(sum(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE) " +
+       "/ (count(*) * 1000000) AS m FROM ex GROUP BY pos), " +
+       "c AS (SELECT vec_id, pos, x - m AS cx FROM ex JOIN m USING (pos)), " +
+       "n AS (SELECT vec_id, sqrt(list_reduce(" +
+       "list_prepend(0.0, list(cx*cx ORDER BY pos)), (a,b) -> a + b)) AS nrm " +
+       "FROM c GROUP BY vec_id) " +
+       "SELECT c.vec_id, CAST(c.pos - 1 AS BIGINT) AS pos, c.cx / n.nrm AS nval " +
+       "FROM c JOIN n ON c.vec_id = n.vec_id ORDER BY c.vec_id, pos"),
     "embed_cosine_topk" ->
       ("WITH p AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q " +
        "FROM embeddings WHERE vec_id < 10), " +

@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_semantic",                 // broadcast √N centroid set vs corpus (assignCells)
     "dedup_semantic_mp",              // same broadcast centroid set, two argmin passes
     "dedup_semantic_2l",              // broadcast N^¼ coarse seeds, then bucket-joined fine
-    "q22_dormant_value")              // 1-row broadcast (cnt,sum) avg threshold
+    "q22_dormant_value",              // 1-row broadcast (cnt,sum) avg threshold
+    "embed_normalize")                // 1-row broadcast per-dim mean array
 
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation

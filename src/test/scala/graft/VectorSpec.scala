@@ -35,6 +35,37 @@ class VectorSpec extends AnyFunSuite {
     sims.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
   }
 
+  test("embed_normalize output is unit-norm and mean-centered") {
+    val rows = SparkEntry.queries("embed_normalize")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byVec = rows.groupBy(_._1)
+    assert(byVec.size == vecs.size, "one output vector per input vector")
+    // every output vector has L2 norm 1
+    byVec.values.foreach { dims =>
+      val n2 = dims.map(d => d._3 * d._3).sum
+      assert(math.abs(n2 - 1.0) < 1e-9, s"norm² = $n2")
+    }
+    // centering: the mean of (pre-normalization) centered values is 0 by
+    // construction; post-normalization the per-dim mean is only ~0, but
+    // replaying center+normalize in plain Scala must match bit-for-bit.
+    val n = vecs.size
+    val dim = vecs.values.head._1.length
+    val mean = Array.tabulate(dim) { d =>
+      vecs.values.map(v => math.round(v._1(d) * 1e6)).sum.toDouble /
+        (n.toLong * 1000000L)
+    }
+    rows.foreach { case (id, pos, got) =>
+      val v = vecs(id)._1
+      val c = Array.tabulate(dim)(d => v(d) - mean(d))
+      var s2 = 0.0; var i = 0
+      while (i < dim) { s2 += c(i) * c(i); i += 1 }
+      val want = c(pos.toInt) / math.sqrt(s2)
+      assert(java.lang.Double.compare(got, want) == 0,
+        s"vec $id pos $pos: $got != $want")
+    }
+  }
+
   test("embed_cosine_topk matches in-memory brute force exactly") {
     val got = SparkEntry.queries("embed_cosine_topk")(spark, sf)
       .collect()
