@@ -349,40 +349,46 @@ object Pipeline {
     // vocab can exceed broadcast, so the shuffle join is the safe
     // default); one more shuffle for the per-doc average. Weighted by
     // occurrence (not distinct tokens) — true cross-entropy.
-    "text_unigram_nll" -> ((s, dir) => {
-      // The exploded-token relation feeds THREE plan references (counts,
-      // total, join input) — staged once per corpus version, same
-      // multi-reference rule as the dedup signatures.
-      val toks = graft.Staging.materialize(
-        Tables.table(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(split(lower(col("text")), " ")).as("tok")),
-        Tables.path(dir, "documents"), "unigram_toks_v1")
-      val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = toks.agg(count(lit(1)).as("total"))
-      // The token join is Zipf-hot at scale ("the" → one reducer). Two
-      // defenses: AQE skew-split is armed session-wide and this is the
-      // sort-merge shape it can split (PlanAuditSpec asserts both); and
-      // `graft.nll.saltReplicas` = R flips on an explicit salted join —
-      // the BIG side salts by doc hash, the SMALL per-token count side
-      // replicates R× (R ≪ vocab growth, so the overhead is bounded), so
-      // the hottest token spreads over R reducers deterministically
-      // instead of relying on runtime stats. Output is identical
-      // (PipelineSpec property).
-      val joined = graft.QueryDefs.longConf(s, "graft.nll.saltReplicas")
-        .map(_.toInt).filter(_ > 1) match {
-        case None => toks.join(cnt, "tok")
-        case Some(r) =>
-          toks.withColumn("salt", pmod(hash(col("doc_id")), lit(r)))
-            .join(cnt.withColumn("salt",
-              explode(sequence(lit(0), lit(r - 1)))), Seq("tok", "salt"))
-            .drop("salt")
-      }
-      joined.crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 6)
-          .as("avg_nll"))
-        .orderBy("doc_id")
+    "text_unigram_nll" -> ((s, dir) => unigramNll(s, dir).orderBy("doc_id")),
+
+    // CCNet-style perplexity bucketing: head/middle/tail terciles per
+    // language by unigram NLL (head = most fluent third) — the quality
+    // stratification step a filtered-corpus mixture consumes. The rank
+    // is EXACT but never sorts a whole stratum on one partition: it
+    // decomposes into (1) a cumulative count over the per-(lang, value)
+    // relation — bounded by distinct ROUNDED nll values regardless of
+    // corpus size — plus (2) a row_number within each (lang, value) tie
+    // group; rank = value-start + tie-offset reproduces row_number over
+    // (lang ORDER BY nll, doc_id) identically (the oracle replays the
+    // single-window form — equality at three SFs is the decomposition
+    // proof). Tercile tests are integer compares (3·(rank−1) < k·N), no
+    // double division.
+    "text_ppl_buckets" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .join(unigramNll(s, dir), "doc_id")
+      val n = docs.groupBy(col("lang").as("n_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val vc = docs.groupBy("lang", "avg_nll").agg(count(lit(1)).as("vc"))
+      val cum = vc.withColumn("start",
+          coalesce(sum(col("vc")).over(
+            Window.partitionBy(col("lang")).orderBy(col("avg_nll"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("lang").as("v_lang"), col("avg_nll").as("v_nll"),
+          col("start"))
+      val tieW = Window.partitionBy(col("lang"), col("avg_nll"))
+        .orderBy(col("doc_id"))
+      docs
+        .join(cum, col("lang") === col("v_lang") &&
+          col("avg_nll") === col("v_nll"))
+        .join(broadcast(n), col("lang") === col("n_lang"))
+        .withColumn("rnk", col("start") + row_number().over(tieW))
+        .select(col("lang"), col("doc_id"), col("avg_nll"),
+          when(lit(3) * (col("rnk") - 1) < col("n_docs"), "head")
+            .when(lit(3) * (col("rnk") - 1) < lit(2) * col("n_docs"),
+              "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("lang", "doc_id")
     }),
 
     // Train/test decontamination: flag corpus docs sharing any word
@@ -553,6 +559,45 @@ object Pipeline {
     * signatures): at 100 TB the gram relation is built next to the
     * corpus and every consumer reads the columnar artifact instead of
     * re-exploding the text. */
+  /** Per-doc average unigram negative log-likelihood (doc_id, avg_nll) —
+    * shared by `text_unigram_nll` (direct) and `text_ppl_buckets` (rank
+    * input), so score and bucketing can never drift. The exploded-token
+    * relation feeds THREE plan references (counts, total, join input) —
+    * staged once per corpus version, same multi-reference rule as the
+    * dedup signatures.
+    */
+  private def unigramNll(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Staging.materialize(
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok")),
+      Tables.path(dir, "documents"), "unigram_toks_v1")
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    // The token join is Zipf-hot at scale ("the" → one reducer). Two
+    // defenses: AQE skew-split is armed session-wide and this is the
+    // sort-merge shape it can split (PlanAuditSpec asserts both); and
+    // `graft.nll.saltReplicas` = R flips on an explicit salted join —
+    // the BIG side salts by doc hash, the SMALL per-token count side
+    // replicates R× (R ≪ vocab growth, so the overhead is bounded), so
+    // the hottest token spreads over R reducers deterministically
+    // instead of relying on runtime stats. Output is identical
+    // (PipelineSpec property).
+    val joined = graft.QueryDefs.longConf(s, "graft.nll.saltReplicas")
+      .map(_.toInt).filter(_ > 1) match {
+      case None => toks.join(cnt, "tok")
+      case Some(r) =>
+        toks.withColumn("salt", pmod(hash(col("doc_id")), lit(r)))
+          .join(cnt.withColumn("salt",
+            explode(sequence(lit(0), lit(r - 1)))), Seq("tok", "salt"))
+          .drop("salt")
+    }
+    joined.crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 6)
+        .as("avg_nll"))
+  }
+
   private def grams4(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(s, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
@@ -975,6 +1020,23 @@ object Pipeline {
         "SELECT doc_id, round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_nll " +
         "FROM toks JOIN cnt USING (tok) CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "text_ppl_buckets" ->
+      // single-window row_number form — the Spark side's two-level
+      // (value-start + tie-offset) rank must reproduce it identically
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
+       "cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), " +
+       "tot AS (SELECT count(*) AS total FROM toks), " +
+       "nll AS (SELECT doc_id, round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_nll " +
+       "FROM toks JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id), " +
+       "d AS (SELECT lang, nll.doc_id, avg_nll FROM documents " +
+       "JOIN nll ON documents.doc_id = nll.doc_id), " +
+       "r AS (SELECT lang, doc_id, avg_nll, " +
+       "row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rnk, " +
+       "count(*) OVER (PARTITION BY lang) AS n FROM d) " +
+       "SELECT lang, doc_id, avg_nll, " +
+       "CASE WHEN 3*(rnk-1) < n THEN 'head' " +
+       "WHEN 3*(rnk-1) < 2*n THEN 'middle' ELSE 'tail' END AS bucket " +
+       "FROM r ORDER BY lang, doc_id"),
     "text_contamination" ->
       // range(a, b) is end-EXCLUSIVE in DuckDB vs Spark's inclusive
       // sequence: range(1, len(t) - 2) == sequence(1, size - 3).

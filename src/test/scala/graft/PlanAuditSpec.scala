@@ -27,6 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_ann_pq",        // broadcast probe LUTs vs corpus codes
     "embed_ann_ivfpq",     // broadcast probe LUTs + cell routing vs code table
     "text_tfidf", "text_unigram_nll", // nll: 1-row broadcast total, like tfidf
+    "text_ppl_buckets",               // same 1-row total via shared unigramNll
     "dedup_incremental",              // 1-row broadcast max(doc_id) boundary
     "embed_ann_incremental",          // 1-row broadcast max(vec_id) boundary
     "embed_ann_sq8",                  // broadcast probes vs decoded corpus
@@ -445,6 +446,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val q = plans("sample_budget_topk")
     assert("Window".r.findAllIn(q).length >= 2,
       "sample_budget_topk lost its two-level window prune")
+  }
+
+  test("text_ppl_buckets ranks via the two-level decomposition") {
+    // The exact per-lang rank must come from the bounded value-relation
+    // cumulative window plus the (lang, value) tie window — a single
+    // whole-stratum row_number would put a billion docs on one lang
+    // partition at 100 TB.
+    val p = plans("text_ppl_buckets")
+    assert("Window".r.findAllIn(p).length >= 2,
+      "text_ppl_buckets lost its two-level rank windows")
+    assert(p.contains("row_number"), "tie-offset row_number vanished")
   }
 
   test("fn_regexp is scan-project with the 2-column read schema") {
