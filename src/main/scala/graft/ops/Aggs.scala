@@ -222,6 +222,33 @@ object Aggs {
     // rollup: two exchanges total (plan-asserted). Each user contributes
     // at most one row per (cohort, offset) — the set was distinct — so
     // count(*) IS distinct users, with no count_distinct expansion.
+    // CEP-style sequence pattern matching (the MATCH_RECOGNIZE class):
+    // per user, count occurrences of view → click+ → purchase over the
+    // event stream in (ts, event_id) order. The per-user sequence is ONE
+    // ordered aggregation (sort_array(collect_list) — map-side partial,
+    // deterministic total order via the unique event_id tie-break), and
+    // the pattern automaton is a regex over the type string — leftmost
+    // non-overlapping match semantics agree across engines for this
+    // backtracking-free pattern. Per-user state is bounded by that
+    // user's activity — the same bound any CEP engine (or
+    // flatMapGroupsWithState) carries; a hot-key cap would sessionize
+    // first (win_sessionize composes for exactly that).
+    "event_pattern_match" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ",").as("seq"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          size(regexp_extract_all(col("seq"),
+            lit("view,(click,)+purchase"), lit(0))).cast("long")
+            .as("n_patterns"))
+        .where(col("n_patterns") >= 1)
+        .orderBy("user_id")),
+
     "agg_retention" -> ((s, dir) => {
       val perUser = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d"))
@@ -465,6 +492,15 @@ object Aggs {
        "SELECT strftime(s.d, '%Y-%m-%d') AS day, " +
        "coalesce(n, 0) AS n_orders, coalesce(rev, 0) AS rev " +
        "FROM spine s LEFT JOIN daily USING (d) ORDER BY day"),
+    "event_pattern_match" ->
+      ("WITH s AS (SELECT user_id, count(*) AS n_events, " +
+       "string_agg(event_type, ',' ORDER BY ts, event_id) AS seq " +
+       "FROM events GROUP BY user_id) " +
+       "SELECT user_id, n_events, " +
+       "CAST(len(regexp_extract_all(seq, 'view,(click,)+purchase', 0)) " +
+       "AS BIGINT) AS n_patterns FROM s " +
+       "WHERE len(regexp_extract_all(seq, 'view,(click,)+purchase', 0)) >= 1 " +
+       "ORDER BY user_id"),
     "agg_funnel" ->
       ("WITH st AS (SELECT user_id, " +
        "min(CASE WHEN event_type = 'view' THEN date_trunc('second', ts) END) AS t_view, " +

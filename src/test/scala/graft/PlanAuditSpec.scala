@@ -459,6 +459,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("row_number"), "tie-offset row_number vanished")
   }
 
+  test("event_pattern_match is one ordered agg over a narrow scan") {
+    // The per-user sequence must assemble in a single partial+final
+    // collect_list (ObjectHashAggregate) with exactly one hash shuffle on
+    // user_id — a sort-within-user or a second user_id exchange would pay
+    // an extra corpus-sized shuffle at 100 TB. The regex automaton runs
+    // post-agg on the per-user string, never per event.
+    val p = plans("event_pattern_match")
+    assert(p.contains("partial_collect_list"),
+      "sequence assembly lost its map-side partial")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "expected exactly one hash shuffle (user_id)")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp_ntz," +
+      "user_id:bigint,event_type:string>"),
+      "events scan no longer pruned to the 4 needed columns")
+  }
+
   test("fn_regexp is scan-project with the 2-column read schema") {
     // Five regex expressions over one scan: no shuffle except the output
     // sort, and the scan reads only (doc_id, text) — a full-schema read
