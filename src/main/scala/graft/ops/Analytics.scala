@@ -378,6 +378,74 @@ object Analytics {
         .limit(100)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
           "o_totalprice", "total_qty")
+    }),
+
+    // TPC-H Q8 shape (national market share): one supplier nation's share
+    // of revenue within one region's customer market for one part type,
+    // by order year. Every dimension chain broadcasts (filtered part,
+    // supplier→nation, nation→region); customer is fact-sized and
+    // shuffles on its key. Share = ratio of two exact-integer vol_u sums
+    // in ONE aggregate pass (conditional numerator) — no second join, and
+    // the single IEEE division of exact longs is engine-identical.
+    "q8_market_share" -> ((s, dir) => {
+      val pt = Tables.table(s, dir, "part")
+        .where(col("p_type") === "PROMO").select("p_partkey")
+      val supN = Tables.table(s, dir, "supplier")
+        .join(broadcast(Tables.table(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val mktNations = Tables.table(s, dir, "nation")
+        .join(broadcast(Tables.table(s, dir, "region")
+            .where(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("mkt_nkey"))
+      val cust = Tables.table(s, dir, "customer")
+        .join(broadcast(mktNations), col("c_nationkey") === col("mkt_nkey"))
+        .select("c_custkey")
+      val ord = Tables.table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          Analytics.volUnits)
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_2", col("vol_u"))
+            .otherwise(0L)).cast("double") /
+          sum(col("vol_u")).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q15 shape (top supplier): supplier(s) whose one-quarter
+    // revenue equals the global max. The revenue relation is
+    // supplier-sized (fact agg with map-side partials); the max is a
+    // 1-row broadcast threshold (q22 pattern — never a whole-relation
+    // window), and the ≈1-row winner set broadcasts into the supplier
+    // dimension join. Exact-long revenue makes `= max` robust (double
+    // sums would make equality partition-order-dependent).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_suppkey"), Analytics.volUnits)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("vol_u")).as("rev_u"))
+      val top = rev.agg(max(col("rev_u")).as("max_u"))
+      val winners = rev.crossJoin(broadcast(top))
+        .where(col("rev_u") === col("max_u"))
+        .select("l_suppkey", "rev_u")
+      Tables.table(s, dir, "supplier")
+        .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_u").cast("double") / 10000.0).as("total_revenue"))
+        .orderBy("s_suppkey")
     })
   )
 
@@ -535,6 +603,34 @@ object Analytics {
        "(SELECT l_orderkey AS big_okey, sum(l_quantity) AS total_qty " +
        "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 160) b " +
        "WHERE o_orderkey = big_okey AND o_custkey = c_custkey " +
-       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "q8_market_share" ->
+      ("SELECT o_year, " +
+       "CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol_u ELSE 0 END) " +
+       "AS DOUBLE) / CAST(sum(vol_u) AS DOUBLE) AS mkt_share FROM (" +
+       "SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation, " +
+       "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+       "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS vol_u " +
+       "FROM part, supplier, lineitem, orders, customer, " +
+       "nation n1, nation n2, region " +
+       "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey " +
+       "AND l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+       "AND c_nationkey = n1.n_nationkey " +
+       "AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA' " +
+       "AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO' " +
+       "AND o_orderdate >= TIMESTAMP '1995-01-01' " +
+       "AND o_orderdate < TIMESTAMP '1997-01-01') " +
+       "GROUP BY o_year ORDER BY o_year"),
+    "q15_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, " +
+       "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+       "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_u " +
+       "FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
+       "SELECT s_suppkey, s_name, " +
+       "CAST(rev_u AS DOUBLE) / 10000.0 AS total_revenue " +
+       "FROM supplier, rev WHERE s_suppkey = l_suppkey " +
+       "AND rev_u = (SELECT max(rev_u) FROM rev) ORDER BY s_suppkey")
   )
 }

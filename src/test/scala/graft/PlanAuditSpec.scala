@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_semantic_mp",              // same broadcast centroid set, two argmin passes
     "dedup_semantic_2l",              // broadcast N^¼ coarse seeds, then bucket-joined fine
     "q22_dormant_value",              // 1-row broadcast (cnt,sum) avg threshold
+    "q15_top_supplier",               // 1-row broadcast max-revenue threshold
     "embed_normalize")                // 1-row broadcast per-dim mean array
 
   private lazy val plans: Map[String, String] = {
