@@ -249,6 +249,32 @@ object Aggs {
         .where(col("n_patterns") >= 1)
         .orderBy("user_id")),
 
+    // OHLC downsampling — the time-series compaction every metrics/market
+    // pipeline runs: per (user, day) open/high/low/close of `value` plus
+    // trade count and exact-cent turnover. One hash agg on the (user, day)
+    // key, all six measures partial map-side; open/close come from ONE
+    // struct-ordered min/max ((tss, event_id, value) — event_id makes the
+    // order total, value never consulted) so no window or second shuffle.
+    // Open/close/high/low COPY doubles (bitwise-stable); the only sum is
+    // integer cents.
+    "agg_ohlc" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          date_trunc("second", col("ts")).as("tss"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(
+          min(struct(col("tss"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(struct(col("tss"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("n_trades"),
+          sum(round(col("value") * 100, 0).cast("long")).as("turnover_c"))
+        .orderBy("user_id", "day")),
+
     "agg_retention" -> ((s, dir) => {
       val perUser = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d"))
@@ -501,6 +527,18 @@ object Aggs {
        "AS BIGINT) AS n_patterns FROM s " +
        "WHERE len(regexp_extract_all(seq, 'view,(click,)+purchase', 0)) >= 1 " +
        "ORDER BY user_id"),
+    "agg_ohlc" ->
+      // first/last are ORDERED aggregates on (second-truncated ts,
+      // event_id) — the same total order Spark's struct min/max walks.
+      ("SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, " +
+       "first(value ORDER BY date_trunc('second', ts), event_id) AS open, " +
+       "last(value ORDER BY date_trunc('second', ts), event_id) AS close, " +
+       "max(value) AS high, min(value) AS low, " +
+       "count(*) AS n_trades, " +
+       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) " +
+       "AS turnover_c " +
+       "FROM events GROUP BY user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') " +
+       "ORDER BY user_id, day"),
     "agg_funnel" ->
       ("WITH st AS (SELECT user_id, " +
        "min(CASE WHEN event_type = 'view' THEN date_trunc('second', ts) END) AS t_view, " +

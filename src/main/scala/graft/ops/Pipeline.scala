@@ -240,6 +240,23 @@ object Pipeline {
         .orderBy("doc_id", "epoch")
     }),
 
+    // Deterministic per-epoch global shuffle — the training-reader order:
+    // each epoch visits every document once in a different pseudorandom
+    // order, and the order is a PURE FUNCTION of (epoch, doc_id), so any
+    // worker can recompute its slice and a resumed run continues from an
+    // offset with no shuffle-state checkpoint (what a random
+    // `repartition` can never give). The sort key is md5 over the
+    // epoch-salted id; ORDER BY = range-partition sort, the scale-safe
+    // global order (no single-partition window, no driver collect).
+    "sample_shuffle_global" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), lit(2L))).as("epoch"))
+        .select(col("epoch"), col("doc_id"),
+          md5(concat(lit("e"), col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))).as("skey"))
+        .orderBy("skey", "epoch", "doc_id")),
+
     // Budget-capped quality selection — "the best docs per language that
     // fit a token budget": rank by lexical-diversity score (distinct/total
     // token ratio, the cheap repetition-penalizing proxy), admit in rank
@@ -962,6 +979,14 @@ object Pipeline {
        "THEN 1 ELSE 0 END) AS copies FROM t) " +
        "SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS BIGINT) " +
        "AS epoch FROM c WHERE copies >= 1 ORDER BY doc_id, epoch"),
+    "sample_shuffle_global" ->
+      ("WITH e AS (SELECT doc_id, " +
+       "CAST(unnest(generate_series(1, 2)) AS BIGINT) AS epoch " +
+       "FROM documents) " +
+       "SELECT epoch, doc_id, " +
+       "md5('e' || CAST(epoch AS VARCHAR) || ':' || " +
+       "CAST(doc_id AS VARCHAR)) AS skey " +
+       "FROM e ORDER BY skey, epoch, doc_id"),
     "sample_budget_topk" ->
       // no pre-prune needed here — the two-level prune is lossless, so
       // the single-window form is the semantic contract

@@ -193,6 +193,28 @@ object Windows {
             .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
             .as("bfill"))
         .orderBy("event_id")
+    }),
+
+    // Gaps-and-islands — consecutive-day activity streaks per user (the
+    // engagement-streak query; also the canonical "islands" rewrite every
+    // SQL engine is judged on). distinct (user, day) first — the window
+    // then ranks DAYS, not events, so per-user task state is bounded by
+    // calendar days regardless of event volume; `day − row_number` is
+    // constant within a run of consecutive days, making the island key
+    // with zero self-joins. Two hash aggs after the one user_id window.
+    "win_gap_islands" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("d")
+      Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("d").as("start_d"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("max_streak"),
+          sum(col("len")).as("n_active_days"),
+          date_format(min(col("start_d")), "yyyy-MM-dd").as("first_day"))
+        .orderBy("user_id")
     })
   )
 
@@ -285,6 +307,17 @@ object Windows {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill, " +
        s"first_value(v IGNORE NULLS) OVER ($eventsW " +
        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill " +
-       "FROM e ORDER BY event_id")
+       "FROM e ORDER BY event_id"),
+    "win_gap_islands" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d " +
+       "FROM events), " +
+       "isl AS (SELECT user_id, d, d - CAST(row_number() OVER " +
+       "(PARTITION BY user_id ORDER BY d) AS INT) AS grp FROM days), " +
+       "st AS (SELECT user_id, grp, count(*) AS len, min(d) AS start_d " +
+       "FROM isl GROUP BY 1, 2) " +
+       "SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak, " +
+       "CAST(sum(len) AS BIGINT) AS n_active_days, " +
+       "strftime(min(start_d), '%Y-%m-%d') AS first_day " +
+       "FROM st GROUP BY user_id ORDER BY user_id")
   )
 }

@@ -476,6 +476,41 @@ class PlanAuditSpec extends AnyFunSuite {
       "events scan no longer pruned to the 4 needed columns")
   }
 
+  test("agg_ohlc is one two-phase agg; open/close need no window") {
+    // All six OHLC measures must ride a single (user, day) aggregate with
+    // map-side partials (struct-typed min/max plans as SortAggregate) —
+    // a window-based first/last would add a per-user sort+shuffle pass.
+    val p = plans("agg_ohlc")
+    assert(p.contains("partial_min(struct"),
+      "open lost its map-side struct-min partial")
+    assert(!p.contains("Window"), "agg_ohlc should not plan a window")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "expected exactly one hash shuffle ((user, day))")
+  }
+
+  test("win_gap_islands windows days, not events") {
+    // The row_number must rank the DISTINCT (user, day) relation — per-
+    // user task state bounded by calendar days. The distinct is a
+    // partial+final agg below the window; events never cross it raw.
+    val p = plans("win_gap_islands")
+    assert("Window".r.findAllIn(p).length == 1 && p.contains("row_number"),
+      "island numbering lost its single day-ranking window")
+    assert("HashAggregate".r.findAllIn(p).length >= 6,
+      "distinct/streak/summary aggs are no longer all two-phase")
+    assert(p.contains("ReadSchema: struct<ts:"),
+      "events scan no longer pruned to (ts, user_id)")
+  }
+
+  test("sample_shuffle_global is a range-partitioned sort, no window") {
+    // The training order must come from ORDER BY over the derived key —
+    // range partition + per-partition sort — never a global row_number
+    // (single-partition window) or a driver-side collect.
+    val p = plans("sample_shuffle_global")
+    assert(p.contains("Exchange rangepartitioning"),
+      "global shuffle order lost its range-partitioned sort")
+    assert(!p.contains("Window"), "unexpected window in the shuffle order")
+  }
+
   test("fn_regexp is scan-project with the 2-column read schema") {
     // Five regex expressions over one scan: no shuffle except the output
     // sort, and the scan reads only (doc_id, text) — a full-schema read
