@@ -149,8 +149,34 @@ object Relational {
     "sql_subquery_cte" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(SubqueryCteSql)
+    }),
+
+    // Recursive CTE (new in Spark 4's parser) — the hierarchy-walk class
+    // (BOM explosion, org chart, ancestry). Each user's ancestor chain in
+    // a binary-tree hierarchy (parent(u) = ⌊u/2⌋, roots at u ≤ 1): the
+    // recursion is LINEAR — every level is a projection of the previous
+    // one, no join — so the iteration count is the tree DEPTH (log N) and
+    // each level is one users-dim-sized map stage; state never exceeds
+    // one level. floor(x/2) is spelled portably (both engines' `/` on
+    // this operand pair would differ: Spark int DIV vs DuckDB float).
+    // The oracle is the IDENTICAL SQL text, like sql_subquery_cte.
+    "sql_recursive_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(RecursiveCteSql)
     })
   )
+
+  private val RecursiveCteSql =
+    """WITH RECURSIVE anc AS (
+      |  SELECT user_id, user_id AS cur, 0 AS depth
+      |  FROM (SELECT DISTINCT user_id FROM events)
+      |  UNION ALL
+      |  SELECT user_id, CAST(floor(cur / 2.0) AS BIGINT), depth + 1
+      |  FROM anc WHERE cur > 1)
+      |SELECT user_id, CAST(max(depth) AS BIGINT) AS depth,
+      |       CAST(count(*) AS BIGINT) AS n_nodes,
+      |       CAST(sum(cur) AS BIGINT) AS path_sum
+      |FROM anc GROUP BY user_id ORDER BY user_id""".stripMargin
 
   private val SubqueryCteSql =
     """WITH big AS (
@@ -230,6 +256,7 @@ object Relational {
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' EXCEPT ALL " +
        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
        "ORDER BY o_custkey"),
-    "sql_subquery_cte" -> SubqueryCteSql
+    "sql_subquery_cte" -> SubqueryCteSql,
+    "sql_recursive_cte" -> RecursiveCteSql
   )
 }
