@@ -183,6 +183,42 @@ object Joins {
         .orderBy("p_id")
     }),
 
+    // As-of join, NEAREST direction (pandas merge_asof
+    // direction='nearest'; kdb wj) — each purchase matched to the closest
+    // signup in EITHER time direction, ties to the earlier one. Same
+    // union-sort machinery as `join_asof`: one user_id window carries
+    // both the backward fill (last signup ≤ t) and the forward fill
+    // (first signup ≥ t) over mirrored frames — one exchange, one
+    // per-user sort, never a row×row time join. Gap arithmetic is integer
+    // seconds on second-truncated stamps, so the tie test is exact.
+    "join_asof_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"),
+                date_trunc("second", col("ts")).as("tss"), col("event_type"))
+        .withColumn("sig_ts",
+          when(col("event_type") === "signup", col("tss")))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("tss").asc, col("event_type").desc, col("event_id"))
+      val prevS = last("sig_ts", ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val nextS = first("sig_ts", ignoreNulls = true)
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      val gp = unix_timestamp(col("tss")) - unix_timestamp(col("prev_s"))
+      val gn = unix_timestamp(col("next_s")) - unix_timestamp(col("tss"))
+      val takePrev = col("next_s").isNull ||
+        (col("prev_s").isNotNull && gp <= gn)
+      e.withColumn("prev_s", prevS).withColumn("next_s", nextS)
+        .where(col("event_type") === "purchase" &&
+               (col("prev_s").isNotNull || col("next_s").isNotNull))
+        .select(col("event_id").as("p_id"), col("user_id"),
+          when(takePrev, col("prev_s")).otherwise(col("next_s"))
+            .as("nearest_signup"),
+          when(takePrev, lit("prev")).otherwise(lit("next")).as("dir"),
+          when(takePrev, gp).otherwise(gn).as("gap_s"))
+        .orderBy("p_id")
+    }),
+
     // Salted join — the hot-key mitigation for when one join key carries a
     // disproportionate share of the fact table (AQE's skew-join splits
     // post-shuffle partitions, but salting is the portable fix that also
@@ -439,6 +475,37 @@ object Joins {
        "FROM events WHERE event_type = 'purchase') p " +
        "ASOF JOIN (SELECT user_id, date_trunc('second', ts) AS tss " +
        "FROM events WHERE event_type = 'signup') s " +
-       "ON p.user_id = s.user_id AND p.tss >= s.tss ORDER BY p_id")
+       "ON p.user_id = s.user_id AND p.tss >= s.tss ORDER BY p_id"),
+    "join_asof_nearest" ->
+      // DuckDB ASOF is single-direction; nearest replays the same
+      // mirrored-frame window pair the Spark side runs. 'signup' >
+      // 'purchase' lexicographically, so event_type DESC puts a
+      // same-second signup into the PRECEDING frame in both engines.
+      ("WITH e AS (SELECT event_id, user_id, " +
+       "date_trunc('second', ts) AS tss, event_type, " +
+       "CASE WHEN event_type = 'signup' " +
+       "THEN date_trunc('second', ts) END AS sig_ts " +
+       "FROM events WHERE event_type IN ('purchase', 'signup')), " +
+       "w AS (SELECT event_id, user_id, tss, event_type, " +
+       "last_value(sig_ts IGNORE NULLS) OVER (PARTITION BY user_id " +
+       "ORDER BY tss, event_type DESC, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_s, " +
+       "first_value(sig_ts IGNORE NULLS) OVER (PARTITION BY user_id " +
+       "ORDER BY tss, event_type DESC, event_id " +
+       "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_s " +
+       "FROM e), " +
+       "g AS (SELECT event_id, user_id, prev_s, next_s, " +
+       "CAST(epoch(tss) AS BIGINT) - CAST(epoch(prev_s) AS BIGINT) AS gp, " +
+       "CAST(epoch(next_s) AS BIGINT) - CAST(epoch(tss) AS BIGINT) AS gn, " +
+       "(next_s IS NULL OR (prev_s IS NOT NULL AND " +
+       "CAST(epoch(tss) AS BIGINT) - CAST(epoch(prev_s) AS BIGINT) <= " +
+       "CAST(epoch(next_s) AS BIGINT) - CAST(epoch(tss) AS BIGINT))) " +
+       "AS take_prev FROM w WHERE event_type = 'purchase' " +
+       "AND (prev_s IS NOT NULL OR next_s IS NOT NULL)) " +
+       "SELECT event_id AS p_id, user_id, " +
+       "CASE WHEN take_prev THEN prev_s ELSE next_s END AS nearest_signup, " +
+       "CASE WHEN take_prev THEN 'prev' ELSE 'next' END AS dir, " +
+       "CASE WHEN take_prev THEN gp ELSE gn END AS gap_s " +
+       "FROM g ORDER BY p_id")
   )
 }

@@ -476,6 +476,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "events scan no longer pruned to the 4 needed columns")
   }
 
+  test("join_asof_nearest carries both fills in one window pass") {
+    // Backward and forward signup fills must share a single Window
+    // operator (mirrored frames over one (user, time) sort) — a second
+    // window spec or a time-join would add a corpus-sized exchange.
+    val p = plans("join_asof_nearest")
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      "nearest-asof no longer shares one window operator")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "expected exactly one hash shuffle (user_id)")
+  }
+
   test("agg_ohlc is one two-phase agg; open/close need no window") {
     // All six OHLC measures must ride a single (user, day) aggregate with
     // map-side partials (struct-typed min/max plans as SortAggregate) —
