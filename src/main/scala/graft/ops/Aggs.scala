@@ -275,6 +275,29 @@ object Aggs {
           sum(round(col("value") * 100, 0).cast("long")).as("turnover_c"))
         .orderBy("user_id", "day")),
 
+    // Exact distinct counting via MERGEABLE bitmaps (Spark 4's bitmap_*
+    // family) — the scale path between count_distinct (exact, but every
+    // value crosses the shuffle) and HLL (mergeable, but approximate):
+    // per (group, 2^15-bucket) the ids collapse to ONE fixed-size bitmap
+    // map-side, partials OR together associatively, and counts are EXACT
+    // — so the key is fully oracled against count(DISTINCT), unlike the
+    // HLL keys. The ALL rollup re-uses the per-type bucket bitmaps via
+    // bitmap_or_agg: counting the UNION without touching raw ids again —
+    // the cross-segment audience-overlap pattern.
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""WITH bk AS (
+        |  SELECT event_type, bitmap_bucket_number(user_id) AS b,
+        |         bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+        |  FROM events GROUP BY event_type, bitmap_bucket_number(user_id))
+        |SELECT event_type, CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+        |FROM bk GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL' AS event_type, CAST(sum(bitmap_count(bm)) AS BIGINT)
+        |FROM (SELECT b, bitmap_or_agg(bm) AS bm FROM bk GROUP BY b)
+        |ORDER BY event_type""".stripMargin)
+    }),
+
     "agg_retention" -> ((s, dir) => {
       val perUser = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d"))
@@ -539,6 +562,14 @@ object Aggs {
        "AS turnover_c " +
        "FROM events GROUP BY user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') " +
        "ORDER BY user_id, day"),
+    "agg_bitmap_distinct" ->
+      // The bitmap machinery is Spark-side plumbing; the VALUES are exact
+      // distinct counts, so the oracle is plain count(DISTINCT).
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users " +
+       "FROM events GROUP BY event_type " +
+       "UNION ALL " +
+       "SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS n_users " +
+       "FROM events ORDER BY event_type"),
     "agg_funnel" ->
       ("WITH st AS (SELECT user_id, " +
        "min(CASE WHEN event_type = 'view' THEN date_trunc('second', ts) END) AS t_view, " +

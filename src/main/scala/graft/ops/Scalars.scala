@@ -109,6 +109,24 @@ object Scalars {
           .as("k"))).as("rt"))
         .orderBy("event_id")),
 
+    // Spark 4 VARIANT — the semi-structured type replacing stringly JSON:
+    // parse ONCE, typed-access many times (each get_json_object re-parses
+    // the string; variant_get walks the binary encoding). try_parse_json
+    // models the dirty-input path (malformed → NULL, not a crashed job).
+    // All map-side expression work; the oracle replays against DuckDB's
+    // JSON type, which the VALUES (not the encodings) must match.
+    "fn_variant" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT event_id,
+        |  variant_get(v, '$.k', 'long') AS k,
+        |  variant_get(v, '$.missing', 'long') IS NULL AS no_m,
+        |  try_parse_json('nope' || props) IS NULL AS bad_is_null,
+        |  variant_get(parse_json('{"a":{"b":[1,2,3]}}'), '$.a.b[1]',
+        |    'long') AS nested
+        |FROM (SELECT event_id, props, parse_json(props) AS v FROM events)
+        |ORDER BY event_id""".stripMargin)
+    }),
+
     // try_cast of a non-numeric string → null, surfaced via coalesce so the
     // declared output stays null-free for the hash compare.
     "fn_cast_conditional" -> ((s, dir) =>
@@ -276,6 +294,13 @@ object Scalars {
        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
        "CAST(to_json({'k': CAST(json_extract_string(props, '$.k') AS INTEGER)}) AS VARCHAR) AS rt " +
        "FROM events ORDER BY event_id"),
+    "fn_variant" ->
+      ("SELECT event_id, " +
+       "CAST(json_extract(props, '$.k') AS BIGINT) AS k, " +
+       "json_extract(props, '$.missing') IS NULL AS no_m, " +
+       "try_cast('nope' || props AS JSON) IS NULL AS bad_is_null, " +
+       "CAST(json_extract('{\"a\":{\"b\":[1,2,3]}}', '$.a.b[1]') AS BIGINT) " +
+       "AS nested FROM events ORDER BY event_id"),
     "fn_cast_conditional" ->
       ("SELECT o_orderkey, " +
        "CAST(trunc(o_totalprice) AS BIGINT) AS price_int, " +

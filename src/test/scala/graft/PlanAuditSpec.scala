@@ -476,6 +476,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "events scan no longer pruned to the 4 needed columns")
   }
 
+  test("agg_bitmap_distinct collapses ids to bitmaps map-side") {
+    // The whole point of the bitmap path: raw user_ids must fold into
+    // fixed-size bitmaps BEFORE the shuffle (partial_bitmap_construct_agg)
+    // — if the partial disappears, every id crosses the wire and the key
+    // degrades to count_distinct's shuffle volume.
+    val p = plans("agg_bitmap_distinct")
+    assert(p.contains("partial_bitmap_construct_agg"),
+      "bitmap build lost its map-side partial")
+    assert(p.contains("bitmap_or_agg"),
+      "ALL rollup no longer merges the per-type bitmaps")
+  }
+
   test("join_asof_nearest carries both fills in one window pass") {
     // Backward and forward signup fills must share a single Window
     // operator (mirrored frames over one (user, time) sort) — a second
