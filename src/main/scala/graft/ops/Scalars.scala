@@ -127,6 +127,27 @@ object Scalars {
         |ORDER BY event_id""".stripMargin)
     }),
 
+    // Spark 4 COLLATION — case-insensitive comparison/grouping as a TYPE
+    // property (UTF8_LCASE) instead of lower()-wrapping every call site:
+    // the collation rides the plan (group keys, joins, sorts all honor
+    // it). The group representative Spark returns for a collated key is
+    // partition-order-dependent, so the OUTPUT key is min(x) — a
+    // deterministic member of the case-class — never the raw collated
+    // key. Oracle replays with lower() grouping: same classes, same
+    // counts, same min.
+    "fn_collation" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""WITH v AS (
+        |  SELECT explode(array(upper(o_orderpriority),
+        |    lower(o_orderpriority),
+        |    concat(upper(substring(o_orderpriority, 1, 3)),
+        |           lower(substring(o_orderpriority, 4))))) AS x
+        |  FROM orders)
+        |SELECT min(x) AS rep, count(*) AS n
+        |FROM v GROUP BY collate(x, 'UTF8_LCASE')
+        |ORDER BY rep""".stripMargin)
+    }),
+
     // try_cast of a non-numeric string → null, surfaced via coalesce so the
     // declared output stays null-free for the hash compare.
     "fn_cast_conditional" -> ((s, dir) =>
@@ -301,6 +322,13 @@ object Scalars {
        "try_cast('nope' || props AS JSON) IS NULL AS bad_is_null, " +
        "CAST(json_extract('{\"a\":{\"b\":[1,2,3]}}', '$.a.b[1]') AS BIGINT) " +
        "AS nested FROM events ORDER BY event_id"),
+    "fn_collation" ->
+      ("WITH v AS (SELECT unnest([upper(o_orderpriority), " +
+       "lower(o_orderpriority), " +
+       "upper(substring(o_orderpriority, 1, 3)) || " +
+       "lower(substring(o_orderpriority, 4))]) AS x FROM orders) " +
+       "SELECT min(x) AS rep, count(*) AS n " +
+       "FROM v GROUP BY lower(x) ORDER BY rep"),
     "fn_cast_conditional" ->
       ("SELECT o_orderkey, " +
        "CAST(trunc(o_totalprice) AS BIGINT) AS price_int, " +
