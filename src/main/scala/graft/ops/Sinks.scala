@@ -301,6 +301,38 @@ object Sinks {
         .write.option("header", "true").mode("overwrite").csv(tmp.toString)
     }
 
+  /** Rows-per-file target for the compaction rewrite. Small enough that
+    * sf0.1 still splits days into several files (the ceil(n/R) law stays
+    * observable), large enough that every SF compacts 8 → few. */
+  private[graft] val CompactRowsPerFile = 1000
+
+  /** The fragmented "as streaming ingest left it" state: day-partitioned
+    * events where every micro-batch-like writer task (8 of them) dropped
+    * its own small file into each day directory — the small-file problem
+    * a lakehouse OPTIMIZE job exists to fix. */
+  def ensureFragmentedEvents(s: SparkSession, dir: String): String =
+    publishSink(dir, "events", "events_frag_v1") { tmp =>
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .repartition(8, col("event_id"))
+        .write.partitionBy("day").mode("overwrite").parquet(tmp.toString)
+    }
+
+  /** The compaction rewrite (OPTIMIZE): route each day to one task
+    * (repartition by the partition column), write with maxRecordsPerFile
+    * so every day directory holds exactly ⌈n_day/R⌉ bin-packed files —
+    * a per-day-proportional rewrite (touched partitions only, in a real
+    * lake), never a global shuffle of untouched data. sortWithin makes
+    * file contents deterministic, not just counts. */
+  def ensureCompactedEvents(s: SparkSession, dir: String): String =
+    publishSink(dir, "events", "events_compact_v1") { tmp =>
+      s.read.parquet(ensureFragmentedEvents(s, dir))
+        .repartition(col("day"))
+        .sortWithinPartitions("day", "event_id")
+        .write.option("maxRecordsPerFile", CompactRowsPerFile.toLong)
+        .partitionBy("day").mode("overwrite").parquet(tmp.toString)
+    }
+
   val queries: Map[String, Q] = Map(
     // Schema evolution across file generations — the ETL reality a 100 TB
     // lake accumulates: a column added later must read back as NULL for
@@ -332,6 +364,27 @@ object Sinks {
         .select(lit(d0).cast("timestamp").as("day"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // Small-file compaction (lakehouse OPTIMIZE) as a declared key: the
+    // fragmented artifact (8 writer files per day) is rewritten to
+    // ⌈n_day/R⌉ bin-packed files per day. The declared output proves BOTH
+    // halves: the per-day aggregate equals the raw corpus (the rewrite
+    // lost nothing — the oracle computes it from `events` directly), and
+    // files_after — counted from the compacted artifact itself via
+    // input_file_name() — equals the ⌈n/R⌉ law the oracle replays in
+    // SQL. SinkRoundtripSpec asserts the "before" side (fragmented dir
+    // really is multi-file per day, strictly more files than after).
+    "sink_compaction" -> ((s, dir) => {
+      val c = s.read.parquet(ensureCompactedEvents(s, dir))
+        .withColumn("f", input_file_name())
+      c.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+          countDistinct(col("f")).as("files_after"))
+        .select(col("day").cast("timestamp").as("day"), col("n_rows"),
+          col("cents"), col("files_after"))
+        .orderBy("day")
     }),
 
     // Dynamic partition pruning: the day predicate is NOT a literal — it
@@ -464,6 +517,15 @@ object Sinks {
        "round(sum(value), 2) AS sum_value " +
        "FROM events, d WHERE date_trunc('day', ts) = d.d0 " +
        "GROUP BY 1, 2 ORDER BY event_type"),
+    "sink_compaction" ->
+      // files_after replays the ⌈n/R⌉ bin-packing law (R = 1000); n_rows
+      // and cents prove the rewrite preserved the data.
+      ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+       "count(*) AS n_rows, " +
+       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) " +
+       "AS cents, " +
+       "CAST(ceil(count(*) / 1000.0) AS BIGINT) AS files_after " +
+       "FROM events GROUP BY 1 ORDER BY day"),
     "join_dpp" ->
       ("WITH dim AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day " +
        "FROM events WHERE extract(day FROM ts) % 2 = 1) " +

@@ -152,4 +152,22 @@ class SinkRoundtripSpec extends AnyFunSuite {
     val back = spark.read.schema(result.schema).json(p)
     assert(rowSet(back) === rowSet(result))
   }
+
+  test("sink_compaction actually shrinks per-day file counts") {
+    // The oracle proves the "after" law (⌈n/R⌉ files) and data equality;
+    // this pins the "before" half the oracle can't see: the fragmented
+    // artifact really is multi-file per day, and compaction strictly
+    // reduced every day's file count (8-way ingest fan-out → ⌈n/1000⌉).
+    import org.apache.spark.sql.functions._
+    def perDayFiles(root: String) =
+      spark.read.parquet(root).withColumn("f", input_file_name())
+        .groupBy("day").agg(countDistinct(col("f")).as("nf"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val before = perDayFiles(ops.Sinks.ensureFragmentedEvents(spark, sf))
+    val after = perDayFiles(ops.Sinks.ensureCompactedEvents(spark, sf))
+    assert(before.keySet === after.keySet, "compaction dropped a day")
+    assert(before.values.forall(_ > 1), s"fragmented sink is not fragmented")
+    for ((d, nf) <- after)
+      assert(nf < before(d), s"day $d: $nf files not fewer than ${before(d)}")
+  }
 }
