@@ -38,7 +38,8 @@ object Bench {
     "dedup_semantic", "embed_quantize_int8", "text_dup_spans",
     "source_text", "embed_ann_sq8", "source_jdbc", "embed_ann_sq8_ivf",
     "embed_ann_ivfpq", "graph_pagerank", "source_binary",
-    "dedup_semantic_2l", "text_ppl_buckets", "sink_compaction")
+    "dedup_semantic_2l", "text_ppl_buckets", "sink_compaction",
+    "source_xml")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

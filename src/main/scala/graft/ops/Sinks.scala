@@ -333,6 +333,20 @@ object Sinks {
         .partitionBy("day").mode("overwrite").parquet(tmp.toString)
     }
 
+  /** Orders staged as XML (Spark 4 ships the data source built in) —
+    * the B2B/legacy-feed ingest format. One row element per order;
+    * timestamps carried as ISO strings so the read-back parse is
+    * explicit, not writer-dependent. */
+  def ensureXmlOrders(s: SparkSession, dir: String): String =
+    publishSink(dir, "orders", "orders_xml_v1") { tmp =>
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("o_odate"))
+        .write.option("rootTag", "orders").option("rowTag", "order")
+        .format("xml").mode("overwrite").save(tmp.toString)
+    }
+
   val queries: Map[String, Q] = Map(
     // Schema evolution across file generations — the ETL reality a 100 TB
     // lake accumulates: a column added later must read back as NULL for
@@ -418,6 +432,23 @@ object Sinks {
         .schema("o_orderkey BIGINT, o_orderstatus STRING, " +
           "o_totalprice DOUBLE, tag STRING")
         .csv(ensureCsvOrders(s, dir))
+        .orderBy("o_orderkey")),
+
+    // XML source (built into Spark 4) with an EXPLICIT schema — the
+    // B2B/legacy-feed format the file family lacked. rowTag streams one
+    // order element per record (the reader splits on the tag, so a 100 TB
+    // feed still parallelizes per file-split); the timestamp round-trips
+    // as an ISO string and is parsed back explicitly, keeping the value
+    // identical to every other orders reader regardless of writer-side
+    // timestamp conventions.
+    "source_xml" -> ((s, dir) =>
+      s.read.option("rowTag", "order")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_odate STRING")
+        .format("xml").load(ensureXmlOrders(s, dir))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_timestamp(col("o_odate"), "yyyy-MM-dd HH:mm:ss")
+            .cast("timestamp_ntz").as("o_orderdate"))
         .orderBy("o_orderkey")),
 
     // ORC source with an EXPLICIT schema (skips footer-merge planning the
@@ -545,6 +576,11 @@ object Sinks {
     "source_jdbc" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
        "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
+    // Identity projection: the ISO-string timestamp round-trip must land
+    // back on the raw value (order dates are whole seconds by contract).
+    "source_xml" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+       "o_orderdate FROM orders ORDER BY o_orderkey"),
     // The text round-trip is lossless (single-line, tab-free corpus), so
     // the oracle replays the payload digest from the source table.
     "source_text" ->
