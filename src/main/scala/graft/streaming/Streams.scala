@@ -462,6 +462,32 @@ object Streams {
         .orderBy("ws")
     }),
 
+    // Streaming OHLC — real-time candlesticks, the agg_ohlc semantics
+    // through the streaming engine: per 1-hour tumbling window,
+    // open/close from ONE struct-ordered min/max ((second-truncated ts,
+    // event_id, value) — total order via event_id) inside the stateful
+    // aggregate, so per-window state is six scalars regardless of event
+    // volume — the property that makes the operator run forever. Complete
+    // drain holds every window ⇒ equals the batch form, which the oracle
+    // replays with ordered first/last.
+    "stream_ohlc_drain" -> ((s, dir) => {
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          min(struct(col("tss"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(struct(col("tss"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("n"))
+      drain(out, OutputMode.Complete())
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("open"), col("close"), col("high"), col("low"), col("n"))
+        .orderBy("ws")
+    }),
+
     // 1-hour window sliding every 15 min: each event lands in 4 windows.
     // Batch evaluation of the shared operator, same rationale (and same
     // StreamingSpec drain twin) as stream_tumbling above.
@@ -956,6 +982,12 @@ object Streams {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_ohlc_drain" ->
+      ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, " +
+       "first(value ORDER BY date_trunc('second', ts), event_id) AS open, " +
+       "last(value ORDER BY date_trunc('second', ts), event_id) AS close, " +
+       "max(value) AS high, min(value) AS low, count(*) AS n " +
+       "FROM events GROUP BY date_trunc('hour', ts) ORDER BY ws"),
     "stream_tumbling_drain" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         |       event_type, count(*) AS n
