@@ -141,6 +141,29 @@ object TextQuality {
             lit(0L), (a, b) => (a * 131 + b) % 1000000007L).as("fp"))
         .orderBy("doc_id")),
 
+    // URL parsing / domain extraction — the web-crawl pipeline step
+    // (per-domain counts drive URL-level dedup, domain blocklists, and
+    // crawl politeness budgets). The corpus carries no URL column, so
+    // each doc's provenance URL derives deterministically from
+    // (source, doc_id); the op under test is `parse_url` (native
+    // expression, codegen) splitting HOST / PATH / QUERY param, then a
+    // per-domain rollup. Map-side parse + one two-phase agg.
+    "text_url_domain" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id") % 50, lit("?id="), col("doc_id")).as("url"))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("id")).cast("long")
+            .as("qid"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("path")).as("n_paths"),
+          sum(col("qid")).as("qid_sum"))
+        .orderBy("host")),
+
     // Text canonicalization — the normalize-before-dedup step every
     // ingest pipeline runs ahead of exact/near dedup: lowercase, collapse
     // every non-alphanumeric run to one space, trim, then emit the md5
@@ -239,6 +262,16 @@ object TextQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_url_domain" ->
+      // DuckDB has no parse_url; the oracle rebuilds the three parts from
+      // the same deterministic construction.
+      ("WITH u AS (SELECT doc_id, source || '.example.com' AS host, " +
+       "'/docs/' || CAST(doc_id % 50 AS VARCHAR) AS path, " +
+       "doc_id AS qid FROM documents) " +
+       "SELECT host, count(*) AS n_docs, " +
+       "count(DISTINCT path) AS n_paths, " +
+       "CAST(sum(qid) AS BIGINT) AS qid_sum " +
+       "FROM u GROUP BY host ORDER BY host"),
     "text_heavy_hitters" ->
       ("WITH c AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
         "g AS (SELECT source, tok, count(*) AS cnt FROM c GROUP BY 1, 2), " +
