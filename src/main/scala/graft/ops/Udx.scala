@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
 /** Buffer for the weighted-average Aggregator: running numerator/denominator. */
 case class WAvgBuf(num: Double, den: Double)
 
+/** The `documents` row as a typed record (typed_dataset_agg). Top-level so
+  * Encoder codegen can instantiate it (the MediaMeta lesson). */
+case class Doc(doc_id: Long, text: String, lang: String, source: String,
+               n_chars: Long)
+
 /** Typed UDAF (§2.9): weighted average of discount with quantity as the
   * weight. Partial aggregation comes for free — `reduce` runs map-side per
   * partition, `merge` combines the per-partition buffers, so one tiny
@@ -79,6 +84,25 @@ object Udx {
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram"))
         .limit(20)
+    }),
+
+    // The TYPED Dataset entry point as a declared key: case-class
+    // Encoder → compile-time-checked lambda filter → groupByKey →
+    // TypedColumn aggregates. The lambdas cost codegen at their call
+    // sites (deserialization to Doc), but the AGGREGATION half stays
+    // fully Catalyst: .as[T] TypedColumns are ordinary expressions, so
+    // partial aggregation and the single groupByKey shuffle survive —
+    // the shape a Dataset-first codebase actually runs.
+    "typed_dataset_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents").as[Doc]
+        .filter((d: Doc) => d.n_chars >= 120 && d.lang.nonEmpty)
+        .groupByKey((d: Doc) => d.lang)
+        .agg(count(lit(1)).as("n_docs").as[Long],
+          sum(col("n_chars")).as("sum_chars").as[Long],
+          countDistinct(col("source")).as("n_sources").as[Long])
+        .toDF("lang", "n_docs", "sum_chars", "n_sources")
+        .orderBy("lang")
     })
   )
 
@@ -100,6 +124,12 @@ object Udx {
         |  SELECT substring(lower(text), CAST(t.i AS INTEGER), 3) AS gram
         |  FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i))
         |SELECT gram, count(*) AS n FROM g
-        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    "typed_dataset_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents WHERE n_chars >= 120 AND length(lang) > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
