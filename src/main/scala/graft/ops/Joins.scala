@@ -138,6 +138,35 @@ object Joins {
         .orderBy("p_size")
     }),
 
+    // Band join via BUCKET EXPANSION — the scale-safe rewrite of
+    // join_theta_range for when NEITHER side broadcasts: each fact row
+    // hashes to ONE width-W value bucket, each band [v−2, v+2] replicates
+    // to the ≤2 buckets it can overlap, and the join becomes a plain
+    // EQUI-join on the bucket id with the band test as residual — a
+    // shuffle join on a real key instead of a nested loop over row pairs.
+    // Lossless: floor is monotone, so every in-band pair shares the
+    // fact row's bucket. Identical result to join_theta_range (the
+    // oracle IS the plain band join); SortMergeJoin plan-asserted via
+    // the merge hint — the shape a 100 TB × 100 GB band join must take.
+    "join_band_bucketed" -> ((s, dir) => {
+      val W = 5
+      val p = Tables.table(s, dir, "part").where(col("p_size") <= 6)
+        .select(col("p_partkey"), col("p_size"),
+          explode(sequence(floor((col("p_size") - 2) / W),
+            floor((col("p_size") + 2) / W))).as("bk"))
+      val l = Tables.table(s, dir, "lineitem")
+        .where(col("l_quantity") < 10 &&
+               col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+        .select(col("l_quantity"),
+          floor(col("l_quantity") / W).as("bk"))
+      p.hint("merge")
+        .join(l, p("bk") === l("bk") &&
+          col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("cnt"), D.r2(avg("l_quantity")).as("avg_qty"))
+        .orderBy("p_size")
+    }),
+
     // Interval join: purchases matched to signup windows [ts, ts+1h] of the
     // same user. The equi user_id key makes this a hash join with the range
     // as residual — no nested loop even at scale. Timestamps compared at
@@ -456,6 +485,14 @@ object Joins {
       ("SELECT r_name, n_name FROM region CROSS JOIN nation " +
        "ORDER BY r_name, n_name"),
     "join_theta_range" ->
+      ("SELECT p_size, count(*) AS cnt, round(avg(l_quantity), 2) AS avg_qty " +
+       "FROM part JOIN lineitem ON l_quantity BETWEEN p_size - 2 AND p_size + 2 " +
+       "WHERE p_size <= 6 AND l_quantity < 10 " +
+       "AND l_shipdate >= TIMESTAMP '2001-06-01' " +
+       "GROUP BY p_size ORDER BY p_size"),
+    // The bucket decomposition is internal plumbing; the declared result
+    // is the plain band join, so the oracle is join_theta_range's.
+    "join_band_bucketed" ->
       ("SELECT p_size, count(*) AS cnt, round(avg(l_quantity), 2) AS avg_qty " +
        "FROM part JOIN lineitem ON l_quantity BETWEEN p_size - 2 AND p_size + 2 " +
        "WHERE p_size <= 6 AND l_quantity < 10 " +

@@ -476,6 +476,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "events scan no longer pruned to the 4 needed columns")
   }
 
+  test("join_band_bucketed plans an equi join, not a nested loop") {
+    // The whole point of the bucket expansion: the band condition must
+    // ride a real equi-key (SortMergeJoin on bk with the band as
+    // residual) — BNLJ here means the rewrite regressed to row×row.
+    val p = plans("join_band_bucketed")
+    assert(p.contains("SortMergeJoin [bk"),
+      "band join lost its bucket equi-key")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      "band join fell back to a nested loop")
+  }
+
   test("agg_bitmap_distinct collapses ids to bitmaps map-side") {
     // The whole point of the bitmap path: raw user_ids must fold into
     // fixed-size bitmaps BEFORE the shuffle (partial_bitmap_construct_agg)
