@@ -127,6 +127,26 @@ object Scalars {
         |ORDER BY event_id""".stripMargin)
     }),
 
+    // Data-governance surface: masking, keyed hashing, and column-level
+    // encryption — what a PII-bearing lake column actually gets. mask()
+    // preserves shape (upper→X, lower→x, digit→n); sha2-256 is the
+    // deterministic pseudonymization key; AES round-trips prove the
+    // encrypt path without the ciphertext ever reaching the oracle
+    // (GCM's random IV makes ciphertext nondeterministic BY DESIGN — the
+    // declared output is the decrypt(encrypt(x)) == x flag plus the
+    // plaintext digest, both engine-replayable).
+    "fn_data_masking" -> ((s, dir) => {
+      val key = lit("0123456789abcdef") // 16-byte demo key (AES-128)
+      Tables.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          mask(col("c_name")).as("masked"),
+          sha2(col("c_name"), 256).as("pseudo"),
+          (aes_decrypt(
+            aes_encrypt(col("c_name").cast("binary"), key),
+            key).cast("string") === col("c_name")).as("rt_ok"))
+        .orderBy("c_custkey")
+    }),
+
     // Spark 4 COLLATION — case-insensitive comparison/grouping as a TYPE
     // property (UTF8_LCASE) instead of lower()-wrapping every call site:
     // the collation rides the plan (group keys, joins, sorts all honor
@@ -322,6 +342,16 @@ object Scalars {
        "try_cast('nope' || props AS JSON) IS NULL AS bad_is_null, " +
        "CAST(json_extract('{\"a\":{\"b\":[1,2,3]}}', '$.a.b[1]') AS BIGINT) " +
        "AS nested FROM events ORDER BY event_id"),
+    "fn_data_masking" ->
+      // mask() replayed as the three shape-preserving regex classes;
+      // sha2-256 hex matches DuckDB's sha256; the AES pair collapses to
+      // a constant TRUE on the oracle side — that IS the contract.
+      ("SELECT c_custkey, " +
+       "regexp_replace(regexp_replace(regexp_replace(c_name, " +
+       "'[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') " +
+       "AS masked, " +
+       "sha256(c_name) AS pseudo, TRUE AS rt_ok " +
+       "FROM customer ORDER BY c_custkey"),
     "fn_collation" ->
       ("WITH v AS (SELECT unnest([upper(o_orderpriority), " +
        "lower(o_orderpriority), " +
