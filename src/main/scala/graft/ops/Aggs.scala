@@ -298,6 +298,23 @@ object Aggs {
         |ORDER BY event_type""".stripMargin)
     }),
 
+    // approx_top_k (Spark 4's frequent-items sketch) under its EXACTNESS
+    // condition: with maxItemsTracked ≥ the distinct-value count the
+    // sketch never evicts, so counts are exact and the key is fully
+    // oracled — the same "sketch, but oracled where exact" stance as
+    // agg_bitmap_distinct. The declared output re-sorts the returned
+    // (item, count) structs by item so tie order inside the sketch's
+    // count-sorted array can't leak into the hash. At true 100 TB
+    // cardinalities the same call with a capped size degrades gracefully
+    // to the Misra-Gries guarantee (error bounded by n/capacity).
+    "agg_approx_topk" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT t.item AS event_type, t.count AS n FROM (
+        |  SELECT explode(approx_top_k(event_type, 10, 100)) AS t
+        |  FROM events)
+        |ORDER BY event_type""".stripMargin)
+    }),
+
     "agg_retention" -> ((s, dir) => {
       val perUser = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d"))
@@ -562,6 +579,11 @@ object Aggs {
        "AS turnover_c " +
        "FROM events GROUP BY user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') " +
        "ORDER BY user_id, day"),
+    "agg_approx_topk" ->
+      // Under the no-eviction condition the sketch IS the exact group
+      // count; the oracle is the plain aggregate.
+      ("SELECT event_type, count(*) AS n FROM events " +
+       "GROUP BY event_type ORDER BY event_type"),
     "agg_bitmap_distinct" ->
       // The bitmap machinery is Spark-side plumbing; the VALUES are exact
       // distinct counts, so the oracle is plain count(DISTINCT).
