@@ -194,6 +194,55 @@ object Dedup {
         .where(col("sim") >= 0.35)
         .select(col("q_id"), col("vec_id"), col("sim"))
         .orderBy("q_id", "vec_id")
+    }),
+
+    /** no-oracle (DedupBloomSpec replays the exact sketch bit pattern):
+      * memory-BOUNDED incremental exact-dedup membership — the 100 TB
+      * posture where the anti-join's build side (every content key ever
+      * ingested) fits nowhere, but a ~1.2 B/key Bloom sketch still
+      * broadcasts. The staged artifact IS the sketch (fingerprint-keyed
+      * like every index); probing is a native codegen'd expression
+      * ([[org.apache.spark.sql.graft.BloomMightContain]] — filter
+      * deserialized once per task, one hash probe per row). The declared
+      * output carries BOTH flags per batch doc: `exact_dup` (ground
+      * truth via the key join — at this SF the exact side is still
+      * cheap, which is what makes the key self-auditing) and
+      * `bloom_flag`; no-false-negative (exact ⇒ flagged) is asserted at
+      * runtime in the plan itself via the output's `miss` column, which
+      * the spec pins to all-false. */
+    "dedup_bloom_incremental" -> ((s, dir) => {
+      val key = md5(lower(trim(col("text")))).as("k")
+      val staged = graft.Staging.materialize(
+        s, Tables.path(dir, "documents"), "bloom_exact_idx90_v1") {
+        import s.implicits._
+        val d = Tables.table(s, dir, "documents")
+        // 1-row bounded collect (the sink_partitioned day-literal
+        // pattern): the ingest boundary, then a driver-held sketch —
+        // bounded model state like the PQ codebook, never row data.
+        val mxv = d.agg(max("doc_id")).head().getLong(0)
+        val corpus = d.where(col("doc_id") * 10 < lit(mxv) * 9).select(key)
+        val bf = corpus.stat.bloomFilter(
+          "k", math.max(corpus.count(), 1L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Seq((mxv, bos.toByteArray)).toDF("mx", "bloom")
+      }
+      // Bounded collect of the 1-row staged sketch (KB–MB class).
+      val meta = staged.head()
+      val mxv = meta.getLong(0)
+      val bloomLit = lit(meta.getAs[Array[Byte]](1))
+      val d = Tables.table(s, dir, "documents")
+      val corpusKeys = d.where(col("doc_id") * 10 < lit(mxv) * 9)
+        .select(key).distinct().withColumn("hit", lit(true))
+      d.where(col("doc_id") * 10 >= lit(mxv) * 9)
+        .select(col("doc_id"), key)
+        .join(corpusKeys, Seq("k"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("exact_dup"),
+          org.apache.spark.sql.graft.BloomMightContain(bloomLit, col("k"))
+            .as("bloom_flag"))
+        .withColumn("miss", col("exact_dup") && !col("bloom_flag"))
+        .orderBy("doc_id")
     })
   )
 
