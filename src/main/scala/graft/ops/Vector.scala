@@ -205,6 +205,42 @@ object Vector {
 
     // "Multimodal columns": text + embedding vector joined into one
     // relation, mixed-type analytics per label.
+    // Triangle counting + global clustering coefficient over the kNN
+    // graph — the manifold-quality metric (a well-clustered embedding
+    // space closes its wedges; random vectors don't). The graph is
+    // BOUNDED-DEGREE by construction (top-3 per vector → ≤ 3n directed
+    // edges), which is what makes the classic orient-and-join triangle
+    // algorithm linear-ish: edges oriented a<b, T = E(ab)⋈E(bc)⋈E(ac),
+    // each join on a real equi-key. The declared key builds the exact
+    // kNN graph so the oracle can replay it; the production build at
+    // corpus scale swaps in the ANN candidates (embed_ann_ivf's
+    // cell-bounded top-k) and the counting half is unchanged.
+    "graph_knn_triangles" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.select(col("vec_id").as("q_id"), col("v").as("q"))
+      val nn = topK(e, probes, 3).select("q_id", "vec_id")
+      val edges = nn.select(
+        least(col("q_id"), col("vec_id")).as("a"),
+        greatest(col("q_id"), col("vec_id")).as("b")).distinct()
+      val ecnt = edges.agg(count(lit(1)).as("n_edges"))
+      val wed = edges
+        .select(explode(array(col("a"), col("b"))).as("vv"))
+        .groupBy("vv").agg(count(lit(1)).as("d"))
+        .agg((sum(col("d") * (col("d") - 1)) / 2).cast("long")
+          .as("n_wedges"))
+      val ab = edges.select(col("a").as("t_a"), col("b").as("t_b"))
+      val bc = edges.select(col("a").as("t_b2"), col("b").as("t_c"))
+      val ac = edges.select(col("a").as("t_a2"), col("b").as("t_c2"))
+      val tri = ab
+        .join(bc, col("t_b") === col("t_b2"))
+        .join(ac, col("t_a") === col("t_a2") && col("t_c") === col("t_c2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      ecnt.crossJoin(broadcast(wed)).crossJoin(broadcast(tri))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          (lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .as("clustering"))
+    }),
+
     "multimodal_join" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
       val e = Tables.table(s, dir, "embeddings")
@@ -265,6 +301,26 @@ object Vector {
        "ORDER BY votes DESC, label) AS rb FROM votes) " +
        "SELECT q_id AS vec_id, label AS predicted, votes FROM best WHERE rb = 1 " +
        "ORDER BY vec_id"),
+    "graph_knn_triangles" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+       "FROM embeddings), " +
+       "sims AS (SELECT p.vec_id AS q_id, c.vec_id AS nid, " +
+       "round(list_cosine_similarity(p.e, c.e), 6) AS sim " +
+       "FROM v p CROSS JOIN v c WHERE p.vec_id <> c.vec_id), " +
+       "r AS (SELECT q_id, nid, row_number() OVER (PARTITION BY q_id " +
+       "ORDER BY sim DESC, nid) AS rnk FROM sims), " +
+       "ed AS (SELECT DISTINCT least(q_id, nid) AS a, " +
+       "greatest(q_id, nid) AS b FROM r WHERE rnk <= 3), " +
+       "dg AS (SELECT vv, count(*) AS d FROM " +
+       "(SELECT a AS vv FROM ed UNION ALL SELECT b FROM ed) GROUP BY vv), " +
+       "w AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges " +
+       "FROM dg), " +
+       "t AS (SELECT count(*) AS n_triangles FROM ed ab " +
+       "JOIN ed bc ON ab.b = bc.a " +
+       "JOIN ed ac ON ac.a = ab.a AND ac.b = bc.b), " +
+       "e2 AS (SELECT count(*) AS n_edges FROM ed) " +
+       "SELECT e2.n_edges, w.n_wedges, t.n_triangles, " +
+       "3.0 * t.n_triangles / w.n_wedges AS clustering FROM e2, w, t"),
     "multimodal_join" ->
       ("SELECT label, count(*) AS n, round(avg(n_chars), 2) AS avg_chars, " +
        "round(avg(len(string_split(text, ' '))), 2) AS avg_toks " +

@@ -36,6 +36,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_semantic_2l",              // broadcast N^¼ coarse seeds, then bucket-joined fine
     "q22_dormant_value",              // 1-row broadcast (cnt,sum) avg threshold
     "q15_top_supplier",               // 1-row broadcast max-revenue threshold
+    "graph_knn_triangles",            // broadcast probe set + 1-row stat joins
     "embed_normalize")                // 1-row broadcast per-dim mean array
 
   private lazy val plans: Map[String, String] = {
