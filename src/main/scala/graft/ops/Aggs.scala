@@ -249,6 +249,32 @@ object Aggs {
         .where(col("n_patterns") >= 1)
         .orderBy("user_id")),
 
+    // EWMA — exponential time-decay smoothing, the feedback signal every
+    // metrics/trainer pipeline keeps per key (loss curves, popularity
+    // decay, rate estimators). y_t = (1-α)·y_{t-1} + α·x_t seeded with
+    // the first observation, α = 1/8: both constants are EXACT binary
+    // fractions, and the Horner fold uses only IEEE *,+ in chronological
+    // order, so the unrounded double is bitwise-reproducible across
+    // engines (the embed_normalize list_reduce precedent). One hash agg
+    // on user_id (ordered collect_list partials map-side); per-user state
+    // is that user's history — the same bound event_pattern_match
+    // carries. Second-truncated order key: sub-µs nanos differ between
+    // engines and a boundary tie must not.
+    "agg_ewma" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          transform(array_sort(collect_list(struct(
+            date_trunc("second", col("ts")).as("tss"),
+            col("event_id"), col("value")))),
+            x => x.getField("value")).as("vals"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          aggregate(slice(col("vals"), lit(2), size(col("vals")) - 1),
+            element_at(col("vals"), 1),
+            (acc, x) => acc * lit(0.875) + x * lit(0.125)).as("ewma"))
+        .orderBy("user_id")),
+
     // OHLC downsampling — the time-series compaction every metrics/market
     // pipeline runs: per (user, day) open/high/low/close of `value` plus
     // trade count and exact-cent turnover. One hash agg on the (user, day)
@@ -567,6 +593,17 @@ object Aggs {
        "AS BIGINT) AS n_patterns FROM s " +
        "WHERE len(regexp_extract_all(seq, 'view,(click,)+purchase', 0)) >= 1 " +
        "ORDER BY user_id"),
+    "agg_ewma" ->
+      // list_reduce seeds with the first element — exactly Spark's
+      // aggregate(slice(vals,2,..), vals[1], ...); identical IEEE op
+      // order on identical doubles → bitwise-equal unrounded output.
+      ("WITH s AS (SELECT user_id, count(*) AS n_events, " +
+       "list(value ORDER BY date_trunc('second', ts), event_id) AS vals " +
+       "FROM events GROUP BY user_id) " +
+       "SELECT user_id, n_events, " +
+       "list_reduce(vals, (a, b) -> a * CAST(0.875 AS DOUBLE) + " +
+       "b * CAST(0.125 AS DOUBLE)) AS ewma " +
+       "FROM s ORDER BY user_id"),
     "agg_ohlc" ->
       // first/last are ORDERED aggregates on (second-truncated ts,
       // event_id) — the same total order Spark's struct min/max walks.
