@@ -69,6 +69,30 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Rolling ORDER STATISTIC — per-customer median of the trailing 5
+    // order totals, the robust-baseline frame every outlier/anomaly
+    // monitor runs (a rolling mean chases the spike it's supposed to
+    // flag). No built-in windowed median exists in either engine with
+    // identical semantics, so both sides run the same mechanics:
+    // collect the ROWS frame, sort it, select the LOWER median — pure
+    // selection of an input double, no arithmetic, so the unrounded
+    // value is bitwise-stable. The frame is ≤5 rows per output row, so
+    // per-row state is O(frame), not O(history), and the window is one
+    // shuffle on o_custkey like every sibling key.
+    "win_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").as("total"),
+          array_sort(collect_list(col("o_totalprice")).over(w)).as("fr"))
+        .select(col("o_custkey"), col("o_orderkey"), col("total"),
+          element_at(col("fr"), ((size(col("fr")) + 1) / 2)
+            .cast("int")).as("med5"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // 7-day trailing average of daily revenue. Pre-aggregate to one row per
     // day first — the global range-frame window then runs over ~2.4k rows,
     // not the fact table, which is what keeps an unpartitioned ordered
@@ -266,6 +290,17 @@ object Windows {
        "ORDER BY o_orderdate, o_orderkey " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run " +
        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "win_rolling_median" ->
+      // Same mechanics as the Spark side: list the frame, sort, take the
+      // lower median by 1-based index (m+1)//2 — selection, no
+      // arithmetic.
+      ("WITH f AS (SELECT o_custkey, o_orderkey, o_totalprice AS total, " +
+       "list_sort(list(o_totalprice) OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_orderdate, o_orderkey " +
+       "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr FROM orders) " +
+       "SELECT o_custkey, o_orderkey, total, " +
+       "fr[CAST((len(fr) + 1) // 2 AS INTEGER)] AS med5 " +
+       "FROM f ORDER BY o_custkey, o_orderkey"),
     "win_range_frame" ->
       ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
        "sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS rev_cents, " +
