@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{D, Tables}
 import graft.QueryDefs.Q
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.1 sink surface, declared END-TO-END: the classic ETL date
@@ -347,6 +347,47 @@ object Sinks {
         .format("xml").mode("overwrite").save(tmp.toString)
     }
 
+  /** Morton (Z-order) interleave of the low 16 bits of two keys — the
+    * space-filling curve OPTIMIZE ZORDER clusters files by. The 32 bit
+    * positions are disjoint, so the per-bit terms sum without carries,
+    * and the whole value is one codegen'd long expression (shift/and
+    * only — no UDF, no loop at runtime). */
+  private def morton16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private[graft] val ZBuckets = 64
+
+  /** lineitem rewritten in Z-order on (l_partkey, l_suppkey) — the
+    * multi-dimensional clustering that makes min/max data skipping work
+    * for BOTH keys at once (a single-column sort serves one predicate;
+    * the curve serves either). Bucket = fixed-width slice of the curve,
+    * width derived from max(zv) by a 1-row broadcast (no driver state),
+    * so file assignment is a pure function of the row — deterministic
+    * across core counts, unlike range-sampled boundaries. One shuffle on
+    * the target bucket (per-bucket-proportional, the OPTIMIZE posture);
+    * sortWithinPartitions puts rows in curve order INSIDE each file so
+    * row-group stats are tight too. */
+  def ensureZorderLineitem(s: SparkSession, dir: String): String =
+    publishSink(dir, "lineitem", "lineitem_zorder_v1") { tmp =>
+      val li = Tables.table(s, dir, "lineitem")
+        .withColumn("zv", morton16(pmod(col("l_partkey"), lit(65536L)),
+          pmod(col("l_suppkey"), lit(65536L))))
+      // Integer width W = max(zv) div 64 + 1; zb = zv div W via the
+      // subtract-remainder form — the numerator is an exact multiple of
+      // W, so the double division is exact and the cast is safe.
+      val w = li.agg((floor(max("zv") / ZBuckets) + 1).cast("long").as("w"))
+      li.crossJoin(broadcast(w))
+        .withColumn("zb",
+          ((col("zv") - pmod(col("zv"), col("w"))) / col("w")).cast("long"))
+        .drop("w")
+        .repartition(col("zb"))
+        .sortWithinPartitions("zb", "zv", "l_orderkey", "l_linenumber")
+        .write.partitionBy("zb").mode("overwrite").parquet(tmp.toString)
+    }
+
   val queries: Map[String, Q] = Map(
     // Schema evolution across file generations — the ETL reality a 100 TB
     // lake accumulates: a column added later must read back as NULL for
@@ -400,6 +441,25 @@ object Sinks {
           col("cents"), col("files_after"))
         .orderBy("day")
     }),
+
+    // Z-order clustering as a declared key: per curve-bucket stats read
+    // from the REWRITTEN artifact prove both halves — the data survived
+    // (count + exact-cents revenue per bucket equal the oracle's replay
+    // from raw lineitem) and the clustering works (each bucket's
+    // [pmin..pmax]×[smin..smax] rectangle — exactly the min/max stats a
+    // file-skipping reader consults — is a small tile of the key space,
+    // so a predicate on EITHER key prunes most buckets).
+    "sink_zorder" -> ((s, dir) =>
+      s.read.parquet(ensureZorderLineitem(s, dir))
+        .withColumn("px", pmod(col("l_partkey"), lit(65536L)))
+        .withColumn("py", pmod(col("l_suppkey"), lit(65536L)))
+        .groupBy(col("zb").cast("long").as("zb"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("cents"),
+          min("px").as("pmin"), max("px").as("pmax"),
+          min("py").as("smin"), max("py").as("smax"))
+        .orderBy("zb")),
 
     // Dynamic partition pruning: the day predicate is NOT a literal — it
     // is the output of a dimension query (Mondays), so static pruning
@@ -557,6 +617,25 @@ object Sinks {
        "AS cents, " +
        "CAST(ceil(count(*) / 1000.0) AS BIGINT) AS files_after " +
        "FROM events GROUP BY 1 ORDER BY day"),
+    "sink_zorder" ->
+      // Replays the Morton interleave bit-by-bit from raw lineitem (the
+      // 32 shift/and terms are generated, not hand-typed), the same
+      // integer bucket width, and the same per-bucket stats — equality
+      // proves the clustered rewrite preserved the data.
+      ("WITH b AS (SELECT l_partkey % 65536 AS px, " +
+       "l_suppkey % 65536 AS py, l_extendedprice FROM lineitem), " +
+       "z AS (SELECT px, py, l_extendedprice, " +
+       (0 until 16).map(i =>
+         s"(((px >> $i) & 1) << ${2 * i}) + " +
+         s"(((py >> $i) & 1) << ${2 * i + 1})").mkString("", " + ", " ") +
+       "AS zv FROM b), " +
+       "w AS (SELECT (max(zv) // 64) + 1 AS wd FROM z) " +
+       "SELECT CAST(zv // wd AS BIGINT) AS zb, count(*) AS n, " +
+       "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) " +
+       "AS BIGINT) AS cents, " +
+       "min(px) AS pmin, max(px) AS pmax, " +
+       "min(py) AS smin, max(py) AS smax " +
+       "FROM z, w GROUP BY 1 ORDER BY zb"),
     "join_dpp" ->
       ("WITH dim AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day " +
        "FROM events WHERE extract(day FROM ts) % 2 = 1) " +
