@@ -455,6 +455,53 @@ object Pipeline {
             round(col("n_dup") / col("n_grams"), 6).as("dup_frac"))
       }.orderBy("doc_id")),
 
+    // Duplicated-span REMOVAL — the doc-rewrite half of the
+    // RefinedWeb/CCNet boilerplate treatment (text_dup_spans MEASURES
+    // cross-doc repetition; this key deletes it and reassembles the
+    // document): a word 4-gram carried by ≥3 distinct docs is
+    // boilerplate, every token covered by any boilerplate gram window is
+    // dropped, and the survivors rejoin in original token order. Shape:
+    // positioned grams explode map-side; df is a two-phase count over
+    // distinct (doc, gram); flagged positions come back through ONE
+    // gram-keyed join (work scales with gram instances, never doc
+    // pairs); the rebuild is a per-row HOF filter/transform — no
+    // shuffle. Output carries md5(cleaned) so the full rewritten text is
+    // pinned without shipping it.
+    "text_scrub_dup_spans" -> ((s, dir) =>
+      graft.Staging.materialize(s, Tables.path(dir, "documents"),
+        "scrub_spans4_df3_v1") {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        val pg = docs
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("t")) - 3),
+              i => struct(i.as("i"), concat_ws(" ",
+                element_at(col("t"), i), element_at(col("t"), i + 1),
+                element_at(col("t"), i + 2), element_at(col("t"), i + 3))
+                .as("gram")))).as("pg"))
+          .select(col("doc_id"), col("pg.i").as("i"),
+            col("pg.gram").as("gram"))
+        val boiler = pg.select("doc_id", "gram").distinct()
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+          .where(col("df") >= 3).select("gram")
+        val rp = pg.join(boiler, "gram")
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + 3)).as("p"))
+          .distinct()
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("p"))).as("rp"))
+        val rpn = coalesce(col("rp"),
+          array().cast("array<int>"))
+        docs.join(rp, Seq("doc_id"), "left")
+          .select(col("doc_id"), size(col("t")).as("n_toks"),
+            coalesce(size(col("rp")), lit(0)).as("n_removed"),
+            md5(concat_ws(" ",
+              transform(
+                filter(sequence(lit(1), size(col("t"))),
+                  p => !array_contains(rpn, p)),
+                p => element_at(col("t"), p)))).as("clean_md5"))
+      }.orderBy("doc_id")),
+
     // The end-to-end corpus-cleaning flagship — what this engine is FOR —
     // composing four independently-verified stages into one declared,
     // oracle-checked query:
@@ -1090,6 +1137,31 @@ object Pipeline {
         "CAST(n_dup AS BIGINT) AS n_dup, " +
         "round(n_dup / CAST(n_grams AS DOUBLE), 6) AS dup_frac " +
         "FROM pd ORDER BY doc_id"),
+    // Same mechanics: positioned grams → df over distinct (doc, gram) →
+    // flagged windows → covered positions → HOF rebuild; list_contains
+    // on a NULL list is NULL → coalesce(false) keeps whole untouched
+    // docs, the Spark side's empty-array coalesce.
+    "text_scrub_dup_spans" ->
+      ("WITH d0 AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
+        "FROM documents), " +
+        "pg AS (SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || " +
+        "t[i+2] || ' ' || t[i+3] AS gram " +
+        "FROM d0, unnest(range(1, len(t) - 2)) AS s(i)), " +
+        "bl AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pg) " +
+        "GROUP BY gram HAVING count(*) >= 3), " +
+        "cov AS (SELECT pg.doc_id, unnest(generate_series(pg.i, pg.i + 3)) " +
+        "AS p FROM pg JOIN bl USING (gram)), " +
+        "rp AS (SELECT doc_id, list_sort(list(DISTINCT p)) AS rp " +
+        "FROM cov GROUP BY doc_id) " +
+        "SELECT d0.doc_id, len(t) AS n_toks, " +
+        "coalesce(len(rp), 0) AS n_removed, " +
+        // array_to_string of an EMPTY list is NULL in DuckDB — coalesce
+        // to '' so a fully-scrubbed doc hashes like Spark's concat_ws.
+        "md5(coalesce(array_to_string(list_transform(" +
+        "list_filter(generate_series(1, len(t)), " +
+        "p -> NOT coalesce(list_contains(rp, p), false)), " +
+        "p -> t[p]), ' '), '')) AS clean_md5 " +
+        "FROM d0 LEFT JOIN rp USING (doc_id) ORDER BY doc_id"),
     // Composes the four verified stage oracles (cluster CTE = dedup_cluster's,
     // quality CASE = text_quality's, draw = sample_stratified's, window =
     // pack_sequences') — any drift in a stage shows up in its own row first.
