@@ -39,7 +39,8 @@ object Bench {
     "source_text", "embed_ann_sq8", "source_jdbc", "embed_ann_sq8_ivf",
     "embed_ann_ivfpq", "graph_pagerank", "source_binary",
     "dedup_semantic_2l", "text_ppl_buckets", "sink_compaction",
-    "source_xml", "dedup_bloom_incremental", "graph_knn_triangles")
+    "source_xml", "dedup_bloom_incremental", "graph_knn_triangles",
+    "text_scrub_dup_spans", "sink_zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
