@@ -360,28 +360,40 @@ object Sinks {
 
   private[graft] val ZBuckets = 64
 
+  /** Exact long integer division a div b for non-negative operands: the
+    * subtract-remainder numerator is an exact multiple of b, so the
+    * double division is exact and the cast is safe. */
+  private def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
   /** lineitem rewritten in Z-order on (l_partkey, l_suppkey) — the
     * multi-dimensional clustering that makes min/max data skipping work
     * for BOTH keys at once (a single-column sort serves one predicate;
-    * the curve serves either). Bucket = fixed-width slice of the curve,
-    * width derived from max(zv) by a 1-row broadcast (no driver state),
-    * so file assignment is a pure function of the row — deterministic
-    * across core counts, unlike range-sampled boundaries. One shuffle on
-    * the target bucket (per-bucket-proportional, the OPTIMIZE posture);
-    * sortWithinPartitions puts rows in curve order INSIDE each file so
-    * row-group stats are tight too. */
+    * the curve serves either). Each dimension is NORMALIZED to the full
+    * 16-bit width before interleaving (key·2¹⁶ div (max+1), maxes from a
+    * 1-row broadcast) — raw interleave of asymmetric key ranges
+    * degenerates toward a single-column sort because the wider key owns
+    * every high curve bit (measured here: suppkey extents were ~0.75 of
+    * range unscaled, 0.125 scaled). Bucket = fixed-width slice of the
+    * curve, width derived from max(zv) by the same 1-row broadcast
+    * pattern (no driver state), so file assignment is a pure function of
+    * the row — deterministic across core counts, unlike range-sampled
+    * boundaries. One shuffle on the target bucket (per-bucket-
+    * proportional, the OPTIMIZE posture); sortWithinPartitions puts rows
+    * in curve order INSIDE each file so row-group stats are tight too. */
   def ensureZorderLineitem(s: SparkSession, dir: String): String =
-    publishSink(dir, "lineitem", "lineitem_zorder_v1") { tmp =>
-      val li = Tables.table(s, dir, "lineitem")
-        .withColumn("zv", morton16(pmod(col("l_partkey"), lit(65536L)),
-          pmod(col("l_suppkey"), lit(65536L))))
-      // Integer width W = max(zv) div 64 + 1; zb = zv div W via the
-      // subtract-remainder form — the numerator is an exact multiple of
-      // W, so the double division is exact and the cast is safe.
+    publishSink(dir, "lineitem", "lineitem_zorder_v2") { tmp =>
+      val li0 = Tables.table(s, dir, "lineitem")
+      val m = li0.agg((max("l_partkey") + 1).as("mp"),
+        (max("l_suppkey") + 1).as("ms"))
+      val li = li0.crossJoin(broadcast(m))
+        .withColumn("zv", morton16(
+          intDiv(col("l_partkey") * 65536L, col("mp")),
+          intDiv(col("l_suppkey") * 65536L, col("ms"))))
+        .drop("mp", "ms")
       val w = li.agg((floor(max("zv") / ZBuckets) + 1).cast("long").as("w"))
       li.crossJoin(broadcast(w))
-        .withColumn("zb",
-          ((col("zv") - pmod(col("zv"), col("w"))) / col("w")).cast("long"))
+        .withColumn("zb", intDiv(col("zv"), col("w")))
         .drop("w")
         .repartition(col("zb"))
         .sortWithinPartitions("zb", "zv", "l_orderkey", "l_linenumber")
@@ -451,14 +463,12 @@ object Sinks {
     // so a predicate on EITHER key prunes most buckets).
     "sink_zorder" -> ((s, dir) =>
       s.read.parquet(ensureZorderLineitem(s, dir))
-        .withColumn("px", pmod(col("l_partkey"), lit(65536L)))
-        .withColumn("py", pmod(col("l_suppkey"), lit(65536L)))
         .groupBy(col("zb").cast("long").as("zb"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_extendedprice") * 100, 0).cast("long"))
             .as("cents"),
-          min("px").as("pmin"), max("px").as("pmax"),
-          min("py").as("smin"), max("py").as("smax"))
+          min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+          min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
         .orderBy("zb")),
 
     // Dynamic partition pruning: the day predicate is NOT a literal — it
@@ -618,13 +628,17 @@ object Sinks {
        "CAST(ceil(count(*) / 1000.0) AS BIGINT) AS files_after " +
        "FROM events GROUP BY 1 ORDER BY day"),
     "sink_zorder" ->
-      // Replays the Morton interleave bit-by-bit from raw lineitem (the
-      // 32 shift/and terms are generated, not hand-typed), the same
-      // integer bucket width, and the same per-bucket stats — equality
-      // proves the clustered rewrite preserved the data.
-      ("WITH b AS (SELECT l_partkey % 65536 AS px, " +
-       "l_suppkey % 65536 AS py, l_extendedprice FROM lineitem), " +
-       "z AS (SELECT px, py, l_extendedprice, " +
+      // Replays the dimension normalization and the Morton interleave
+      // bit-by-bit from raw lineitem (the 32 shift/and terms are
+      // generated, not hand-typed), the same integer bucket width, and
+      // the same per-bucket stats — equality proves the clustered
+      // rewrite preserved the data.
+      ("WITH m AS (SELECT max(l_partkey) + 1 AS mp, " +
+       "max(l_suppkey) + 1 AS ms FROM lineitem), " +
+       "b AS (SELECT (l_partkey * 65536) // mp AS px, " +
+       "(l_suppkey * 65536) // ms AS py, " +
+       "l_partkey, l_suppkey, l_extendedprice FROM lineitem, m), " +
+       "z AS (SELECT l_partkey, l_suppkey, l_extendedprice, " +
        (0 until 16).map(i =>
          s"(((px >> $i) & 1) << ${2 * i}) + " +
          s"(((py >> $i) & 1) << ${2 * i + 1})").mkString("", " + ", " ") +
@@ -633,8 +647,8 @@ object Sinks {
        "SELECT CAST(zv // wd AS BIGINT) AS zb, count(*) AS n, " +
        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) " +
        "AS BIGINT) AS cents, " +
-       "min(px) AS pmin, max(px) AS pmax, " +
-       "min(py) AS smin, max(py) AS smax " +
+       "min(l_partkey) AS pmin, max(l_partkey) AS pmax, " +
+       "min(l_suppkey) AS smin, max(l_suppkey) AS smax " +
        "FROM z, w GROUP BY 1 ORDER BY zb"),
     "join_dpp" ->
       ("WITH dim AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day " +
