@@ -204,6 +204,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("text_scrub_dup_spans equals a driver-side span-removal replay") {
+    // Full pipeline replay in plain Scala: positioned grams, df over
+    // distinct (doc, gram), ≥3-doc boilerplate set, covered-position
+    // union, token rebuild, md5 — exact equality including the hash of
+    // the rewritten text.
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1))
+    val pgrams = docs.toMap.view.mapValues { t =>
+      if (t.length >= 4)
+        (0 to t.length - 4).map(i => i -> t.slice(i, i + 4).mkString(" "))
+      else Seq.empty[(Int, String)]
+    }.toMap
+    val df = pgrams.toSeq.flatMap { case (id, gs) => gs.map(_._2).distinct }
+      .groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val boiler = df.collect { case (g, d) if d >= 3 => g }.toSet
+    val want = docs.map { case (id, t) =>
+      val rm = pgrams(id).collect { case (i, g) if boiler(g) => i }
+        .flatMap(i => i to i + 3).toSet
+      val clean = t.indices.filterNot(rm).map(t).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (id, t.length.toLong, rm.size.toLong, md)
+    }.toSet
+    val got = SparkEntry.queries("text_scrub_dup_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong,
+        r.getString(3))).toSet
+    assert(got === want)
+    assert(want.exists(_._3 > 0), "degenerate corpus: nothing scrubbed")
+    assert(want.exists(_._3 == 0), "degenerate corpus: everything scrubbed")
+  }
+
   test("stratified sample is deterministic and respects per-lang rates") {
     val q = ops.Pipeline.queries("sample_stratified")
     val a = q(spark, sf).collect().map(_.toString).toSeq

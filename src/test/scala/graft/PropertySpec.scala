@@ -54,4 +54,45 @@ class PropertySpec extends AnyFunSuite {
     val scaled = sparkCosine(base.map { case (a, b, k) => (a.map(_ * k), b) })
     base.indices.foreach(i => assert(math.abs(plain(i) - scaled(i)) < 1e-9))
   }
+
+  test("agg_ewma: convex combination stays inside per-user value bounds " +
+    "and matches a driver-side fold") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("agg_ewma")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // Driver replay: same chronological order (second-truncated ts,
+    // event_id), same Horner fold, exact equality expected — every op is
+    // IEEE *,+ on the same doubles in the same order.
+    val hist = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet === hist.keySet)
+    for ((u, rows) <- hist) {
+      val vals = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val ref = vals.tail.foldLeft(vals.head)((a, x) => a * 0.875 + x * 0.125)
+      assert(got(u) == ref, s"user $u: ${got(u)} != driver fold $ref")
+      assert(got(u) >= vals.min && got(u) <= vals.max,
+        s"user $u: ewma outside [min, max]")
+    }
+  }
+
+  test("win_rolling_median is always one of the customer's own totals") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("win_rolling_median")(spark, sf)
+      .select("o_custkey", "med5").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val byCust = Tables.table(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { case (c, m) =>
+      assert(byCust(c).contains(m),
+        s"customer $c: median $m is not one of their totals (selection " +
+          "property violated)")
+    }
+  }
 }

@@ -170,4 +170,38 @@ class SinkRoundtripSpec extends AnyFunSuite {
     for ((d, nf) <- after)
       assert(nf < before(d), s"day $d: $nf files not fewer than ${before(d)}")
   }
+
+  test("sink_zorder buckets bound BOTH key extents and prune on read") {
+    import org.apache.spark.sql.functions._
+    // The oracle proves data preservation; this pins the CLUSTERING
+    // claim the oracle's hash can't grade: every bucket's bounding
+    // rectangle is a small tile of the key space in BOTH dimensions —
+    // the property a single-column sort cannot give (its non-sorted key
+    // spans the full range in every file). Measured max extent fraction:
+    // 0.5 (px) / 0.3 (py) at sf0.001, exactly 1/8 both at sf0.1.
+    val z = spark.read.parquet(ops.Sinks.ensureZorderLineitem(spark, sf))
+    val Seq(gp, gs) = z.agg(
+      (max("l_partkey") - min("l_partkey")).cast("double").as("gp"),
+      (max("l_suppkey") - min("l_suppkey")).cast("double").as("gs"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double])
+    val g = z.groupBy("zb").agg(
+      (max("l_partkey") - min("l_partkey")).cast("double").as("pw"),
+      (max("l_suppkey") - min("l_suppkey")).cast("double").as("sw"))
+      .collect()
+    assert(g.length > 8, s"degenerate bucketing: ${g.length} buckets")
+    for (r <- g) {
+      assert(r.getAs[Double]("pw") <= 0.55 * gp,
+        s"bucket ${r.get(0)}: partkey extent ${r.getAs[Double]("pw")} " +
+          s"not a small tile of $gp")
+      assert(r.getAs[Double]("sw") <= 0.55 * gs,
+        s"bucket ${r.get(0)}: suppkey extent ${r.getAs[Double]("sw")} " +
+          s"not a small tile of $gs")
+    }
+    // A zb predicate must prune at the directory level (PartitionFilters
+    // on the scan), not filter post-read.
+    val plan = z.where(col("zb") === 3)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*zb".r.findFirstIn(plan).isDefined,
+      s"zb filter did not reach PartitionFilters:\n$plan")
+  }
 }
