@@ -133,6 +133,44 @@ object MediaCodec {
       math.max(1, math.rint(h * scale).toInt))
   }
 
+  /** 64-bit average-hash (aHash) of an image payload: real decode, luma
+    * plane average-pooled onto an 8×8 grid, bit (gy·8+gx) set when the
+    * cell mean exceeds the global mean of cell means. Format-invariant
+    * for lossless codecs — the same pixels encoded as PNG or BMP decode
+    * to the same ARGB values and hash identically, which is the entire
+    * point of perceptual dedup (byte-level md5 can't see through a
+    * re-encode). Deterministic: plain double sums over a fixed pixel
+    * walk. Requires ≥8×8 geometry so every grid cell is populated. */
+  def aHash(payload: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (iw, ih) = (img.getWidth, img.getHeight)
+    require(iw >= 8 && ih >= 8, s"aHash needs >=8x8, got ${iw}x$ih")
+    val sums = new Array[Double](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < ih) {
+      val gy = y * 8 / ih
+      var x = 0
+      while (x < iw) {
+        val gx = x * 8 / iw
+        val rgb = img.getRGB(x, y)
+        val luma = 0.299 * ((rgb >> 16) & 0xFF) +
+          0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+        sums(gy * 8 + gx) += luma
+        cnts(gy * 8 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(g => sums(g) / cnts(g))
+    val mean = means.sum / 64
+    var bits = 0L
+    var g = 0
+    while (g < 64) { if (means(g) > mean) bits |= (1L << g); g += 1 }
+    bits
+  }
+
   private def entropy8(hist: Array[Long], n: Long): Double =
     if (n == 0) 0.0
     else -hist.filter(_ > 0).map { c =>

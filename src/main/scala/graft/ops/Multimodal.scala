@@ -23,6 +23,15 @@ case class MediaFeat(doc_id: Long, fmt: String, n_bytes: Int,
                      brightness: Double, entropy8: Double,
                      out_w: Int, out_h: Int)
 
+/** Pre-encode metadata for the image-dedup fixture: `ck` is the content
+  * key — documents sharing a ck carry the SAME pixels (possibly in
+  * different container formats). Top-level for Encoder codegen. */
+case class ImageDupMeta(doc_id: Long, fmt: String, ck: Long,
+                        width: Int, height: Int)
+
+/** One perceptually-hashed image: the 64-bit aHash alongside identity. */
+case class ImageHash(doc_id: Long, fmt: String, ahash: Long)
+
 /** Multimodal-column plumbing (training-data-pipeline surface): treat
   * image/audio/video as opaque `binary` columns with typed metadata, and
   * run the decode / feature-extract step as a distributed per-partition
@@ -79,7 +88,55 @@ object Multimodal {
       })
   }
 
+  /** Image-dedup fixture: content keyed by doc_id % 49 (each logical
+    * image recurs ~n/49 times across the corpus), container format
+    * alternating PNG/BMP by doc_id parity — 49 is odd, so every content
+    * class mixes both formats. Byte-level hashes therefore differ inside
+    * a class while the pixels are identical: exactly the situation
+    * byte-md5 dedup misses and perceptual dedup exists for. Geometry is
+    * a function of the content key (≥8×8 for the aHash grid). */
+  def imageDupTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaRec] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("png")).otherwise(lit("bmp"))
+          .as("fmt"),
+        (col("doc_id") % 49).as("ck"),
+        ((col("doc_id") % 49) % 17 + 8).cast("int").as("width"),
+        ((col("doc_id") % 49) % 13 + 8).cast("int").as("height"))
+      .as[ImageDupMeta]
+      .mapPartitions(_.map { m =>
+        MediaRec(m.doc_id, m.fmt, m.width, m.height,
+          MediaCodec.encodeImage(m.fmt, m.ck, m.width, m.height))
+      })
+  }
+
   val queries: Map[String, Q] = Map(
+    /** no-oracle: perceptual-hash (aHash) image dedup — the multimodal
+      * twin of dedup_exact, robust to container re-encoding: decode each
+      * payload (REAL ImageIO), 8×8 average-hash the luma plane, group by
+      * the 64-bit hash. Clusters with n ≥ 2 are duplicate sets; n_fmts
+      * proves members span BOTH container formats, i.e. byte-level
+      * hashing could not have found them. Scale shape: decode + hash are
+      * map-side (8 B/image crosses the shuffle — the same posture as the
+      * text fingerprints), grouping is a plain two-phase hash agg, never
+      * pairwise; a Hamming near-dup variant would band the 64 bits
+      * 4×16 exactly like dedup_simhash. MultimodalSpec replays the
+      * clustering driver-side from the shared codec. */
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      imageDupTable(s, dir).repartition(col("doc_id")).as[MediaRec]
+        .mapPartitions(_.map(r =>
+          ImageHash(r.doc_id, r.fmt, MediaCodec.aHash(r.payload))))
+        .toDF()
+        .groupBy(format_string("%016x", col("ahash")).as("ahash_hex"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fmt")).as("n_fmts"),
+          min("doc_id").as("rep"))
+        .where(col("n_docs") >= 2)
+        .orderBy("rep")
+    }),
+
     /** no-oracle: REAL decode (ImageIO / AudioSystem) + featurize of the
       * media batch, then per-format stats. Internally tested (known-image
       * and known-audio feature values, decoded-vs-declared geometry,

@@ -113,4 +113,41 @@ class MultimodalSpec extends AnyFunSuite {
     for (y <- 0 until 4; x <- 0 until 5)
       assert((img.getRGB(x, y) & 0xFFFFFF) === ops.MediaCodec.pixel(9L, x, y))
   }
+
+  test("aHash is format-invariant and discriminates content") {
+    // Same pixels, different containers → identical hash; different
+    // content keys → (for this corpus) distinct hashes.
+    val hashes = (0L until 8L).map { ck =>
+      val w = (ck % 17 + 8).toInt; val h = (ck % 13 + 8).toInt
+      val hp = ops.MediaCodec.aHash(ops.MediaCodec.encodeImage("png", ck, w, h))
+      val hb = ops.MediaCodec.aHash(ops.MediaCodec.encodeImage("bmp", ck, w, h))
+      assert(hp === hb, s"ck $ck: png/bmp aHash diverged")
+      hp
+    }
+    assert(hashes.distinct.size === hashes.size, "content collision")
+  }
+
+  test("mm_phash_dedup equals a driver-side clustering replay") {
+    // Replay: every doc with the same doc_id % 49 content key carries
+    // identical pixels, so clusters are exactly the ≥2-member content
+    // classes (unless two classes' hashes collide — the replay computes
+    // real hashes, so a merge would be replayed too).
+    val ids = Tables.table(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val byHash = ids.groupBy { id =>
+      val ck = id % 49
+      val w = (ck % 17 + 8).toInt; val h = (ck % 13 + 8).toInt
+      ops.MediaCodec.aHash(ops.MediaCodec.encodeImage("png", ck, w, h))
+    }
+    val want = byHash.collect { case (hash, ds) if ds.length >= 2 =>
+      ("%016x".format(hash), ds.length.toLong,
+        ds.map(_ % 2).distinct.length.toLong, ds.min)
+    }.toSet
+    val got = SparkEntry.queries("mm_phash_dedup")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    assert(want.exists(_._3 == 2),
+      "no cross-format cluster — the perceptual claim is untested")
+  }
 }
