@@ -330,13 +330,19 @@ object Aggs {
     // oracled — the same "sketch, but oracled where exact" stance as
     // agg_bitmap_distinct. The declared output re-sorts the returned
     // (item, count) structs by item so tie order inside the sketch's
-    // count-sorted array can't leak into the hash. At true 100 TB
+    // count-sorted array can't leak into the hash. k is set EQUAL to
+    // maxItemsTracked (r14, ADVICE fix): with k < capacity the output
+    // cap was a second, unguarded exactness assumption — the oracle
+    // enumerates ALL distinct event_types, so a corpus version with more
+    // than k types would diverge in row count even while the sketch
+    // stayed exact. k = capacity leaves exactly one guarded condition
+    // (distinct ≤ 100 ⇒ no eviction ⇒ exact). At true 100 TB
     // cardinalities the same call with a capped size degrades gracefully
     // to the Misra-Gries guarantee (error bounded by n/capacity).
     "agg_approx_topk" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""SELECT t.item AS event_type, t.count AS n FROM (
-        |  SELECT explode(approx_top_k(event_type, 10, 100)) AS t
+        |  SELECT explode(approx_top_k(event_type, 100, 100)) AS t
         |  FROM events)
         |ORDER BY event_type""".stripMargin)
     }),

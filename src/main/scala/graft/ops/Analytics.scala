@@ -342,11 +342,15 @@ object Analytics {
     // "no recent orders" is a LEFT ANTI join against the date-pruned
     // orders scan.
     "q22_dormant_value" -> ((s, dir) => {
+      // the positive-balance population filter runs on the RAW c_acctbal
+      // on both sides (r14, ADVICE fix): filtering on the rounded cents
+      // would silently exclude balances in (0, 0.005) that the oracle's
+      // `c_acctbal > 0` counts, shifting the average threshold.
       val cust = Tables.table(s, dir, "customer")
-        .select(col("c_custkey"),
+        .select(col("c_custkey"), col("c_acctbal"),
           col("c_nationkey").cast("int").as("cntrycode"),
           round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
-      val pos = cust.where(col("bal_c") > 0)
+      val pos = cust.where(col("c_acctbal") > 0)
         .agg(count(lit(1)).as("p_cnt"), sum(col("bal_c")).as("p_sum"))
       val recent = Tables.table(s, dir, "orders")
         .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))

@@ -260,15 +260,25 @@ object Pipeline {
     // Budget-capped quality selection — "the best docs per language that
     // fit a token budget": rank by lexical-diversity score (distinct/total
     // token ratio, the cheap repetition-penalizing proxy), admit in rank
-    // order while the running token total stays ≤ B. Two-level windows
-    // make this scale: the per-(lang, source) prefix sum prunes first —
-    // LOSSLESSLY, since a row's final per-lang cumulative is ≥ its
-    // within-source cumulative (the rows ahead of it in the final order
-    // are a superset of those ahead within its source), so any row whose
-    // source-local cumulative exceeds B can never be admitted. The final
-    // per-lang window then sees ≤ |sources|·B tokens per language — a
-    // bounded partition no matter how large the corpus — instead of the
-    // whole stratum landing on one of a handful of lang partitions.
+    // order while the running token total stays ≤ B. The semantic contract
+    // is the SINGLE per-lang prefix cut (the oracle's form); the two-level
+    // plan reproduces it exactly via boundary sentinels (r14, ADVICE fix —
+    // the old survivors-only prune was NOT lossless: pruned rows' tokens
+    // vanished from the final cumulative, so rows after a pruned row could
+    // be wrongly admitted). Rule: per (lang, source), keep rows whose
+    // EXCLUSIVE within-source prefix fits B (pre_cum − n_toks ≤ B). That
+    // set is all true candidates plus exactly one sentinel per exhausted
+    // source: the first over-budget row. Proof of equality with the single
+    // window: (i) any over row p has final cum ≥ pre_cum > B (rows ahead
+    // within source ⊆ rows ahead overall), so p* — the earliest over row
+    // across sources — and everything ranked after it is rejected by the
+    // oracle too; (ii) any row q ranked before p* has pre_cum(q) ≤ B
+    // (otherwise q's source's first over row would precede p*), so before
+    // p* no row was dropped and the kept-set cumulative IS the true
+    // cumulative. Admission = not-over ∧ no sentinel seen yet ∧
+    // cum ≤ B. Scale: the final per-lang window sees ≤ |sources|·(B-worth
+    // of rows + 1 sentinel) — bounded no matter the corpus size — instead
+    // of the whole stratum on one of a handful of lang partitions.
     "sample_budget_topk" -> ((s, dir) => {
       val toks = split(col("text"), " ")
       val ord = Seq(col("score").desc, col("doc_id"))
@@ -284,9 +294,15 @@ object Pipeline {
           (size(array_distinct(toks)).cast("double") / size(toks))
             .as("score"))
         .withColumn("pre_cum", sum(col("n_toks")).over(pre))
-        .where(col("pre_cum") <= SelectBudget)
-        .withColumn("cum_toks", sum(col("n_toks")).over(fin))
-        .where(col("cum_toks") <= SelectBudget)
+        // keep candidates + the first over-budget sentinel per source
+        .where(col("pre_cum") - col("n_toks") <= SelectBudget)
+        .withColumn("over", col("pre_cum") > SelectBudget)
+        .withColumn("bound_seen",
+          max(when(col("over"), 1).otherwise(0)).over(fin))
+        .withColumn("cum_toks",
+          sum(when(col("over"), 0L).otherwise(col("n_toks"))).over(fin))
+        .where(!col("over") && col("bound_seen") === 0 &&
+          col("cum_toks") <= SelectBudget)
         .select("lang", "doc_id", "n_toks", "score", "cum_toks")
         .orderBy("lang", "cum_toks")
     }),
@@ -1035,8 +1051,10 @@ object Pipeline {
        "CAST(doc_id AS VARCHAR)) AS skey " +
        "FROM e ORDER BY skey, epoch, doc_id"),
     "sample_budget_topk" ->
-      // no pre-prune needed here — the two-level prune is lossless, so
-      // the single-window form is the semantic contract
+      // the single-window prefix cut IS the semantic contract; the Spark
+      // side's boundary-sentinel two-level plan provably reproduces it
+      // (proof at the query site), so the oracle needs no replay of the
+      // pruning machinery
       ("WITH t AS (SELECT lang, doc_id, " +
        "CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks, " +
        "CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / " +

@@ -147,11 +147,19 @@ object TextQuality {
     // each doc's provenance URL derives deterministically from
     // (source, doc_id); the op under test is `parse_url` (native
     // expression, codegen) splitting HOST / PATH / QUERY param, then a
-    // per-domain rollup. Map-side parse + one two-phase agg.
+    // per-domain rollup. Map-side parse + one two-phase agg. The source
+    // label is sanitized to hostname-safe chars BEFORE URL construction
+    // (r14, ADVICE fix): parse_url rides java.net.URI, which returns
+    // NULL host for labels carrying '_'/uppercase/etc., while the DuckDB
+    // oracle concatenates strings unconditionally — sanitizing on BOTH
+    // sides removes the silent data-dependent divergence if source
+    // naming ever changes.
     "text_url_domain" -> ((s, dir) =>
       Tables.table(s, dir, "documents")
         .select(col("doc_id"),
-          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          concat(lit("https://"),
+            regexp_replace(lower(col("source")), "[^a-z0-9-]", "-"),
+            lit(".example.com/docs/"),
             col("doc_id") % 50, lit("?id="), col("doc_id")).as("url"))
         .select(col("doc_id"),
           parse_url(col("url"), lit("HOST")).as("host"),
@@ -264,8 +272,11 @@ object TextQuality {
   val oracles: Map[String, String] = Map(
     "text_url_domain" ->
       // DuckDB has no parse_url; the oracle rebuilds the three parts from
-      // the same deterministic construction.
-      ("WITH u AS (SELECT doc_id, source || '.example.com' AS host, " +
+      // the same deterministic construction, with the SAME hostname
+      // sanitization as the Spark side.
+      ("WITH u AS (SELECT doc_id, " +
+       "regexp_replace(lower(source), '[^a-z0-9-]', '-', 'g') " +
+       "|| '.example.com' AS host, " +
        "'/docs/' || CAST(doc_id % 50 AS VARCHAR) AS path, " +
        "doc_id AS qid FROM documents) " +
        "SELECT host, count(*) AS n_docs, " +

@@ -488,4 +488,33 @@ class PipelineSpec extends AnyFunSuite {
         s"digitless source must sample at the base rate, got $web of 200")
     } finally graft.Staging.deleteRecursively(dir)
   }
+
+  test("sample_budget_topk: boundary sentinel blocks admissions after a " +
+       "pruned row (single-window semantics)") {
+    import spark.implicits._
+    // The r13 ADVICE counterexample shape: one source dominates the top
+    // ranks and crosses the budget BEFORE any other source's first row.
+    // The true (single-window) rule rejects everything ranked after the
+    // crossing row; a survivors-only pre-prune would drop the crossing
+    // row's tokens and wrongly admit the other source's row. B = 1500:
+    // srcA docs 1,2,3 at 600 distinct tokens each (cum 600/1200/1800 —
+    // doc 3 crosses), srcB doc 10 at 250 tokens ranked after them (all
+    // scores 1.0, doc_id tie-break). True cums: 600,1200,1800,2050 →
+    // admit {1,2}. The buggy form admitted {1,2,10} (10's pruned-set cum
+    // 600+1200+250 = 2050−600 = 1450 ≤ B).
+    def doc(id: Long, src: String, n: Int) =
+      (id, (0 until n).map(i => s"w${id}_$i").mkString(" "), "en", src,
+        n.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sbt_edge_")
+    try {
+      Seq(doc(1L, "srcA", 600), doc(2L, "srcA", 600), doc(3L, "srcA", 600),
+          doc(10L, "srcB", 250))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = ops.Pipeline.queries("sample_budget_topk")(spark, dir.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 2L),
+        s"admitted set must equal the single-window prefix cut, got $got")
+    } finally graft.Staging.deleteRecursively(dir)
+  }
 }
