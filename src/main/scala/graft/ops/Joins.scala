@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{D, Staging, Tables}
 import graft.QueryDefs.Q
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -317,8 +317,142 @@ object Joins {
     "join_lateral" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(LateralSql)
+    }),
+
+    // Blocked fuzzy join (entity resolution): match a "dirty registry"
+    // (customer names with 1–2 deterministic digit substitutions — the
+    // OCR/typo error model) back to the clean dimension, match predicate
+    // = same nation ∧ Hamming distance ≤ 2 over the fixed-width name.
+    // Scale shape — never all-pairs:
+    //  - candidates come from PIGEONHOLE BLOCKING: the 9 digit positions
+    //    are split into 3 residue classes (positions ≡ i mod 3); ≤ 2
+    //    substitutions touch ≤ 2 classes, so every true match shares at
+    //    least one (class, value) block — the candidate set is provably
+    //    LOSSLESS. Interleaving (rather than contiguous slices) matters:
+    //    each class then contains a low-order digit, so block values stay
+    //    near-uniform instead of the high-digit classes collapsing into
+    //    one giant all-rows block (the dense-key PassJoin failure mode).
+    //  - the nation key rides in the block (composite blocking), cutting
+    //    candidate mass |nations|-fold — entity resolution always scopes
+    //    fuzzy matching under its hard keys.
+    //  - verification is exact Hamming computed in INTEGER space (the
+    //    digit suffix decomposed to a long once per row; 9 div/mod terms
+    //    per candidate), then best-match = min(struct(distance, key)) —
+    //    a two-phase hash aggregate with map-side partials, no window
+    //    sort; n_matches pins the full verified-candidate mass so a
+    //    lossy blocking change cannot pass.
+    // Candidate volume tracks the true-match volume (output-bounded) —
+    // the best any lossless ED join can do on a dense key domain.
+    "join_fuzzy_blocked" -> ((s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val dirty = cust.select(col("c_custkey").as("d_id"),
+          col("c_name").as("n0"), col("c_nationkey").as("d_nationkey"))
+        .withColumn("n1", expr(corruptSql("n0", "d_id % 9", "d_id")))
+        .withColumn("d_name",
+          when(col("d_id") % 3 === 0,
+            expr(corruptSql("n1", "(d_id * 5 + 3) % 9", "d_id")))
+          .otherwise(col("n1")))
+        .select("d_id", "d_name", "d_nationkey")
+      // Per-ROW enrichment (once per input row, NOT per candidate): the
+      // 9-char prefix, the digit suffix decomposed to a LONG, and the 3
+      // segment values. Everything evaluated per CANDIDATE below is then
+      // integer arithmetic / array element compares — the naive form (36
+      // substring allocations per pair) measured 3.3 s on the 1.2M
+      // candidates at sf0.1; this form is register math. Rows whose
+      // suffix does not parse as a number are dropped HERE (row level,
+      // declared contract: the blocked key is `<prefix><9 digits>`; a
+      // non-numeric suffix cannot arise from the digit-substitution
+      // error model). Keeping a general 18-substring Hamming as a
+      // conditional fallback instead measured +6 s at sf0.1 with the
+      // branch never taken — the dead branch pushed the generated
+      // method past the JIT's HugeMethodLimit and the whole stage ran
+      // interpreted.
+      def enrich(df: DataFrame, name: Column): DataFrame = df
+        .withColumn("pre", substring(name, 1, 9))
+        .withColumn("num", substring(name, 10, 9).cast("long"))
+        .where(col("num").isNotNull && length(name) === 18)
+        .withColumn("segv", array((0 to 2).map { i =>
+          concat(substring(name, 10 + i, 1), substring(name, 13 + i, 1),
+            substring(name, 16 + i, 1))
+        }: _*))
+      val dseg = enrich(dirty, col("d_name"))
+        .select(col("d_id"), col("d_nationkey"),
+          col("pre").as("d_pre"), col("num").as("d_num"),
+          col("segv").as("d_segv"),
+          posexplode(col("segv")).as(Seq("si", "sv")))
+      val cseg = enrich(cust, col("c_name"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("pre").as("c_pre"), col("num").as("c_num"),
+          col("segv").as("c_segv"),
+          posexplode(col("segv")).as(Seq("si", "sv")))
+      // exact Hamming over the fixed 18-char names: the digit Hamming of
+      // the two suffix longs (9 div/mod terms, pure register math) plus
+      // the prefix — one 9-byte equality on the hot path, per-char
+      // compares only in the (never-taken here) unequal-prefix branch.
+      val digitHam = (0 to 8).map { i =>
+        val p = math.pow(10, i).toLong
+        ((col("d_num") / p).cast("long") % 10 =!=
+          (col("c_num") / p).cast("long") % 10).cast("int")
+      }.reduce(_ + _)
+      val preHam = (1 to 9).map { i =>
+        (substring(col("d_pre"), i, 1) =!=
+          substring(col("c_pre"), i, 1)).cast("int")
+      }.reduce(_ + _)
+      val hamming = when(col("d_pre") === col("c_pre"), digitHam)
+        .otherwise(digitHam + preHam)
+      // each pair exactly once WITHOUT a distinct shuffle: a candidate
+      // from block i survives only if no EARLIER segment also matches
+      // (the standard multi-block dedup-free filter) — element compares
+      // on the per-row segment arrays, nothing recomputed per candidate
+      val firstMatch = (0 to 2).map { j =>
+        (lit(j) < dseg("si")) &&
+          element_at(col("d_segv"), j + 1) ===
+            element_at(col("c_segv"), j + 1)
+      }.reduce(_ || _)
+      val verified = dseg
+        .join(cseg, dseg("si") === cseg("si") && dseg("sv") === cseg("sv") &&
+          col("d_nationkey") === col("c_nationkey"))
+        .where(!firstMatch)
+        .withColumn("hamming", hamming.cast("long"))
+        .where(col("hamming") <= 2)
+        .select("d_id", "c_custkey", "hamming")
+      // best match = argmin (distance, key) — a two-phase hash aggregate
+      // with map-side partial min/count, NOT a window: no per-group sort,
+      // and the shuffle carries one partial row per (d_id, map partition)
+      // instead of every verified pair (measured: the row_number form
+      // cost 5+ s at sf0.1, this is sub-second)
+      verified
+        .groupBy(col("d_id"))
+        .agg(min(struct(col("hamming"), col("c_custkey"))).as("best"),
+          count(lit(1)).as("n_matches"))
+        .select(col("d_id"), col("best.c_custkey").as("match_id"),
+          col("best.hamming").as("hamming"), col("n_matches"))
+        .orderBy("d_id")
     })
   )
+
+  /** One deterministic digit substitution at 0-based digit position
+    * `pos` (within the 9-digit suffix of `Customer#%09d`): the new digit
+    * is old + 1 + (key mod 8), mod 10 — never equal to the old one. The
+    * SAME text (chr/ascii/substr/concat are portable) is spliced into
+    * the DuckDB oracle, so both engines corrupt identically. */
+  private def corruptSql(nameCol: String, posExpr: String,
+                         keyCol: String): String =
+    s"concat(substr($nameCol, 1, 9 + $posExpr), " +
+    s"chr(CAST(48 + (ascii(substr($nameCol, 10 + $posExpr, 1)) - 48 + 1 + " +
+    s"$keyCol % 8) % 10 AS INT)), " +
+    s"substr($nameCol, 11 + $posExpr, 8 - $posExpr))"
+
+  private def corruptDuck(nameCol: String, posExpr: String): String =
+    corruptSql(nameCol, posExpr, "d_id")
+
+  /** Pigeonhole block i (i ∈ 0..2): the 3 digit chars at 1-based name
+    * positions 10+i, 13+i, 16+i — the residue class i mod 3 of the
+    * 9-digit suffix. */
+  private def segDuck(name: String, i: Int): String =
+    s"concat(substr($name, ${10 + i}, 1), substr($name, ${13 + i}, 1), " +
+    s"substr($name, ${16 + i}, 1))"
 
   private[ops] val LateralSql =
     """SELECT n_name, c.c_name, c.c_acctbal
@@ -434,6 +568,34 @@ object Joins {
   val oracles: Map[String, String] = Map(
     "join_null_anti" -> NullAntiSql,
     "join_lateral" -> LateralSql,
+    "join_fuzzy_blocked" ->
+      // Same deterministic corruption (identical chr/ascii/substr text),
+      // candidates as the UNION of the three pigeonhole equi-joins
+      // (provably the full hamming≤2 pair set — see the query Scaladoc),
+      // DuckDB's native hamming() as the verifier, same best-match rule.
+      ("WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer), " +
+       "d0 AS (SELECT c_custkey AS d_id, c_name AS n0, " +
+       "  c_nationkey AS d_nationkey FROM customer), " +
+       "d1 AS (SELECT d_id, d_nationkey, " + corruptDuck("n0", "d_id % 9") +
+       "  AS n1 FROM d0), " +
+       "d AS (SELECT d_id, d_nationkey, CASE WHEN d_id % 3 = 0 THEN " +
+       corruptDuck("n1", "(d_id * 5 + 3) % 9") +
+       "  ELSE n1 END AS d_name FROM d1), " +
+       "cand AS (" + (0 to 2).map { i =>
+         s"SELECT d.d_id, d.d_name, c.c_custkey, c.c_name FROM d JOIN c " +
+         s"ON d.d_nationkey = c.c_nationkey AND ${segDuck("d.d_name", i)}" +
+         s" = ${segDuck("c.c_name", i)}"
+       }.mkString(" UNION ") + "), " +
+       "v AS (SELECT d_id, c_custkey, " +
+       "  CAST(hamming(d_name, c_name) AS BIGINT) AS hamming FROM cand " +
+       "  WHERE len(d_name) = 18 AND len(c_name) = 18 " +
+       "    AND hamming(d_name, c_name) <= 2) " +
+       "SELECT d_id, c_custkey AS match_id, hamming, n_matches FROM (" +
+       "  SELECT d_id, c_custkey, hamming, " +
+       "  CAST(count(*) OVER (PARTITION BY d_id) AS BIGINT) AS n_matches, " +
+       "  row_number() OVER (PARTITION BY d_id " +
+       "    ORDER BY hamming, c_custkey) AS rk FROM v) " +
+       "WHERE rk = 1 ORDER BY d_id"),
     "join_broadcast" ->
       ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +

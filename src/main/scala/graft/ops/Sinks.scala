@@ -333,6 +333,93 @@ object Sinks {
         .partitionBy("day").mode("overwrite").parquet(tmp.toString)
     }
 
+  private[graft] val RetBuckets = 16
+
+  /** The forget-set predicate (the "deletion request list"): every 37th
+    * user. Pure function of user_id so the DuckDB oracle replays it. */
+  private def isForget: org.apache.spark.sql.Column =
+    pmod(col("user_id"), lit(37)) === 3
+
+  /** Subject-aware retention store: events partitioned by (day,
+    * user_id mod 16). Clustering by data-subject bounds delete
+    * amplification — a forget request touches only its own buckets, not
+    * every file of every day. repartition on the partition pair routes
+    * each cell to exactly one task → exactly one file per cell
+    * (the files_after law); sortWithinPartitions makes file CONTENT
+    * deterministic so the CoW byte-identity check is meaningful. */
+  def ensureRetentionStore(s: SparkSession, dir: String): String =
+    publishSink(dir, "events", "events_ret_store_v1") { tmp =>
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("bkt", pmod(col("user_id"), lit(RetBuckets)).cast("int"))
+        .repartition(col("day"), col("bkt"))
+        .sortWithinPartitions("day", "bkt", "event_id")
+        .write.partitionBy("day", "bkt").mode("overwrite")
+        .parquet(tmp.toString)
+    }
+
+  /** Copy-on-write delete of the forget-set from the retention store:
+    *  1. the touched-cell list = distinct (day, bkt) of forget rows — a
+    *     bounded manifest-scale collect (≤ days × 16 entries; at 100 TB
+    *     this is the table-format manifest diff, which is driver-side in
+    *     real lakehouses too);
+    *  2. touched cells are re-read (static partition pruning: the isin
+    *     filters on the two partition columns prune to the touched
+    *     day×bkt superset before any row is read), anti-filtered, and
+    *     rewritten one file per cell;
+    *  3. every untouched cell's files are carried over BYTE-IDENTICAL
+    *     (filesystem copy here; a manifest pointer in a real lake).
+    * A touched cell whose every row was a forget row simply vanishes —
+    * files_after counts survivors' buckets, which the oracle replays. */
+  def ensureDeletedStore(s: SparkSession, dir: String): String =
+    publishSink(dir, "events", "events_ret_del_v1") { tmp =>
+      import java.nio.file.{Files, Paths}
+      val storeRoot = ensureRetentionStore(s, dir)
+      val store = s.read.parquet(storeRoot)
+      val touched = store.where(isForget)
+        .select(col("day").cast("string"), col("bkt"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      val days = touched.map(_._1).toSeq
+      val bkts = touched.map(_._2).toSeq
+      val cellKey = concat_ws("#", col("day").cast("string"),
+        col("bkt").cast("string"))
+      store
+        .where(col("day").isin(days.map(java.sql.Date.valueOf): _*) &&
+          col("bkt").isin(bkts: _*))
+        .where(cellKey.isin(touched.map(t => s"${t._1}#${t._2}").toSeq: _*))
+        .where(!isForget)
+        .repartition(col("day"), col("bkt"))
+        .sortWithinPartitions("day", "bkt", "event_id")
+        .write.partitionBy("day", "bkt").mode("overwrite")
+        .parquet(tmp.toString)
+      // carry over untouched cells byte-identical
+      val root = Paths.get(storeRoot)
+      val dayDirs = Files.list(root).iterator()
+      while (dayDirs.hasNext) {
+        val dayDir = dayDirs.next()
+        val dn = dayDir.getFileName.toString
+        if (dn.startsWith("day=")) {
+          val bktDirs = Files.list(dayDir).iterator()
+          while (bktDirs.hasNext) {
+            val bktDir = bktDirs.next()
+            val bn = bktDir.getFileName.toString
+            val cell = (dn.stripPrefix("day="),
+              bn.stripPrefix("bkt=").toInt)
+            if (bn.startsWith("bkt=") && !touched.contains(cell)) {
+              val dst = tmp.resolve(dn).resolve(bn)
+              Files.createDirectories(dst)
+              val fs = Files.list(bktDir).iterator()
+              while (fs.hasNext) {
+                val f = fs.next()
+                Files.copy(f, dst.resolve(f.getFileName.toString))
+              }
+            }
+          }
+        }
+      }
+    }
+
   /** Orders staged as XML (Spark 4 ships the data source built in) —
     * the B2B/legacy-feed ingest format. One row element per order;
     * timestamps carried as ISO strings so the read-back parse is
@@ -604,7 +691,43 @@ object Sinks {
             .as("doc_id"),
           col("length").as("n_bytes"),
           md5(col("content")).as("content_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Row-level retention delete (GDPR / right-to-be-forgotten) — the
+    // third leg of the lakehouse maintenance triad next to
+    // sink_compaction (OPTIMIZE) and sink_zorder (ZORDER). The store is
+    // laid out subject-aware — partitioned (day, user_id mod 16) so a
+    // forget-set's rows concentrate in few files — and the delete is
+    // COPY-ON-WRITE: only cells holding a forget row are rewritten
+    // (anti-filtered); untouched cells are carried over byte-identical
+    // (SinkDeleteSpec diffs the actual file bytes). The declared output
+    // proves both halves per day from the artifacts themselves:
+    // n_after/cents_after (read from the deleted store) equal the raw
+    // corpus minus the forget rows, and files_after — counted via
+    // input_file_name() — equals the layout law `count(DISTINCT
+    // user_id%16 among survivors)` (each cell is written by exactly one
+    // task → one file). bkts_touched/bkts_total pin the write
+    // amplification the subject-aware layout bought: only
+    // touched/total cells were rewritten.
+    "sink_delete" -> ((s, dir) => {
+      val store = s.read.parquet(ensureRetentionStore(s, dir))
+      val del = s.read.parquet(ensureDeletedStore(s, dir))
+        .withColumn("f", input_file_name())
+      val after = del.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents_after"),
+          countDistinct(col("f")).as("files_after"))
+      val law = store.groupBy(col("day"))
+        .agg(countDistinct(when(isForget, col("bkt"))).as("bkts_touched"),
+          countDistinct(col("bkt")).as("bkts_total"))
+      law.join(after, Seq("day"), "left")
+        .select(col("day").cast("timestamp").as("day"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("cents_after"), lit(0L)).as("cents_after"),
+          coalesce(col("files_after"), lit(0L)).as("files_after"),
+          col("bkts_touched"), col("bkts_total"))
+        .orderBy("day")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -626,6 +749,20 @@ object Sinks {
        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) " +
        "AS cents, " +
        "CAST(ceil(count(*) / 1000.0) AS BIGINT) AS files_after " +
+       "FROM events GROUP BY 1 ORDER BY day"),
+    "sink_delete" ->
+      // n_after/cents_after replay the anti-filter; files_after replays
+      // the one-file-per-surviving-bucket law; bkts_touched/bkts_total
+      // replay the subject-aware layout's write-amplification bound.
+      ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+       "count(*) FILTER (user_id % 37 <> 3) AS n_after, " +
+       "COALESCE(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) " +
+       "  FILTER (user_id % 37 <> 3) AS BIGINT), 0) AS cents_after, " +
+       "count(DISTINCT user_id % 16) FILTER (user_id % 37 <> 3) " +
+       "  AS files_after, " +
+       "count(DISTINCT CASE WHEN user_id % 37 = 3 THEN user_id % 16 END) " +
+       "  AS bkts_touched, " +
+       "count(DISTINCT user_id % 16) AS bkts_total " +
        "FROM events GROUP BY 1 ORDER BY day"),
     "sink_zorder" ->
       // Replays the dimension normalization and the Morton interleave

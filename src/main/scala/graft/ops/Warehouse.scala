@@ -1,0 +1,224 @@
+package graft.ops
+
+import graft.Tables
+import graft.QueryDefs.Q
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2 warehouse-maintenance surface: the two classic pre-publish
+  * ETL jobs the r13 verdict flagged as the top inventory gaps.
+  *
+  *  - `merge_scd2`: batch MERGE of a change batch into a slowly-changing
+  *    type-2 dimension (validity intervals + `is_current` flags) — the
+  *    single most common warehouse ETL pattern. The declared query runs
+  *    the INCREMENTAL path (build the dim from pre-cutoff history, then
+  *    merge the post-cutoff batch); the DuckDB oracle rebuilds the same
+  *    dim from the FULL change history with one `lead(effective_from)`
+  *    window — so the correctness gate itself proves merge ≡ rebuild.
+  *  - `dq_expectations`: the deequ/dbt-test-class data-quality report —
+  *    null-rate / range / uniqueness / referential-integrity assertions,
+  *    with the scan-level metrics collected via `Dataset.observe()` so
+  *    they ride an existing pass instead of paying their own scan.
+  */
+object Warehouse {
+
+  /** The merge boundary: history before it is the "existing" dimension,
+    * events at/after it are the incoming change batch (~half the corpus
+    * on either side — the events table spans 2024-01). */
+  private val Scd2Cutoff = "2024-01-16 00:00:00"
+
+  /** CDC tie rule: one state per (entity, ts) — the LAST event wins
+    * (highest event_id), the standard changelog compaction. */
+  private def lastPerTs(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    df.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn", "event_id")
+  }
+
+  /** Changelog → change set: drop rows whose state equals the previous
+    * state of the same entity (consecutive-duplicate suppression). */
+  private def changesOnly(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    df.withColumn("pv", lag(col("event_type"), 1).over(w))
+      .where(col("pv").isNull || col("pv") =!= col("event_type"))
+      .drop("pv")
+  }
+
+  /** Change set → SCD2 rows: validity interval = [ts, next change ts),
+    * open (NULL, is_current) for the latest version. */
+  private def scd2(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    changes
+      .withColumn("effective_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+  }
+
+  /** Reference semantics for the spec: the dim rebuilt from the FULL
+    * change history in one pass (exactly what the DuckDB oracle does). */
+  private[graft] def rebuildFull(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("effective_from"))
+    scd2(changesOnly(lastPerTs(ev)))
+      .withColumn("version", row_number().over(wVer))
+      .orderBy("user_id", "effective_from")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Batch SCD2 MERGE. Entity = user_id, tracked attribute = the user's
+    // latest event_type ("current state"). The incremental path:
+    //   1. base dim = SCD2 build over pre-cutoff history;
+    //   2. the delta batch is change-detected ACROSS the boundary by
+    //      seeding each entity's window with its current dim row (so a
+    //      delta event equal to the entity's current state is correctly
+    //      NOT a change — the classic merge bug this seeding avoids);
+    //   3. closed base rows pass through untouched; each entity's current
+    //      row is closed out by its first new change (one aggregate +
+    //      one equi-join on the entity key); new versions chain among
+    //      themselves with one more lead() window.
+    // At 100 TB the posture is: the delta (days) is change-detected and
+    // windowed at delta scale; the base dim is touched only by an
+    // entity-key equi-join against the (small) set of changed entities —
+    // history is never re-windowed. All shuffles hash on user_id.
+    // Determinism: ts is unique per entity after the (user, ts) tie rule,
+    // so every window order and the version numbering are total.
+    "merge_scd2" -> ((s, dir) => {
+      val cutoff = lit(Scd2Cutoff).cast("timestamp")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      val base = scd2(changesOnly(lastPerTs(ev.where(col("ts") < cutoff))))
+      val delta = lastPerTs(ev.where(col("ts") >= cutoff))
+
+      // boundary seeds: the current dim row replayed as a pseudo-event at
+      // its own effective_from (strictly before every delta ts)
+      val seeds = base.where(col("is_current"))
+        .select(col("user_id"), col("effective_from").as("ts"),
+          col("state").as("event_type"), lit(true).as("seed"))
+      val merged = changesOnly(
+        seeds.unionByName(delta.withColumn("seed", lit(false))))
+
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val newV = merged.where(!col("seed"))
+        .withColumn("nxt", lead(col("ts"), 1).over(wUser))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("effective_from"), col("nxt").as("effective_to"),
+          col("nxt").isNull.as("is_current"))
+
+      val firstNew = newV.groupBy("user_id")
+        .agg(min(col("effective_from")).as("close_ts"))
+      val baseUpd = base.join(firstNew, Seq("user_id"), "left")
+        .withColumn("effective_to",
+          when(col("is_current") && col("close_ts").isNotNull,
+            col("close_ts")).otherwise(col("effective_to")))
+        .withColumn("is_current", col("is_current") && col("close_ts").isNull)
+        .drop("close_ts")
+
+      val wVer = Window.partitionBy(col("user_id"))
+        .orderBy(col("effective_from"))
+      baseUpd.unionByName(newV)
+        .withColumn("version", row_number().over(wVer))
+        .orderBy("user_id", "effective_from")
+    }),
+
+    // Data-quality expectations (the pre-publish gate every production
+    // pipeline runs): a long-format report (dq_check, observed, passed).
+    //  - Scan-shaped metrics (row count, null rate, range violations) are
+    //    collected with Dataset.observe(): they ride the SAME pass that
+    //    the uniqueness check's shuffle consumes — zero extra scans, the
+    //    exact accumulator mechanism deequ uses.
+    //  - Uniqueness of the candidate key is a genuine groupBy shuffle (no
+    //    observe aggregate can see across rows of a key) — its action is
+    //    what materializes the observation.
+    //  - Referential integrity is a LEFT ANTI join against the dimension
+    //    keys; at 100 TB both sides hash on the key and the orphan count
+    //    is the only thing that comes back.
+    // The report itself is a handful of driver-side rows (bounded, like
+    // the ANN centroid collects). Every `observed` is an exact long, so
+    // the key hash-matches the oracle's plain-SQL replay.
+    "dq_expectations" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      val custKeys = Tables.table(s, dir, "customer").select(col("c_custkey"))
+      val obs = Observation("dq_orders")
+      val observed = o.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("nonpos_price"),
+        sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+                 col("o_orderdate") >= lit("2002-01-01").cast("timestamp"),
+          1L).otherwise(0L)).as("date_out_of_range"))
+      val dupPk = observed.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("k")).where(col("k") > 1)
+        .agg(count(lit(1)).as("dup")).head().getLong(0)
+      val m = obs.get
+      val orphans = o.join(custKeys,
+        col("o_custkey") === col("c_custkey"), "left_anti").count()
+
+      val nRows = m("n_rows").asInstanceOf[Long]
+      val nullCk = m("null_custkey").asInstanceOf[Long]
+      val nonPos = m("nonpos_price").asInstanceOf[Long]
+      val oor = m("date_out_of_range").asInstanceOf[Long]
+      import s.implicits._
+      Seq(
+        ("not_null_o_custkey", nullCk, nullCk == 0L),
+        ("range_o_orderdate_1992_2002", oor, oor == 0L),
+        ("range_o_totalprice_gt0", nonPos, nonPos == 0L),
+        ("ref_o_custkey_in_customer", orphans, orphans == 0L),
+        ("row_count_min_1", nRows, nRows >= 1L),
+        ("unique_o_orderkey", dupPk, dupPk == 0L))
+        .toDF("dq_check", "observed", "passed")
+        .orderBy("dq_check")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "merge_scd2" ->
+      // Full-history rebuild: one lead(effective_from) window over the
+      // replayable change set — equality with the Spark side's
+      // incremental merge is the whole point of the gate.
+      ("WITH e1 AS (SELECT user_id, ts, event_type, row_number() OVER (" +
+       "  PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+       "  FROM events), " +
+       "e2 AS (SELECT user_id, ts, event_type FROM e1 WHERE rn = 1), " +
+       "ch AS (SELECT user_id, ts, event_type, lag(event_type) OVER (" +
+       "  PARTITION BY user_id ORDER BY ts) AS pv FROM e2), " +
+       "v AS (SELECT user_id, event_type AS state, ts AS effective_from " +
+       "  FROM ch WHERE pv IS NULL OR pv <> event_type) " +
+       "SELECT user_id, state, effective_from, " +
+       "lead(effective_from) OVER (PARTITION BY user_id " +
+       "  ORDER BY effective_from) AS effective_to, " +
+       "lead(effective_from) OVER (PARTITION BY user_id " +
+       "  ORDER BY effective_from) IS NULL AS is_current, " +
+       "CAST(row_number() OVER (PARTITION BY user_id " +
+       "  ORDER BY effective_from) AS INT) AS version " +
+       "FROM v ORDER BY user_id, effective_from"),
+    "dq_expectations" ->
+      ("WITH m AS (SELECT count(*) AS n_rows, " +
+       "  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_ck, " +
+       "  sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos, " +
+       "  sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01' OR " +
+       "    o_orderdate >= TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END) " +
+       "    AS oor FROM orders), " +
+       "dup AS (SELECT count(*) AS d FROM (SELECT o_orderkey FROM orders " +
+       "  GROUP BY 1 HAVING count(*) > 1)), " +
+       "orph AS (SELECT count(*) AS d FROM orders o WHERE NOT EXISTS (" +
+       "  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) " +
+       "SELECT * FROM (" +
+       "SELECT 'not_null_o_custkey' AS dq_check, " +
+       "  CAST(null_ck AS BIGINT) AS observed, null_ck = 0 AS passed " +
+       "  FROM m " +
+       "UNION ALL SELECT 'range_o_orderdate_1992_2002', " +
+       "  CAST(oor AS BIGINT), oor = 0 FROM m " +
+       "UNION ALL SELECT 'range_o_totalprice_gt0', " +
+       "  CAST(nonpos AS BIGINT), nonpos = 0 FROM m " +
+       "UNION ALL SELECT 'ref_o_custkey_in_customer', " +
+       "  CAST(d AS BIGINT), d = 0 FROM orph " +
+       "UNION ALL SELECT 'row_count_min_1', " +
+       "  CAST(n_rows AS BIGINT), n_rows >= 1 FROM m " +
+       "UNION ALL SELECT 'unique_o_orderkey', " +
+       "  CAST(d AS BIGINT), d = 0 FROM dup) ORDER BY dq_check"))
+}

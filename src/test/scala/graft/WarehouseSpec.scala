@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 warehouse-maintenance + entity-resolution operators:
+  *  - merge_scd2: the incremental MERGE path must equal the full-history
+  *    rebuild (the gate's oracle law), the validity intervals must tile,
+  *    and the boundary dedup must suppress a delta event equal to the
+  *    entity's current state (the classic merge bug);
+  *  - dq_expectations: a deliberately dirty corpus must trip every check
+  *    with the exact violation counts;
+  *  - join_fuzzy_blocked: the blocked plan must equal the brute-force
+  *    all-pairs (nation, hamming≤2) best-match — pigeonhole losslessness
+  *    checked against an oracle that never blocks.
+  */
+class WarehouseSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("merge_scd2: incremental merge equals full-history rebuild") {
+    val merged = SparkEntry.queries("merge_scd2")(spark, sf)
+    val rebuilt = ops.Warehouse.rebuildFull(spark, sf)
+    assert(rowSet(merged) === rowSet(rebuilt))
+  }
+
+  test("merge_scd2: validity intervals tile and exactly one current row " +
+       "per entity") {
+    val dim = SparkEntry.queries("merge_scd2")(spark, sf).cache()
+    try {
+      // one open row per entity, and it is the max-version row
+      val cur = dim.where(col("is_current"))
+      assert(cur.where(col("effective_to").isNotNull).count() === 0)
+      val users = dim.select("user_id").distinct().count()
+      assert(cur.count() === users)
+      // intervals tile: effective_to(v) == effective_from(v+1)
+      val nxt = dim.select(col("user_id"), (col("version") - 1).as("version"),
+        col("effective_from").as("nf"))
+      val holes = dim.join(nxt, Seq("user_id", "version"))
+        .where(col("effective_to") =!= col("nf"))
+      assert(holes.count() === 0)
+    } finally dim.unpersist()
+  }
+
+  test("merge_scd2: a delta event equal to the current state is not a " +
+       "new version (boundary dedup)") {
+    import spark.implicits._
+    // cutoff is 2024-01-16; u1 changes A→B before it, then replays B (no
+    // change) and moves to C after it; u2 has pre-cutoff history only;
+    // u3 appears only in the delta.
+    def ev(id: Long, d: Int, u: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), u, t,
+        1.0, "{}")
+    val rows = Seq(
+      ev(1, 1, 1, "A"), ev(2, 5, 1, "B"),
+      ev(3, 20, 1, "B"), ev(4, 22, 1, "C"),
+      ev(5, 2, 2, "A"),
+      ev(6, 25, 3, "D"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_")
+    try {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("merge_scd2")(spark, dir.toString)
+        .select("user_id", "state", "version", "is_current")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getBoolean(3))).toSet
+      assert(got === Set(
+        (1L, "A", 1, false), (1L, "B", 2, false), (1L, "C", 3, true),
+        (2L, "A", 1, true),
+        (3L, "D", 1, true)),
+        s"boundary dedup must suppress the replayed B, got $got")
+    } finally graft.Staging.deleteRecursively(dir)
+  }
+
+  test("dq_expectations: clean corpus passes every check") {
+    val rep = SparkEntry.queries("dq_expectations")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rep.size === 6)
+    assert(rep.values.forall(_._2), s"clean corpus must pass all: $rep")
+    assert(rep("row_count_min_1")._1 > 0)
+  }
+
+  test("dq_expectations: dirty corpus trips every check with exact counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq_")
+    try {
+      def o(k: Long, c: java.lang.Long, p: Double, d: String) =
+        (k, c, "O", p, java.sql.Timestamp.valueOf(d + " 00:00:00"), "1-URGENT")
+      Seq(
+        o(1, 10L, 100.0, "1995-06-01"),
+        o(1, 10L, 100.0, "1995-06-02"),          // dup key (counts once)
+        o(2, null, 100.0, "1995-06-03"),          // null fk
+        o(3, 10L, -5.0, "1995-06-04"),            // nonpositive price
+        o(4, 99L, 100.0, "1995-06-05"),           // orphan fk
+        o(5, 10L, 100.0, "2005-01-01"))           // date out of range
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.parquet(s"$dir/orders.parquet")
+      Seq((10L, "Customer#000000010", 1, 0.0, "BUILDING"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+        .write.parquet(s"$dir/customer.parquet")
+      val rep = SparkEntry.queries("dq_expectations")(spark, dir.toString)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+        .toMap
+      assert(rep("unique_o_orderkey") === ((1L, false)))
+      assert(rep("not_null_o_custkey") === ((1L, false)))
+      assert(rep("range_o_totalprice_gt0") === ((1L, false)))
+      assert(rep("range_o_orderdate_1992_2002") === ((1L, false)))
+      // orphans = rows with no matching dimension key: the 99L row AND
+      // the null-fk row (a null key matches nothing under either the
+      // anti join or the oracle's NOT EXISTS — both count it)
+      assert(rep("ref_o_custkey_in_customer") === ((2L, false)))
+      assert(rep("row_count_min_1") === ((6L, true)))
+    } finally graft.Staging.deleteRecursively(dir)
+  }
+
+  test("join_fuzzy_blocked: blocked plan equals brute-force best match " +
+       "(pigeonhole losslessness)") {
+    val cust = Tables.table(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    def corrupt1(name: String, k: Long, pos: Int): String = {
+      val i = 9 + pos
+      val nd = ((name(i) - '0') + 1 + (k % 8).toInt) % 10
+      name.substring(0, i) + ('0' + nd).toChar + name.substring(i + 1)
+    }
+    def dirtyName(name: String, k: Long): String = {
+      val n1 = corrupt1(name, k, (k % 9).toInt)
+      if (k % 3 == 0) corrupt1(n1, k, ((k * 5 + 3) % 9).toInt) else n1
+    }
+    def ham(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val expected = cust.map { case (k, name, nat) =>
+      val d = dirtyName(name, k)
+      val matches = cust.filter { case (_, cn, cnat) =>
+        cnat == nat && ham(d, cn) <= 2 }
+      val best = matches.minBy { case (ck, cn, _) => (ham(d, cn), ck) }
+      (k, best._1, ham(d, best._2).toLong, matches.length.toLong)
+    }.toSet
+    val got = SparkEntry.queries("join_fuzzy_blocked")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+  }
+}
