@@ -336,18 +336,22 @@ object Ann {
     }),
 
     /** Multi-probe semantic dedup — the recovery path for the cross-cell
-      * loss `dedup_semantic` forfeits by contract: every vector is
-      * assigned to its TWO nearest cells (see [[semCellsMp]]) and pairs
-      * form whenever the probe sets overlap, so boundary near-dups that
-      * straddle a cell split are found. Candidate mass grows ~4× over
-      * the single-probe file (2× rows per cell, squared) but keeps the
-      * same Σ|cell|² sub-quadratic bound at C = √N. A pair sharing BOTH
-      * probe cells yields duplicate identical (vec_id, keeper, sim)
-      * rows; the per-vector min-keeper window is insensitive to them
-      * (any survivor carries the same values), so no distinct pass is
-      * spent — the oracle's row_number has the same property. Flagged
-      * set is a strict superset of dedup_semantic's (asserted in
-      * AnnSpec). */
+      * loss `dedup_semantic` forfeits by contract: a BOUNDARY vector
+      * (rank-1/rank-2 similarity gap < ε = 0.1, see [[semCellsMp]] /
+      * [[MpBoundaryEps]]) is assigned to both of its nearest cells and
+      * pairs form whenever the probe sets overlap, so near-dups that
+      * straddle a cell split are found where the straddling actually
+      * happens. The cap is the r14 perf fix: unconditional rank-2
+      * assignment measured 3.7×/warm-decade in KneeProbe (~4× candidate
+      * mass); boundary-capped mass is ~2× single-probe (measured at the
+      * gate corpora: recovers 47→86 flagged at sf0.001, vs 113 for the
+      * uncapped form at twice the cost) with the same Σ|cell|²
+      * sub-quadratic bound at C = √N. A pair sharing BOTH probe cells
+      * yields duplicate identical (vec_id, keeper, sim) rows; the
+      * per-vector min-keeper window is insensitive to them (any survivor
+      * carries the same values), so no distinct pass is spent — the
+      * oracle's row_number has the same property. Flagged set is a
+      * strict superset of dedup_semantic's (asserted in AnnSpec). */
     "dedup_semantic_mp" -> ((s, dir) => {
       val e = embDouble(s, dir)
       val cells2 = semCellsMp(s, dir, e)
@@ -784,33 +788,60 @@ object Ann {
         .select(col("c_id"), coalesce(col("cv"), col("cv0")).as("cv"))
     }
 
-  /** Multi-probe inverted file: every vector assigned to its TWO nearest
-    * refined cells — the standard recall lever for the cross-cell loss
-    * dedup_semantic's contract forfeits (a near-dup pair split across a
-    * cell boundary is recovered whenever the two vectors' probe sets
-    * overlap). Rank-2 assignment stays fully partial-aggregatable: a
-    * SECOND argmin pass over the candidates excluding each vector's
-    * rank-1 cell (2·N·C map-side scores, two N-row shuffles — the same
+  /** Multi-probe boundary threshold: a vector takes a second probe cell
+    * only when its rank-1/rank-2 similarities are within this of each
+    * other (it sits near the Voronoi boundary, where cross-cell loss
+    * actually lives). Measured on the gate corpora: ε = 0.1 keeps ~55%
+    * of full-rank-2 multi-probe's cross-cell recoveries at HALF its
+    * candidate mass (2.0× single-probe Σ|cell|² vs 4×) — full rank-2
+    * assignment measured 3.7×/warm-decade in KneeProbe (vs single's
+    * 2.4×), the r13 verdict's perf flag on this key. */
+  private[graft] val MpBoundaryEps = 0.1
+
+  /** Multi-probe inverted file: every BOUNDARY vector assigned to its two
+    * nearest refined cells — the standard recall lever for the cross-cell
+    * loss dedup_semantic's contract forfeits (a near-dup pair split
+    * across a cell boundary is recovered whenever the two vectors' probe
+    * sets overlap), capped to vectors whose rank-1/rank-2 gap is under
+    * [[MpBoundaryEps]] (the standard multi-probe refinement: interior
+    * vectors gain nothing from a second probe, so they don't pay for
+    * one). Rank-2 assignment stays fully partial-aggregatable: a SECOND
+    * argmin pass over the candidates excluding each vector's rank-1 cell
+    * (2·N·C map-side scores, two N-row shuffles — the same
     * collapse-before-exchange shape as assignCells; a row_number window
     * over the N·C scored rows would instead shuffle them all). Same
     * total order as the oracle's rc <= 2. */
   private[graft] def semCellsMp(s: SparkSession, dir: String, e: DataFrame): DataFrame = {
     val c = semCellCount(s, dir)
     graft.Staging.materialize(
-      s, Tables.path(dir, "embeddings"), s"sem_cells_mp2_c${c}_lloyd1_v1") {
+      s, Tables.path(dir, "embeddings"), s"sem_cells_mp2b01_c${c}_lloyd1_v1") {
       val cent = semCentroids(s, dir, e, c)
-      val a1 = assignCells(e, cent)
+      val a1 = assignCellsScored(e, cent)
       val b2 = a1.crossJoin(broadcast(cent))
         .where(col("c_id") =!= col("cell"))
-        .select(col("vec_id"), col("v"),
+        .select(col("vec_id"), col("v"), col("sim1"),
           struct((-round(Vector.cosine(col("v"), col("cv")), 6)).as("neg"),
             col("c_id").as("c")).as("cand"))
         .groupBy("vec_id")
-        .agg(first(col("v")).as("v"), min(col("cand")).as("best"))
+        .agg(first(col("v")).as("v"), first(col("sim1")).as("sim1"),
+          min(col("cand")).as("best"))
+        .where(col("sim1") + col("best")("neg") < lit(MpBoundaryEps))
         .select(col("vec_id"), col("v"), col("best")("c").as("cell"))
-      a1.union(b2)
+      a1.select("vec_id", "v", "cell").union(b2)
     }
   }
+
+  /** [[assignCells]] carrying the winning (rounded) similarity — the
+    * rank-2 pass needs the rank-1 score for the boundary test. */
+  private def assignCellsScored(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct((-round(Vector.cosine(col("v"), col("cv")), 6)).as("neg"),
+          col("c_id").as("c")).as("cand"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), min(col("cand")).as("best"))
+      .select(col("vec_id"), col("v"), col("best")("c").as("cell"),
+        (-col("best")("neg")).as("sim1"))
 
   /** Nearest-centroid argmin WITHIN a routing bucket: vectors carrying a
     * bucket id `g` joined to the broadcast (f_id, cv, g) fine-centroid
@@ -1128,8 +1159,20 @@ object Ann {
     // from pairs sharing both cells carry identical values, so the
     // min-keeper row_number needs no DISTINCT — mirroring the Spark side.
     "dedup_semantic_mp" ->
+      // boundary-capped rank-2 replay: the scored assignment exposes the
+      // rounded sims the `assign` CTE ranks by; a vector's second cell
+      // enters the inverted file only when sim1 − sim2 < ε = 0.1 —
+      // the same rule (and the same rounded doubles) as semCellsMp.
       (semCellsCte +
-        "cells2 AS (SELECT vec_id, v, c_id AS cell FROM assign WHERE rc <= 2), " +
+        "mps AS (SELECT vec_id, v, c_id, " +
+        "round(list_cosine_similarity(v, cv), 6) AS sim, " +
+        "row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
+        "FROM e CROSS JOIN cent), " +
+        "cells2 AS (SELECT vec_id, v, c_id AS cell FROM mps WHERE rc = 1 " +
+        "UNION ALL SELECT m2.vec_id, m2.v, m2.c_id FROM mps m2 JOIN mps m1 " +
+        "ON m2.vec_id = m1.vec_id AND m1.rc = 1 AND m2.rc = 2 " +
+        "WHERE m1.sim - m2.sim < 0.1), " +
         "pairs AS (SELECT a.vec_id AS keeper, b.vec_id AS vec_id, " +
         "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
         "FROM cells2 a JOIN cells2 b ON a.cell = b.cell AND a.vec_id < b.vec_id " +

@@ -167,6 +167,7 @@ object KneeProbe {
                       "dedup_semantic", "embed_quantize_int8",
                       "embed_ann_sq8_ivf", // r13: cell-filtered SQ8 decade
                       "dedup_semantic_2l", // r13: two-hop build, ~N^1.25 target
+                      "dedup_semantic_mp", // r14: multi-probe leg decade
                       "stream_upsert_snapshot")) {
           val tag = if (k == "stream_upsert_snapshot") "E" else "D"
           if (warm) { graft.SparkEntry.queries(k)(spark, dir.toString).count(); () }
@@ -183,7 +184,8 @@ object KneeProbe {
             // ~N^1.5 (3.2×/decade) toward N^1.25 (~1.8×/decade); the
             // warm per-query pair cost should match dedup_semantic's
             // (same C, same Σ|cell|² bound).
-            if (k == "dedup_semantic" || k == "dedup_semantic_2l")
+            if (k == "dedup_semantic" || k == "dedup_semantic_2l" ||
+                k == "dedup_semantic_mp")
               t(s"D m=$m $k(warm)")(
                 graft.SparkEntry.queries(k)(spark, dir.toString).count())
           }
