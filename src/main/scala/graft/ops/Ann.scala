@@ -721,25 +721,48 @@ object Ann {
     math.max(NumCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
   }
 
+  /** (2e6 − sim·1e6) << 32 | id — the argmin order (rounded cosine DESC,
+    * id ASC) packed into ONE long: sim is first canonically rounded to 6
+    * decimals (the value every oracle replays), its tick count is exact
+    * in [−1e6, 1e6], and the +2e6 bias keeps the high word positive.
+    * min over this long ≡ min over struct((−sim, id)) — but a long
+    * buffer keeps the aggregate inside codegen'd HashAggregateExec,
+    * where ANY struct/array buffer (the old min(struct) + first(v) form)
+    * silently demoted the whole aggregate to SortAggregateExec: a
+    * per-partition SORT of the N·C scored stream (r14 PlanSweep
+    * finding, the same class of degradation as join_fuzzy_blocked's
+    * window argmin). */
+  private def packScore(v: Column, cv: Column, id: Column): Column =
+    shiftleft(lit(2000000L) -
+      round(round(Vector.cosine(v, cv), 6) * 1e6, 0).cast("long"), 32) + id
+
+  private def packedCell(p: Column): Column =
+    p.bitwiseAND(lit(0xFFFFFFFFL))
+
   /** Nearest-cell assignment of `e` (vec_id, v) against a centroid
     * RELATION (c_id, cv) — the derived-C twin of [[nearestCells]]'s
     * literal-expression argmax. At C = √N the literal form stops being
     * viable (hundreds of inlined cosines blow past codegen limits and
     * the driver would hold every centroid as an expression tree), so the
-    * scale shape is a broadcast join + min(struct) argmin: partial
-    * aggregation collapses the N·C scored rows to N map-side before any
-    * shuffle, and min over struct((-sim, c_id)) is the same total order
-    * as the search keys' (rounded cosine DESC, c_id) row_number. The
-    * centroid side is √N rows — broadcastable far beyond any corpus
-    * size that fits a cluster (10¹² vectors → 10⁶ centroids). */
+    * scale shape is a broadcast join + packed-long argmin
+    * ([[packScore]]): the scored stream is projected NARROW (vec_id,
+    * packed) before aggregation — the 64-dim vectors never ride the
+    * argmin, they are re-attached by one equi-join on the unique vec_id
+    * afterwards — and partial hash aggregation collapses the N·C rows
+    * to N map-side before any shuffle. Same total order as the search
+    * keys' (rounded cosine DESC, c_id) row_number. The centroid side is
+    * √N rows — broadcastable far beyond any corpus size that fits a
+    * cluster (10¹² vectors → 10⁶ centroids). */
   private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"),
-        struct((-round(Vector.cosine(col("v"), col("cv")), 6)).as("neg"),
-          col("c_id").as("c")).as("cand"))
-      .groupBy("vec_id")
-      .agg(first(col("v")).as("v"), min(col("cand")).as("best"))
-      .select(col("vec_id"), col("v"), col("best")("c").as("cell"))
+    e.select(col("vec_id"), col("v")).join(
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          packScore(col("v"), col("cv"), col("c_id")).as("p"))
+        .groupBy("vec_id").agg(min(col("p")).as("p"))
+        .select(col("vec_id"), packedCell(col("p")).as("cell"))
+        // narrow build side: hash join, never a sort of the wide rows
+        .hint("shuffle_hash"),
+      "vec_id")
 
   /** The semantic-dedup inverted file: corpus assigned to C = √N
     * Lloyd-refined cells, staged per corpus version (the C in the
@@ -817,46 +840,55 @@ object Ann {
       s, Tables.path(dir, "embeddings"), s"sem_cells_mp2b01_c${c}_lloyd1_v1") {
       val cent = semCentroids(s, dir, e, c)
       val a1 = assignCellsScored(e, cent)
+      // rank-2 argmin over the OTHER cells, same narrow packed-long
+      // shape as assignCells; the ε-boundary test runs in tick space
+      // (pure long arithmetic — ticks are exact, so this is the same
+      // predicate the oracle evaluates on the rounded sims)
       val b2 = a1.crossJoin(broadcast(cent))
         .where(col("c_id") =!= col("cell"))
-        .select(col("vec_id"), col("v"), col("sim1"),
-          struct((-round(Vector.cosine(col("v"), col("cv")), 6)).as("neg"),
-            col("c_id").as("c")).as("cand"))
-        .groupBy("vec_id")
-        .agg(first(col("v")).as("v"), first(col("sim1")).as("sim1"),
-          min(col("cand")).as("best"))
-        .where(col("sim1") + col("best")("neg") < lit(MpBoundaryEps))
-        .select(col("vec_id"), col("v"), col("best")("c").as("cell"))
+        .select(col("vec_id"),
+          packScore(col("v"), col("cv"), col("c_id")).as("p"))
+        .groupBy("vec_id").agg(min(col("p")).as("p"))
+        .hint("shuffle_hash")
+        .join(a1.select(col("vec_id"), col("v"), col("s1b")), "vec_id")
+        .where(shiftright(col("p"), 32) - col("s1b") <
+          lit(math.round(MpBoundaryEps * 1e6)))
+        .select(col("vec_id"), col("v"), packedCell(col("p")).as("cell"))
       a1.select("vec_id", "v", "cell").union(b2)
     }
   }
 
-  /** [[assignCells]] carrying the winning (rounded) similarity — the
-    * rank-2 pass needs the rank-1 score for the boundary test. */
+  /** [[assignCells]] carrying the winning score's packed high word
+    * (`s1b` = 2e6 − sim1·1e6) — the rank-2 pass needs the rank-1 score
+    * for the boundary test, and in tick space that test is pure integer
+    * arithmetic: sim1 − sim2 < ε ⟺ s2b − s1b < ε·1e6. */
   private def assignCellsScored(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"),
-        struct((-round(Vector.cosine(col("v"), col("cv")), 6)).as("neg"),
-          col("c_id").as("c")).as("cand"))
-      .groupBy("vec_id")
-      .agg(first(col("v")).as("v"), min(col("cand")).as("best"))
-      .select(col("vec_id"), col("v"), col("best")("c").as("cell"),
-        (-col("best")("neg")).as("sim1"))
+    e.select(col("vec_id"), col("v")).join(
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          packScore(col("v"), col("cv"), col("c_id")).as("p"))
+        .groupBy("vec_id").agg(min(col("p")).as("p"))
+        .select(col("vec_id"), packedCell(col("p")).as("cell"),
+          shiftright(col("p"), 32).as("s1b"))
+        .hint("shuffle_hash"),
+      "vec_id")
 
   /** Nearest-centroid argmin WITHIN a routing bucket: vectors carrying a
     * bucket id `g` joined to the broadcast (f_id, cv, g) fine-centroid
-    * relation on `g`, then the same map-side min(struct) collapse as
-    * [[assignCells]] — scored pairs are Σ_g |Vg|·|Fg| instead of N·C,
-    * which is where the two-level build's N^1.25 lives. Same total
+    * relation on `g`, then the same narrow packed-long hash argmin as
+    * [[assignCells]] (vectors re-attached by the vec_id equi-join, never
+    * riding the aggregate) — scored pairs are Σ_g |Vg|·|Fg| instead of
+    * N·C, which is where the two-level build's N^1.25 lives. Same total
     * order as the oracle's row_number (rounded cosine DESC, f_id). */
   private def assignInBucket(vecs: DataFrame, cent: DataFrame): DataFrame =
-    vecs.join(broadcast(cent), "g")
-      .select(col("vec_id"), col("v"),
-        struct((-round(Vector.cosine(col("v"), col("cv")), 6)).as("neg"),
-          col("f_id").as("c")).as("cand"))
-      .groupBy("vec_id")
-      .agg(first(col("v")).as("v"), min(col("cand")).as("best"))
-      .select(col("vec_id"), col("v"), col("best")("c").as("cell"))
+    vecs.select(col("vec_id"), col("v")).join(
+      vecs.join(broadcast(cent), "g")
+        .select(col("vec_id"),
+          packScore(col("v"), col("cv"), col("f_id")).as("p"))
+        .groupBy("vec_id").agg(min(col("p")).as("p"))
+        .select(col("vec_id"), packedCell(col("p")).as("cell"))
+        .hint("shuffle_hash"),
+      "vec_id")
 
   /** The two-level inverted file (see the `dedup_semantic_2l` Scaladoc):
     * C fine seeds, C1 = max(4, ⌈√C⌉) coarse seeds, fine seeds routed to
@@ -1172,7 +1204,11 @@ object Ann {
         "cells2 AS (SELECT vec_id, v, c_id AS cell FROM mps WHERE rc = 1 " +
         "UNION ALL SELECT m2.vec_id, m2.v, m2.c_id FROM mps m2 JOIN mps m1 " +
         "ON m2.vec_id = m1.vec_id AND m1.rc = 1 AND m2.rc = 2 " +
-        "WHERE m1.sim - m2.sim < 0.1), " +
+        // tick space: sims are exact multiples of 1e-6 after round(,6),
+        // so the ε test is integer on both engines (Spark runs it on
+        // the packed score's high word) — no float-subtraction edge
+        "WHERE CAST(round(m1.sim * 1e6) AS BIGINT) - " +
+        "CAST(round(m2.sim * 1e6) AS BIGINT) < 100000), " +
         "pairs AS (SELECT a.vec_id AS keeper, b.vec_id AS vec_id, " +
         "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
         "FROM cells2 a JOIN cells2 b ON a.cell = b.cell AND a.vec_id < b.vec_id " +

@@ -421,13 +421,18 @@ object Joins {
       // with map-side partial min/count, NOT a window: no per-group sort,
       // and the shuffle carries one partial row per (d_id, map partition)
       // instead of every verified pair (measured: the row_number form
-      // cost 5+ s at sf0.1, this is sub-second)
+      // cost 5+ s at sf0.1, this is sub-second). The (hamming, key) pair
+      // is PACKED into one long (hamming << 32 | key — lexicographic ≡
+      // numeric since key < 2³²): min over a struct buffer falls out of
+      // HashAggregateExec into a sort-based aggregate, min over a long
+      // stays codegen'd hash all the way (PlanAuditSpec pins this).
       verified
         .groupBy(col("d_id"))
-        .agg(min(struct(col("hamming"), col("c_custkey"))).as("best"),
-          count(lit(1)).as("n_matches"))
-        .select(col("d_id"), col("best.c_custkey").as("match_id"),
-          col("best.hamming").as("hamming"), col("n_matches"))
+        .agg(min(shiftleft(col("hamming"), 32) + col("c_custkey"))
+          .as("best"), count(lit(1)).as("n_matches"))
+        .select(col("d_id"),
+          col("best").bitwiseAND(lit(0xFFFFFFFFL)).as("match_id"),
+          shiftright(col("best"), 32).as("hamming"), col("n_matches"))
         .orderBy("d_id")
     })
   )

@@ -1,26 +1,23 @@
 package graft.tools
 
-import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Scratch: print the executed plan of the given keys (args(0) = sfDir,
-  * rest = key names) so pushdown/exchange shapes can be eyeballed without
-  * a test cycle. Not part of the driver contract. */
+/** Dev tool: print the executed physical plan of one declared key
+  * (staging bypassed, so the real computation subtree shows instead of a
+  * staged-file scan — the same view PlanAuditSpec audits). Usage:
+  * `runMain graft.tools.PlanPeek <key> [sfDir]`. Round-14 provenance:
+  * found join_fuzzy_blocked's min(struct) argmin silently planning as
+  * SortAggregate, which led to the packed-long form. */
 object PlanPeek {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
+    val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sys.props("graft.staging") = "false"
-    args.drop(1).foreach { k =>
-      println(s"===== $k =====")
-      println(SparkEntry.queries(k)(spark, sfDir).queryExecution.executedPlan.toString)
-    }
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    println(graft.SparkEntry.queries(args(0))(spark, dir)
+      .queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -629,4 +629,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!preJoin.contains("Exchange hashpartitioning"),
       "bucketed join inputs were re-shuffled — bucketing not picked up")
   }
+
+  test("fuzzy join: argmin is a two-phase hash aggregate, never a window") {
+    // The r14 lesson this pins: best-match via row_number windows
+    // measured 5+ s at sf0.1 where min(struct) is sub-second — and at
+    // scale the window form shuffles every verified pair where the
+    // aggregate ships one partial row per (key, map partition). A
+    // refactor that reintroduces a Window here is a perf regression
+    // even though it stays correct.
+    val p = plans("join_fuzzy_blocked")
+    assert(!p.contains("Window"),
+      "join_fuzzy_blocked planned a Window — argmin must stay a hash agg")
+    // the packed-long argmin must stay a codegen'd HashAggregate pair
+    // (a struct-typed min would silently degrade to SortAggregate —
+    // exactly the regression this pins)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "best-match argmin is not a partial+final hash aggregate")
+    assert(!p.contains("SortAggregate"),
+      "argmin degraded to a sort-based aggregate")
+  }
+
+  test("merge_scd2: cutoff predicates reach the events scan") {
+    // The incremental-merge posture: the base build scans ONLY
+    // pre-cutoff history and the delta leg ONLY the batch — both as
+    // parquet-level pushed filters, so at 100 TB each leg reads its own
+    // time slice instead of filtering the full changelog post-scan.
+    val p = plans("merge_scd2")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(ts.*"),
+      "base leg lost its ts < cutoff pushdown")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts.*"),
+      "delta leg lost its ts >= cutoff pushdown")
+    // and the merge must never degenerate to a cartesian on the dim side
+    assert(!p.contains("CartesianProduct"))
+  }
 }
