@@ -40,7 +40,9 @@ object Bench {
     "embed_ann_ivfpq", "graph_pagerank", "source_binary",
     "dedup_semantic_2l", "text_ppl_buckets", "sink_compaction",
     "source_xml", "dedup_bloom_incremental", "graph_knn_triangles",
-    "text_scrub_dup_spans", "sink_zorder")
+    "text_scrub_dup_spans", "sink_zorder",
+    "merge_scd2", // r14: stages the pre-cutoff base dimension
+    "sink_delete", "dedup_semantic_mp") // r14: retention store pair; MP file
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{D, Tables}
 import graft.QueryDefs.Q
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Composite multi-join analytics — the two query shapes BASELINE.md
   * measures by name (`q3_shipping_priority`, `q5_local_supplier`), declared
@@ -307,27 +308,34 @@ object Analytics {
     // of the two legs and never self-joins row-to-row. Supplier × nation
     // broadcasts. (R proxies "late" — no receipt/commit dates here.)
     "q21_waiting_supplier" -> ((s, dir) => {
-      // One (orderkey, suppkey) pre-aggregate feeds BOTH legs: the
-      // distinct R pairs (has_r = 1) and the per-order rollup whose
-      // count/sum over the distinct pairs ARE the two countDistincts —
-      // a literal dual-countDistinct plans an Expand that doubles the
-      // fact rows before the shuffle (measured 2.0 s vs 1.1 s at sf0.1).
-      val pairs = Tables.table(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
-          .as("has_r"))
-      val g = pairs.groupBy(col("l_orderkey").as("g_okey"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
-        .where(col("n_supp") > 1 && col("n_r_supp") === 1)
-      val r = pairs.where(col("has_r") === 1L)
-        .select(col("l_orderkey").as("r_okey"), col("l_suppkey").as("r_skey"))
+      // ONE (orderkey, suppkey) pre-aggregate feeds everything: the
+      // per-order supplier/R-supplier counts ride a window over the SAME
+      // stream instead of a second rollup leg — the two-leg form scanned
+      // and aggregated lineitem TWICE, because column pruning makes the
+      // branches structurally different and AQE exchange reuse never
+      // fires across them (r14: 4 parquet scans, 0 ReusedExchange in the
+      // final adaptive plan; a literal dual-countDistinct is worse still,
+      // planning an Expand that doubles fact rows — measured 2.0 s at
+      // sf0.1 vs 1.1 s two-leg vs this single-scan form). Since exactly
+      // one R pair exists per qualifying order (n_r_supp = 1), filtering
+      // the windowed stream to has_r = 1 IS the r⋈g join. Window
+      // partitions are per-order supplier sets (bounded ~7 rows) — safe
+      // at any corpus size.
+      val w = Window.partitionBy(col("l_orderkey"))
       val sup = Tables.table(s, dir, "supplier")
         .join(broadcast(Tables.table(s, dir, "nation")
             .where(col("n_name") === "NATION_3")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name")
-      r.join(g, col("r_okey") === col("g_okey"))
-        .join(broadcast(sup), col("r_skey") === col("s_suppkey"))
+      Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("has_r"))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_r_supp", sum(col("has_r")).over(w))
+        .where(col("has_r") === 1L && col("n_supp") > 1 &&
+          col("n_r_supp") === 1)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
@@ -435,12 +443,19 @@ object Analytics {
     // dimension join. Exact-long revenue makes `= max` robust (double
     // sums would make equality partition-order-dependent).
     "q15_top_supplier" -> ((s, dir) => {
+      // localCheckpoint: the revenue view (supplier-sized) feeds BOTH the
+      // 1-row max and the winner filter — without it each branch re-ran
+      // the full quarter scan + aggregate (column pruning makes the
+      // branches structurally different, so AQE exchange reuse cannot
+      // dedupe them; r14 PlanSweep: lineitem×2). Q15's own definition is
+      // a materialized revenue VIEW — this is that, executor-local.
       val rev = Tables.table(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
                col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .select(col("l_suppkey"), Analytics.volUnits)
         .groupBy(col("l_suppkey"))
         .agg(sum(col("vol_u")).as("rev_u"))
+        .localCheckpoint()
       val top = rev.agg(max(col("rev_u")).as("max_u"))
       val winners = rev.crossJoin(broadcast(top))
         .where(col("rev_u") === col("max_u"))

@@ -212,14 +212,22 @@ object TextQuality {
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
       val wc = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      // totals DERIVE from the word counts (sum(c) = n_words, row count =
-      // n_distinct): one corpus explode serves both, instead of a second
-      // full pass re-aggregating the token stream
-      val tot = wc.groupBy("doc_id")
-        .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"))
-      val mx = wc.groupBy("doc_id").agg(max("c").as("mc"))
-      val topw = wc.join(mx, "doc_id").where(col("c") === col("mc"))
-        .groupBy("doc_id").agg(min("w").as("top_word"), min("mc").as("mc"))
+      // totals, max count, AND the tie-broken top word all ride ONE
+      // window pass over the word counts (same doc_id exchange serves
+      // every frame): the three-consumer form (tot + mx + topw join)
+      // re-computed wc — and the corpus explode under it — once per
+      // branch, since differently-pruned branches defeat AQE exchange
+      // reuse (r14 PlanSweep: documents×4), and its min(w) string
+      // aggregate forced a SortAggregate besides.
+      val dw = Window.partitionBy("doc_id")
+      val topw = wc
+        .withColumn("n_words", sum("c").over(dw))
+        .withColumn("n_distinct", count(lit(1)).over(dw))
+        .withColumn("rk", row_number().over(
+          dw.orderBy(col("c").desc, col("w"))))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("w").as("top_word"), col("c").as("mc"),
+          col("n_words"), col("n_distinct"))
       val w = Window.partitionBy("doc_id").orderBy("pos")
       // concat (not concat_ws): NULL lead at document end must null the
       // bigram out, matching the oracle's `||` null propagation
@@ -228,7 +236,7 @@ object TextQuality {
         .where(col("bg").isNotNull)
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       val bmx = bc.groupBy("doc_id").agg(max("c").as("bc"))
-      tot.join(topw, "doc_id").join(bmx, "doc_id")
+      topw.join(bmx, "doc_id")
         .select(col("doc_id"), col("n_words"), col("top_word"),
           D.r6(col("mc") / col("n_words")).as("top_word_frac"),
           D.r6(lit(1.0) - col("n_distinct") / col("n_words"))

@@ -16,8 +16,12 @@ object PlanPeek {
     spark.sparkContext.setLogLevel("ERROR")
     sys.props("graft.staging") = "false"
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-    println(graft.SparkEntry.queries(args(0))(spark, dir)
-      .queryExecution.executedPlan.toString)
+    val df = graft.SparkEntry.queries(args(0))(spark, dir)
+    // `--run` executes first so the printed plan is the FINAL adaptive
+    // plan (AQE exchange reuse, runtime join demotions) instead of the
+    // initial one.
+    if (args.contains("--run")) df.count()
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }
