@@ -649,6 +649,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "argmin degraded to a sort-based aggregate")
   }
 
+  test("q21 reads lineitem once: per-order counts ride the pair window") {
+    // The r14 rescan fix this pins: the two-leg form computed the
+    // (orderkey, suppkey) pre-aggregate once per consumer branch —
+    // column pruning makes branches structurally different, so AQE
+    // exchange reuse cannot dedupe them, and lineitem (the biggest
+    // table in the query) was scanned and aggregated twice.
+    val n = "lineitem\\.parquet".r
+      .findAllIn(plans("q21_waiting_supplier")).length
+    assert(n == 1, s"q21 must scan lineitem exactly once, found $n scans")
+  }
+
   test("merge_scd2: cutoff predicates reach the events scan") {
     // The incremental-merge posture: the base build scans ONLY
     // pre-cutoff history and the delta leg ONLY the batch — both as
