@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.QueryDefs.Q
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -148,6 +148,77 @@ object Warehouse {
     // The report itself is a handful of driver-side rows (bounded, like
     // the ANN centroid collects). Every `observed` is an exact long, so
     // the key hash-matches the oracle's plain-SQL replay.
+    // Volume anomaly detection (the deequ anomaly-detection class — the
+    // OTHER half of a DQ gate: dq_expectations checks invariants, this
+    // checks DISTRIBUTION drift): per event_type, each day's event count
+    // is z-scored against that type's daily history; |z| ≥ 2 flags the
+    // day. The z-score is computed from EXACT integer sums in the
+    // algebraic form z = (n·x − Σx) / √(n·Σx² − (Σx)²) — one cast and
+    // one IEEE division/sqrt at the very end, identical expression text
+    // on both engines, so the rounded value is bit-stable (the repo's
+    // standard exact-ints-then-IEEE posture). Scale: one (day, type)
+    // aggregate over the corpus, then a broadcast of the per-type stats
+    // (|event_types| rows) back onto the daily relation — history never
+    // re-scans the raw events.
+    "dq_anomaly_volume" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val st = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("m2"))
+      val den2 = col("nd") * col("m2") - col("s1") * col("s1")
+      val z = when(den2 === 0, lit(0.0)).otherwise(
+        (col("nd") * col("n") - col("s1")).cast("double") /
+          sqrt(den2.cast("double")))
+      daily.join(broadcast(st), "event_type")
+        .select(col("event_type"), col("day").cast("timestamp").as("day"),
+          col("n"), round(z, 6).as("z"),
+          (abs(round(z, 6)) >= 2.0).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Column profiling (the deequ/dbt profiler class — the "first thing
+    // you run on an unknown table"): per column of `orders`, null count,
+    // exact distinct count, and min/max rendered through an explicitly
+    // ENGINE-PORTABLE representation per type (integers as-is; doubles
+    // as exact cents; timestamps as their DATE part — raw double→string
+    // and timestamp→string casts differ between engines). One pass: the
+    // six count-distincts plan as a single Expand aggregate (6× row
+    // mass, the price every exact profiler pays — the approximate tier
+    // is agg_approx_distinct's HLL, declared separately). Long format
+    // (column, n_null, n_distinct, min_repr, max_repr).
+    "dq_profile" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      // min/max aggregate the TYPED value (string min of a numeric repr
+      // would be lexicographic); the portable rendering applies after
+      val longRepr = (c: Column) => c.cast("string")
+      val centsRepr =
+        (c: Column) => round(c * 100, 0).cast("long").cast("string")
+      val dateRepr = (c: Column) => c.cast("date").cast("string")
+      val strRepr = (c: Column) => c
+      val cols: Seq[(String, Column => Column)] = Seq(
+        ("o_custkey", longRepr), ("o_orderdate", dateRepr),
+        ("o_orderkey", longRepr), ("o_orderpriority", strRepr),
+        ("o_orderstatus", strRepr), ("o_totalprice", centsRepr))
+      val aggs = cols.flatMap { case (c, _) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx"))
+      }
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { case (c, repr) =>
+        struct(lit(c).as("column"), col(s"${c}_nn").as("n_null"),
+          col(s"${c}_nd").as("n_distinct"),
+          repr(col(s"${c}_mn")).as("min_repr"),
+          repr(col(s"${c}_mx")).as("max_repr"))
+      }
+      wide.select(explode(array(rows: _*)).as("r"))
+        .select("r.column", "r.n_null", "r.n_distinct", "r.min_repr",
+          "r.max_repr")
+        .orderBy("column")
+    }),
+
     "dq_expectations" -> ((s, dir) => {
       val o = Tables.table(s, dir, "orders")
       val custKeys = Tables.table(s, dir, "customer").select(col("c_custkey"))
@@ -205,6 +276,68 @@ object Warehouse {
        "CAST(row_number() OVER (PARTITION BY user_id " +
        "  ORDER BY effective_from) AS INT) AS version " +
        "FROM v ORDER BY user_id, effective_from"),
+    "dq_anomaly_volume" ->
+      // identical exact-integer z formula; the final division/sqrt are
+      // the only floating ops, in the same order on the same operands.
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) " +
+       "  AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+       "st AS (SELECT event_type, count(*) AS nd, " +
+       "  CAST(sum(n) AS BIGINT) AS s1, " +
+       "  CAST(sum(n * n) AS BIGINT) AS m2 FROM daily GROUP BY 1) " +
+       "SELECT d.event_type, d.day, d.n, " +
+       "round(CASE WHEN nd * m2 - s1 * s1 = 0 THEN 0.0 ELSE " +
+       "  CAST(nd * d.n - s1 AS DOUBLE) / " +
+       "  sqrt(CAST(nd * m2 - s1 * s1 AS DOUBLE)) END, 6) AS z, " +
+       "abs(round(CASE WHEN nd * m2 - s1 * s1 = 0 THEN 0.0 ELSE " +
+       "  CAST(nd * d.n - s1 AS DOUBLE) / " +
+       "  sqrt(CAST(nd * m2 - s1 * s1 AS DOUBLE)) END, 6)) >= 2.0 " +
+       "  AS is_anomaly " +
+       "FROM daily d JOIN st USING (event_type) " +
+       "ORDER BY event_type, day"),
+
+    "dq_profile" ->
+      // per-column profile rebuilt as six scalar subquery rows with the
+      // same portable representations (ints as-is, cents, DATE part)
+      ("WITH o AS (SELECT * FROM orders) " +
+       "SELECT * FROM (" +
+       "SELECT 'o_custkey' AS \"column\", " +
+       "  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) " +
+       "    AS BIGINT) AS n_null, " +
+       "  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct, " +
+       "  CAST(min(o_custkey) AS VARCHAR) AS min_repr, " +
+       "  CAST(max(o_custkey) AS VARCHAR) AS max_repr FROM o " +
+       "UNION ALL SELECT 'o_orderdate', " +
+       "  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) " +
+       "    AS BIGINT), " +
+       "  CAST(count(DISTINCT o_orderdate) AS BIGINT), " +
+       "  CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR), " +
+       "  CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) FROM o " +
+       "UNION ALL SELECT 'o_orderkey', " +
+       "  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) " +
+       "    AS BIGINT), " +
+       "  CAST(count(DISTINCT o_orderkey) AS BIGINT), " +
+       "  CAST(min(o_orderkey) AS VARCHAR), " +
+       "  CAST(max(o_orderkey) AS VARCHAR) FROM o " +
+       "UNION ALL SELECT 'o_orderpriority', " +
+       "  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) " +
+       "    AS BIGINT), " +
+       "  CAST(count(DISTINCT o_orderpriority) AS BIGINT), " +
+       "  min(o_orderpriority), max(o_orderpriority) FROM o " +
+       "UNION ALL SELECT 'o_orderstatus', " +
+       "  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) " +
+       "    AS BIGINT), " +
+       "  CAST(count(DISTINCT o_orderstatus) AS BIGINT), " +
+       "  min(o_orderstatus), max(o_orderstatus) FROM o " +
+       "UNION ALL SELECT 'o_totalprice', " +
+       "  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) " +
+       "    AS BIGINT), " +
+       "  CAST(count(DISTINCT o_totalprice) AS BIGINT), " +
+       "  CAST(CAST(round(min(o_totalprice) * 100, 0) AS BIGINT) " +
+       "    AS VARCHAR), " +
+       "  CAST(CAST(round(max(o_totalprice) * 100, 0) AS BIGINT) " +
+       "    AS VARCHAR) FROM o) " +
+       "ORDER BY \"column\""),
+
     "dq_expectations" ->
       ("WITH m AS (SELECT count(*) AS n_rows, " +
        "  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_ck, " +

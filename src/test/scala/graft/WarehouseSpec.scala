@@ -115,6 +115,47 @@ class WarehouseSpec extends AnyFunSuite {
     } finally graft.Staging.deleteRecursively(dir)
   }
 
+  test("dq_anomaly_volume: an injected spike day is flagged, steady days " +
+       "are not") {
+    import spark.implicits._
+    // 10 steady days of 5 clicks, one day of 60 — a 10x volume spike.
+    val rows = (1 to 10).flatMap { d =>
+      val burst = if (d == 7) 60 else 5
+      (0 until burst).map { i =>
+        (d * 1000L + i,
+          java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"),
+          i.toLong % 3, "click", 1.0, "{}")
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_dqa_")
+    try {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("dq_anomaly_volume")(spark, dir.toString)
+        .collect().map(r => (r.getTimestamp(1).toString.take(10),
+          r.getLong(2), r.getBoolean(4))).toList
+      assert(got.count(_._3) === 1, s"exactly the spike day flags: $got")
+      assert(got.find(_._3).map(_._1) === Some("2024-01-07"))
+      assert(got.find(_._3).map(_._2) === Some(60L))
+    } finally graft.Staging.deleteRecursively(dir)
+  }
+
+  test("dq_profile: per-column stats equal direct recomputation") {
+    val prof = SparkEntry.queries("dq_profile")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(prof.size === 6)
+    val o = Tables.table(spark, sf, "orders")
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0))
+    assert(prof("o_orderkey") ===
+      ((0L, keys.distinct.length.toLong, keys.min.toString,
+        keys.max.toString)))
+    val prices = o.select("o_totalprice").collect().map(_.getDouble(0))
+    assert(prof("o_totalprice")._2 === prices.distinct.length.toLong)
+    assert(prof("o_totalprice")._3 === math.round(prices.min * 100).toString)
+    assert(prof("o_totalprice")._4 === math.round(prices.max * 100).toString)
+  }
+
   test("join_fuzzy_blocked: blocked plan equals brute-force best match " +
        "(pigeonhole losslessness)") {
     val cust = Tables.table(spark, sf, "customer")
