@@ -38,13 +38,13 @@ import org.apache.spark.sql.functions._
   * is snapshot/batch ratio, not corpus multiplier, so it keeps its own
   * harness. Scratch tool, not part of the driver contract; numbers in
   * ROUND12_NOTES.md. Usage: runMain graft.tools.KneeProbe [sfDir] [legs]
-  * — `legs` is an optional subset of "ABCDE" (default all); the D/E loop
+  * — `legs` is an optional subset of "ABCDEF" (default all); the D/E loop
   * runs when either letter is selected.
   */
 object KneeProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val legs = args.lift(1).getOrElse("ABCDE").toUpperCase
+    val legs = args.lift(1).getOrElse("ABCDEF").toUpperCase
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -209,6 +209,54 @@ object KneeProbe {
               .forEach(p => graft.Staging.deleteRecursively(p))
             finally ls.close()
           }
+        }
+      }
+    }
+
+    // ---- F. r14 warehouse/ER keys: linear-decade check on m× replicas.
+    // Customer replicas REGENERATE c_name from the offset key (the name
+    // carries the entity id this family blocks/corrupts on — replicating
+    // identical names would fabricate cross-replica hamming matches
+    // instead of scaling the entity space). merge_scd2 / sink_delete get
+    // a warm re-run to split staged-artifact build from query cost.
+    if (legs.contains('F'))
+    for ((m, warm) <- Seq((1, true), (1, false), (10, false))) {
+      val dir = java.nio.file.Files.createTempDirectory(tmpBase, s"graft_kneeF_${m}x_")
+      try {
+        replicate(Tables.events(spark, sfDir), m, 100000000L, "event_id", "user_id")
+          .repartition(4).write.parquet(s"$dir/events.parquet")
+        replicate(Tables.table(spark, sfDir, "customer"), m, 10000000L, "c_custkey")
+          .withColumn("c_name",
+            concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+          .repartition(4).write.parquet(s"$dir/customer.parquet")
+        for (k <- Seq("join_fuzzy_blocked", "dq_anomaly_volume",
+                      "merge_scd2", "sink_delete")) {
+          if (warm) { graft.SparkEntry.queries(k)(spark, dir.toString).count(); () }
+          else {
+            t(s"F m=$m $k")(
+              graft.SparkEntry.queries(k)(spark, dir.toString).count())
+            if (k == "merge_scd2" || k == "sink_delete")
+              t(s"F m=$m $k(warm)")(
+                graft.SparkEntry.queries(k)(spark, dir.toString).count())
+          }
+        }
+      } finally {
+        val fps = Seq("events.parquet", "customer.parquet").flatMap { f =>
+          try Some(Tables.sourceFingerprint(s"$dir/$f"))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        graft.Staging.deleteRecursively(dir)
+        fps.foreach(graft.Staging.retireDerived)
+        // sink_delete's publishSink artifacts live under graft_sink,
+        // keyed by the replica fingerprint — sweep them with the corpus
+        val sinkRoot = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_sink")
+        if (java.nio.file.Files.isDirectory(sinkRoot)) {
+          val ls = java.nio.file.Files.list(sinkRoot)
+          try ls.filter(p => fps.exists(fp =>
+              p.getFileName.toString.startsWith(fp + "_")))
+            .forEach(p => graft.Staging.deleteRecursively(p))
+          finally ls.close()
         }
       }
     }
