@@ -443,19 +443,22 @@ object Analytics {
     // dimension join. Exact-long revenue makes `= max` robust (double
     // sums would make equality partition-order-dependent).
     "q15_top_supplier" -> ((s, dir) => {
-      // localCheckpoint: the revenue view (supplier-sized) feeds BOTH the
-      // 1-row max and the winner filter — without it each branch re-ran
-      // the full quarter scan + aggregate (column pruning makes the
-      // branches structurally different, so AQE exchange reuse cannot
-      // dedupe them; r14 PlanSweep: lineitem×2). Q15's own definition is
-      // a materialized revenue VIEW — this is that, executor-local.
+      // LAZY localCheckpoint: the revenue view (supplier-sized) feeds
+      // BOTH the 1-row max and the winner filter — without the barrier
+      // each branch re-ran the full quarter scan + aggregate (column
+      // pruning makes the branches structurally different, so AQE
+      // exchange reuse cannot dedupe them; r14 PlanSweep: lineitem×2).
+      // Q15's own definition is a materialized revenue VIEW — this is
+      // that, executor-local. Lazy (eager=false) so plan-only consumers
+      // (PlanAuditSpec/PlanSweep/PlanPeek) never run the job at
+      // DataFrame-construction time.
       val rev = Tables.table(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
                col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .select(col("l_suppkey"), Analytics.volUnits)
         .groupBy(col("l_suppkey"))
         .agg(sum(col("vol_u")).as("rev_u"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val top = rev.agg(max(col("rev_u")).as("max_u"))
       val winners = rev.crossJoin(broadcast(top))
         .where(col("rev_u") === col("max_u"))

@@ -393,31 +393,38 @@ object Sinks {
         .sortWithinPartitions("day", "bkt", "event_id")
         .write.partitionBy("day", "bkt").mode("overwrite")
         .parquet(tmp.toString)
-      // carry over untouched cells byte-identical
+      // carry over untouched cells byte-identical. Streams are closed
+      // (fd leak otherwise — Bench/KneeProbe rebuild this in long-lived
+      // JVMs), and the bkt= parse runs only AFTER the prefix guard so a
+      // stray marker file under a day directory can't abort the publish
+      // with a NumberFormatException (r14 review findings).
+      def listUnder[A](p: java.nio.file.Path)(
+          f: Iterator[java.nio.file.Path] => A): A = {
+        val st = Files.list(p)
+        try f(scala.jdk.CollectionConverters.IteratorHasAsScala(
+          st.iterator()).asScala)
+        finally st.close()
+      }
       val root = Paths.get(storeRoot)
-      val dayDirs = Files.list(root).iterator()
-      while (dayDirs.hasNext) {
-        val dayDir = dayDirs.next()
+      listUnder(root)(_.foreach { dayDir =>
         val dn = dayDir.getFileName.toString
         if (dn.startsWith("day=")) {
-          val bktDirs = Files.list(dayDir).iterator()
-          while (bktDirs.hasNext) {
-            val bktDir = bktDirs.next()
+          listUnder(dayDir)(_.foreach { bktDir =>
             val bn = bktDir.getFileName.toString
-            val cell = (dn.stripPrefix("day="),
-              bn.stripPrefix("bkt=").toInt)
-            if (bn.startsWith("bkt=") && !touched.contains(cell)) {
-              val dst = tmp.resolve(dn).resolve(bn)
-              Files.createDirectories(dst)
-              val fs = Files.list(bktDir).iterator()
-              while (fs.hasNext) {
-                val f = fs.next()
-                Files.copy(f, dst.resolve(f.getFileName.toString))
+            if (bn.startsWith("bkt=")) {
+              val cell = (dn.stripPrefix("day="),
+                bn.stripPrefix("bkt=").toInt)
+              if (!touched.contains(cell)) {
+                val dst = tmp.resolve(dn).resolve(bn)
+                Files.createDirectories(dst)
+                listUnder(bktDir)(_.foreach { f =>
+                  Files.copy(f, dst.resolve(f.getFileName.toString)); ()
+                })
               }
             }
-          }
+          })
         }
-      }
+      })
     }
 
   /** Orders staged as XML (Spark 4 ships the data source built in) —

@@ -158,7 +158,13 @@ object TextQuality {
       Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           concat(lit("https://"),
-            regexp_replace(lower(col("source")), "[^a-z0-9-]", "-"),
+            // DNS labels may not start/end with '-' and may not be
+            // empty — trim edge hyphens after the char sanitize and
+            // fall back to 'x', else java.net.URI still returns a NULL
+            // host for labels like '_web' → '-web' (r14 review)
+            coalesce(nullif(regexp_replace(
+              regexp_replace(lower(col("source")), "[^a-z0-9-]", "-"),
+              "^-+|-+$", ""), lit("")), lit("x")),
             lit(".example.com/docs/"),
             col("doc_id") % 50, lit("?id="), col("doc_id")).as("url"))
         .select(col("doc_id"),
@@ -283,7 +289,9 @@ object TextQuality {
       // the same deterministic construction, with the SAME hostname
       // sanitization as the Spark side.
       ("WITH u AS (SELECT doc_id, " +
-       "regexp_replace(lower(source), '[^a-z0-9-]', '-', 'g') " +
+       "coalesce(nullif(regexp_replace(" +
+       "regexp_replace(lower(source), '[^a-z0-9-]', '-', 'g'), " +
+       "'^-+|-+$', '', 'g'), ''), 'x') " +
        "|| '.example.com' AS host, " +
        "'/docs/' || CAST(doc_id % 50 AS VARCHAR) AS path, " +
        "doc_id AS qid FROM documents) " +

@@ -161,17 +161,24 @@ object Warehouse {
     // (|event_types| rows) back onto the daily relation — history never
     // re-scans the raw events.
     "dq_anomaly_volume" -> ((s, dir) => {
+      // per-type stats ride a WINDOW over the daily relation, not a
+      // second aggregate branch joined back: the branch form re-scanned
+      // and re-aggregated raw events (the defeated-exchange-reuse defect
+      // of q21/q15, caught by the r14 review on this very key). The
+      // window partitions are per-type day counts — |days| rows each,
+      // bounded by the calendar, never by the corpus.
+      val wt = Window.partitionBy("event_type")
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val st = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("nd"), sum(col("n")).as("s1"),
-          sum(col("n") * col("n")).as("m2"))
+        .withColumn("nd", count(lit(1)).over(wt))
+        .withColumn("s1", sum(col("n")).over(wt))
+        .withColumn("m2", sum(col("n") * col("n")).over(wt))
       val den2 = col("nd") * col("m2") - col("s1") * col("s1")
       val z = when(den2 === 0, lit(0.0)).otherwise(
         (col("nd") * col("n") - col("s1")).cast("double") /
           sqrt(den2.cast("double")))
-      daily.join(broadcast(st), "event_type")
+      daily
         .select(col("event_type"), col("day").cast("timestamp").as("day"),
           col("n"), round(z, 6).as("z"),
           (abs(round(z, 6)) >= 2.0).as("is_anomaly"))

@@ -15,13 +15,27 @@ object PlanPeek {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sys.props("graft.staging") = "false"
-    val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val dir = args.filterNot(_.startsWith("--")).lift(1)
+      .getOrElse("/root/testdata/sf0.001")
+    // `--codegen` prints per-subtree generated-code sizes instead of the
+    // plan (AQE is disabled for that view — codegenStringSeq cannot see
+    // through an AdaptiveSparkPlanExec root).
+    if (args.contains("--codegen"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     val df = graft.SparkEntry.queries(args(0))(spark, dir)
     // `--run` executes first so the printed plan is the FINAL adaptive
     // plan (AQE exchange reuse, runtime join demotions) instead of the
     // initial one.
     if (args.contains("--run")) df.count()
-    println(df.queryExecution.executedPlan.toString)
+    if (args.contains("--codegen"))
+      org.apache.spark.sql.execution.debug
+        .codegenStringSeq(df.queryExecution.executedPlan)
+        .zipWithIndex.foreach { case ((sub, code, st), i) =>
+          println(s"=== subtree $i: maxMethod=${st.maxMethodCodeSize}B " +
+            s"codeLines=${code.linesIterator.length} ===")
+          println(sub.linesIterator.take(12).mkString("\n"))
+        }
+    else println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

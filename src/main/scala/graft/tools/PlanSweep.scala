@@ -17,8 +17,15 @@ object PlanSweep {
   private val HugeMethodLimit = 8000
 
   def main(args: Array[String]): Unit = {
+    // AQE OFF: debug.codegenStringSeq cannot see through an
+    // AdaptiveSparkPlanExec root (it traverses zero WholeStageCodegen
+    // subtrees), which made the r14 huge-method detector a silent no-op
+    // — it reported join_fuzzy_blocked clean while that key's verify
+    // stage failed Janino compilation outright (review finding). The
+    // SortAggregate/Cartesian/rescan checks are AQE-independent.
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // default = runtime view (staged artifacts in place, the plans the
@@ -36,8 +43,13 @@ object PlanSweep {
         val plan = graft.SparkEntry.queries(k)(spark, dir)
           .queryExecution.executedPlan
         val p = plan.toString
-        val huge = org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
-          .map(_._3.maxMethodCodeSize).filter(_ > HugeMethodLimit)
+        val cg = org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
+        // a subtree whose stats are UNAVAILABLE (negative sizes) failed
+        // Janino compilation outright — strictly worse than huge
+        val huge = cg.map(_._3.maxMethodCodeSize)
+          .filter(sz => sz > HugeMethodLimit || sz < 0)
+        if (cg.isEmpty)
+          println(s"[sweep] $k: NO codegen subtree visible (AQE leak?)")
         // repeated scans of a FACT table = a shared subframe computed
         // once per consumer branch (column pruning makes the branches
         // structurally different, so AQE exchange reuse can't fire) —

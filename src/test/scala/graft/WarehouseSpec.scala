@@ -175,7 +175,7 @@ class WarehouseSpec extends AnyFunSuite {
     val expected = cust.map { case (k, name, nat) =>
       val d = dirtyName(name, k)
       val matches = cust.filter { case (_, cn, cnat) =>
-        cnat == nat && ham(d, cn) <= 2 }
+        cnat == nat && cn.take(9) == d.take(9) && ham(d, cn) <= 2 }
       val best = matches.minBy { case (ck, cn, _) => (ham(d, cn), ck) }
       (k, best._1, ham(d, best._2).toLong, matches.length.toLong)
     }.toSet
