@@ -42,7 +42,8 @@ object Bench {
     "source_xml", "dedup_bloom_incremental", "graph_knn_triangles",
     "text_scrub_dup_spans", "sink_zorder",
     "merge_scd2", // r14: stages the pre-cutoff base dimension
-    "sink_delete", "dedup_semantic_mp") // r14: retention store pair; MP file
+    "sink_delete", "dedup_semantic_mp", // r14: retention store pair; MP file
+    "sink_vacuum") // r14b: littered + vacuumed store pair
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

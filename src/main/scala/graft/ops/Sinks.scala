@@ -398,13 +398,6 @@ object Sinks {
       // JVMs), and the bkt= parse runs only AFTER the prefix guard so a
       // stray marker file under a day directory can't abort the publish
       // with a NumberFormatException (r14 review findings).
-      def listUnder[A](p: java.nio.file.Path)(
-          f: Iterator[java.nio.file.Path] => A): A = {
-        val st = Files.list(p)
-        try f(scala.jdk.CollectionConverters.IteratorHasAsScala(
-          st.iterator()).asScala)
-        finally st.close()
-      }
       val root = Paths.get(storeRoot)
       listUnder(root)(_.foreach { dayDir =>
         val dn = dayDir.getFileName.toString
@@ -426,6 +419,96 @@ object Sinks {
         }
       })
     }
+
+  /** Failed-writer leftovers per day directory: 1 + dayOfMonth % 3
+    * hidden `.part-orphan-*.tmp` files — the uncommitted temp debris a
+    * crashed task attempt strands. Hidden names (dot/underscore) are
+    * exactly what Spark's readers already IGNORE, which is the point:
+    * orphans cost storage and listing time, never correctness — so
+    * VACUUM's law is byte-identity of everything kept plus removal of
+    * exactly the debris, and the planted count is a pure function of
+    * the day (oracle-replayable). */
+  private def orphansFor(day: String): Int =
+    1 + day.substring(8, 10).toInt % 3
+
+  /** The retention store with planted failed-writer debris — the input a
+    * real VACUUM faces. Hidden files are invisible to Spark reads
+    * (SinkVacuumSpec asserts the littered and clean stores read back
+    * identically), so this artifact is also the live demonstration that
+    * orphans are a storage problem, not a correctness one. */
+  def ensureLitteredStore(s: SparkSession, dir: String): String =
+    publishSink(dir, "events", "events_ret_lit_v1") { tmp =>
+      import java.nio.file.{Files, Paths}
+      val storeRoot = Paths.get(ensureRetentionStore(s, dir))
+      copyTree(storeRoot, tmp)
+      listUnder(tmp) { it => it.foreach { dayDir =>
+        val dn = dayDir.getFileName.toString
+        if (dn.startsWith("day=")) {
+          val day = dn.stripPrefix("day=")
+          for (i <- 0 until orphansFor(day))
+            Files.write(dayDir.resolve(s".part-orphan-$i.tmp"),
+              s"uncommitted $day $i".getBytes("UTF-8"))
+        }
+      } }
+    }
+
+  /** VACUUM: the littered store with every UNREFERENCED object removed —
+    * the real vacuum rule is manifest reachability, which on a plain
+    * filesystem means: keep visible (committed) files, keep the
+    * `_SUCCESS` commit marker, keep a hidden `.x.crc` checksum only when
+    * its partner `x` is itself kept (Hadoop's paired metadata travels
+    * with its file), drop everything else — the planted
+    * `.part-orphan-*.tmp` debris has no living partner and goes, as
+    * would a crashed attempt's `_temporary` directory. Kept files are
+    * carried over BYTE-IDENTICAL (copy here; a manifest rewrite in a
+    * real lake). */
+  def ensureVacuumedStore(s: SparkSession, dir: String): String =
+    publishSink(dir, "events", "events_ret_vac_v1") { tmp =>
+      import java.nio.file.Paths
+      vacuumCopy(Paths.get(ensureLitteredStore(s, dir)), tmp)
+    }
+
+  private def hiddenName(n: String) = n.startsWith(".") || n.startsWith("_")
+
+  private def vacuumCopy(src: java.nio.file.Path,
+                         dst: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    Files.createDirectories(dst)
+    val entries = listUnder(src)(_.toVector)
+    val names = entries.map(_.getFileName.toString)
+    val committed = names.filterNot(hiddenName).toSet + "_SUCCESS"
+    entries.foreach { p =>
+      val name = p.getFileName.toString
+      val keep = committed(name) ||
+        (name.startsWith(".") && name.endsWith(".crc") &&
+          committed(name.stripPrefix(".").stripSuffix(".crc")))
+      if (Files.isDirectory(p)) {
+        // hidden directories (a crashed attempt's _temporary) are junk
+        if (!hiddenName(name)) vacuumCopy(p, dst.resolve(name))
+      } else if (keep) { Files.copy(p, dst.resolve(name)); () }
+    }
+  }
+
+  /** Recursive full copy. Streams closed (the sink_delete fd-leak
+    * lesson). */
+  private def copyTree(src: java.nio.file.Path,
+                       dst: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    Files.createDirectories(dst)
+    listUnder(src) { it => it.foreach { p =>
+      val name = p.getFileName.toString
+      if (Files.isDirectory(p)) copyTree(p, dst.resolve(name))
+      else { Files.copy(p, dst.resolve(name)); () }
+    } }
+  }
+
+  private def listUnder[A](p: java.nio.file.Path)(
+      f: Iterator[java.nio.file.Path] => A): A = {
+    val st = java.nio.file.Files.list(p)
+    try f(scala.jdk.CollectionConverters.IteratorHasAsScala(
+      st.iterator()).asScala)
+    finally st.close()
+  }
 
   /** Orders staged as XML (Spark 4 ships the data source built in) —
     * the B2B/legacy-feed ingest format. One row element per order;
@@ -734,6 +817,34 @@ object Sinks {
           coalesce(col("files_after"), lit(0L)).as("files_after"),
           col("bkts_touched"), col("bkts_total"))
         .orderBy("day")
+    }),
+
+    // VACUUM (orphan-file GC) — the fourth leg of the lakehouse
+    // maintenance set (OPTIMIZE = sink_compaction, ZORDER = sink_zorder,
+    // DELETE = sink_delete): the retention store is littered with
+    // deterministic failed-writer debris (1 + dayOfMonth % 3 hidden
+    // `.part-orphan-*.tmp` files per day — uncommitted temp files a
+    // crashed attempt strands), then vacuumed. The declared output reads
+    // the VACUUMED artifact: per-day rows/cents prove every committed
+    // byte survived (the oracle replays them from raw events), files via
+    // input_file_name() prove the layout law, and orphans_removed pins
+    // the planting formula both engines compute. The file-level half —
+    // junk present in the littered store, gone after vacuum, every kept
+    // file byte-identical, and Spark READS unaffected by the litter
+    // (orphans are a storage problem, never a correctness one) — is
+    // SinkVacuumSpec's job.
+    "sink_vacuum" -> ((s, dir) => {
+      val vac = s.read.parquet(ensureVacuumedStore(s, dir))
+        .withColumn("f", input_file_name())
+      vac.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+          countDistinct(col("f")).as("n_files"))
+        .select(col("day").cast("timestamp").as("day"), col("n_rows"),
+          col("cents"), col("n_files"),
+          (lit(1) + dayofmonth(col("day")) % 3).cast("long")
+            .as("orphans_removed"))
+        .orderBy("day")
     })
   )
 
@@ -771,6 +882,18 @@ object Sinks {
        "  AS bkts_touched, " +
        "count(DISTINCT user_id % 16) AS bkts_total " +
        "FROM events GROUP BY 1 ORDER BY day"),
+    "sink_vacuum" ->
+      // rows/cents prove the vacuum dropped no committed data; n_files
+      // replays the one-file-per-bucket layout law; orphans_removed is
+      // the planting formula (1 + dayOfMonth % 3) both engines compute.
+      ("SELECT day, n_rows, cents, n_files, " +
+       "CAST(1 + day(CAST(day AS DATE)) % 3 AS BIGINT) AS orphans_removed " +
+       "FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+       "count(*) AS n_rows, " +
+       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) " +
+       "  AS cents, " +
+       "count(DISTINCT user_id % 16) AS n_files " +
+       "FROM events GROUP BY 1) ORDER BY day"),
     "sink_zorder" ->
       // Replays the dimension normalization and the Morton interleave
       // bit-by-bit from raw lineitem (the 32 shift/and terms are
