@@ -443,15 +443,20 @@ object Analytics {
     // dimension join. Exact-long revenue makes `= max` robust (double
     // sums would make equality partition-order-dependent).
     "q15_top_supplier" -> ((s, dir) => {
-      // LAZY localCheckpoint: the revenue view (supplier-sized) feeds
-      // BOTH the 1-row max and the winner filter — without the barrier
-      // each branch re-ran the full quarter scan + aggregate (column
-      // pruning makes the branches structurally different, so AQE
-      // exchange reuse cannot dedupe them; r14 PlanSweep: lineitem×2).
-      // Q15's own definition is a materialized revenue VIEW — this is
-      // that, executor-local. Lazy (eager=false) so plan-only consumers
-      // (PlanAuditSpec/PlanSweep/PlanPeek) never run the job at
-      // DataFrame-construction time.
+      // localCheckpoint: the revenue view (supplier-sized) feeds BOTH
+      // the 1-row max and the winner filter — without the barrier each
+      // branch re-ran the full quarter scan + aggregate (column pruning
+      // makes the branches structurally different, so AQE exchange reuse
+      // cannot dedupe them; r14 PlanSweep: lineitem×2). Q15's own
+      // definition is a materialized revenue VIEW — this is that,
+      // executor-local. eager=false is only truly lazy BELOW an AQE
+      // root: rev contains an exchange, so under AQE the checkpoint's
+      // execute() still materializes the scan stage at
+      // DataFrame-CONSTRUCTION time — plan-only consumers pay one small
+      // job here (documented in PlanAuditSpec's header; the AQE-off
+      // tools stay job-free). A window or packed-argmax alternative
+      // would be worse: Q15 keeps ALL tied winners, and a global window
+      // puts the whole supplier dim in one partition.
       val rev = Tables.table(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
                col("l_shipdate") < lit("1996-04-01").cast("timestamp"))

@@ -15,14 +15,16 @@ object PlanPeek {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sys.props("graft.staging") = "false"
-    val dir = args.filterNot(_.startsWith("--")).lift(1)
-      .getOrElse("/root/testdata/sf0.001")
+    val operands = args.filterNot(_.startsWith("--"))
+    val key = operands.headOption.getOrElse(
+      sys.error("usage: PlanPeek <key> [sfDir] [--run|--codegen]"))
+    val dir = operands.lift(1).getOrElse("/root/testdata/sf0.001")
     // `--codegen` prints per-subtree generated-code sizes instead of the
     // plan (AQE is disabled for that view — codegenStringSeq cannot see
     // through an AdaptiveSparkPlanExec root).
     if (args.contains("--codegen"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val df = graft.SparkEntry.queries(args(0))(spark, dir)
+    val df = graft.SparkEntry.queries(key)(spark, dir)
     // `--run` executes first so the printed plan is the FINAL adaptive
     // plan (AQE exchange reuse, runtime join demotions) instead of the
     // initial one.

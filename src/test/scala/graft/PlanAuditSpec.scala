@@ -10,7 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * Only plans (queryExecution.executedPlan) are asserted on; the audited
   * queries are not themselves executed. Building the plans does run a few
   * setup side effects, though: join_bucketed writes its bucketed tables on
-  * first use and the ANN keys collect their centroid/hyperplane literals.
+  * first use, the ANN keys collect their centroid/hyperplane literals,
+  * dq_expectations runs its observed pass, and q15/join_fuzzy_blocked's
+  * localCheckpoint barriers materialize their (dim-sized) inputs at
+  * construction when AQE wraps them.
   * Streaming keys are excluded: invoking one RUNS the stream (AvailableNow
   * drain) and the returned batch result's plan is just the memory-sink scan.
   */

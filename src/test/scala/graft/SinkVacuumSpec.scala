@@ -12,15 +12,21 @@ import scala.jdk.CollectionConverters._
 class SinkVacuumSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def files(root: Path): Map[String, Seq[(String, Long)]] =
-    Files.list(root).iterator().asScala
+  // streams closed — the same fd-leak class Sinks.scala fixes (r14)
+  private def files(root: Path): Map[String, Seq[(String, Long)]] = {
+    val ls = Files.list(root)
+    try ls.iterator().asScala
       .filter(_.getFileName.toString.startsWith("day="))
       .map { d =>
-        d.getFileName.toString -> Files.walk(d).iterator().asScala
+        val w = Files.walk(d)
+        try d.getFileName.toString -> w.iterator().asScala
           .filter(Files.isRegularFile(_))
           .map(p => (d.relativize(p).toString, Files.size(p)))
           .toSeq.sortBy(_._1)
+        finally w.close()
       }.toMap
+    finally ls.close()
+  }
 
   test("vacuum removes exactly the planted debris, keeps bytes identical") {
     val lit = Paths.get(ops.Sinks.ensureLitteredStore(spark, sf))
