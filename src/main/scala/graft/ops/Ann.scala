@@ -34,6 +34,19 @@ object Ann {
   private val PqDim = 8      // dims per subspace
   private val PqRerank = 50  // ADC candidates kept for exact re-rank
 
+  /** The ADC lookup sum Σ_j lut(j)(codes(j)) UNROLLED over the PqSub=8
+    * subspaces: term order and associativity are identical to the
+    * left-fold HOF form (bit-exact swap, verified against the oracle),
+    * but unlike a HigherOrderFunction lambda the 8 element_at terms stay
+    * inside whole-stage codegen — the per-candidate hot path of every
+    * ADC scan, which at corpus scale is the dominant cost of a PQ
+    * search. */
+  private def adcSum(codes: Column, lut: Column): Column =
+    (1 to PqSub).map { j =>
+      element_at(element_at(lut, j),
+        element_at(codes, j).cast("int") + 1)
+    }.reduce(_ + _)
+
   /** Squared L2 between two equal-length vectors, via the native
     * codegen'd Catalyst expression ([[org.apache.spark.sql.graft.L2Sq]])
     * — bit-identical to [[l2sqHof]] (same left-to-right fold; L2SqSpec
@@ -172,10 +185,7 @@ object Ann {
       val cands = Vector.rankPerProbe(
         encoded.crossJoin(broadcast(probes.select("q_id", "lut")))
           .where(col("vec_id") =!= col("q_id"))
-          .withColumn("adist", round(aggregate(
-            zip_with(col("codes"), col("lut"),
-              (c, l) => element_at(l, c.cast("int") + 1)),
-            lit(0.0), _ + _), 6))
+          .withColumn("adist", round(adcSum(col("codes"), col("lut")), 6))
           .select("q_id", "vec_id", "adist"),
         Seq(col("adist"), col("vec_id")), PqRerank, "cr", corpusSized = true)
         .select("q_id", "vec_id")
@@ -555,10 +565,7 @@ object Ann {
       val cands = Vector.rankPerProbe(
         idx.join(broadcast(probeCells), "cell")
           .where(col("vec_id") =!= col("q_id"))
-          .withColumn("adist", round(aggregate(
-            zip_with(col("codes"), col("lut"),
-              (c, l) => element_at(l, c.cast("int") + 1)),
-            lit(0.0), _ + _), 6))
+          .withColumn("adist", round(adcSum(col("codes"), col("lut")), 6))
           .select("q_id", "vec_id", "adist"),
         Seq(col("adist"), col("vec_id")), PqRerank, "cr")
         .select("q_id", "vec_id")
