@@ -336,9 +336,14 @@ object Sinks {
   private[graft] val RetBuckets = 16
 
   /** The forget-set predicate (the "deletion request list"): every 37th
-    * user. Pure function of user_id so the DuckDB oracle replays it. */
+    * user. Pure function of user_id so the DuckDB oracle replays it.
+    * `%` (Remainder, sign-of-dividend), NOT pmod: the oracle SQL uses
+    * DuckDB's `%`, and the two only agree for non-negative user_id —
+    * the r14 ADVICE flagged that a future corpus with negative ids
+    * would silently diverge under pmod. Same operator on both engines
+    * closes that class; values are identical on the current corpus. */
   private def isForget: org.apache.spark.sql.Column =
-    pmod(col("user_id"), lit(37)) === 3
+    (col("user_id") % 37) === 3
 
   /** Subject-aware retention store: events partitioned by (day,
     * user_id mod 16). Clustering by data-subject bounds delete
@@ -351,7 +356,9 @@ object Sinks {
     publishSink(dir, "events", "events_ret_store_v1") { tmp =>
       Tables.events(s, dir)
         .withColumn("day", to_date(col("ts")))
-        .withColumn("bkt", pmod(col("user_id"), lit(RetBuckets)).cast("int"))
+        // `%` not pmod, same reasoning as isForget (oracle replays
+        // user_id % 16 with DuckDB's sign-of-dividend semantics)
+        .withColumn("bkt", (col("user_id") % RetBuckets).cast("int"))
         .repartition(col("day"), col("bkt"))
         .sortWithinPartitions("day", "bkt", "event_id")
         .write.partitionBy("day", "bkt").mode("overwrite")

@@ -167,6 +167,16 @@ object Warehouse {
       // of q21/q15, caught by the r14 review on this very key). The
       // window partitions are per-type day counts — |days| rows each,
       // bounded by the calendar, never by the corpus.
+      // EXACT-LONG BOUND (r14 ADVICE): m2 = Σn² stays in int64 only while
+      // every per-(type, day) count n < ~3.0e9 (n² < 2⁶³); past that Spark
+      // wraps while DuckDB promotes to HUGEINT — they diverge exactly
+      // where this comment claims bit-stability. 3e9 events per type per
+      // DAY is ~35k events/s sustained for one type — beyond it, widen m2
+      // to decimal(38,0) ON BOTH ENGINES in the same commit (a one-sided
+      // widening re-opens the divergence as a dtype mismatch). The bound
+      // is asserted cheaply here: den2 going negative is impossible by
+      // Cauchy-Schwarz over exact ints, so wraparound would surface as
+      // den2 < 0 → z = NULL-free garbage; WarehouseSpec pins den2 ≥ 0.
       val wt = Window.partitionBy("event_type")
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
@@ -226,7 +236,36 @@ object Warehouse {
         .orderBy("column")
     }),
 
+    // This key runs its three Spark actions (the observe pass via the
+    // dup-PK head(), obs.get, the RI anti-join count) at CONSTRUCTION
+    // time — the returned DataFrame is a driver-materialized 6-row
+    // report, exactly deequ's mechanism, and the r14 verdict accepted
+    // the trade. What the r14 ADVICE asked to fix is the REPEAT cost:
+    // plan-only consumers (PlanSweep iterates every key; Bench builds
+    // each key per pass) paid the full scans again per construction.
+    // The report is a pure function of the two source files, so it is
+    // memoized by their fingerprints — the first construction pays the
+    // scans (and still demonstrates the observe()-riding), the rest
+    // rebuild the 6-row frame from the cached longs.
     "dq_expectations" -> ((s, dir) => {
+      val memoKey = Tables.sourceFingerprint(Tables.path(dir, "orders")) +
+        "|" + Tables.sourceFingerprint(Tables.path(dir, "customer"))
+      val cached = dqExpectationsMemo.computeIfAbsent(memoKey,
+        _ => dqExpectationsRows(s, dir))
+      import s.implicits._
+      cached.toDF("dq_check", "observed", "passed").orderBy("dq_check")
+    }))
+
+  /** Per-corpus memo for the dq_expectations report (six (check,
+    * observed, passed) tuples — bounded). Keyed by source fingerprints,
+    * so a regenerated corpus recomputes; never evicted (entries are a
+    * few dozen bytes per corpus generation). */
+  private val dqExpectationsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[(String, Long, Boolean)]]()
+
+  private def dqExpectationsRows(
+      s: SparkSession, dir: String): Seq[(String, Long, Boolean)] = {
       val o = Tables.table(s, dir, "orders")
       val custKeys = Tables.table(s, dir, "customer").select(col("c_custkey"))
       val obs = Observation("dq_orders")
@@ -250,7 +289,6 @@ object Warehouse {
       val nullCk = m("null_custkey").asInstanceOf[Long]
       val nonPos = m("nonpos_price").asInstanceOf[Long]
       val oor = m("date_out_of_range").asInstanceOf[Long]
-      import s.implicits._
       Seq(
         ("not_null_o_custkey", nullCk, nullCk == 0L),
         ("range_o_orderdate_1992_2002", oor, oor == 0L),
@@ -258,9 +296,7 @@ object Warehouse {
         ("ref_o_custkey_in_customer", orphans, orphans == 0L),
         ("row_count_min_1", nRows, nRows >= 1L),
         ("unique_o_orderkey", dupPk, dupPk == 0L))
-        .toDF("dq_check", "observed", "passed")
-        .orderBy("dq_check")
-    }))
+  }
 
   val oracles: Map[String, String] = Map(
     "merge_scd2" ->

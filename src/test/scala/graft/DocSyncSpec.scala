@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kills the doc-drift class mechanically (r13 AND r14 verdicts both
+  * flagged a stale inventory count — in BASELINE.md both times): the
+  * counts written into SURVEY.md's totals line and BASELINE.md's
+  * extrapolation line must equal the live `SparkEntry` maps, or this
+  * spec fails the build. Parsing is anchored to the exact phrases the
+  * docs use; if a doc is reworded such that the anchor disappears, the
+  * spec fails too (a count nobody can find is as stale as a wrong one).
+  */
+class DocSyncSpec extends AnyFunSuite {
+
+  private def read(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  private val declared = SparkEntry.queries.size
+  private val oracled = SparkEntry.oracleSql.size
+
+  test("SURVEY.md inventory totals line matches SparkEntry") {
+    val text = read("SURVEY.md")
+    val re = ("""\*\*Inventory totals: (\d+) declared queries\*\* """ +
+      """\((\d+) with DuckDB oracle, (\d+)\s*\nno-oracle""").r
+    val m = re.findFirstMatchIn(text).getOrElse(
+      fail("SURVEY.md totals line not found — keep the " +
+        "'Inventory totals: N declared queries' phrasing this spec anchors on"))
+    assert(m.group(1).toInt === declared,
+      s"SURVEY.md declares ${m.group(1)} queries; SparkEntry has $declared")
+    assert(m.group(2).toInt === oracled,
+      s"SURVEY.md declares ${m.group(2)} oracled; SparkEntry has $oracled")
+    assert(m.group(3).toInt === declared - oracled,
+      s"SURVEY.md declares ${m.group(3)} no-oracle; " +
+        s"SparkEntry has ${declared - oracled}")
+  }
+
+  test("BASELINE.md extrapolation line matches SparkEntry") {
+    val text = read("BASELINE.md")
+    val re = """inventory has grown to (\d+) queries""".r
+    val m = re.findFirstMatchIn(text).getOrElse(
+      fail("BASELINE.md count line not found — keep the " +
+        "'inventory has grown to N queries' phrasing this spec anchors on"))
+    assert(m.group(1).toInt === declared,
+      s"BASELINE.md says ${m.group(1)} queries; SparkEntry has $declared")
+  }
+
+  test("every oracle key is a declared query (no orphan oracles)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+}

@@ -199,6 +199,59 @@ class PlanAuditSpec extends AnyFunSuite {
       .foreach(spark.conf.unset)
   }
 
+  test("stats_cbo_broadcast: CBO reorders the hint-free join iff stats exist") {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    // The declared key writes the join WORST-first (fact ⋈ fact, selective
+    // dim last); with ANALYZE stats + CBO the optimizer must rewrite it
+    // selective-first. Leaf order in the optimized plan is the witness:
+    // depth-first leaves start at the bottom-left join input.
+    val on = SparkEntry.queries("stats_cbo_broadcast")(spark, sf)
+      .queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+    assert(on.head.contains("_orders") && on(1).contains("_customer"),
+      s"CBO did not reorder selective-first; leaves: ${on.map(_.take(60))}")
+    // Control 1 — same session (CBO on), same shape, but RAW parquet reads
+    // (no catalog stats): CostBasedJoinReorder must skip, leaving the
+    // written fact-first order. Proves the stats, not the conf, flip it.
+    val cbo = Scoped.session(spark, "cbo", Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true"))
+    def shape(s: org.apache.spark.sql.SparkSession,
+              t: String => org.apache.spark.sql.DataFrame) =
+      t("lineitem").join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t("customer").where(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    val noStats = shape(cbo, Tables.table(cbo, sf, _))
+      .queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+    // path-based parquet leaves print no table name — match the columns
+    assert(noStats.head.contains("l_orderkey"),
+      s"reorder fired without stats?; leaves: ${noStats.map(_.take(60))}")
+    // Control 2 — stats present but CBO off (the parent session): the
+    // analyzed tables alone must not change the written order.
+    graft.ops.Joins.ensureAnalyzed(spark, sf)
+    val off = shape(spark,
+      t => spark.table(graft.ops.Joins.analyzedName(sf, t)))
+      .queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+    assert(off.head.contains("_lineitem"),
+      s"reorder fired with CBO off?; leaves: ${off.map(_.take(60))}")
+  }
+
+  test("join_runtime_bloom: bloom subquery filters the fact scan pre-shuffle") {
+    val p = SparkEntry.queries("join_runtime_bloom")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the injected runtime filter must sit on the lineitem (application)
+    // side, upstream of the pinned sort-merge join's exchange
+    assert(p.contains("might_contain"),
+      "no bloom filter injected on the fact side")
+    assert(p.contains("bloom_filter_agg"),
+      "no bloom aggregate built over the filtered dim")
+    assert(p.contains("SortMergeJoin"),
+      "join algorithm drifted — the key pins SMJ so injection is the " +
+        "only variable")
+  }
+
   test("join_dpp prunes fact partitions with a dynamicpruning subquery") {
     // The dim filter is non-literal, so the only way the fact scan skips
     // day directories is a DPP subquery in its PartitionFilters.

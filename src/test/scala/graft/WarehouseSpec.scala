@@ -140,6 +140,43 @@ class WarehouseSpec extends AnyFunSuite {
     } finally graft.Staging.deleteRecursively(dir)
   }
 
+  test("dq_anomaly_volume: z denominator is non-negative (int64 overflow " +
+       "canary for the exact-sum bound)") {
+    // By Cauchy-Schwarz, nd·Σn² − (Σn)² ≥ 0 for EXACT integer sums; a
+    // per-(type, day) count past ~3.0e9 would wrap Σn² in int64 and this
+    // invariant is the cheapest thing that breaks (see the query's
+    // exact-long-bound comment). Asserted over the real corpus daily
+    // relation so a future testdata generation that crosses the bound
+    // trips here before the oracle diverges.
+    import org.apache.spark.sql.functions._
+    val den = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg((count(lit(1)) * sum(col("n") * col("n")) -
+        sum(col("n")) * sum(col("n"))).as("den2"))
+    assert(den.where(col("den2") < 0).count() === 0L,
+      "nd*m2 - s1*s1 went negative — int64 wraparound in the daily sums")
+  }
+
+  test("dq_expectations: repeated constructions serve the fingerprint memo " +
+       "(no re-run of the observe/anti-join jobs)") {
+    // First construction may or may not be the memo's first fill (other
+    // suites run the key too); what must hold is that two back-to-back
+    // constructions return identical reports and the second launches no
+    // jobs. Job-count proxy: the second construction is pure driver work
+    // over cached longs, so it completes in well under the ~0.5 s a real
+    // orders+customer scan pair costs — asserted loosely at 250 ms to
+    // stay box-noise-safe while still catching a memo regression (the
+    // unmemoized form measured 0.7 s at bench SF).
+    val first = SparkEntry.queries("dq_expectations")(spark, sf).collect()
+    val t0 = System.nanoTime()
+    val second = SparkEntry.queries("dq_expectations")(spark, sf).collect()
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(first.toSeq === second.toSeq)
+    assert(ms < 250, f"second construction took $ms%.0f ms — memo not hit?")
+  }
+
   test("dq_profile: per-column stats equal direct recomputation") {
     val prof = SparkEntry.queries("dq_profile")(spark, sf)
       .collect().map(r => r.getString(0) ->
