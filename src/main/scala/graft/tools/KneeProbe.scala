@@ -260,6 +260,68 @@ object KneeProbe {
         }
       }
     }
+    // ---- G. r14b keys the r14 decade table missed (verdict item 8):
+    // dq_profile (orders), dq_expectations (orders + customer),
+    // sink_vacuum (events). Same m× replica scheme as leg F; orders
+    // replicas offset o_orderkey and o_custkey INDEPENDENTLY so the PK
+    // space scales while every order still references a live customer
+    // replica (the RI check must stay 0-orphan at every decade).
+    // dq_expectations is skipped in the warm pass on purpose: its report
+    // is memoized by source fingerprint, so a warm run would turn the
+    // timed run into a memo read — its decade number is therefore
+    // first-construction cost (JIT-warm from the other keys).
+    // m=100 adds a second decade for the two DQ keys (orders at 15M rows
+    // is where the profiler's 6× Expand starts to register); sink_vacuum
+    // is skipped there — a 100× partitioned store build is probe cost,
+    // not key cost, and its m=10 warm number is already file-count-flat.
+    if (legs.contains('G'))
+    for ((m, warm) <- Seq((1, true), (1, false), (10, false), (100, false))) {
+      val dir = java.nio.file.Files.createTempDirectory(tmpBase, s"graft_kneeG_${m}x_")
+      try {
+        if (m <= 10)
+          replicate(Tables.events(spark, sfDir), m, 100000000L, "event_id", "user_id")
+            .repartition(4).write.parquet(s"$dir/events.parquet")
+        replicate(Tables.table(spark, sfDir, "customer"), m, 10000000L, "c_custkey")
+          .repartition(4).write.parquet(s"$dir/customer.parquet")
+        Tables.table(spark, sfDir, "orders")
+          .withColumn("k", explode(sequence(lit(0), lit(m - 1))))
+          .withColumn("o_orderkey", col("o_orderkey") + col("k") * 100000000L)
+          .withColumn("o_custkey", col("o_custkey") + col("k") * 10000000L)
+          .drop("k")
+          .repartition(4).write.parquet(s"$dir/orders.parquet")
+        for (k <- Seq("dq_profile", "dq_expectations", "sink_vacuum")
+               if !(k == "sink_vacuum" && m > 10)) {
+          if (warm) {
+            if (k != "dq_expectations") {
+              graft.SparkEntry.queries(k)(spark, dir.toString).count(); ()
+            }
+          } else {
+            t(s"G m=$m $k")(
+              graft.SparkEntry.queries(k)(spark, dir.toString).count())
+            if (k == "sink_vacuum")
+              t(s"G m=$m $k(warm)")(
+                graft.SparkEntry.queries(k)(spark, dir.toString).count())
+          }
+        }
+      } finally {
+        val fps = Seq("events.parquet", "customer.parquet", "orders.parquet")
+          .flatMap { f =>
+            try Some(Tables.sourceFingerprint(s"$dir/$f"))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        graft.Staging.deleteRecursively(dir)
+        fps.foreach(graft.Staging.retireDerived)
+        val sinkRoot = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_sink")
+        if (java.nio.file.Files.isDirectory(sinkRoot)) {
+          val ls = java.nio.file.Files.list(sinkRoot)
+          try ls.filter(p => fps.exists(fp =>
+              p.getFileName.toString.startsWith(fp + "_")))
+            .forEach(p => graft.Staging.deleteRecursively(p))
+          finally ls.close()
+        }
+      }
+    }
     spark.stop()
   }
 }
