@@ -37,6 +37,34 @@ object Relational {
         .where(col("k") < 10)
         .orderBy("event_id")),
 
+    // (round 15) AGGREGATE pushdown: MIN/MAX/COUNT answered from parquet
+    // FOOTER statistics, no row ever decoded — the 100 TB "how big is
+    // this table / what's its key range" query that should cost one
+    // metadata read per file, not a scan. Needs the V2 parquet path
+    // (spark.sql.sources.useV1SourceList excludes parquet) +
+    // spark.sql.parquet.aggregatePushdown, both on a Scoped child
+    // session: V1 is the engine's default read path everywhere else and
+    // must stay so. PlanAuditSpec asserts the scan says
+    // `PushedAggregation: [COUNT(*), MIN(...), ...]` with an
+    // aggregate-shaped ReadSchema. Pushdown contract caveats (probed on
+    // this Spark): timestamps are not pushable (footer min/max of int96/
+    // NTZ is untrusted), and any non-pushable aggregate or filter in the
+    // query demotes the WHOLE pushdown — so this key keeps to long/double
+    // columns, no filter, global group. Values are selections of stored
+    // values (no arithmetic) → bitwise-stable unrounded.
+    "scan_agg_pushdown" -> ((s, dir) => {
+      val v2 = graft.Scoped.session(s, "aggpush", Seq(
+        "spark.sql.parquet.aggregatePushdown" -> "true",
+        "spark.sql.sources.useV1SourceList" -> ""))
+      v2.read.parquet(Tables.path(dir, "lineitem"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
     // §2.2 ------------------------------------------------------------
     // Per-row double arithmetic is IEEE-identical across engines when the
     // expression tree matches, so emit it UNROUNDED: rounding a per-row
@@ -192,6 +220,14 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "scan_project" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_agg_pushdown" ->
+      // same stored-value selections; the Spark side answers them from
+      // parquet footers, DuckDB from its own scan — equality proves the
+      // footer stats tell the truth about the rows
+      ("SELECT count(*) AS n_rows, " +
+       "min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey, " +
+       "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+       "max(l_extendedprice) AS max_price FROM lineitem"),
     "scan_pushdown" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
        "WHERE l_shipdate >= TIMESTAMP '2001-06-01' AND l_quantity < 10 " +

@@ -99,6 +99,15 @@ object Sinks {
                                   src: java.nio.file.Path): Unit =
     try {
       import java.nio.file.Files
+      // Probe suppression (r15): a probe publishing artifacts for a
+      // REPLICA corpus under /tmp computes its liveness universe from
+      // the replica's tree — which knows nothing about the real testdata
+      // generations, so every live-corpus sibling of the same class
+      // looks retired and gets reclaimed (the r15 mixed-pair incident;
+      // publishDerived's chain re-keying makes that correctness-neutral,
+      // but the spurious full-chain rebuild is still probe pollution).
+      // Probes set this property and clean up via [[sweepSinkChain]].
+      if (sys.props.get("graft.sink.sweepRetired").contains("false")) return
       val name = published.getFileName.toString
       val tag = name.dropWhile(_ != '_') // "_<tag>", fingerprint stripped
       val parent = published.getParent
@@ -153,6 +162,56 @@ object Sinks {
                          (build: java.nio.file.Path => Unit): String =
     publishOnce(sinkPath(dir, table, tag),
       java.nio.file.Paths.get(Tables.path(dir, table)))(build)
+
+  /** [[publishOnce]] for an artifact DERIVED FROM ANOTHER ARTIFACT
+    * (delete from store, vacuum from littered, compaction from
+    * fragmented): keyed by the INPUT artifact's `_SUCCESS` fingerprint,
+    * not the raw corpus. Keying off the corpus left the pair
+    * INDEPENDENTLY rebuildable, and a partial reclaim (r15: a probe's
+    * replica-corpus publish computed its liveness universe from /tmp and
+    * swept the live store class but not the delete class) produced a
+    * mixed-generation pair whose byte-identity laws then failed. With
+    * the input's publish identity in the key, a rebuilt input re-keys —
+    * and therefore rebuilds — every downstream artifact; the stranded
+    * old-key entries are ordinary retired siblings the next same-tag
+    * publish reclaims (their input `_SUCCESS` fingerprint is no longer
+    * live). Liveness for sweepRetired scans the graft_sink tree itself:
+    * every live artifact's own files are the universe, so a derived
+    * entry stays live exactly while its input artifact exists. */
+  private def publishDerived(inputRoot: String, tag: String)
+                            (build: java.nio.file.Path => Unit): String = {
+    val success = java.nio.file.Paths.get(inputRoot, "_SUCCESS")
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_sink", s"${Tables.sourceFingerprint(success.toString)}_$tag")
+    publishOnce(out, success)(build)
+  }
+
+  /** Remove the graft_sink artifacts keyed by any of `prefixes`, then
+    * TRANSITIVELY the artifacts keyed by the `_SUCCESS` fingerprints of
+    * what was just removed (the derived chain: store → delete/littered →
+    * vacuumed). Probe cleanup (KneeProbe legs F/G) uses this so replica-
+    * corpus chains don't linger until the next same-tag publish's
+    * retired-sibling sweep. */
+  private[graft] def sweepSinkChain(prefixes: Set[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_sink")
+    var frontier = prefixes
+    var rounds = 0
+    while (frontier.nonEmpty && rounds < 8 && Files.isDirectory(root)) {
+      rounds += 1
+      val next = scala.collection.mutable.Set[String]()
+      listUnder(root)(_.foreach { p =>
+        if (frontier.exists(fp => p.getFileName.toString.startsWith(fp + "_"))) {
+          val succ = p.resolve("_SUCCESS")
+          if (Files.exists(succ))
+            try next += Tables.sourceFingerprint(succ.toString)
+            catch { case scala.util.control.NonFatal(_) => () }
+          graft.Staging.deleteRecursively(p)
+        }
+      })
+      frontier = next.toSet
+    }
+  }
 
   /** Day-partitioned events sink, written once per MACHINE + corpus
     * version. NOT gated by `graft.staging`: the partitioned files ARE this
@@ -324,14 +383,16 @@ object Sinks {
     * a per-day-proportional rewrite (touched partitions only, in a real
     * lake), never a global shuffle of untouched data. sortWithin makes
     * file contents deterministic, not just counts. */
-  def ensureCompactedEvents(s: SparkSession, dir: String): String =
-    publishSink(dir, "events", "events_compact_v1") { tmp =>
-      s.read.parquet(ensureFragmentedEvents(s, dir))
+  def ensureCompactedEvents(s: SparkSession, dir: String): String = {
+    val fragRoot = ensureFragmentedEvents(s, dir)
+    publishDerived(fragRoot, "events_compact_v1") { tmp =>
+      s.read.parquet(fragRoot)
         .repartition(col("day"))
         .sortWithinPartitions("day", "event_id")
         .write.option("maxRecordsPerFile", CompactRowsPerFile.toLong)
         .partitionBy("day").mode("overwrite").parquet(tmp.toString)
     }
+  }
 
   private[graft] val RetBuckets = 16
 
@@ -378,10 +439,10 @@ object Sinks {
     *     (filesystem copy here; a manifest pointer in a real lake).
     * A touched cell whose every row was a forget row simply vanishes —
     * files_after counts survivors' buckets, which the oracle replays. */
-  def ensureDeletedStore(s: SparkSession, dir: String): String =
-    publishSink(dir, "events", "events_ret_del_v1") { tmp =>
+  def ensureDeletedStore(s: SparkSession, dir: String): String = {
+    val storeRoot = ensureRetentionStore(s, dir)
+    publishDerived(storeRoot, "events_ret_del_v1") { tmp =>
       import java.nio.file.{Files, Paths}
-      val storeRoot = ensureRetentionStore(s, dir)
       val store = s.read.parquet(storeRoot)
       val touched = store.where(isForget)
         .select(col("day").cast("string"), col("bkt"))
@@ -426,6 +487,7 @@ object Sinks {
         }
       })
     }
+  }
 
   /** Failed-writer leftovers per day directory: 1 + dayOfMonth % 3
     * hidden `.part-orphan-*.tmp` files — the uncommitted temp debris a
@@ -443,11 +505,11 @@ object Sinks {
     * (SinkVacuumSpec asserts the littered and clean stores read back
     * identically), so this artifact is also the live demonstration that
     * orphans are a storage problem, not a correctness one. */
-  def ensureLitteredStore(s: SparkSession, dir: String): String =
-    publishSink(dir, "events", "events_ret_lit_v1") { tmp =>
+  def ensureLitteredStore(s: SparkSession, dir: String): String = {
+    val store = ensureRetentionStore(s, dir)
+    publishDerived(store, "events_ret_lit_v1") { tmp =>
       import java.nio.file.{Files, Paths}
-      val storeRoot = Paths.get(ensureRetentionStore(s, dir))
-      copyTree(storeRoot, tmp)
+      copyTree(Paths.get(store), tmp)
       listUnder(tmp) { it => it.foreach { dayDir =>
         val dn = dayDir.getFileName.toString
         if (dn.startsWith("day=")) {
@@ -458,6 +520,7 @@ object Sinks {
         }
       } }
     }
+  }
 
   /** VACUUM: the littered store with every UNREFERENCED object removed —
     * the real vacuum rule is manifest reachability, which on a plain
@@ -469,11 +532,12 @@ object Sinks {
     * would a crashed attempt's `_temporary` directory. Kept files are
     * carried over BYTE-IDENTICAL (copy here; a manifest rewrite in a
     * real lake). */
-  def ensureVacuumedStore(s: SparkSession, dir: String): String =
-    publishSink(dir, "events", "events_ret_vac_v1") { tmp =>
-      import java.nio.file.Paths
-      vacuumCopy(Paths.get(ensureLitteredStore(s, dir)), tmp)
+  def ensureVacuumedStore(s: SparkSession, dir: String): String = {
+    val lit = ensureLitteredStore(s, dir)
+    publishDerived(lit, "events_ret_vac_v1") { tmp =>
+      vacuumCopy(java.nio.file.Paths.get(lit), tmp)
     }
+  }
 
   private def hiddenName(n: String) = n.startsWith(".") || n.startsWith("_")
 
@@ -852,8 +916,107 @@ object Sinks {
           (lit(1) + dayofmonth(col("day")) % 3).cast("long")
             .as("orphans_removed"))
         .orderBy("day")
+    }),
+
+    // TIME TRAVEL (round 15 — the fifth leg of the lakehouse maintenance
+    // set): the delete published a NEW version; the OLD one must stay
+    // readable until vacuum retires it — that is the whole reason
+    // sink_vacuum's reachability rule exists. The store's version chain
+    // here is v0 = the retention store, v1 = the post-delete rewrite
+    // (copy-on-write keeps v0's files untouched by construction —
+    // SinkDeleteSpec proves carried files byte-identical). The declared
+    // output reads BOTH versions through the same per-day summary:
+    // version 0 must equal the raw corpus (nothing the delete did may
+    // leak backwards in time), version 1 the anti-filtered corpus. A day
+    // whose every row was deleted is absent from v1 — exactly what an
+    // AS OF read of that version serves. At 100 TB this is a manifest
+    // pointer swap; here the two versions are two published directories,
+    // which is what a manifest points at.
+    "sink_time_travel" -> ((s, dir) => {
+      Seq(0 -> ensureRetentionStore(s, dir), 1 -> ensureDeletedStore(s, dir))
+        .map { case (v, root) =>
+          s.read.parquet(root).groupBy(col("day"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+            .select(lit(v).as("version"), col("day").cast("timestamp").as("day"),
+              col("n_rows"), col("cents"))
+        }.reduce(_.unionByName(_))
+        .orderBy("version", "day")
+    }),
+
+    // CHANGE DATA FEED (round 15): the row-level diff between two table
+    // versions — what CDC consumers subscribe to after every commit.
+    // The at-scale contract is that CDF work is proportional to the
+    // REWRITTEN data, never the table: the copy-on-write delete carried
+    // untouched cells over byte-identical, so the (driver-side, manifest-
+    // scale) file-list diff identifies exactly the touched cells, and
+    // only THOSE cells' rows are read and anti-joined (both reads
+    // partition-pruned to the changed day×bkt cells — PlanAuditSpec
+    // asserts the isin partition filters reach both scans). Deletes =
+    // v0∖v1 on the row key within changed cells; inserts = v1∖v0
+    // (structurally computed — this delete-only commit yields none, and
+    // the oracle pins that emptiness). Row-level output, totally ordered
+    // by the key.
+    "sink_change_feed" -> ((s, dir) => {
+      import java.nio.file.Paths
+      val v0Root = ensureRetentionStore(s, dir)
+      val v1Root = ensureDeletedStore(s, dir)
+      val m0 = cellManifest(Paths.get(v0Root))
+      val m1 = cellManifest(Paths.get(v1Root))
+      val changed = (m0.keySet ++ m1.keySet)
+        .filter(c => m0.get(c) != m1.get(c)).toSeq.sorted
+      val days = changed.map(_._1).distinct
+      val bkts = changed.map(_._2).distinct
+      val cellKey = concat_ws("#", col("day").cast("string"),
+        col("bkt").cast("string"))
+      def cellRows(root: String) = s.read.parquet(root)
+        .where(col("day").isin(days.map(java.sql.Date.valueOf): _*) &&
+          col("bkt").isin(bkts: _*))
+        .where(cellKey.isin(changed.map(c => s"${c._1}#${c._2}"): _*))
+        .select(col("event_id"), col("user_id"), col("day"))
+      val deletes = cellRows(v0Root)
+        .join(cellRows(v1Root).select("event_id"), Seq("event_id"),
+          "left_anti")
+        .withColumn("change_type", lit("delete"))
+      val inserts = cellRows(v1Root)
+        .join(cellRows(v0Root).select("event_id"), Seq("event_id"),
+          "left_anti")
+        .withColumn("change_type", lit("insert"))
+      deletes.unionByName(inserts)
+        .select(col("event_id"), col("user_id"),
+          col("day").cast("timestamp").as("day"), col("change_type"))
+        .orderBy("event_id")
     })
   )
+
+  /** Per-cell (day, bkt) manifest of a published store: the sorted
+    * (fileName, size) list of VISIBLE files. Two versions' manifests
+    * differ on exactly the rewritten/vanished cells — carried-over files
+    * are byte-copies (same name + size), rewritten ones carry a fresh
+    * task UUID in the name. Driver-side and bounded by cell count
+    * (≤ days × 16), the same manifest-scale posture as sink_delete's
+    * touched-cell collect. */
+  private def cellManifest(root: java.nio.file.Path)
+      : Map[(String, Int), Vector[(String, Long)]] = {
+    import java.nio.file.Files
+    val out = scala.collection.mutable.Map[(String, Int), Vector[(String, Long)]]()
+    listUnder(root)(_.foreach { dayDir =>
+      val dn = dayDir.getFileName.toString
+      if (dn.startsWith("day=") && Files.isDirectory(dayDir)) {
+        listUnder(dayDir)(_.foreach { bktDir =>
+          val bn = bktDir.getFileName.toString
+          if (bn.startsWith("bkt=") && Files.isDirectory(bktDir)) {
+            val files = listUnder(bktDir)(_.toVector)
+              .filter(f => !hiddenName(f.getFileName.toString))
+              .map(f => (f.getFileName.toString, Files.size(f)))
+              .sortBy(_._1)
+            out((dn.stripPrefix("day="), bn.stripPrefix("bkt=").toInt)) = files
+          }
+        })
+      }
+    })
+    out.toMap
+  }
 
   val oracles: Map[String, String] = Map(
     "source_merge_schema" ->
@@ -889,6 +1052,29 @@ object Sinks {
        "  AS bkts_touched, " +
        "count(DISTINCT user_id % 16) AS bkts_total " +
        "FROM events GROUP BY 1 ORDER BY day"),
+    "sink_time_travel" ->
+      // version 0 = every raw row (the delete leaked nothing backwards);
+      // version 1 = the anti-filtered corpus, days with zero survivors
+      // absent (GROUP BY over the filtered rows drops them, exactly like
+      // the v1 artifact).
+      ("SELECT 0 AS version, " +
+       "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+       "count(*) AS n_rows, " +
+       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) " +
+       "  AS cents FROM events GROUP BY 2 " +
+       "UNION ALL SELECT 1, " +
+       "CAST(date_trunc('day', ts) AS TIMESTAMP), count(*), " +
+       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) " +
+       "FROM events WHERE user_id % 37 <> 3 GROUP BY 2 " +
+       "ORDER BY version, day"),
+    "sink_change_feed" ->
+      // the delete-only commit's CDF is exactly the forget rows as
+      // deletes and NOTHING as inserts — the replay's absence of any
+      // 'insert' row pins that the structural insert branch stays empty.
+      ("SELECT event_id, user_id, " +
+       "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+       "'delete' AS change_type FROM events " +
+       "WHERE user_id % 37 = 3 ORDER BY event_id"),
     "sink_vacuum" ->
       // rows/cents prove the vacuum dropped no committed data; n_files
       // replays the one-file-per-bucket layout law; orphans_removed is

@@ -43,6 +43,12 @@ import org.apache.spark.sql.functions._
   */
 object KneeProbe {
   def main(args: Array[String]): Unit = {
+    // Replica corpora live under /tmp: a sink publish keyed to them would
+    // compute its retired-sibling liveness from the WRONG tree and
+    // reclaim the live testdata artifacts (the r15 mixed-pair incident).
+    // Suppress retired sweeps for the probe; cleanup below uses
+    // Sinks.sweepSinkChain instead.
+    sys.props("graft.sink.sweepRetired") = "false"
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val legs = args.lift(1).getOrElse("ABCDEF").toUpperCase
     val spark = SparkSession.builder()
@@ -249,15 +255,10 @@ object KneeProbe {
         fps.foreach(graft.Staging.retireDerived)
         // sink_delete's publishSink artifacts live under graft_sink,
         // keyed by the replica fingerprint — sweep them with the corpus
-        val sinkRoot = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_sink")
-        if (java.nio.file.Files.isDirectory(sinkRoot)) {
-          val ls = java.nio.file.Files.list(sinkRoot)
-          try ls.filter(p => fps.exists(fp =>
-              p.getFileName.toString.startsWith(fp + "_")))
-            .forEach(p => graft.Staging.deleteRecursively(p))
-          finally ls.close()
-        }
+        // transitive: replica store chains re-key derived artifacts by
+        // their input's _SUCCESS fingerprint, which the corpus fp alone
+        // can't reach
+        graft.ops.Sinks.sweepSinkChain(fps.toSet)
       }
     }
     // ---- G. r14b keys the r14 decade table missed (verdict item 8):
@@ -311,15 +312,10 @@ object KneeProbe {
           }
         graft.Staging.deleteRecursively(dir)
         fps.foreach(graft.Staging.retireDerived)
-        val sinkRoot = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_sink")
-        if (java.nio.file.Files.isDirectory(sinkRoot)) {
-          val ls = java.nio.file.Files.list(sinkRoot)
-          try ls.filter(p => fps.exists(fp =>
-              p.getFileName.toString.startsWith(fp + "_")))
-            .forEach(p => graft.Staging.deleteRecursively(p))
-          finally ls.close()
-        }
+        // transitive: replica store chains re-key derived artifacts by
+        // their input's _SUCCESS fingerprint, which the corpus fp alone
+        // can't reach
+        graft.ops.Sinks.sweepSinkChain(fps.toSet)
       }
     }
     spark.stop()

@@ -86,6 +86,22 @@ object R15Probe {
     j.collect().foreach(println)
     println("=== bloom executed plan ===")
     println(j.queryExecution.executedPlan.treeString.take(6000))
+
+    // ---- D. parquet aggregate pushdown (V2 path, footer-stats answers)
+    val ap = spark.newSession()
+    ap.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    ap.conf.set("spark.sql.sources.useV1SourceList", "")
+    val agg = ap.read.parquet(Tables.path(dir, "lineitem"))
+      .agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
+        max("l_extendedprice").as("mx"))
+    println("=== agg pushdown plan ===")
+    println(agg.queryExecution.executedPlan.treeString.take(3000))
+    agg.collect().foreach(println)
+    val agg2 = ap.read.parquet(Tables.path(dir, "lineitem"))
+      .agg(min("l_shipdate").as("mn_ts"))
+    println("=== agg pushdown TS plan ===")
+    println(agg2.queryExecution.executedPlan.treeString.take(1500))
+    // grouped variant: pushdown only works group-free or on partition cols
     spark.stop()
   }
 }

@@ -252,6 +252,28 @@ class PlanAuditSpec extends AnyFunSuite {
         "only variable")
   }
 
+  test("scan_agg_pushdown answers from parquet footers, not rows") {
+    val p = plans("scan_agg_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      "aggregate not pushed into the scan — the key would decode every " +
+        "row at 100 TB instead of reading footer stats")
+    // the scan's read schema must be the aggregate results themselves
+    // (min/max/count columns), not the raw data columns
+    assert(p.contains("ReadSchema: struct<count("),
+      "scan still reads data columns — pushdown demoted")
+  }
+
+  test("sink_change_feed reads only the manifest-diffed cells") {
+    // both version scans must carry the changed-cell isin filters as
+    // PARTITION filters — CDF work proportional to rewritten data is the
+    // key's whole at-scale contract
+    val p = plans("sink_change_feed")
+    val pruned = "PartitionFilters: \\[[^\\]]*day[^\\]]*IN".r
+      .findAllIn(p).length
+    assert(pruned >= 2,
+      s"expected both version scans day-pruned, found $pruned")
+  }
+
   test("join_dpp prunes fact partitions with a dynamicpruning subquery") {
     // The dim filter is non-literal, so the only way the fact scan skips
     // day directories is a DPP subquery in its PartitionFilters.
