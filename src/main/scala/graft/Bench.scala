@@ -37,7 +37,8 @@ object Bench {
     "join_dpp", "source_csv", "source_orc", "source_merge_schema",
     "dedup_semantic", "embed_quantize_int8", "text_dup_spans",
     "source_text", "embed_ann_sq8", "source_jdbc", "embed_ann_sq8_ivf",
-    "embed_ann_ivfpq", "graph_pagerank", "source_binary",
+    "embed_ann_ivfpq", "graph_pagerank", "graph_shortest_path",
+    "source_binary",
     "dedup_semantic_2l", "text_ppl_buckets", "sink_compaction",
     "source_xml", "dedup_bloom_incremental", "graph_knn_triangles",
     "text_scrub_dup_spans", "sink_zorder",

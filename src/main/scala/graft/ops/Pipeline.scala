@@ -618,6 +618,52 @@ object Pipeline {
       }
       r.select(col("doc").as("doc_id"), col("pr").as("rank"))
         .orderBy("doc_id")
+    }),
+
+    // Multi-source BFS over the same near-dup graph (round 15): distance
+    // to the nearest SEED document (doc_id % 10 = 0 among graph nodes) —
+    // the "proximity to known-good/known-bad" signal curation pipelines
+    // propagate (a doc one near-dup hop from flagged content inherits
+    // suspicion; two hops, less so). K=6 rounds of relaxation: dist(v) =
+    // min(dist(v), min over in-edges of dist(u)+1) — one equi-join + one
+    // min-aggregate per round, both hashing on the node key, per-node
+    // state ONE long (the pagerank/CC scale bound; K·2 shuffles total).
+    // Deterministic: min over longs, seed set a pure function of doc_id.
+    // Unreached nodes carry no row (same absence contract as v1-vacated
+    // days in sink_time_travel); the oracle replays the identical K
+    // relaxations as chained CTEs.
+    "graph_shortest_path" -> ((s, dir) => {
+      val pairs = Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // Weight-0 SELF-LOOPS carry each node's current distance through a
+      // round, so the relaxation is ONE join + ONE aggregate with `dist`
+      // referenced ONCE: the naive `dist ∪ (edges ⋈ dist)` form
+      // references dist twice per round, and six rounds of that double
+      // the unshared plan subtree each time (2⁶ copies of round 0 —
+      // measured 2.3 s vs 0.9 s for this form at sf0.1).
+      // LAZY barrier (the join_fuzzy_blocked pattern): edgesW is
+      // referenced once per round — 6 plan references — and each would
+      // re-derive the edge list + the self-loop distinct from the staged
+      // pair scan. The barrier computes it once at first action;
+      // plan-only consumers never execute it. Dim-scale relation (the
+      // near-dup edge list), so the lineage-loss trade is the standard
+      // one.
+      val edgesW = edges.withColumn("w", lit(1L)).unionByName(
+        edges.select(col("src").as("doc")).distinct()
+          .select(col("doc").as("src"), col("doc").as("dst"),
+            lit(0L).as("w")))
+        .localCheckpoint(false)
+      var dist = edgesW.select(col("src").as("doc")).distinct()
+        .where(col("doc") % 10 === 0)
+        .select(col("doc"), lit(0L).as("dist"))
+      for (_ <- 1 to 6) {
+        dist = edgesW.join(dist, col("src") === col("doc"))
+          .groupBy(col("dst"))
+          .agg(min(col("dist") + col("w")).as("dist"))
+          .select(col("dst").as("doc"), col("dist"))
+      }
+      dist.select(col("doc").as("doc_id"), col("dist")).orderBy("doc_id")
     })
   )
 
@@ -1262,6 +1308,35 @@ object Pipeline {
       }.mkString(", ")
       s"WITH $pairCte, $iters " +
         "SELECT doc AS doc_id, pr AS rank FROM r5 ORDER BY doc_id"
+    },
+
+    "graph_shortest_path" -> {
+      // same pair-graph prefix as dedup_cluster/graph_pagerank, then the
+      // identical 6 relaxation rounds as chained CTEs
+      val pairCte =
+        "toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, len(g) AS sz FROM grams), " +
+        "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
+        "prc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
+        "FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT doc_a, doc_b FROM prc " +
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+        "WHERE inter / (sa.sz + sb.sz - inter) >= 0.8), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "d0 AS (SELECT doc, CAST(0 AS BIGINT) AS dist FROM " +
+        "(SELECT DISTINCT s AS doc FROM edges) WHERE doc % 10 = 0)"
+      val iters = (1 to 6).map { k =>
+        s"d$k AS (SELECT doc, min(dist) AS dist FROM (" +
+        s"SELECT doc, dist FROM d${k - 1} " +
+        s"UNION ALL SELECT e.d, r.dist + 1 FROM edges e " +
+        s"JOIN d${k - 1} r ON r.doc = e.s) GROUP BY doc)"
+      }.mkString(", ")
+      s"WITH $pairCte, $iters " +
+        "SELECT doc AS doc_id, CAST(dist AS BIGINT) AS dist FROM d6 " +
+        "ORDER BY doc_id"
     }
   )
 }

@@ -28,6 +28,10 @@ object Warehouse {
     * on either side — the events table spans 2024-01). */
   private val Scd2Cutoff = "2024-01-16 00:00:00"
 
+  /** The MV refresh boundary: MID-day, so the boundary day's groups exist
+    * in both the stored aggregate and the delta and the merge is real. */
+  private val MvCutoff = "2024-01-16 12:00:00"
+
   /** CDC tie rule: one state per (entity, ts) — the LAST event wins
     * (highest event_id), the standard changelog compaction. */
   private def lastPerTs(df: DataFrame): DataFrame = {
@@ -131,6 +135,43 @@ object Warehouse {
       baseUpd.unionByName(newV)
         .withColumn("version", row_number().over(wVer))
         .orderBy("user_id", "effective_from")
+    }),
+
+    // INCREMENTAL MATERIALIZED-VIEW refresh (round 15 — the aggregate
+    // sibling of merge_scd2's dimension merge): the per-(day, event_type)
+    // count/cents rollup is maintained as a STORED aggregate over
+    // pre-cutoff history (staged once per corpus version — the MV), and
+    // a refresh folds the post-cutoff delta in with a full-outer merge
+    // on the group key: n = base.n + delta.n, cents likewise — exact
+    // integer adds, the associativity every incremental MV engine relies
+    // on. The cutoff is mid-day so the boundary day exists on BOTH sides
+    // and the merge genuinely merges (a midnight cutoff would make this
+    // a disjoint union and prove nothing). The DuckDB oracle rebuilds
+    // the same rollup from the FULL history, so the gate itself proves
+    // refresh ≡ rebuild — the merge_scd2 posture. At 100 TB: the delta
+    // aggregates at delta scale map-side, the merge touches only group
+    // keys (days × types), and history is never re-aggregated.
+    "mv_incremental_refresh" -> ((s, dir) => {
+      val cutoff = lit(MvCutoff).cast("timestamp")
+      def rollup(df: DataFrame): DataFrame = df
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+      val base = graft.Staging.materialize(
+        s, Tables.path(dir, "events"), "mv_day_type_20240116T12_v1") {
+        rollup(ev.where(col("ts") < cutoff))
+      }
+      val delta = rollup(ev.where(col("ts") >= cutoff))
+        .withColumnsRenamed(Map("n" -> "dn", "cents" -> "dcents"))
+      base.join(delta, Seq("day", "event_type"), "full_outer")
+        .select(col("day").cast("timestamp").as("day"), col("event_type"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          (coalesce(col("cents"), lit(0L)) + coalesce(col("dcents"), lit(0L)))
+            .as("cents"))
+        .orderBy("day", "event_type")
     }),
 
     // Data-quality expectations (the pre-publish gate every production
@@ -319,6 +360,13 @@ object Warehouse {
        "CAST(row_number() OVER (PARTITION BY user_id " +
        "  ORDER BY effective_from) AS INT) AS version " +
        "FROM v ORDER BY user_id, effective_from"),
+    "mv_incremental_refresh" ->
+      // full-history rebuild of the same rollup — equality with the
+      // incremental merge is the gate's whole point (merge_scd2 posture)
+      ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+       "event_type, count(*) AS n, " +
+       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) " +
+       "AS cents FROM events GROUP BY 1, 2 ORDER BY day, event_type"),
     "dq_anomaly_volume" ->
       // identical exact-integer z formula; the final division/sqrt are
       // the only floating ops, in the same order on the same operands.

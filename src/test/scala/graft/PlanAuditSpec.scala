@@ -252,6 +252,26 @@ class PlanAuditSpec extends AnyFunSuite {
         "only variable")
   }
 
+  test("join_null_safe plans a hash join on the null-safe key, not a BNLJ") {
+    // <=> is a hashable key (EqualNullSafe); if a refactor demotes it to
+    // a non-equi condition the join becomes a nested loop — quadratic at
+    // any scale.
+    val p = plans("join_null_safe")
+    assert(p.contains("HashJoin"), "null-safe join lost its hash plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "null-safe join degenerated to a nested loop")
+  }
+
+  test("mv_incremental_refresh: delta aggregates two-phase, merge is a join") {
+    // staging is bypassed here, so the plan shows BOTH rollups (base +
+    // delta) — each must be partial+final, and the merge a full-outer
+    // join on the group key, never a re-aggregation of the union.
+    val p = plans("mv_incremental_refresh")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "rollups are not partial+final aggregates")
+    assert(p.contains("FullOuter"), "MV merge lost its full-outer join")
+  }
+
   test("scan_agg_pushdown answers from parquet footers, not rows") {
     val p = plans("scan_agg_pushdown")
     assert(p.contains("PushedAggregation: [COUNT(*)"),
