@@ -44,7 +44,10 @@ object Bench {
     "text_scrub_dup_spans", "sink_zorder",
     "merge_scd2", // r14: stages the pre-cutoff base dimension
     "sink_delete", "dedup_semantic_mp", // r14: retention store pair; MP file
-    "sink_vacuum") // r14b: littered + vacuumed store pair
+    "sink_vacuum", // r14b: littered + vacuumed store pair
+    "mv_incremental_refresh",  // r15: stages the pre-cutoff base rollup
+    "stats_cbo_broadcast",     // r15: per-JVM CREATE TABLE + ANALYZE scans
+    "sink_time_travel", "sink_change_feed") // r15: read the store pair
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -33,8 +33,14 @@ object QueryDefs {
   * visible) but owns its conf — the returned frame carries the scoped
   * session, and nothing else in the JVM sees the overrides.
   *
-  * Memoized per (parent, tag) so PlanSweep/Bench's repeated constructions
-  * reuse one child; weak keys so children die with their parent. */
+  * Memoized per (parent, tag, confs) so PlanSweep/Bench's repeated
+  * constructions reuse one child; weak keys so children die with their
+  * parent. The CONFS are part of the memo key on purpose: keying by tag
+  * alone made the first caller win silently, so a test carrying a
+  * hand-copied conf list could drift from the declared key's and one of
+  * the two would plan under the other's stale confs (r15 review
+  * finding). Two callers with the same tag but different confs now each
+  * get a session configured exactly as they asked. */
 object Scoped {
   import java.util.concurrent.ConcurrentHashMap
   private val memo = java.util.Collections.synchronizedMap(
@@ -47,7 +53,9 @@ object Scoped {
       if (m == null) { m = new ConcurrentHashMap(); memo.put(parent, m) }
       m
     }
-    perParent.computeIfAbsent(tag, _ => {
+    val key = tag + "|" +
+      confs.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+    perParent.computeIfAbsent(key, _ => {
       val child = parent.newSession()
       confs.foreach { case (k, v) => child.conf.set(k, v) }
       child

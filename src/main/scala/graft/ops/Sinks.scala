@@ -974,17 +974,21 @@ object Sinks {
           col("bkt").isin(bkts: _*))
         .where(cellKey.isin(changed.map(c => s"${c._1}#${c._2}"): _*))
         .select(col("event_id"), col("user_id"), col("day"))
-      val deletes = cellRows(v0Root)
-        .join(cellRows(v1Root).select("event_id"), Seq("event_id"),
-          "left_anti")
-        .withColumn("change_type", lit("delete"))
-      val inserts = cellRows(v1Root)
-        .join(cellRows(v0Root).select("event_id"), Seq("event_id"),
-          "left_anti")
-        .withColumn("change_type", lit("insert"))
-      deletes.unionByName(inserts)
-        .select(col("event_id"), col("user_id"),
-          col("day").cast("timestamp").as("day"), col("change_type"))
+      // ONE full-outer join computes both diff directions (null right =
+      // delete, null left = insert): the two-anti-join form scanned each
+      // version's changed cells TWICE — doubling exactly the touched-cell
+      // I/O this key's contract bounds (r15 review finding).
+      val v1 = cellRows(v1Root).select(col("event_id").as("b_id"),
+        col("user_id").as("b_user"), col("day").as("b_day"))
+      cellRows(v0Root)
+        .join(v1, col("event_id") === col("b_id"), "full_outer")
+        .where(col("event_id").isNull || col("b_id").isNull)
+        .select(
+          coalesce(col("event_id"), col("b_id")).as("event_id"),
+          coalesce(col("user_id"), col("b_user")).as("user_id"),
+          coalesce(col("day"), col("b_day")).cast("timestamp").as("day"),
+          when(col("b_id").isNull, lit("delete")).otherwise(lit("insert"))
+            .as("change_type"))
         .orderBy("event_id")
     })
   )

@@ -305,8 +305,15 @@ object Warehouse {
     new java.util.concurrent.ConcurrentHashMap[String,
       Seq[(String, Long, Boolean)]]()
 
+  /** Monotone count of real (non-memo) dq_expectations computations —
+    * WarehouseSpec asserts the memo path by this counter, not by a
+    * wall-clock bound a loaded box could trip (r15 review finding). */
+  private[graft] val dqExpectationsComputeCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private def dqExpectationsRows(
       s: SparkSession, dir: String): Seq[(String, Long, Boolean)] = {
+      dqExpectationsComputeCount.incrementAndGet()
       val o = Tables.table(s, dir, "orders")
       val custKeys = Tables.table(s, dir, "customer").select(col("c_custkey"))
       val obs = Observation("dq_orders")

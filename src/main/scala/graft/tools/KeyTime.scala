@@ -35,8 +35,10 @@ object KeyTime {
       println(f"[keytime] $key run $i: $sec%6.2f s  rows=$rows")
       sec
     }
+    // lower-middle for even n: size/2 would report the UPPER middle —
+    // for n=2 that prints the max labeled as the median
     println(f"[keytime] $key min=${times.min}%.2f median=" +
-      f"${times.sorted.apply(times.size / 2)}%.2f max=${times.max}%.2f " +
+      f"${times.sorted.apply((times.size - 1) / 2)}%.2f max=${times.max}%.2f " +
       s"over $n warm runs")
     spark.stop()
   }

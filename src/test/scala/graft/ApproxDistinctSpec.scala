@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SURVEY §2.4: agg_approx_distinct is declared no-oracle, so its
-  * correctness contract lives here — HLL++ estimate within ±5% of the
-  * exact distinct count (the rsd the query requests). */
+/** SURVEY §2.4: agg_approx_distinct's ±5% contract is ORACLED since r15
+  * (the key emits `within_5pct` and the DuckDB oracle pins it TRUE), so
+  * the driver gate is the primary check; this spec is the wider
+  * secondary — it asserts the tolerance on OTHER tables/columns and at
+  * bench SF, where HLL++ leaves its near-exact small-n regime. */
 class ApproxDistinctSpec extends AnyFunSuite {
   import TestSpark._
 
