@@ -58,7 +58,12 @@ object PlanSweep {
         val facts = Seq("lineitem", "events", "documents", "embeddings",
           "orders")
         val rescans = facts.flatMap { t =>
-          val n = s"$t\\.parquet".r.findAllIn(p).length
+          // count Location: entries, not raw path mentions — a V2
+          // BatchScan node prints its path TWICE (header + Location), so
+          // the old raw count flagged every V2 single-scan key as a
+          // rescan (scan_agg_pushdown false positive, r15)
+          val n = (s"InMemoryFileIndex\\([^)]*\\)\\[[^\\]]*$t\\.parquet").r
+            .findAllIn(p).length
           if (n > 1) Some(s"$t×$n") else None
         }
         val flags = Seq(
