@@ -318,6 +318,54 @@ object KneeProbe {
         graft.ops.Sinks.sweepSinkChain(fps.toSet)
       }
     }
+    // ---- H. r15 extra keys: mv refresh / time travel / change feed on
+    // m× events (leg F/G replica scheme), BFS on m× documents with
+    // REPLICA-level salt. Salt placement matters and the first run of
+    // this leg got it wrong: leg A's PER-DOC salt keeps cross-replica
+    // Jaccard < 0.8 but also drags WITHIN-replica near-dups below the
+    // threshold (each of a pair gains ~16 disjoint grams), so the graph
+    // came back EMPTY and the "BFS decade" measured pair generation over
+    // nothing. Per-REPLICA salt (the same 14 tokens for every doc of
+    // replica k) adds SHARED grams within a replica — J' = (i+s)/(u+s) >
+    // J, pairs preserved — while cross-replica copies of one doc still
+    // cap at ~98/(98+32) ≈ 0.75 < 0.8. The graph then scales as m
+    // disjoint copies of the original. mv_incremental_refresh and the
+    // store pair get warm re-runs to split staged/artifact build from
+    // query cost; change_feed's cold includes BOTH store builds.
+    if (legs.contains('H'))
+    for ((m, warm) <- Seq((1, true), (1, false), (10, false))) {
+      val dir = java.nio.file.Files.createTempDirectory(tmpBase, s"graft_kneeH_${m}x_")
+      try {
+        replicate(Tables.events(spark, sfDir), m, 100000000L, "event_id", "user_id")
+          .repartition(4).write.parquet(s"$dir/events.parquet")
+        val replicaSalt = concat_ws(" ", (0 until 14).map(j =>
+          concat(lit("z"), col("k"), lit("w" + j))): _*)
+        Tables.table(spark, sfDir, "documents")
+          .withColumn("k", explode(sequence(lit(0), lit(m - 1))))
+          .withColumn("doc_id", col("doc_id") + col("k") * 10000000L)
+          .withColumn("text", concat(col("text"), lit(" "), replicaSalt))
+          .drop("k")
+          .repartition(4).write.parquet(s"$dir/documents.parquet")
+        for (k <- Seq("mv_incremental_refresh", "sink_time_travel",
+                      "sink_change_feed", "graph_shortest_path")) {
+          if (warm) { graft.SparkEntry.queries(k)(spark, dir.toString).count(); () }
+          else {
+            t(s"H m=$m $k")(
+              graft.SparkEntry.queries(k)(spark, dir.toString).count())
+            t(s"H m=$m $k(warm)")(
+              graft.SparkEntry.queries(k)(spark, dir.toString).count())
+          }
+        }
+      } finally {
+        val fps = Seq("events.parquet", "documents.parquet").flatMap { f =>
+          try Some(Tables.sourceFingerprint(s"$dir/$f"))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        graft.Staging.deleteRecursively(dir)
+        fps.foreach(graft.Staging.retireDerived)
+        graft.ops.Sinks.sweepSinkChain(fps.toSet)
+      }
+    }
     spark.stop()
   }
 }
