@@ -45,6 +45,26 @@ class DocSyncSpec extends AnyFunSuite {
       s"BASELINE.md says ${m.group(1)} queries; SparkEntry has $declared")
   }
 
+  test("README.md surface counts match SparkEntry") {
+    val text = read("README.md")
+    val m = """## Surface \((\d+) declared queries""".r
+      .findFirstMatchIn(text).getOrElse(fail(
+        "README.md surface line not found — keep the " +
+          "'## Surface (N declared queries' phrasing this spec anchors on"))
+    assert(m.group(1).toInt === declared,
+      s"README.md says ${m.group(1)} declared; SparkEntry has $declared")
+    val o = """\((\d+) oracle queries""".r.findFirstMatchIn(text)
+      .getOrElse(fail("README.md oracle-count line not found"))
+    assert(o.group(1).toInt === oracled,
+      s"README.md says ${o.group(1)} oracled; SparkEntry has $oracled")
+    val n = """(\d+) further keys are engine-specific no-oracle""".r
+      .findFirstMatchIn(text)
+      .getOrElse(fail("README.md no-oracle count line not found"))
+    assert(n.group(1).toInt === declared - oracled,
+      s"README.md says ${n.group(1)} no-oracle; " +
+        s"SparkEntry has ${declared - oracled}")
+  }
+
   test("every oracle key is a declared query (no orphan oracles)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
