@@ -602,7 +602,7 @@ object Joins {
     * bootstrap for cost-based planning. No data is copied or written:
     * only catalog metadata (row count, per-column ndv/min/max) is
     * created, so this is memoized per JVM by `tableExists` alone (the
-    * in-memory catalog dies with the JVM; the two ANALYZE scans are the
+    * in-memory catalog dies with the JVM; the three ANALYZE scans are the
     * once-per-JVM cost a real warehouse pays once per ingest). The
     * external catalog is shared across all sessions of the context, so
     * stats computed here are visible to the CBO-scoped child session. */

@@ -1043,6 +1043,28 @@ object Pipeline {
     * connectedComponents — but the handoff itself is now race-free.) */
   val lastCcNamespace = new ThreadLocal[String]
 
+  /** The trigram-Jaccard near-dup pair graph as a DuckDB CTE prefix
+    * (toks → grams → sizes → inv → prc → pairs → symmetric edges) —
+    * shared VERBATIM by the dedup_cluster / graph_pagerank /
+    * graph_shortest_path oracles, which all consume the same graph the
+    * Spark side derives from Dedup.ngramPairs. One constant so a
+    * threshold or tokenization change can never update two of the three
+    * replays and leave the third silently describing a different graph
+    * (r15 review finding). */
+  private val NearDupEdgesCte =
+    "toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+    "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 3), " +
+    "sizes AS (SELECT doc_id, len(g) AS sz FROM grams), " +
+    "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
+    "prc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
+    "FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+    "pairs AS (SELECT doc_a, doc_b FROM prc " +
+    "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+    "WHERE inter / (sa.sz + sb.sz - inter) >= 0.8), " +
+    "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+    "UNION ALL SELECT doc_b, doc_a FROM pairs)"
+
   val oracles: Map[String, String] = Map(
     // list_slice is 1-based inclusive-both-ends, so [k*24+1 : k*24+32]
     // is Spark's slice(toks, k*24+1, 32); generate_series is inclusive,
@@ -1262,18 +1284,7 @@ object Pipeline {
         "SELECT source, CAST(cum // 512 AS BIGINT) AS shard, count(*) AS n_docs, " +
         "CAST(sum(toks) AS BIGINT) AS sum_toks FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
     "dedup_cluster" ->
-      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
-        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 3), " +
-        "sizes AS (SELECT doc_id, len(g) AS sz FROM grams), " +
-        "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
-        "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
-        "FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pairs AS (SELECT doc_a, doc_b FROM pr " +
-        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
-        "WHERE inter / (sa.sz + sb.sz - inter) >= 0.8), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      (s"WITH RECURSIVE $NearDupEdgesCte, " +
         "reach(doc, r) AS (SELECT s, s FROM edges " +
         "UNION SELECT reach.doc, e.d FROM reach JOIN edges e ON e.s = reach.r) " +
         "SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster " +
@@ -1283,19 +1294,7 @@ object Pipeline {
     // order (list_reduce over `list(... ORDER BY s)` ≡ Spark's
     // aggregate(array_sort(collect_list)) — the text_entropy pattern).
     "graph_pagerank" -> {
-      val pairCte =
-        "toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
-        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 3), " +
-        "sizes AS (SELECT doc_id, len(g) AS sz FROM grams), " +
-        "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
-        "prc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
-        "FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pairs AS (SELECT doc_a, doc_b FROM prc " +
-        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
-        "WHERE inter / (sa.sz + sb.sz - inter) >= 0.8), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      val pairCte = NearDupEdgesCte + ", " +
         "deg AS (SELECT s AS doc, count(*) AS deg FROM edges GROUP BY s), " +
         "r0 AS (SELECT doc, CAST(1.0 AS DOUBLE) AS pr FROM deg)"
       val iters = (1 to 5).map { k =>
@@ -1311,21 +1310,9 @@ object Pipeline {
     },
 
     "graph_shortest_path" -> {
-      // same pair-graph prefix as dedup_cluster/graph_pagerank, then the
-      // identical 6 relaxation rounds as chained CTEs
-      val pairCte =
-        "toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
-        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 3), " +
-        "sizes AS (SELECT doc_id, len(g) AS sz FROM grams), " +
-        "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
-        "prc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
-        "FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pairs AS (SELECT doc_a, doc_b FROM prc " +
-        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
-        "WHERE inter / (sa.sz + sb.sz - inter) >= 0.8), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      // shared pair-graph prefix, then the identical 6 relaxation rounds
+      // as chained CTEs
+      val pairCte = NearDupEdgesCte + ", " +
         "d0 AS (SELECT doc, CAST(0 AS BIGINT) AS dist FROM " +
         "(SELECT DISTINCT s AS doc FROM edges) WHERE doc % 10 = 0)"
       val iters = (1 to 6).map { k =>

@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   * is snapshot/batch ratio, not corpus multiplier, so it keeps its own
   * harness. Scratch tool, not part of the driver contract; numbers in
   * ROUND12_NOTES.md. Usage: runMain graft.tools.KneeProbe [sfDir] [legs]
-  * — `legs` is an optional subset of "ABCDEF" (default all); the D/E loop
+  * — `legs` is an optional subset of "ABCDEFGH" (default all); the D/E loop
   * runs when either letter is selected.
   */
 object KneeProbe {
@@ -50,7 +50,7 @@ object KneeProbe {
     // Sinks.sweepSinkChain instead.
     sys.props("graft.sink.sweepRetired") = "false"
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val legs = args.lift(1).getOrElse("ABCDEF").toUpperCase
+    val legs = args.lift(1).getOrElse("ABCDEFGH").toUpperCase
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -70,6 +70,22 @@ object KneeProbe {
       val rep = df.withColumn("k", explode(sequence(lit(0), lit(m - 1))))
       idCols.foldLeft(rep)((d, c) =>
         d.withColumn(c, col(c) + col("k") * off)).drop("k")
+    }
+
+    /** Shared replica-corpus cleanup for legs F/G/H (was copy-pasted
+      * three times; the r15 sweepSinkChain upgrade had to be applied to
+      * every copy — r15 review finding): fingerprints BEFORE the delete,
+      * then derived-relation retirement, then the TRANSITIVE sink-chain
+      * sweep (derived store artifacts are keyed by their input's
+      * _SUCCESS fingerprint, which the corpus fp alone can't reach). */
+    def cleanupReplicas(dir: java.nio.file.Path, tables: Seq[String]): Unit = {
+      val fps = tables.flatMap { f =>
+        try Some(Tables.sourceFingerprint(s"$dir/$f"))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      graft.Staging.deleteRecursively(dir)
+      fps.foreach(graft.Staging.retireDerived)
+      graft.ops.Sinks.sweepSinkChain(fps.toSet)
     }
 
     // ---- A. ngram prefix: lex vs df-ordered vs df-ordered+cap ----------
@@ -246,20 +262,7 @@ object KneeProbe {
                 graft.SparkEntry.queries(k)(spark, dir.toString).count())
           }
         }
-      } finally {
-        val fps = Seq("events.parquet", "customer.parquet").flatMap { f =>
-          try Some(Tables.sourceFingerprint(s"$dir/$f"))
-          catch { case scala.util.control.NonFatal(_) => None }
-        }
-        graft.Staging.deleteRecursively(dir)
-        fps.foreach(graft.Staging.retireDerived)
-        // sink_delete's publishSink artifacts live under graft_sink,
-        // keyed by the replica fingerprint — sweep them with the corpus
-        // transitive: replica store chains re-key derived artifacts by
-        // their input's _SUCCESS fingerprint, which the corpus fp alone
-        // can't reach
-        graft.ops.Sinks.sweepSinkChain(fps.toSet)
-      }
+      } finally cleanupReplicas(dir, Seq("events.parquet", "customer.parquet"))
     }
     // ---- G. r14b keys the r14 decade table missed (verdict item 8):
     // dq_profile (orders), dq_expectations (orders + customer),
@@ -304,19 +307,8 @@ object KneeProbe {
                 graft.SparkEntry.queries(k)(spark, dir.toString).count())
           }
         }
-      } finally {
-        val fps = Seq("events.parquet", "customer.parquet", "orders.parquet")
-          .flatMap { f =>
-            try Some(Tables.sourceFingerprint(s"$dir/$f"))
-            catch { case scala.util.control.NonFatal(_) => None }
-          }
-        graft.Staging.deleteRecursively(dir)
-        fps.foreach(graft.Staging.retireDerived)
-        // transitive: replica store chains re-key derived artifacts by
-        // their input's _SUCCESS fingerprint, which the corpus fp alone
-        // can't reach
-        graft.ops.Sinks.sweepSinkChain(fps.toSet)
-      }
+      } finally cleanupReplicas(dir,
+        Seq("events.parquet", "customer.parquet", "orders.parquet"))
     }
     // ---- H. r15 extra keys: mv refresh / time travel / change feed on
     // m× events (leg F/G replica scheme), BFS on m× documents with
@@ -356,15 +348,7 @@ object KneeProbe {
               graft.SparkEntry.queries(k)(spark, dir.toString).count())
           }
         }
-      } finally {
-        val fps = Seq("events.parquet", "documents.parquet").flatMap { f =>
-          try Some(Tables.sourceFingerprint(s"$dir/$f"))
-          catch { case scala.util.control.NonFatal(_) => None }
-        }
-        graft.Staging.deleteRecursively(dir)
-        fps.foreach(graft.Staging.retireDerived)
-        graft.ops.Sinks.sweepSinkChain(fps.toSet)
-      }
+      } finally cleanupReplicas(dir, Seq("events.parquet", "documents.parquet"))
     }
     spark.stop()
   }

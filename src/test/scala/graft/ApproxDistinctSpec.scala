@@ -16,7 +16,11 @@ class ApproxDistinctSpec extends AnyFunSuite {
                               "events" -> "user_id"))
     test(s"approx_count_distinct($table.$column) within 5% of exact") {
       val row = Tables.table(spark, sf, table)
-        .agg(approx_count_distinct(col(column), 0.05).as("approx"),
+        // rsd 0.02 like the declared key: at 0.05 the 5% assert below is
+        // only ~1.1 sigma of the sketch's own stddev — a healthy HLL on a
+        // regenerated corpus trips it ~1 run in 4 (r15 review finding);
+        // at 0.02 the same 5% is a ~2.5-3 sigma bound.
+        .agg(approx_count_distinct(col(column), 0.02).as("approx"),
              countDistinct(col(column)).as("exact"))
         .head()
       val (approx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
@@ -34,7 +38,7 @@ class ApproxDistinctSpec extends AnyFunSuite {
     // exact sparse mode; sf0.1 pushes it into genuine estimation, so the
     // rsd contract is asserted where it actually bites.
     val row = Tables.table(spark, "/root/testdata/sf0.1", "lineitem")
-      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
            countDistinct(col("l_partkey")).as("exact"))
       .head()
     val (approx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
