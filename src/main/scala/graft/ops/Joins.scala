@@ -502,7 +502,12 @@ object Joins {
       ensureAnalyzed(s, dir)
       val cbo = graft.Scoped.session(s, "cbo", Seq(
         "spark.sql.cbo.enabled" -> "true",
-        "spark.sql.cbo.joinReorder.enabled" -> "true"))
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
+        // catalog row counts + column stats flow into every logical
+        // estimate (FilterEstimation selectivity etc.), not just the
+        // reorder — the broadcast-decision flip PlanAuditSpec asserts
+        // rides this conf
+        "spark.sql.cbo.planStats.enabled" -> "true"))
       val l = cbo.table(analyzedName(dir, "lineitem"))
       val o = cbo.table(analyzedName(dir, "orders"))
       val c = cbo.table(analyzedName(dir, "customer"))

@@ -87,6 +87,41 @@ object R15Probe {
     println("=== bloom executed plan ===")
     println(j.queryExecution.executedPlan.treeString.take(6000))
 
+    // ---- C2. CBO broadcast decision: with stats+CBO the FILTERED dim's
+    // estimate shrinks below a threshold the raw size estimate exceeds
+    val cbo2 = spark.newSession()
+    cbo2.conf.set("spark.sql.cbo.enabled", "true")
+    cbo2.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    cbo2.conf.set("spark.sql.adaptive.enabled", "false")
+    val noCbo = spark.newSession()
+    noCbo.conf.set("spark.sql.cbo.enabled", "false")
+    noCbo.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sql("DESC EXTENDED probe_customer c_mktsegment").show(20, false)
+    for (sess <- Seq(("cbo", cbo2), ("nocbo", noCbo))) {
+      val (tag, ss) = sess
+      org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      val fcs = ss.table("probe_customer")
+        .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 1000)
+        .select("c_custkey")
+        .queryExecution.optimizedPlan.stats
+      println(s"=== $tag filtered2 stats (active session): $fcs")
+      for (thr <- Seq("6144", "4096", "2048")) {
+        // conf BEFORE construction; queryExecution is cached per frame,
+        // so a fresh frame per threshold
+        ss.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        val fc = ss.table("probe_customer")
+          .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val joined = ss.table("probe_orders")
+          .join(fc, col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        println(s"=== $tag thr=$thr: " +
+          joined.queryExecution.executedPlan.toString
+            .linesIterator.filter(_.contains("Join")).map(_.trim).mkString(" | "))
+        ss.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+
     // ---- D. parquet aggregate pushdown (V2 path, footer-stats answers)
     val ap = spark.newSession()
     ap.conf.set("spark.sql.parquet.aggregatePushdown", "true")

@@ -214,7 +214,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // written fact-first order. Proves the stats, not the conf, flip it.
     val cbo = Scoped.session(spark, "cbo", Seq(
       "spark.sql.cbo.enabled" -> "true",
-      "spark.sql.cbo.joinReorder.enabled" -> "true"))
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true"))
     def shape(s: org.apache.spark.sql.SparkSession,
               t: String => org.apache.spark.sql.DataFrame) =
       t("lineitem").join(t("orders"), col("l_orderkey") === col("o_orderkey"))
@@ -236,6 +237,64 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.collectLeaves().map(_.toString)
     assert(off.head.contains("_lineitem"),
       s"reorder fired with CBO off?; leaves: ${off.map(_.take(60))}")
+  }
+
+  test("stats_cbo_broadcast: broadcast DECISION flips with stats, not just " +
+       "the join order") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // The r14 verdict's exact ask: stats present → broadcast chosen
+    // WITHOUT a hint. A selective two-predicate dim filter makes the
+    // CBO (column-stats) size estimate ~9× smaller than the size-only
+    // one (selectivity is SF-independent, so the ratio travels); a
+    // threshold derived from the two measured estimates then separates
+    // the planners at any test SF.
+    graft.ops.Joins.ensureAnalyzed(spark, sf)
+    def dim(ss: org.apache.spark.sql.SparkSession) =
+      ss.table(graft.ops.Joins.analyzedName(sf, "customer"))
+        .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 1000)
+        .select("c_custkey")
+    def shape(ss: org.apache.spark.sql.SparkSession) =
+      ss.table(graft.ops.Joins.analyzedName(sf, "orders"))
+        .join(dim(ss), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val statsOn = Scoped.session(spark, "cboStats", Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false"))
+    val sizeOnly = Scoped.session(spark, "sizeOnly", Seq(
+      "spark.sql.cbo.enabled" -> "false",
+      "spark.sql.adaptive.enabled" -> "false"))
+    // logical estimates are computed under the ACTIVE session's conf
+    // when read from the test thread — scope it per read and restore
+    def est(ss: org.apache.spark.sql.SparkSession): BigInt = {
+      val classic = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      org.apache.spark.sql.classic.SparkSession.setActiveSession(classic)
+      try dim(ss).queryExecution.optimizedPlan.stats.sizeInBytes
+      finally org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    }
+    val (eStats, eSize) = (est(statsOn), est(sizeOnly))
+    assert(eStats * 2 < eSize,
+      s"CBO estimate $eStats not meaningfully below size-only $eSize — " +
+        "column stats are not flowing into the filter estimate")
+    // threshold strictly between the two estimates → the SAME query
+    // broadcasts iff the planner sees the stats-driven estimate
+    val thr = ((eStats + eSize) / 2).toString
+    val bOn = Scoped.session(spark, "cboStatsThr", Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> thr))
+    val bOff = Scoped.session(spark, "sizeOnlyThr", Seq(
+      "spark.sql.cbo.enabled" -> "false",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> thr))
+    assert(shape(bOn).queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "stats present but the dim was not broadcast — CBO estimate ignored")
+    assert(!shape(bOff).queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "size-only planner broadcast anyway — the flip proves nothing")
   }
 
   test("join_runtime_bloom: bloom subquery filters the fact scan pre-shuffle") {
