@@ -297,6 +297,37 @@ class PlanAuditSpec extends AnyFunSuite {
       "size-only planner broadcast anyway — the flip proves nothing")
   }
 
+  test("AQE re-plans a statically-pessimistic SMJ to broadcast at runtime") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // The third leg of the planning trio this round pins (static stats →
+    // stats_cbo_broadcast; runtime semi-join reduction →
+    // join_runtime_bloom): when STATIC planning must assume the worst
+    // (broadcast threshold -1 — the "stats unavailable/stale" posture),
+    // AQE measures the ACTUAL shuffle output and re-plans the join to a
+    // broadcast mid-query. Static threshold -1 forces the initial SMJ;
+    // the adaptive threshold is its own conf, so the runtime planner
+    // still may broadcast.
+    val ss = Scoped.session(spark, "aqeReplan", Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10485760"))
+    val dim = Tables.table(ss, sf, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val q = Tables.table(ss, sf, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    q.collect() // the final plan only exists after execution
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), "AQE did not finalize the plan")
+    val finalPart = p.substring(p.indexOf("Final Plan"),
+      math.max(p.indexOf("Initial Plan"), p.length - 1))
+    val initialPart = p.substring(p.indexOf("Initial Plan"))
+    assert(initialPart.contains("SortMergeJoin"),
+      "static plan was not the pessimistic SMJ — the re-plan proves nothing")
+    assert(finalPart.contains("BroadcastHashJoin"),
+      "AQE left the SMJ in place — runtime size never re-planned the join")
+  }
+
   test("join_runtime_bloom: bloom subquery filters the fact scan pre-shuffle") {
     val p = SparkEntry.queries("join_runtime_bloom")(spark, sf)
       .queryExecution.executedPlan.toString
