@@ -465,31 +465,71 @@ object Aggs {
     // oracle (sketch binaries are library-specific); HllMergeSpec
     // asserts the estimate tracks exact distincts and that the two-level
     // rollup stays within HLL tolerance of the single-pass sketch.
-    "agg_hll_merge" -> ((s, dir) =>
-      Tables.events(s, dir)
+    // ORACLED since r15 via the agg_approx_distinct contract pattern: the
+    // merged-sketch estimate itself is engine-specific (DataSketches HLL
+    // bytes), so the key emits the exact count + within_5pct — with the
+    // default lgConfigK=12 (4096 buckets, σ ≈ 1.6%) the 5% contract is a
+    // ~3σ bound, and a drifting sketch/merge implementation fails the
+    // DRIVER gate. The per-day sketch → union merge IS the point (the
+    // mergeable-sketch rollup pattern); the exact side rides a second
+    // aggregate over the same scan for verification only.
+    "agg_hll_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        col("ts"), col("user_id"))
+      val est = ev
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
         .groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
-        .orderBy("event_type")),
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est_users").cast("double") /
+            col("n_exact").cast("double") - 1.0) <= 0.05).as("within_5pct"))
+        .orderBy("event_type")
+    }),
 
     // Mergeable QUANTILE sketch (Greenwald-Khanna summaries): the exact
     // `agg_median_percentile` twin that survives 100 TB — exact
     // percentiles buffer every value per group; the GK summary is a
-    // bounded partial-aggregate merged map-side. Accuracy 10000 exceeds
-    // the per-group cardinality at the sf0.01 gate, so the summary never
-    // compresses there and the declared output is exact + deterministic;
-    // the compressed (real approximation) path is driven separately by
-    // ApproxQuantileSpec with accuracy 100 under a rank-error bound. No
-    // DuckDB oracle: summary compression is engine-specific at bench SF.
+    // bounded partial-aggregate merged map-side.
+    // ORACLED since r15 under GK's own DETERMINISTIC guarantee (stronger
+    // than the HLL keys' 3σ contracts): accuracy a bounds the RANK error
+    // by ⌈n/a⌉, unconditionally. The key now runs REAL compression
+    // (accuracy 100 — the r7 declaration ducked it with accuracy >
+    // per-group n, leaving the approximation path spec-only) and emits,
+    // per status and quantile, whether the estimate's exact-rank interval
+    // [count(< est), count(≤ est)] intersects [qn − n/a − 1, qn + n/a + 1]
+    // (±1 absorbs the ⌈⌉ convention at tiny test groups where n/a < 1).
+    // The estimates themselves are engine-specific under compression and
+    // stay out of the output; ApproxQuantileSpec still pins value-level
+    // behavior. Shape: sketch agg → broadcast the |statuses|-row
+    // estimates back → one conditional-count aggregate.
     "agg_approx_quantile" -> ((s, dir) => {
+      val Acc = 100
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"))
       val qs = percentile_approx(col("o_totalprice"),
-        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
-      Tables.table(s, dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(D.r2(element_at(qs, 1)).as("q50"),
-             D.r2(element_at(qs, 2)).as("q90"),
-             D.r2(element_at(qs, 3)).as("q99"))
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(Acc))
+      val est = o.groupBy("o_orderstatus").agg(qs.as("qs"))
+      val ranked = o.join(broadcast(est), "o_orderstatus")
+      val aggs = (1 to 3).flatMap { k => Seq(
+        sum(when(col("o_totalprice") < element_at(col("qs"), k), 1L)
+          .otherwise(0L)).as(s"lt_$k"),
+        sum(when(col("o_totalprice") <= element_at(col("qs"), k), 1L)
+          .otherwise(0L)).as(s"le_$k"))
+      } :+ count(lit(1)).as("n")
+      val qTargets = Seq(0.5, 0.9, 0.99)
+      val checks = (1 to 3).map { k =>
+        val qn = lit(qTargets(k - 1)) * col("n")
+        val eps = col("n").cast("double") / Acc + 1.0
+        ((col(s"lt_$k") <= qn + eps) && (col(s"le_$k") >= qn - eps))
+          .as(s"q${(qTargets(k - 1) * 100).toInt}_ok")
+      }
+      ranked.groupBy("o_orderstatus")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("o_orderstatus") +: col("n") +: checks: _*)
         .orderBy("o_orderstatus")
     }),
 
@@ -556,6 +596,16 @@ object Aggs {
       ("SELECT event_type, " +
        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
        "TRUE AS within_5pct FROM events GROUP BY 1 ORDER BY 1"),
+    "agg_hll_merge" ->
+      // same contract pattern: exact count + constant-TRUE ±5% bound
+      ("SELECT event_type, " +
+       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
+       "TRUE AS within_5pct FROM events GROUP BY 1 ORDER BY 1"),
+    "agg_approx_quantile" ->
+      // GK's rank guarantee is deterministic, so every _ok is a hard TRUE
+      ("SELECT o_orderstatus, count(*) AS n, " +
+       "TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok " +
+       "FROM orders GROUP BY 1 ORDER BY 1"),
     // DuckDB's mode() is tie-arbitrary, so the oracle spells the same
     // deterministic selection explicitly: rank (count DESC, value ASC),
     // take rank 1 — exactly mode(col, true)'s lowest-on-ties contract.

@@ -3,23 +3,44 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SURVEY §2.4: agg_hll_merge is declared no-oracle (Datasketches binary
-  * sketches have no DuckDB twin), so its correctness contract lives here:
-  * the merged two-level estimate must track the exact per-type distinct
-  * count within HLL tolerance, and re-merging per-day sketches must agree
-  * with sketching the whole fact in one pass (union is register-wise max;
+/** SURVEY §2.4: agg_hll_merge is ORACLED since r15 via the
+  * agg_approx_distinct contract pattern (exact count + constant-TRUE
+  * within_5pct). This spec keeps the value-level teeth the contract
+  * column compresses away: the merged two-level ESTIMATE itself tracks
+  * the exact count, and re-merging per-day sketches agrees with
+  * sketching the whole fact in one pass (union is register-wise max;
   * only the HIP estimator's merge history differs, so the two estimates
   * are close but not bit-equal).
   */
 class HllMergeSpec extends AnyFunSuite {
   import TestSpark._
 
-  // default lgConfigK=12 → rse ≈ 1.04/sqrt(2^12) ≈ 1.6%; 5% is generous
+  // default lgConfigK=12 → rse ≈ 1.04/sqrt(2^12) ≈ 1.6%; 5% is ~3σ
   private val Tol = 0.05
 
+  private def twoLevelEstimate: Map[String, Double] =
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+
+  test("declared key: contract column TRUE everywhere, exact counts exact") {
+    val got = SparkEntry.queries("agg_hll_merge")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === exact.keySet)
+    for ((t, (n, ok)) <- got) {
+      assert(n === exact(t), s"$t: exact side drifted")
+      assert(ok, s"$t: merged estimate outside ±5% of exact")
+    }
+  }
+
   test("two-level sketch rollup tracks exact distinct users per type") {
-    val est = SparkEntry.queries("agg_hll_merge")(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val est = twoLevelEstimate
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
@@ -30,8 +51,7 @@ class HllMergeSpec extends AnyFunSuite {
   }
 
   test("merged per-day sketches agree with the single-pass sketch") {
-    val merged = SparkEntry.queries("agg_hll_merge")(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val merged = twoLevelEstimate
     val single = Tables.events(spark, sf)
       .groupBy("event_type")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
