@@ -40,6 +40,19 @@ object Sinks {
         val tmp = Paths.get(out.toString + ".tmp-" +
           java.util.UUID.randomUUID.toString)
         build(tmp)
+        // Stamp a UUID nonce into `_SUCCESS` (zero-byte as Spark writes
+        // it): derived artifacts key off this file's fingerprint, and a
+        // zero-byte file degenerates that key to path+millisecond-mtime —
+        // a same-path rebuild landing in the same millisecond would serve
+        // a stale derived chain (r15 ADVICE). With content folded into
+        // successFingerprint, every rebuild re-keys downstream.
+        Files.write(tmp.resolve("_SUCCESS"),
+          java.util.UUID.randomUUID.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // the nonce invalidates Hadoop's local-FS checksum twin — drop it
+        // so nothing ever reads `_SUCCESS` through ChecksumFileSystem and
+        // trips on the stale crc
+        Files.deleteIfExists(tmp.resolve("._SUCCESS.crc"))
         Files.createDirectories(out.getParent)
         var attempts = 0
         var done = false
@@ -121,14 +134,23 @@ object Sinks {
               // filtering them out here would shrink `live` below the
               // truth — worst case to EMPTY, which would re-enable the
               // exact cross-generation deletion this guard exists to stop.
+              // `_SUCCESS` sources (derived artifacts) key on the
+              // content-inclusive successFingerprint — the liveness
+              // universe must hash the same way or every live derived
+              // sibling's prefix mismatches and it looks retired.
+              val fp: java.nio.file.Path => String =
+                if (src.getFileName.toString == "_SUCCESS") successFingerprint
+                else p => Tables.sourceFingerprint(p.toString)
               val ls = Files.list(r)
               try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
                 .map(_.resolve(src.getFileName))
                 .filter(Files.exists(_))
-                .map(p => Tables.sourceFingerprint(p.toString)).toSet
+                .map(fp).toSet
               finally ls.close()
             case _ if Files.exists(src) =>
-              Set(Tables.sourceFingerprint(src.toString))
+              Set(if (src.getFileName.toString == "_SUCCESS")
+                successFingerprint(src)
+              else Tables.sourceFingerprint(src.toString))
             case _ => Set.empty
           }
         }
@@ -182,8 +204,27 @@ object Sinks {
                             (build: java.nio.file.Path => Unit): String = {
     val success = java.nio.file.Paths.get(inputRoot, "_SUCCESS")
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_sink", s"${Tables.sourceFingerprint(success.toString)}_$tag")
+      "graft_sink", s"${successFingerprint(success)}_$tag")
     publishOnce(out, success)(build)
+  }
+
+  /** Fingerprint of a published artifact's `_SUCCESS`, CONTENT-inclusive:
+    * publishOnce stamps a UUID nonce into the file, and this hash folds
+    * that content in on top of [[graft.Tables.sourceFingerprint]]'s
+    * path+size+mtime, so a rebuilt input ALWAYS re-keys its derived chain
+    * even when the rebuild lands in the same millisecond (r15 ADVICE: the
+    * zero-byte `_SUCCESS` left mtime as the only distinguishing field).
+    * Reads ≤ 64 bytes; pre-nonce artifacts (empty `_SUCCESS`) hash to the
+    * plain fingerprint and get reclaimed as retired siblings. */
+  private def successFingerprint(success: java.nio.file.Path): String = {
+    val content =
+      try new String(java.nio.file.Files.readAllBytes(success),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case scala.util.control.NonFatal(_) => "" }
+    val ident = Tables.sourceFingerprint(success.toString) + ":" + content
+    var h = 0xcbf29ce484222325L
+    ident.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+    java.lang.Long.toHexString(h & 0xffffffffffffL)
   }
 
   /** Remove the graft_sink artifacts keyed by any of `prefixes`, then
@@ -204,7 +245,9 @@ object Sinks {
         if (frontier.exists(fp => p.getFileName.toString.startsWith(fp + "_"))) {
           val succ = p.resolve("_SUCCESS")
           if (Files.exists(succ))
-            try next += Tables.sourceFingerprint(succ.toString)
+            // same content-inclusive key publishDerived uses, or the
+            // chain walk would miss every nonce-stamped descendant
+            try next += successFingerprint(succ)
             catch { case scala.util.control.NonFatal(_) => () }
           graft.Staging.deleteRecursively(p)
         }

@@ -817,7 +817,8 @@ object Streams {
         ConfScope.exit(s, scoped.map(_._1))
         graft.Staging.deleteRecursively(ckptRoot)
       }
-      latest.get
+      latest.getOrElse(sys.error(
+        "recovery session executed no batches — checkpoint replay contract broken"))
         .select(unix_timestamp(col("window.start")).as("ws"),
           col("event_type"), col("count").as("n"))
         .orderBy("ws", "event_type")

@@ -47,8 +47,19 @@ object KneeProbe {
     // compute its retired-sibling liveness from the WRONG tree and
     // reclaim the live testdata artifacts (the r15 mixed-pair incident).
     // Suppress retired sweeps for the probe; cleanup below uses
-    // Sinks.sweepSinkChain instead.
+    // Sinks.sweepSinkChain instead. Save/restore the prior value so a
+    // shared JVM (sbt in-process runMain) gets its retired-sibling sweeps
+    // back after the probe (r15 ADVICE).
+    val priorSweep = sys.props.get("graft.sink.sweepRetired")
     sys.props("graft.sink.sweepRetired") = "false"
+    try run(args)
+    finally priorSweep match {
+      case Some(v) => sys.props("graft.sink.sweepRetired") = v
+      case None    => sys.props -= "graft.sink.sweepRetired"
+    }
+  }
+
+  private def run(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val legs = args.lift(1).getOrElse("ABCDEFGH").toUpperCase
     val spark = SparkSession.builder()

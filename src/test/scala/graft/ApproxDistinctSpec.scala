@@ -33,6 +33,27 @@ class ApproxDistinctSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+    test(s"corpus canary: per-group cardinality stays in the sized regime ($d)") {
+      // r15 ADVICE: the constant-TRUE within_5pct oracle columns
+      // (agg_approx_distinct, agg_hll_merge — both group events by
+      // event_type over user_id) make the driver gate probabilistic if a
+      // regenerated corpus pushes per-group distincts past the regime the
+      // contract was sized for: 4096 registers keep n ≲ 10k in HLL's
+      // near-exact linear counting; past it the 5% bound is a 3σ tail
+      // with real mass. This NAMED spec trips on the corpus before the
+      // gate can fail with no code defect.
+      val maxN = Tables.table(spark, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n"))
+        .agg(max(col("n")))
+        .head().getLong(0)
+      assert(maxN <= 10000L,
+        s"per-event_type distinct users reached $maxN > 10k: the corpus " +
+          "left the near-exact HLL regime the within_5pct oracle was " +
+          "sized for — resize the sketches before trusting the gate")
+    }
+
   test("tolerance holds at sf0.1 too (bench-scale cardinalities)") {
     // sf0.001's cardinalities are small enough that HLL++ runs in its
     // exact sparse mode; sf0.1 pushes it into genuine estimation, so the

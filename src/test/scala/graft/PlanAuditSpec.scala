@@ -319,9 +319,13 @@ class PlanAuditSpec extends AnyFunSuite {
     q.collect() // the final plan only exists after execution
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"), "AQE did not finalize the plan")
+    // Scope finalPart to END at "Initial Plan" when that section exists
+    // (r15 ADVICE: max(indexOf, len-1) always picked len-1, so the BHJ
+    // assert silently spanned the initial plan too).
+    val initialIdx = p.indexOf("Initial Plan")
     val finalPart = p.substring(p.indexOf("Final Plan"),
-      math.max(p.indexOf("Initial Plan"), p.length - 1))
-    val initialPart = p.substring(p.indexOf("Initial Plan"))
+      if (initialIdx >= 0) initialIdx else p.length)
+    val initialPart = p.substring(initialIdx)
     assert(initialPart.contains("SortMergeJoin"),
       "static plan was not the pessimistic SMJ — the re-plan proves nothing")
     assert(finalPart.contains("BroadcastHashJoin"),
