@@ -30,6 +30,40 @@ object TextQuality {
 
   private def lit_arr(xs: Seq[String]): Column = array(xs.map(lit): _*)
 
+  /** Fixed AFINN-style sentiment lexicon (word → integer valence in
+    * [-4, 4]), the r15 verdict's #1 missing capability (the
+    * reference-category sentiment-analysis op, PAPERS.md:7). Embedded and
+    * shared VERBATIM by the Spark CASE chain and the DuckDB VALUES CTE
+    * ([[sentimentLexValues]]) so the two sides cannot drift. The tail
+    * entries (crash/fail/error/good/bad) are absent from the synthetic
+    * corpus vocabulary on purpose — they exercise the no-match path the
+    * way a real lexicon (AFINN ships 2477 words) mostly misses any given
+    * document. */
+  private val sentimentLexicon: Seq[(String, Int)] = Seq(
+    "fast" -> 3, "value" -> 2, "big" -> 1, "merge" -> 1, "join" -> 1,
+    "slow" -> -3, "dup" -> -2, "small" -> -1, "filter" -> -1,
+    "crash" -> -4, "fail" -> -3, "error" -> -2, "good" -> 3, "bad" -> -3)
+
+  /** Valence of one token: a single flat CASE chain (codegen'd, no join,
+    * no UDF) — at 14 entries the branch chain beats a broadcast token
+    * join because it never leaves the row. A production-sized lexicon
+    * (thousands of words) would flip to the broadcast-join form the
+    * oracle uses; both shapes are verified equal by SentimentSpec. */
+  private[graft] def sentimentValence(t: Column): Column =
+    sentimentLexicon.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (w, v)) => acc.when(t === w, lit(v.toLong))
+    }.otherwise(lit(0L))
+
+  /** Per-document sentiment score: sum of token valences, folded map-side
+    * over the split — one pass, zero per-token shuffle rows. */
+  private[graft] def sentimentScore: Column =
+    aggregate(split(lower(col("text")), " "), lit(0L),
+      (acc, t) => acc + sentimentValence(t))
+
+  /** The lexicon as a DuckDB VALUES list, generated from the same Seq. */
+  private def sentimentLexValues: String =
+    sentimentLexicon.map { case (w, v) => s"('$w', $v)" }.mkString(", ")
+
   /** Distinct lower-cased whitespace tokens. */
   private val toks: Column = array_distinct(split(lower(col("text")), " "))
 
@@ -100,6 +134,30 @@ object TextQuality {
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
     }),
+
+    // Sentiment analysis (r15 verdict item 1): lexicon-based polarity over
+    // documents — per-doc valence sum (map-side CASE fold, no explode
+    // shuffle, no UDF), then a per-(lang, source) polarity rollup with the
+    // most-positive/most-negative doc per group (max_by/min_by on a
+    // (score, doc_id) struct — unique ordering keys, so ties cannot make
+    // the pick nondeterministic). All-integer output: counts, valence
+    // sums, and doc ids hash bitwise across engines. Scale: one corpus
+    // pass, one small-key shuffle — the rollup stays |langs|·|sources|
+    // rows no matter the corpus size.
+    "text_sentiment" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("lang"), col("source"), col("doc_id"),
+          sentimentScore.as("score"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("score") < 0, 1L).otherwise(0L)).as("n_neg"),
+          sum(col("score")).as("sum_score"),
+          max_by(col("doc_id"), struct(col("score"), -col("doc_id")))
+            .as("top_pos_doc"),
+          min_by(col("doc_id"), struct(col("score"), col("doc_id")))
+            .as("top_neg_doc"))
+        .orderBy("lang", "source")),
 
     // Quality scoring: length window, average word length, stopword ratio,
     // symbol ratio → weighted score → low/medium/high buckets per source.
@@ -284,6 +342,31 @@ object TextQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_sentiment" ->
+      // Independent formulation on purpose: the oracle scores docs through
+      // the unnest + lexicon-join shape (the production form for a large
+      // lexicon) and picks top docs with row_number windows, against the
+      // Spark side's CASE fold + max_by/min_by. Same lexicon Seq feeds
+      // both. Sums cast to BIGINT (DuckDB widens to HUGEINT).
+      (s"WITH lex(word, valence) AS (VALUES $sentimentLexValues), " +
+       "tok AS (SELECT doc_id, lang, source, " +
+       "unnest(string_split(lower(text), ' ')) AS word FROM documents), " +
+       "scored AS (SELECT t.doc_id, t.lang, t.source, " +
+       "CAST(coalesce(sum(l.valence), 0) AS BIGINT) AS score " +
+       "FROM tok t LEFT JOIN lex l ON t.word = l.word " +
+       "GROUP BY t.doc_id, t.lang, t.source), " +
+       "ranked AS (SELECT lang, source, doc_id, score, " +
+       "row_number() OVER (PARTITION BY lang, source " +
+       "ORDER BY score DESC, doc_id) AS rp, " +
+       "row_number() OVER (PARTITION BY lang, source " +
+       "ORDER BY score ASC, doc_id) AS rn FROM scored) " +
+       "SELECT lang, source, count(*) AS n_docs, " +
+       "CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+       "CAST(sum(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg, " +
+       "CAST(sum(score) AS BIGINT) AS sum_score, " +
+       "max(CASE WHEN rp = 1 THEN doc_id END) AS top_pos_doc, " +
+       "max(CASE WHEN rn = 1 THEN doc_id END) AS top_neg_doc " +
+       "FROM ranked GROUP BY lang, source ORDER BY lang, source"),
     "text_url_domain" ->
       // DuckDB has no parse_url; the oracle rebuilds the three parts from
       // the same deterministic construction, with the SAME hostname
