@@ -532,6 +532,78 @@ object Sinks {
     }
   }
 
+  /** The v2 MERGE commit on top of the deleted store (r15 verdict item 2:
+    * the delete-only commit left CDF's insert leg structurally computed
+    * but pinned EMPTY — this commit makes all three change types carry
+    * rows). Merge rules are PURE FUNCTIONS of the raw corpus so DuckDB
+    * can replay the change sets without reading either version:
+    *  - DELETE  rows with user_id % 37 = 7 (a second forget class);
+    *  - UPDATE  rows with user_id % 37 = 5 → value := 999.99 (a constant,
+    *    not arithmetic on the old double — (v+1)*100 vs v*100+100 round
+    *    differently at half-cent boundaries, a constant can't);
+    *  - INSERT  a twin of every surviving row with event_id % 97 = 11:
+    *    event_id + UpsOffset (far beyond any corpus id), value 111.11,
+    *    same user/day — so the twin lands in its source's (day, bkt)
+    *    cell and never widens the touched-cell set.
+    * Same copy-on-write discipline as the delete: only touched cells are
+    * re-read (partition-pruned) and rewritten; untouched cells carry over
+    * byte-identical. */
+  private[graft] val UpsOffset = 1000000000000L
+  private def isDelV2 = col("user_id") % 37 === 7
+  private def isUpdV2 = col("user_id") % 37 === 5
+  private def isTwinV2 = col("event_id") % 97 === 11 && !(col("user_id") % 37 === 7)
+  def ensureUpsertedStore(s: SparkSession, dir: String): String = {
+    val v1Root = ensureDeletedStore(s, dir)
+    publishDerived(v1Root, "events_ret_ups_v1") { tmp =>
+      import java.nio.file.{Files, Paths}
+      val v1 = s.read.parquet(v1Root)
+      val touched = v1.where(isDelV2 || isUpdV2 || isTwinV2)
+        .select(col("day").cast("string"), col("bkt"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      val days = touched.map(_._1).toSeq
+      val bkts = touched.map(_._2).toSeq
+      val cellKey = concat_ws("#", col("day").cast("string"),
+        col("bkt").cast("string"))
+      val cellRows = v1
+        .where(col("day").isin(days.map(java.sql.Date.valueOf): _*) &&
+          col("bkt").isin(bkts: _*))
+        .where(cellKey.isin(touched.map(t => s"${t._1}#${t._2}").toSeq: _*))
+      val survivors = cellRows.where(!isDelV2)
+        .withColumn("value", when(isUpdV2, lit(999.99)).otherwise(col("value")))
+      val inserts = cellRows.where(isTwinV2)
+        .withColumn("event_id", col("event_id") + lit(UpsOffset))
+        .withColumn("value", lit(111.11))
+      survivors.unionByName(inserts)
+        .repartition(col("day"), col("bkt"))
+        .sortWithinPartitions("day", "bkt", "event_id")
+        .write.partitionBy("day", "bkt").mode("overwrite")
+        .parquet(tmp.toString)
+      // carry over untouched cells byte-identical (same discipline and
+      // guards as ensureDeletedStore)
+      val root = Paths.get(v1Root)
+      listUnder(root)(_.foreach { dayDir =>
+        val dn = dayDir.getFileName.toString
+        if (dn.startsWith("day=")) {
+          listUnder(dayDir)(_.foreach { bktDir =>
+            val bn = bktDir.getFileName.toString
+            if (bn.startsWith("bkt=")) {
+              val cell = (dn.stripPrefix("day="),
+                bn.stripPrefix("bkt=").toInt)
+              if (!touched.contains(cell)) {
+                val dst = tmp.resolve(dn).resolve(bn)
+                Files.createDirectories(dst)
+                listUnder(bktDir)(_.foreach { f =>
+                  Files.copy(f, dst.resolve(f.getFileName.toString)); ()
+                })
+              }
+            }
+          })
+        }
+      })
+    }
+  }
+
   /** Failed-writer leftovers per day directory: 1 + dayOfMonth % 3
     * hidden `.part-orphan-*.tmp` files — the uncommitted temp debris a
     * crashed task attempt strands. Hidden names (dot/underscore) are
@@ -1033,6 +1105,64 @@ object Sinks {
           when(col("b_id").isNull, lit("delete")).otherwise(lit("insert"))
             .as("change_type"))
         .orderBy("event_id")
+    }),
+
+    // CHANGE DATA FEED, upsert commit (round 16 — r15 verdict item 2):
+    // the v1→v2 diff of a MERGE that deletes, updates, AND inserts, so
+    // every CDC change type carries rows (the delete-only key above pins
+    // the empty-insert case; this one pins the full surface). Updates are
+    // emitted Delta-CDF style as update_preimage/update_postimage row
+    // PAIRS — one full-outer join pass, classification + pair fan-out via
+    // a single exploded CASE of struct arrays (empty array = unchanged
+    // row dropped; no second join, no nullable columns). Work stays
+    // proportional to the touched cells: both reads partition-prune to
+    // the manifest-diffed day×bkt cells exactly like the delete-leg key.
+    "sink_change_feed_upsert" -> ((s, dir) => {
+      import java.nio.file.Paths
+      val v1Root = ensureDeletedStore(s, dir)
+      val v2Root = ensureUpsertedStore(s, dir)
+      val m1 = cellManifest(Paths.get(v1Root))
+      val m2 = cellManifest(Paths.get(v2Root))
+      val changed = (m1.keySet ++ m2.keySet)
+        .filter(c => m1.get(c) != m2.get(c)).toSeq.sorted
+      val days = changed.map(_._1).distinct
+      val bkts = changed.map(_._2).distinct
+      val cellKey = concat_ws("#", col("day").cast("string"),
+        col("bkt").cast("string"))
+      def cellRows(root: String) = s.read.parquet(root)
+        .where(col("day").isin(days.map(java.sql.Date.valueOf): _*) &&
+          col("bkt").isin(bkts: _*))
+        .where(cellKey.isin(changed.map(c => s"${c._1}#${c._2}"): _*))
+        .select(col("event_id"), col("user_id"), col("day"), col("value"))
+      val v2 = cellRows(v2Root).select(col("event_id").as("b_id"),
+        col("user_id").as("b_user"), col("day").as("b_day"),
+        col("value").as("b_value"))
+      val cents = (c: org.apache.spark.sql.Column) =>
+        round(c * 100, 0).cast("long")
+      def change(tpe: String, id: org.apache.spark.sql.Column,
+                 user: org.apache.spark.sql.Column,
+                 day: org.apache.spark.sql.Column,
+                 v: org.apache.spark.sql.Column) =
+        struct(id.as("event_id"), user.as("user_id"),
+          day.cast("timestamp").as("day"), lit(tpe).as("change_type"),
+          cents(v).as("cents"))
+      cellRows(v1Root)
+        .join(v2, col("event_id") === col("b_id"), "full_outer")
+        .select(explode(
+          when(col("b_id").isNull, array(change("delete", col("event_id"),
+            col("user_id"), col("day"), col("value"))))
+          .when(col("event_id").isNull, array(change("insert", col("b_id"),
+            col("b_user"), col("b_day"), col("b_value"))))
+          .when(col("value") =!= col("b_value"), array(
+            change("update_preimage", col("event_id"), col("user_id"),
+              col("day"), col("value")),
+            change("update_postimage", col("event_id"), col("user_id"),
+              col("day"), col("b_value"))))
+          .otherwise(array().cast("array<struct<event_id:bigint," +
+            "user_id:bigint,day:timestamp,change_type:string,cents:bigint>>"))
+        ).as("c"))
+        .select(col("c.*"))
+        .orderBy("event_id", "change_type")
     })
   )
 
@@ -1122,6 +1252,30 @@ object Sinks {
        "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
        "'delete' AS change_type FROM events " +
        "WHERE user_id % 37 = 3 ORDER BY event_id"),
+    "sink_change_feed_upsert" ->
+      // every change set replayed as a pure function of raw events:
+      // v1 = user_id % 37 <> 3 survivors; deletes = class 7, updates =
+      // class 5 (pre from the raw value, post = the constant 999.99 →
+      // 99999 cents), inserts = the event_id % 97 = 11 twins offset by
+      // 10^12 at 111.11 → 11111 cents. The update legs share the Spark
+      // side's value <> 999.99 guard so a raw row already at the update
+      // constant is unchanged on both sides.
+      ("WITH v1 AS (SELECT event_id, user_id, " +
+       "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value " +
+       "FROM events WHERE user_id % 37 <> 3) " +
+       "SELECT event_id, user_id, day, 'delete' AS change_type, " +
+       "CAST(round(value * 100, 0) AS BIGINT) AS cents " +
+       "FROM v1 WHERE user_id % 37 = 7 " +
+       "UNION ALL SELECT event_id, user_id, day, 'update_preimage', " +
+       "CAST(round(value * 100, 0) AS BIGINT) " +
+       "FROM v1 WHERE user_id % 37 = 5 AND value <> 999.99 " +
+       "UNION ALL SELECT event_id, user_id, day, 'update_postimage', " +
+       "CAST(99999 AS BIGINT) " +
+       "FROM v1 WHERE user_id % 37 = 5 AND value <> 999.99 " +
+       "UNION ALL SELECT event_id + 1000000000000, user_id, day, " +
+       "'insert', CAST(11111 AS BIGINT) " +
+       "FROM v1 WHERE event_id % 97 = 11 AND user_id % 37 <> 7 " +
+       "ORDER BY event_id, change_type"),
     "sink_vacuum" ->
       // rows/cents prove the vacuum dropped no committed data; n_files
       // replays the one-file-per-bucket layout law; orphans_removed is

@@ -72,4 +72,29 @@ class SinkDeleteSpec extends AnyFunSuite {
     assert(del.count() === store.where(!isForget).count(),
       "rows must balance: after == before - forget")
   }
+
+  test("sink_change_feed_upsert: every CDC change type carries rows, " +
+    "update images pair up, untouched v1 cells carry over byte-identical") {
+    val byType = SparkEntry.queries("sink_change_feed_upsert")(spark, sf)
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (t <- Seq("delete", "insert", "update_preimage", "update_postimage"))
+      assert(byType.getOrElse(t, 0L) > 0L,
+        s"change type '$t' emitted no rows — the upsert commit exists " +
+          "to make every CDC leg non-empty (r15 verdict item 2)")
+    assert(byType("update_preimage") === byType("update_postimage"),
+      "update image rows must pair 1:1")
+    // file law: cells the merge never touched are byte-copies in v2
+    val v1 = Paths.get(graft.ops.Sinks.ensureDeletedStore(spark, sf))
+    val v2 = Paths.get(graft.ops.Sinks.ensureUpsertedStore(spark, sf))
+    val (c1, c2) = (cells(v1), cells(v2))
+    val carried = c1.keySet.intersect(c2.keySet).filter { k =>
+      c1(k).map(_.getFileName.toString) == c2(k).map(_.getFileName.toString)
+    }
+    assert(carried.nonEmpty, "no carried-over cell found — either every " +
+      "cell was touched (corpus drift) or the copy-on-write path broke")
+    for (k <- carried; (a, b) <- c1(k).zip(c2(k)))
+      assert(java.util.Arrays.equals(Files.readAllBytes(a),
+        Files.readAllBytes(b)), s"carried cell $k differs byte-wise: $a")
+  }
 }
