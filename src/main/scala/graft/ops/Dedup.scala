@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * embedding-cosine near-dup.
   *
   * Scale shapes:
-  *  - `dedup_simhash`: the 64-bit fingerprint is computed map-side with
-  *    HOF folds; candidate pairs come ONLY from 16-bit band buckets
+  *  - `dedup_simhash`: the 60-bit fingerprint is computed map-side with
+  *    HOF folds; candidate pairs come ONLY from 15-bit band buckets
   *    (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 bands identical), never an
   *    all-pairs join, so cost tracks the number of genuine collisions.
   *  - `dedup_ngram_jaccard`: inverted-index join on shared trigrams —
@@ -26,12 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 64-bit SimHash over pre-hashed tokens: bit i of the fingerprint is
+  /** SimHash geometry: 60 fingerprint bits in 4 bands of 15. 60, not 64,
+    * since the round-16 md5 re-key (r15 verdict item 5): the portable
+    * token hash is the first 15 hex chars of md5 parsed as a 60-bit long
+    * — the widest md5 prefix both engines parse into a SIGNED 64-bit
+    * integer without overflow (Spark conv(…,16,10) ↔ DuckDB
+    * CAST('0x'||… AS BIGINT), value-identical because 60 bits never set
+    * the sign bit). The pigeonhole is unchanged: hamming ≤ 3 with 4
+    * bands still forces ≥ 1 identical band. */
+  private[graft] val SimBits = 60
+  private[graft] val SimBands = 4
+  private[graft] val SimBandBits = SimBits / SimBands
+
+  /** 60-bit SimHash over pre-hashed tokens: bit i of the fingerprint is
     * the sign of Σ_tokens (±1 by bit i of the token hash). All one
     * map-side codegen'd expression tree; fixed seed ⇒ deterministic.
     */
   def simhash(tokenHashes: Column): Column =
-    (0 until 64).map { i =>
+    (0 until SimBits).map { i =>
       val bitSum = aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
       when(bitSum >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -39,23 +51,25 @@ object Dedup {
 
   /** (doc_id, fp) for any (doc_id, text) relation — the pure fingerprint
     * pipeline behind [[simhashed]]. Token hashing happens in its own
-    * projection so each token is xxhash64'd ONCE, not once per bit — the
-    * 64 bit-sums then fold over the cached hash array. */
+    * projection so each token is md5'd ONCE, not once per bit — the
+    * 60 bit-sums then fold over the cached hash array. */
   def simhashFp(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         transform(array_distinct(split(lower(col("text")), " ")),
-          t => xxhash64(t)).as("th"))
+          t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10)
+            .cast("long")).as("th"))
       .select(col("doc_id"), simhash(col("th")).as("fp"))
 
   /** Banded-LSH hamming ≤ 3 pairs from a (doc_id, fp) relation — the pure
     * pair pipeline behind `dedup_simhash`, shared with its grouped-report
-    * variant. Candidates come ONLY from 16-bit band buckets (pigeonhole:
+    * variant. Candidates come ONLY from 15-bit band buckets (pigeonhole:
     * hamming ≤ 3 ⇒ ≥ 1 of 4 bands identical), never an all-pairs join. */
   def simhashPairsFromFp(fps: DataFrame): DataFrame = {
     val banded = fps.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until SimBands).map { b =>
         struct(lit(b).as("band_id"),
-          shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+          shiftright(col("fp"), SimBandBits * b)
+            .bitwiseAND(lit((1L << SimBandBits) - 1)).as("band_val"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("fp"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
@@ -79,13 +93,15 @@ object Dedup {
     // references it twice and would evaluate the fold twice.
     graft.Staging.materialize(
       simhashFp(Tables.table(s, dir, "documents").repartition(col("doc_id"))),
-      Tables.path(dir, "documents"), "simhash_fp64_v1")
+      Tables.path(dir, "documents"), "simhash_fp60_md5_v1")
 
   val queries: Map[String, Q] = Map(
 
-    /** no-oracle: SimHash near-dup pairs (hamming distance ≤ 3) via 4×16-bit
-      * band LSH. Property-tested internally (identical docs → distance 0;
-      * pairs agree with exact Jaccard near-dups; deterministic).
+    /** SimHash near-dup pairs (hamming distance ≤ 3) via 4×15-bit band
+      * LSH. ORACLED since round 16: the md5-keyed 60-bit fingerprints
+      * replay in DuckDB (see simhashFp), so the fingerprint → band →
+      * pair → hamming pipeline is hash-gated; SimhashSpec still pins the
+      * properties (identical docs → distance 0; near-dup agreement).
       * `graft.dedup.groupedReport=true` switches to the duplicate-heavy
       * grouped shape (see [[groupedReport]]). */
     "dedup_simhash" -> ((s, dir) =>
@@ -95,7 +111,7 @@ object Dedup {
         // overload: building the report runs an eager localCheckpoint
         // job, which must only happen on a cache miss.
         graft.Staging.materialize(
-          s, Tables.path(dir, "documents"), "simhash_grouped_h3_v1") {
+          s, Tables.path(dir, "documents"), "simhash_grouped_h3_md5_v1") {
           groupedReport(Tables.table(s, dir, "documents")
               .select(col("doc_id"), col("text")),
             "hamming", lit(0), lit(true))(reps =>
@@ -105,7 +121,7 @@ object Dedup {
         // Stage the pair ARTIFACT per corpus version, like the trigram and
         // minhash pair lists — order re-applied after the staged read.
         graft.Staging.materialize(simhashPairsFromFp(simhashed(s, dir)),
-          Tables.path(dir, "documents"), "simhash_pairs_h3_v1")
+          Tables.path(dir, "documents"), "simhash_pairs_h3_md5_v1")
           .orderBy("doc_a", "doc_b")
       }),
 
@@ -508,6 +524,39 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" -> {
+      // Full replay of the md5-keyed 60-bit SimHash, generated from the
+      // same constants: token hash = first 15 md5 hex chars as BIGINT,
+      // bit i of the fingerprint = sign of the ±1 sum over tokens, bands
+      // = 15-bit windows, candidates from band equality, exact popcount
+      // hamming ≤ 3. Integer arithmetic end to end — nothing to round.
+      val bitCols = (0 until SimBits).map { i =>
+        s"CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) " +
+          s">= 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) " +
+          s"END AS b$i"
+      }.mkString(", ")
+      val fpSum = (0 until SimBits).map(i => s"b$i").mkString(" + ")
+      val bandSel = (0 until SimBands).map { b =>
+        s"SELECT doc_id, fp, $b AS band_id, " +
+          s"(fp >> ${SimBandBits * b}) & ${(1L << SimBandBits) - 1} AS bv " +
+          "FROM fps"
+      }.mkString(" UNION ALL ")
+      "WITH tok AS (SELECT DISTINCT doc_id, " +
+        "unnest(list_distinct(string_split(lower(text), ' '))) AS t " +
+        "FROM documents), " +
+        "tokh AS (SELECT doc_id, " +
+        "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok), " +
+        s"bits AS (SELECT doc_id, $bitCols FROM tokh GROUP BY doc_id), " +
+        s"fps AS (SELECT doc_id, ($fpSum) AS fp FROM bits), " +
+        s"bands AS ($bandSel), " +
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, l.fp AS fp_a, " +
+        "r.doc_id AS doc_b, r.fp AS fp_b " +
+        "FROM bands l JOIN bands r ON l.band_id = r.band_id " +
+        "AND l.bv = r.bv AND l.doc_id < r.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) " +
+        "AS hamming FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3 " +
+        "ORDER BY doc_a, doc_b"
+    },
     "dedup_ngram_jaccard" ->
       ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
         "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SURVEY §2.10 / §5: property tests for the no-oracle dedup_minhash key.
+/** SURVEY §2.10 / §5: property tests for the dedup_minhash key (DuckDB-
+  * oracled since r16).
   *
   * Ground truth is computed inside Spark from raw token sets (exact
   * Jaccard via array_intersect/array_union sizes) — an independent path
@@ -65,20 +66,16 @@ class MinhashSpec extends AnyFunSuite {
 
   /** Full independent replay of signature → banding → candidate →
     * estimate on the actual documents table at `sfDir`: tokens hashed
-    * with the same XXH64 primitive the query's xxhash64() calls (seed
-    * 42, the multi-arg chaining Spark defines), but the banding,
-    * bucketing, pair formation, and estimate logic reimplemented
-    * driver-side in plain Scala collections. Anything the distributed
-    * pipeline drops, duplicates, or mis-hashes shows up as a set
-    * difference here — this is the no-oracle key's oracle in all but
-    * name. */
+    * with java.security MD5 (the portable primitive the r16 re-key put
+    * under the query's md5() calls), but the banding, bucketing, pair
+    * formation, and estimate logic reimplemented driver-side in plain
+    * Scala collections. Anything the distributed pipeline drops,
+    * duplicates, or mis-hashes shows up as a set difference here — a
+    * second, engine-independent oracle next to the DuckDB one. */
   private def bandingReplay(sfDir: String): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.types.UTF8String
-    val Seed = 42L
-    def xxStr(t: String): Long =
-      XXH64.hashUTF8String(UTF8String.fromString(t), Seed)
-    def xx2(h: Long, i: Int): Long = XXH64.hashInt(i, XXH64.hashLong(h, Seed))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
@@ -86,13 +83,14 @@ class MinhashSpec extends AnyFunSuite {
       .select(col("doc_id"), lower(col("text"))).collect()
       .map(r => r.getLong(0) -> r.getString(1))
     // Spark split(text, " ") keeps trailing empties: split(_, -1) matches.
-    val sigs: Map[Long, Array[Long]] = docs.map { case (id, text) =>
-      val th = text.split(" ", -1).distinct.map(xxStr)
-      id -> Array.tabulate(32)(i => th.map(h => xx2(h, i)).min)
+    // Fixed-width lowercase hex: string min ≡ numeric min, like the query.
+    val sigs: Map[Long, Array[String]] = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).distinct
+      id -> Array.tabulate(32)(i => toks.map(t => md5hex(s"$i:$t")).min)
     }.toMap
-    def bandHash(sig: Array[Long], b: Int): Long =
-      (8 * b until 8 * (b + 1)).foldLeft(Seed)((acc, j) => XXH64.hashLong(sig(j), acc))
-    val buckets = new scala.collection.mutable.HashMap[(Int, Long), List[Long]]()
+    def bandHash(sig: Array[String], b: Int): String =
+      md5hex((8 * b until 8 * (b + 1)).map(sig).mkString)
+    val buckets = new scala.collection.mutable.HashMap[(Int, String), List[Long]]()
     for ((id, sig) <- sigs; b <- 0 until 4)
       buckets.updateWith((b, bandHash(sig, b)))(o => Some(id :: o.getOrElse(Nil)))
     val expected = buckets.values.flatMap { ids =>

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Property tests for the no-oracle dedup_simhash key (ops/Dedup.scala).
+/** Property tests for the dedup_simhash key (ops/Dedup.scala; DuckDB-
+  * oracled since r16).
   *
   * Ground truth is exact token-set Jaccard computed independently from the
   * raw text — the SimHash pipeline under test never sees it.
@@ -54,33 +55,34 @@ class SimhashSpec extends AnyFunSuite {
   test("band-bucket pipeline matches a driver-side reference on the real corpus") {
     // Full independent replay of fingerprint → banding → candidate →
     // hamming filter on the actual documents table (the minhash replay's
-    // twin): tokens hashed with the same XXH64 primitive the query's
-    // xxhash64() calls (seed 42), the 64 sign-sums, 4×16-bit banding,
-    // bucket pair formation, and the hamming<=3 cut all reimplemented
-    // driver-side. Anything the distributed pipeline drops, duplicates,
-    // or mis-hashes shows up as a set difference here — the no-oracle
-    // key's oracle in all but name.
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.types.UTF8String
-    def xxStr(t: String): Long =
-      XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
+    // twin): tokens hashed with java.security MD5 exactly as the r16
+    // portable re-key does (first 15 hex chars → 60-bit long), the 60
+    // sign-sums, 4×15-bit banding, bucket pair formation, and the
+    // hamming<=3 cut all reimplemented driver-side — a second,
+    // engine-independent oracle next to the DuckDB one.
+    def tokHash(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
     val docs = Tables.table(spark, sf, "documents")
       .select(col("doc_id"), lower(col("text"))).collect()
       .map(r => r.getLong(0) -> r.getString(1))
     // Spark split(text, " ") keeps trailing empties: split(_, -1) matches;
     // array_distinct keeps first occurrences (sum of ±1 is order-free).
     val fps: Map[Long, Long] = docs.map { case (id, text) =>
-      val th = text.split(" ", -1).distinct.map(xxStr)
+      val th = text.split(" ", -1).distinct.map(tokHash)
       var fp = 0L
-      for (i <- 0 until 64) {
+      for (i <- 0 until ops.Dedup.SimBits) {
         val bitSum = th.map(h => ((h >> i) & 1L) * 2 - 1).sum
         if (bitSum >= 0) fp |= 1L << i
       }
       id -> fp
     }.toMap
+    val bb = ops.Dedup.SimBandBits
     val buckets = new scala.collection.mutable.HashMap[(Int, Long), List[Long]]()
-    for ((id, fp) <- fps; b <- 0 until 4)
-      buckets.updateWith((b, (fp >> (16 * b)) & 0xFFFFL))(
+    for ((id, fp) <- fps; b <- 0 until ops.Dedup.SimBands)
+      buckets.updateWith((b, (fp >> (bb * b)) & ((1L << bb) - 1)))(
         o => Some(id :: o.getOrElse(Nil)))
     val expected = buckets.values.flatMap { ids =>
       for (a <- ids; b <- ids if a < b) yield (a, b)
@@ -95,7 +97,7 @@ class SimhashSpec extends AnyFunSuite {
   }
 
   test("banding is exhaustive: every hamming<=3 pair is reported") {
-    // Pigeonhole: hamming <= 3 over 4 disjoint 16-bit bands forces at least
+    // Pigeonhole: hamming <= 3 over 4 disjoint 15-bit bands forces at least
     // one identical band, so LSH candidate generation must be lossless.
     val fps = ops.Dedup.simhashed(spark, sf)
     val all = fps.select(col("doc_id").as("doc_a"), col("fp").as("fa"))
