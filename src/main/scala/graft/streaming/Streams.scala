@@ -541,9 +541,17 @@ object Streams {
 
     // Watermark semantics: append mode only emits a window once the 1-hour
     // watermark passes its end, so rows later than the watermark are
-    // dropped from state. No-oracle (emission depends on the engine's
-    // watermark progression, not just the data); StreamingSpec asserts
-    // output ⊆ batch and exact equality on an in-order full drain.
+    // dropped from state. ORACLED since round 16 (r15 verdict item 6):
+    // per-batch emission does depend on watermark progression, but the
+    // CUMULATIVE set after a full drain + final no-data batch is a pure
+    // function of the data — append emits a window exactly when
+    // window.end ≤ current watermark, emission is monotone in the
+    // watermark, and the final no-data batch advances it to its terminal
+    // value floor_ms(max ts) − 1 h regardless of how the drain was split
+    // into micro-batches. The oracle replays that closed-form: hourly
+    // windows whose end ≤ max(ts) − 1 h (ms-truncated, Spark's event-time
+    // stats granularity). StreamingSpec still asserts output ⊆ batch on
+    // unordered multi-batch variants.
     "stream_watermark_late" -> ((s, dir) => {
       val out = eventsStream(s, Tables.path(dir, "events"))
         .withWatermark("ts", "1 hour")
@@ -1048,6 +1056,18 @@ object Streams {
     queries.keySet -- Set("stream_session", "stream_tumbling", "stream_sliding")
 
   val oracles: Map[String, String] = Map(
+    "stream_watermark_late" ->
+      // the final-watermark closed form: a window is in the drained
+      // append output iff its end ≤ floor_ms(max ts) − 1 h (see the key's
+      // comment; watermark arithmetic is millisecond-granular in Spark's
+      // event-time stats, hence epoch_ms on both sides)
+      ("WITH w AS (SELECT date_trunc('hour', ts) AS ws, event_type, " +
+       "count(*) AS n FROM events GROUP BY 1, 2), " +
+       "mx AS (SELECT max(ts) AS mt FROM events) " +
+       "SELECT CAST(epoch(ws) AS BIGINT) AS ws, event_type, n " +
+       "FROM w CROSS JOIN mx " +
+       "WHERE epoch_ms(ws) + 3600000 <= epoch_ms(mt) - 3600000 " +
+       "ORDER BY ws, event_type"),
     "stream_static_join" ->
       ("SELECT c_mktsegment, event_type, count(*) AS n, " +
        "round(sum(value), 2) AS sum_value " +
