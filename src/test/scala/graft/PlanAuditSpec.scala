@@ -40,6 +40,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q22_dormant_value",              // 1-row broadcast (cnt,sum) avg threshold
     "q15_top_supplier",               // 1-row broadcast max-revenue threshold
     "graph_knn_triangles",            // broadcast probe set + 1-row stat joins
+    "embed_ann_nsw",                  // 10 probes × broadcast 32-row entry set;
+                                      // the kNN-graph build's broadcast corpus
+                                      // appears only because this audit runs
+                                      // staging-off (staged artifact otherwise)
     "embed_normalize")                // 1-row broadcast per-dim mean array
 
   private lazy val plans: Map[String, String] = {
