@@ -49,7 +49,8 @@ object Bench {
     "stats_cbo_broadcast",     // r15: per-JVM CREATE TABLE + ANALYZE scans
     "sink_time_travel", "sink_change_feed", // r15: read the store pair
     "sink_change_feed_upsert", // r16: stages the v2 upserted store
-    "embed_ann_nsw") // r16: stages the k=12 kNN edge artifact
+    "embed_ann_nsw", // r16: stages the k=12 kNN edge artifact
+    "embed_mips_ivf") // r16: stages the augmented-space IVF pair
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

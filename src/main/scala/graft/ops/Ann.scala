@@ -322,6 +322,55 @@ object Ann {
         .orderBy("q_id", "rnk")
     }),
 
+    /** Maximum-inner-product search (round 16) — the retrieval objective
+      * inner-product-trained embedding models (two-tower recommenders,
+      * DPR-style retrievers) actually ship, where the UNNORMALIZED dot
+      * product ranks candidates and cosine-ANN indexes are wrong out of
+      * the box (a long vector can beat a well-aligned short one). The
+      * published reduction (Bachrach et al., RecSys'14; Neyshabur &
+      * Srebro's L2-ALSH line): augment every corpus vector with a slack
+      * dimension sqrt(M² − ‖v‖²) where M = max corpus norm — augmented
+      * norms are all exactly M, so cosine ordering in the augmented
+      * space ≡ dot-product ordering in the original space — then route
+      * through the SAME IVF machinery embed_ann_ivf uses, just trained
+      * in the augmented space (fresh mips_* artifacts; probes append a
+      * zero slack). Final scores are exact dot products over the
+      * original dims (slack dim sliced off), so the emitted numbers are
+      * the true MIPS objective, not the routing proxy. Determinism: M²
+      * and every per-row ‖v‖² are the same left-fold both engines run
+      * (list_inner_product ≡ the HOF fold — same order), IEEE sqrt is
+      * correctly rounded, and the slack of the max-norm row is exactly
+      * 0. Scale shape: identical to embed_ann_ivf — map-side assignment
+      * against broadcast centroids, cell-bounded candidates (nprobe/C of
+      * the corpus per probe), single-window ranking; the M² scalar is a
+      * 1-row broadcast. AnnSpec pins recall@5 vs the exact brute-force
+      * dot scan; the oracle replays augmentation, Lloyd round, cells,
+      * routing, and scoring end-to-end from the raw table. */
+    "embed_mips_ivf" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val m2df = e.agg(max(Vector.dot(col("v"), col("v"))).as("m2"))
+      val eAug = e.crossJoin(broadcast(m2df))
+        .select(col("vec_id"),
+          concat(col("v"), array(sqrt(
+            col("m2") - Vector.dot(col("v"), col("v"))))).as("v"))
+      val centLit = ivfCentroids(s, dir, eAug, "mips_cent16_lloyd1_v1")
+      val cells = ivfCells(s, dir, eAug, centLit, "mips_cells16_lloyd1_v1")
+      val probeCells = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q"),
+          explode(transform(
+            nearestCells(concat(col("v"), array(lit(0.0))), centLit, NProbe),
+            x => x("c_id"))).as("cell"))
+      Vector.rankPerProbe(
+        cells.join(broadcast(probeCells), "cell")
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("score", round(Vector.dot(col("q"),
+            slice(col("v"), lit(1), size(col("v")) - 1)), 6))
+          .select("q_id", "vec_id", "score"),
+        Seq(col("score").desc, col("vec_id")), 5, "rnk")
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("score"))
+        .orderBy("q_id", "rnk")
+    }),
+
     /** Incremental ingest for the embedding family — the mirror of
       * `dedup_incremental`: the ingest batch — the newest ~10% of
       * vectors CAPPED at the newest 1000 (both predicates integral, so
@@ -704,9 +753,11 @@ object Ann {
     * not re-collect seeds the staged copy already folded in (the thunked
     * materialize overload exists for precisely this, Staging.scala). */
   private[graft] def ivfCentroids(s: SparkSession, dir: String,
-                           e: DataFrame): Seq[(Long, Column)] = {
+                           e: DataFrame,
+                           artifact: String = "ivf_cent16_lloyd1_v1")
+      : Seq[(Long, Column)] = {
     val cents = graft.Staging.materialize(
-      s, Tables.path(dir, "embeddings"), "ivf_cent16_lloyd1_v1") {
+      s, Tables.path(dir, "embeddings"), artifact) {
       // one bounded collect (16 rows — fixed model state): both the seed
       // literal columns and the empty-cell fallback values derive from it
       val seedRows: Seq[(Long, Seq[Double])] =
@@ -744,11 +795,12 @@ object Ann {
     * index. (lloyd1 in the tag: refined-centroid cells must never alias
     * the retired seed-cell artifact.) */
   private[graft] def ivfCells(s: SparkSession, dir: String, e: DataFrame,
-                       centLit: Seq[(Long, Column)]): DataFrame =
+                       centLit: Seq[(Long, Column)],
+                       artifact: String = "ivf_cells16_lloyd1_v1"): DataFrame =
     graft.Staging.materialize(
       e.select(col("vec_id"), col("v"),
         element_at(nearestCells(col("v"), centLit, 1), 1)("c_id").as("cell")),
-      Tables.path(dir, "embeddings"), "ivf_cells16_lloyd1_v1")
+      Tables.path(dir, "embeddings"), artifact)
 
   /** The PQ index build, shared by `embed_ann_pq` (flat ADC scan) and
     * `embed_ann_ivfpq` (cell-routed ADC): (stride suffix, codebook
@@ -1516,6 +1568,43 @@ object Ann {
         "row_number() OVER (PARTITION BY q_id " +
         "ORDER BY round(list_cosine_similarity(q, v), 6) DESC, vec_id) AS rnk FROM cand) " +
         "SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"),
+    // The IVF replay with an augmentation prefix: slack dim
+    // sqrt(M² − ‖v‖²) appended corpus-side (list_inner_product ≡ the
+    // Spark fold), zero appended probe-side for routing; final scores =
+    // exact dot over the original dims (slack sliced off).
+    "embed_mips_ivf" ->
+      ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "mx2 AS (SELECT max(list_inner_product(v, v)) AS m2 FROM e0), " +
+        "e AS (SELECT vec_id, list_append(v, " +
+        "sqrt(mx2.m2 - list_inner_product(v, v))) AS v FROM e0, mx2), " +
+        "cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16), " +
+        "a0 AS (SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
+        "FROM e CROSS JOIN cent0), " +
+        "m0 AS (SELECT v, c_id FROM a0 WHERE rc = 1), " +
+        "dx AS (SELECT c_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM m0), " +
+        "ds AS (SELECT c_id, d, sum(CAST(round(x * 1e6) AS BIGINT)) AS sm, " +
+        "count(*) AS n FROM dx GROUP BY c_id, d), " +
+        "centm AS (SELECT c_id, list(CAST(sm AS DOUBLE) / n / 1e6 ORDER BY d) AS cv " +
+        "FROM ds GROUP BY c_id), " +
+        "cent AS (SELECT c_id, cv FROM centm UNION ALL " +
+        "SELECT c_id, cv FROM cent0 WHERE c_id NOT IN (SELECT c_id FROM centm)), " +
+        "assign AS (SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rc " +
+        "FROM e CROSS JOIN cent), " +
+        "cells AS (SELECT vec_id, v, c_id AS cell FROM assign WHERE rc = 1), " +
+        "probes AS (SELECT vec_id AS q_id, v AS q FROM e0 WHERE vec_id < 10), " +
+        "pcells AS (SELECT q_id, q, c_id AS cell, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_cosine_similarity(list_append(q, 0.0), cv), 6) DESC, c_id) AS pr " +
+        "FROM probes CROSS JOIN cent), " +
+        "cand AS (SELECT p.q_id, p.q, c.vec_id, c.v " +
+        "FROM (SELECT * FROM pcells WHERE pr <= 4) p JOIN cells c ON p.cell = c.cell " +
+        "WHERE c.vec_id <> p.q_id), " +
+        "ranked AS (SELECT q_id, vec_id, " +
+        "round(list_inner_product(q, v[1:len(v)-1]), 6) AS score, " +
+        "row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_inner_product(q, v[1:len(v)-1]), 6) DESC, vec_id) AS rnk FROM cand) " +
+        "SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"),
     "embed_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16), " +

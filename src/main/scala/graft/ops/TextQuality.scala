@@ -338,10 +338,96 @@ object TextQuality {
           round(aggregate(col("lst"), lit(0.0),
             (acc, x) => acc - p(x) * log(p(x))), 6).as("ent"))
         .orderBy("doc_id")
+    }),
+
+    // PII detection + redaction (round 16) — the scrub step every LLM
+    // training-data pipeline runs before a corpus ships (emails, phone
+    // numbers, IPv4 addresses → class tokens). The corpus carries no PII
+    // column, so each doc gets a deterministic provenance footer built
+    // from (doc_id, source) — same construction-as-part-of-the-query
+    // posture as text_url_domain's URLs and sink_vacuum's orphan formula
+    // — and the ops under test are the generic class regexes over the
+    // combined text: per-class match counts (regexp_extract_all), a
+    // chained global regexp_replace redaction (email → phone → ip; the
+    // chain order is part of the contract since an earlier class's token
+    // must not feed a later pattern), a residual rescan of the REDACTED
+    // text (the self-audit every scrubber emits — nonzero residuals mean
+    // a pattern gap), and a redaction-integrity checksum: per-doc
+    // md5-prefix of the redacted text parsed to a bigint (the proven
+    // conv ↔ '0x' idiom, 10 hex chars = 40 bits so a per-group sum has
+    // ~2^23 docs of headroom) summed per group — byte-identical redacted
+    // output is proven without shipping a single redacted row. All
+    // patterns are lookaround-free so Java regex (Spark) and RE2 (the
+    // DuckDB oracle) read them identically. Scale shape: pure map-side
+    // regex work inside whole-stage codegen, one (lang, source) rollup —
+    // scales as a scan, like text_normalize.
+    "text_pii_redact" -> ((s, dir) => {
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      def nMatches(c: Column, pat: String): Column =
+        size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+      val full = concat(lower(col("text")),
+        lit(" contact user"), col("doc_id"), lit("@"),
+        regexp_replace(lower(col("source")), "[^a-z0-9]+", "-"),
+        lit(".example.com tel +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" host 10."), col("doc_id") % 200, lit("."),
+        col("doc_id") % 100, lit("."), col("doc_id") % 50)
+      val red = regexp_replace(regexp_replace(regexp_replace(
+        col("full"), emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>"), ipPat, "<IP>")
+      Tables.table(s, dir, "documents")
+        .select(col("lang"), col("source"), full.as("full"))
+        .withColumn("red", red)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nMatches(col("full"), emailPat)).as("n_email"),
+          sum(nMatches(col("full"), phonePat)).as("n_phone"),
+          sum(nMatches(col("full"), ipPat)).as("n_ip"),
+          sum(nMatches(col("red"), emailPat) +
+            nMatches(col("red"), phonePat) +
+            nMatches(col("red"), ipPat)).as("n_residual"),
+          sum(conv(substring(md5(col("red").cast("binary")), 1, 10),
+            16, 10).cast("long")).as("redact_sum"))
+        .orderBy("lang", "source")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Same footer construction, same three RE2-safe patterns, same
+    // redaction chain order; counts CAST to BIGINT (DuckDB sum → HUGEINT)
+    // and the checksum rides the proven '0x' hex-parse idiom.
+    "text_pii_redact" ->
+      ("WITH f AS (SELECT lang, source, lower(text) || ' contact user' || " +
+       "CAST(doc_id AS VARCHAR) || '@' || " +
+       "regexp_replace(lower(source), '[^a-z0-9]+', '-', 'g') || " +
+       "'.example.com tel +1-555-' || " +
+       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+       "' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || " +
+       "CAST(doc_id % 100 AS VARCHAR) || '.' || " +
+       "CAST(doc_id % 50 AS VARCHAR) AS ftxt FROM documents), " +
+       "r AS (SELECT lang, source, ftxt, " +
+       "regexp_replace(regexp_replace(regexp_replace(ftxt, " +
+       "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+       "'\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), " +
+       "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g') AS red FROM f) " +
+       "SELECT lang, source, count(*) AS n_docs, " +
+       "CAST(sum(len(regexp_extract_all(ftxt, " +
+       "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))) AS BIGINT) AS n_email, " +
+       "CAST(sum(len(regexp_extract_all(ftxt, " +
+       "'\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phone, " +
+       "CAST(sum(len(regexp_extract_all(ftxt, " +
+       "'([0-9]{1,3}\\.){3}[0-9]{1,3}'))) AS BIGINT) AS n_ip, " +
+       "CAST(sum(len(regexp_extract_all(red, " +
+       "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) + " +
+       "len(regexp_extract_all(red, " +
+       "'\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) + " +
+       "len(regexp_extract_all(red, " +
+       "'([0-9]{1,3}\\.){3}[0-9]{1,3}'))) AS BIGINT) AS n_residual, " +
+       "CAST(sum(CAST(concat('0x', substr(md5(red), 1, 10)) AS BIGINT)) " +
+       "AS BIGINT) AS redact_sum " +
+       "FROM r GROUP BY lang, source ORDER BY lang, source"),
     "text_sentiment" ->
       // Independent formulation on purpose: the oracle scores docs through
       // the unnest + lexicon-join shape (the production form for a large

@@ -295,6 +295,98 @@ object Warehouse {
         _ => dqExpectationsRows(s, dir))
       import s.implicits._
       cached.toDF("dq_check", "observed", "passed").orderBy("dq_check")
+    }),
+
+    // Distribution-drift monitor (round 16) — the Population Stability
+    // Index every production scorecard/feature pipeline tracks between a
+    // reference window and the current one (dq_anomaly_volume watches
+    // VOLUME per day; this watches the VALUE DISTRIBUTION'S SHAPE, the
+    // failure volume checks can't see). Windows split on the calendar
+    // midpoint (day-of-month ≤ 15 = reference); values bin on fixed
+    // GEOMETRIC integer cent edges (decade-ish steps 3,10,32,…,31623 —
+    // integer compares on exact cents, so bin assignment is
+    // engine-exact, never a float-log boundary call). Per bin and type:
+    // Laplace-smoothed proportions p = (n+1)/(N+10) — one double
+    // division of exact ints — and the PSI term (p_cur−p_ref)·ln(p_cur/
+    // p_ref); per-type PSI folds the 10 terms over a bin-sorted
+    // collected array (text_entropy's deterministic-summation posture —
+    // no engine-ordered window sum over doubles), flagged at the
+    // industry 0.1 threshold. Missing bins are densified from a per-type
+    // explode(sequence) spine (no cross join) so the smoothing sees all
+    // 10 bins. Scale shape: one corpus pass, shuffles key on
+    // (event_type[, bin]) — output is |types|·10 rows no matter the
+    // event volume; the psi rejoin is a broadcast over |types| rows.
+    "dq_drift_psi" -> ((s, dir) => {
+      val edges = Seq(3L, 10L, 32L, 100L, 316L, 1000L, 3162L, 10000L, 31623L)
+      val cents = round(col("value") * 100, 0).cast("long")
+      val bin = edges.zipWithIndex.foldLeft(when(lit(false), lit(0))) {
+        case (acc, (e, i)) => acc.when(cents < e, lit(i))
+      }.otherwise(lit(edges.size))
+      val binned = Tables.events(s, dir).select(
+        col("event_type"),
+        (dayofmonth(col("ts")) <= 15).as("is_ref"),
+        bin.as("bin"))
+      val cnt = binned.groupBy("event_type", "bin").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val spine = binned.groupBy("event_type").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("t_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("t_cur"))
+        .withColumn("bin", explode(sequence(lit(0), lit(edges.size))))
+      val terms = spine.join(cnt, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+          col("t_ref"), col("t_cur"))
+        .withColumn("p_ref",
+          (col("n_ref") + 1.0) / (col("t_ref") + edges.size + 1))
+        .withColumn("p_cur",
+          (col("n_cur") + 1.0) / (col("t_cur") + edges.size + 1))
+        .withColumn("contrib",
+          (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+      val psi = terms.groupBy("event_type").agg(
+        round(aggregate(
+          array_sort(collect_list(struct(col("bin"), col("contrib")))),
+          lit(0.0), (a, x) => a + x("contrib")), 6).as("psi"))
+      terms.join(psi, "event_type")
+        .select(col("event_type"), col("bin"), col("n_ref"), col("n_cur"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("contrib"), 6).as("contrib"),
+          col("psi"), (col("psi") >= 0.1).as("drifted"))
+        .orderBy("event_type", "bin")
+    }),
+
+    // Freshness / completeness monitor (round 16) — the staleness SLA
+    // check every ingest pipeline pages on: per event_type, how far its
+    // newest event lags the corpus watermark (max ts over all types) and
+    // how completely it covered the watermark's final 24 hours. All
+    // arithmetic is exact-integer (epoch seconds, floor division to
+    // hours; distinct hour buckets counted as ints), so the report hashes
+    // bitwise across engines. Scale shape: one pass, one max-aggregate
+    // per type + a distinct over (type, hour) — the 1-row corpus
+    // watermark rides a broadcast join, the report is |types| rows.
+    "dq_freshness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wm = ev.agg(max(unix_timestamp(col("ts"))).as("wm_s"))
+      ev.select(col("event_type"), col("ts"),
+        unix_timestamp(col("ts")).as("es"))
+        .crossJoin(broadcast(wm))
+        .groupBy("event_type")
+        // second-truncated last_event + floor-epoch seconds on BOTH
+        // engines: the raw ts carries sub-second digits that Spark's
+        // unix_timestamp truncates while a bare DuckDB epoch() CAST
+        // would round (win_time_range's diagnosed hazard)
+        .agg(date_trunc("second", max(col("ts"))).as("last_event"),
+          max(col("es")).as("last_s"), max(col("wm_s")).as("wm_s"),
+          countDistinct(when(col("es") >= col("wm_s") - 86400L,
+            floor(col("es") / 3600L))).as("hours_covered_24h"))
+        .select(col("event_type"), col("last_event"),
+          floor((col("wm_s") - col("last_s")) / 3600.0).cast("long")
+            .as("lag_hours"),
+          col("hours_covered_24h"),
+          (col("wm_s") - col("last_s") > 3600L).as("stale"))
+        .orderBy("event_type")
     }))
 
   /** Per-corpus memo for the dq_expectations report (six (check,
@@ -347,6 +439,57 @@ object Warehouse {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same integer cent edges, same Laplace smoothing, same bin-sorted
+    // list_reduce fold for the PSI sum (text_entropy's deterministic-
+    // summation idiom); counts CAST to BIGINT past DuckDB's HUGEINT sums.
+    "dq_drift_psi" ->
+      ("WITH e AS (SELECT event_type, day(ts) <= 15 AS is_ref, " +
+       "CAST(round(value*100) AS BIGINT) AS cents FROM events), " +
+       "b AS (SELECT event_type, is_ref, CASE " +
+       "WHEN cents < 3 THEN 0 WHEN cents < 10 THEN 1 " +
+       "WHEN cents < 32 THEN 2 WHEN cents < 100 THEN 3 " +
+       "WHEN cents < 316 THEN 4 WHEN cents < 1000 THEN 5 " +
+       "WHEN cents < 3162 THEN 6 WHEN cents < 10000 THEN 7 " +
+       "WHEN cents < 31623 THEN 8 ELSE 9 END AS bin FROM e), " +
+       "c AS (SELECT event_type, bin, " +
+       "CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, " +
+       "CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur " +
+       "FROM b GROUP BY 1, 2), " +
+       "t AS (SELECT event_type, CAST(sum(n_ref) AS BIGINT) AS t_ref, " +
+       "CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c GROUP BY 1), " +
+       "spine AS (SELECT event_type, t_ref, t_cur, " +
+       "unnest(generate_series(0, 9)) AS bin FROM t), " +
+       "d AS (SELECT s.event_type, s.bin, coalesce(c.n_ref, 0) AS n_ref, " +
+       "coalesce(c.n_cur, 0) AS n_cur, s.t_ref, s.t_cur FROM spine s " +
+       "LEFT JOIN c ON s.event_type = c.event_type AND s.bin = c.bin), " +
+       "k AS (SELECT *, (n_ref + 1.0) / (t_ref + 10) AS p_ref, " +
+       "(n_cur + 1.0) / (t_cur + 10) AS p_cur FROM d), " +
+       "k2 AS (SELECT *, (p_cur - p_ref) * ln(p_cur / p_ref) AS contrib " +
+       "FROM k), " +
+       "psi AS (SELECT event_type, round(list_reduce(" +
+       "list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY bin)), " +
+       "(a, b) -> a + b), 6) AS psi FROM k2 GROUP BY 1) " +
+       "SELECT k2.event_type, CAST(k2.bin AS INT) AS bin, n_ref, n_cur, " +
+       "round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur, " +
+       "round(contrib, 6) AS contrib, psi.psi, psi.psi >= 0.1 AS drifted " +
+       "FROM k2 JOIN psi USING (event_type) ORDER BY event_type, bin"),
+    // Exact-integer epoch arithmetic; the corpus watermark is a scalar
+    // subquery (the Spark side's 1-row broadcast).
+    "dq_freshness" ->
+      ("WITH wm AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS wm_s " +
+       "FROM events), " +
+       "g AS (SELECT event_type, date_trunc('second', max(ts)) " +
+       "AS last_event, " +
+       "CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s, " +
+       "max(wm.wm_s) AS wm_s, " +
+       "count(DISTINCT CASE WHEN floor(epoch(ts)) >= " +
+       "wm.wm_s - 86400 THEN CAST(floor(floor(epoch(ts)) / 3600.0) " +
+       "AS BIGINT) END) AS hours_covered_24h " +
+       "FROM events, wm GROUP BY event_type) " +
+       "SELECT event_type, last_event, " +
+       "CAST(floor((wm_s - last_s) / 3600.0) AS BIGINT) AS lag_hours, " +
+       "hours_covered_24h, wm_s - last_s > 3600 AS stale " +
+       "FROM g ORDER BY event_type"),
     "merge_scd2" ->
       // Full-history rebuild: one lead(effective_from) window over the
       // replayable change set — equality with the Spark side's

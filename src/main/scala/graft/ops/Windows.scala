@@ -219,6 +219,62 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Linear gap interpolation (round 16) — the time-series repair step
+    // one level up from win_fill_forward's copy-fills: missing points get
+    // the LINE between their observed neighbors, what metrics backfills
+    // and sensor pipelines actually ship. Series = hourly cent sums per
+    // event_type (exact ints); gaps = hours absent from the data plus a
+    // deterministic dropout mask (hour-of-day % 5 == 2 — the planted-
+    // failure posture of sink_vacuum's orphan formula, so the key
+    // exercises real interior gaps at every SF). The hour spine comes
+    // from a per-type explode(sequence) (agg_calendar_spine's shape — no
+    // cross join); neighbor value AND position ride four IGNORE-NULLS
+    // frames over ONE (event_type, t) sort; the interpolation arithmetic
+    // is one exact-int double division, one multiply, one add — written
+    // with identical association in the oracle — rounded 6dp. Edge gaps
+    // (before the first / after the last observation) hold the nearest
+    // neighbor. Scale shape: the windows run over the HOURLY relation
+    // (|types|·hours rows), never the fact table; one hash exchange on
+    // event_type, per-task state bounded by the series length.
+    "win_interpolate_linear" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val spine = hourly.groupBy("event_type")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+      val m = spine.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("is_masked", hour(col("hr")) % 5 === 2)
+        .withColumn("v", when(!col("is_masked"), col("cents")))
+        .withColumn("t", (unix_timestamp(col("hr")) / 3600L).cast("long"))
+      val w = Window.partitionBy("event_type").orderBy("t")
+      val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val prevV = last("v", ignoreNulls = true).over(wp)
+      val prevT =
+        last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(wp)
+      val nextV = first("v", ignoreNulls = true).over(wn)
+      val nextT =
+        first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(wn)
+      m.select(col("event_type"), col("hr"), col("is_masked"), col("v"),
+          col("t"),
+          prevV.as("pv"), prevT.as("pt"), nextV.as("nv"), nextT.as("nt"))
+        .select(col("event_type"), col("hr"), col("is_masked"),
+          col("v").as("v_obs"),
+          round(
+            when(col("v").isNotNull, col("v").cast("double"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) *
+                  ((col("t") - col("pt")) / (col("nt") - col("pt"))))
+              .otherwise(coalesce(col("pv"), col("nv")).cast("double")),
+            6).as("v_interp"),
+          when(col("v").isNotNull, "obs")
+            .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+            .otherwise("edge").as("src"))
+        .orderBy("event_type", "hr")
+    }),
+
     // Gaps-and-islands — consecutive-day activity streaks per user (the
     // engagement-streak query; also the canonical "islands" rewrite every
     // SQL engine is judged on). distinct (user, day) first — the window
@@ -333,6 +389,43 @@ object Windows {
        "SELECT user_id, sess_no, count(*) AS n_events, min(tss) AS sess_start, " +
        "CAST(epoch(max(tss)) AS BIGINT) - CAST(epoch(min(tss)) AS BIGINT) " +
        "AS dur_s FROM g GROUP BY 1, 2 ORDER BY user_id, sess_no"),
+    // Same spine, mask, frames, and interpolation text (identical
+    // association: pv + (nv - pv) * ((t - pt) / (nt - pt))); hour index
+    // from floor-epoch (exact hour-truncated seconds / 3600 — exact).
+    "win_interpolate_linear" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, " +
+       "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents " +
+       "FROM events GROUP BY 1, 2), " +
+       "b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1 " +
+       "FROM hourly GROUP BY 1), " +
+       "spine AS (SELECT event_type, " +
+       "unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b), " +
+       "m AS (SELECT s.event_type, s.hr, " +
+       "hour(s.hr) % 5 = 2 AS is_masked, " +
+       "CASE WHEN hour(s.hr) % 5 = 2 THEN NULL ELSE h.cents END AS v, " +
+       "CAST(floor(epoch(s.hr)) / 3600 AS BIGINT) AS t " +
+       "FROM spine s LEFT JOIN hourly h " +
+       "ON s.event_type = h.event_type AND s.hr = h.hr), " +
+       "f AS (SELECT *, " +
+       "last_value(v IGNORE NULLS) OVER wp AS pv, " +
+       "last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) " +
+       "OVER wp AS pt, " +
+       "first_value(v IGNORE NULLS) OVER wn AS nv, " +
+       "first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) " +
+       "OVER wn AS nt FROM m " +
+       "WINDOW wp AS (PARTITION BY event_type ORDER BY t " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+       "wn AS (PARTITION BY event_type ORDER BY t " +
+       "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+       "SELECT event_type, hr, is_masked, v AS v_obs, " +
+       "round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) " +
+       "WHEN pv IS NOT NULL AND nv IS NOT NULL " +
+       "THEN pv + (nv - pv) * ((t - pt) / (nt - pt)) " +
+       "ELSE CAST(coalesce(pv, nv) AS DOUBLE) END, 6) AS v_interp, " +
+       "CASE WHEN v IS NOT NULL THEN 'obs' " +
+       "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp' " +
+       "ELSE 'edge' END AS src " +
+       "FROM f ORDER BY event_type, hr"),
     "win_fill_forward" ->
       ("WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss, " +
        "CASE WHEN event_type IN ('purchase', 'signup') THEN value END AS v " +

@@ -42,6 +42,36 @@ class AnnSpec extends AnyFunSuite {
     assert(r >= 0.6, s"IVF recall@5 degenerated to $r")
   }
 
+  /** Exact MIPS top-5 per probe (brute-force dot product) — the MIPS
+    * key's recall reference must be the inner-product objective, not
+    * cosine (the whole point of the augmentation is that they rank
+    * differently when norms vary). */
+  private lazy val exactMips: Map[Long, Set[Long]] = {
+    val vs = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    vs.filter(_._1 < 10).map { case (q, qv) =>
+      q -> vs.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.zip(qv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, d) => (-d, id) }.take(5).map(_._1).toSet
+    }.toMap
+  }
+
+  test("MIPS-IVF: every probe answered with 5 neighbors, recall vs exact dot not degenerate") {
+    val mips = topkSets("embed_mips_ivf")
+    assert(mips.keySet === exactMips.keySet)
+    mips.values.foreach(s => assert(s.size === 5))
+    val per = exactMips.map { case (q, want) =>
+      mips.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val r = per.sum / per.size
+    info(s"MIPS-IVF recall@5 = $r")
+    // same routing budget as embed_ann_ivf (nprobe=4 of 16 Lloyd-refined
+    // cells, here in the norm-augmented space), so the same 0.6 floor.
+    assert(r >= 0.6, s"MIPS-IVF recall@5 degenerated to $r")
+  }
+
   test("LSH: buckets non-empty for every probe, recall beats random") {
     val lsh = topkSets("embed_ann_lsh")
     assert(lsh.keySet === exact.keySet)

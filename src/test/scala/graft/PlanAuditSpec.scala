@@ -44,6 +44,11 @@ class PlanAuditSpec extends AnyFunSuite {
                                       // the kNN-graph build's broadcast corpus
                                       // appears only because this audit runs
                                       // staging-off (staged artifact otherwise)
+    "dq_freshness",                   // 1-row broadcast corpus watermark
+    "embed_mips_ivf",                 // 1-row broadcast M² + broadcast probe
+                                      // set; staging-off shows the augmented
+                                      // assignment's broadcast centroids
+                                      // (same class as embed_ann_ivf)
     "embed_normalize")                // 1-row broadcast per-dim mean array
 
   private lazy val plans: Map[String, String] = {
