@@ -15,6 +15,28 @@ import org.apache.spark.sql.functions._
   * codegen; only (key, partial-agg) pairs cross the shuffle. No UDFs, no
   * driver-side collection, so each op scales linearly with corpus bytes.
   */
+/** The PII class patterns + redaction chain, shared by the
+  * `text_pii_redact` query and its spec (which plants REAL body PII the
+  * synthetic corpus lacks and asserts detection + removal — the query's
+  * own oracle only ever exercises the deterministic footer). All three
+  * patterns are lookaround-free so Java regex (Spark) and RE2 (the
+  * DuckDB oracle) read them identically; the chain order
+  * email → phone → ip is part of the contract (an earlier class's token
+  * must not feed a later pattern). */
+private[graft] object PiiRedact {
+  val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def nMatches(c: Column, pat: String): Column =
+    size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+
+  def redact(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      c, emailPat, "<EMAIL>"),
+      phonePat, "<PHONE>"), ipPat, "<IP>")
+}
+
 object TextQuality {
 
   /** Fixed per-language keyword lists. The synthetic corpus shares one
@@ -362,11 +384,7 @@ object TextQuality {
     // regex work inside whole-stage codegen, one (lang, source) rollup —
     // scales as a scan, like text_normalize.
     "text_pii_redact" -> ((s, dir) => {
-      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val phonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
-      val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-      def nMatches(c: Column, pat: String): Column =
-        size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+      import PiiRedact._
       val full = concat(lower(col("text")),
         lit(" contact user"), col("doc_id"), lit("@"),
         regexp_replace(lower(col("source")), "[^a-z0-9]+", "-"),
@@ -374,9 +392,7 @@ object TextQuality {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" host 10."), col("doc_id") % 200, lit("."),
         col("doc_id") % 100, lit("."), col("doc_id") % 50)
-      val red = regexp_replace(regexp_replace(regexp_replace(
-        col("full"), emailPat, "<EMAIL>"),
-        phonePat, "<PHONE>"), ipPat, "<IP>")
+      val red = redact(col("full"))
       Tables.table(s, dir, "documents")
         .select(col("lang"), col("source"), full.as("full"))
         .withColumn("red", red)

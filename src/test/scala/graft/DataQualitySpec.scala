@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 operator specs beyond what their DuckDB oracles can see:
+  *
+  *  - `text_pii_redact`'s oracle only ever exercises the deterministic
+  *    provenance footer (the synthetic corpus carries no body PII), so
+  *    the planted-PII legs here are the only place the patterns meet
+  *    adversarial mid-sentence PII, boundary shapes, and clean text.
+  *  - `dq_drift_psi`'s oracle replays the arithmetic but cannot state
+  *    the MATHEMATICAL invariants (every PSI term ≥ 0, PSI additivity,
+  *    threshold wiring) — a sign slip in the contrib formula would
+  *    hash-match its own replay and still be wrong as a PSI.
+  *  - `win_interpolate_linear`'s oracle shares the spine/mask text; the
+  *    replay here recomputes each gap's line FROM THE OUTPUT'S OWN
+  *    observed rows, so a frame-boundary bug shared by both engines
+  *    (e.g. a neighbor frame including the current row) would still be
+  *    caught.
+  *  - `dq_freshness`: watermark law (some type has lag 0) + range sanity.
+  */
+class DataQualitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("PII: planted body PII is counted and redacted; clean text untouched") {
+    val sess = spark
+    import sess.implicits._
+    import graft.ops.PiiRedact._
+    val planted = Seq(
+      // id, text, expected (email, phone, ip) counts
+      (1L, "reach alice.smith@corp.example.org for the report", 1L, 0L, 0L),
+      (2L, "call +1-555-0199 or +44-202-7946 today", 0L, 2L, 0L),
+      (3L, "gateway 192.168.0.1 then 10.0.0.254 failed", 0L, 0L, 2L),
+      (4L, "mixed: bob_j+tag@mail.co at +1-555-0000 via 172.16.4.20", 1L, 1L, 1L),
+      (5L, "no pii here, just words and numbers 12345 6.7", 0L, 0L, 0L))
+      .toDF("id", "text", "e", "p", "i")
+    val scored = planted.select(col("id"), col("e"), col("p"), col("i"),
+      nMatches(col("text"), emailPat).as("ne"),
+      nMatches(col("text"), phonePat).as("np"),
+      nMatches(col("text"), ipPat).as("ni"),
+      redact(col("text")).as("red"),
+      col("text"))
+    scored.collect().foreach { r =>
+      assert(r.getAs[Long]("ne") === r.getAs[Long]("e"),
+        s"email count on '${r.getAs[String]("text")}'")
+      assert(r.getAs[Long]("np") === r.getAs[Long]("p"),
+        s"phone count on '${r.getAs[String]("text")}'")
+      assert(r.getAs[Long]("ni") === r.getAs[Long]("i"),
+        s"ip count on '${r.getAs[String]("text")}'")
+    }
+    // redaction removes every match (zero residuals), replaces with the
+    // class tokens, and leaves PII-free text byte-identical
+    val resid = scored.select(
+      (nMatches(col("red"), emailPat) + nMatches(col("red"), phonePat) +
+        nMatches(col("red"), ipPat)).as("resid"),
+      col("red"), col("text"), col("id"))
+    resid.collect().foreach { r =>
+      assert(r.getAs[Long]("resid") === 0L,
+        s"residual PII in '${r.getAs[String]("red")}'")
+    }
+    val m = resid.collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[String]("red")).toMap
+    assert(m(1L) === "reach <EMAIL> for the report")
+    assert(m(3L) === "gateway <IP> then <IP> failed")
+    assert(m(4L) === "mixed: <EMAIL> at <PHONE> via <IP>")
+    assert(m(5L) === "no pii here, just words and numbers 12345 6.7")
+  }
+
+  test("PII: chain order keeps one class's token out of the next pattern") {
+    val sess = spark
+    import sess.implicits._
+    import graft.ops.PiiRedact._
+    // an email whose local part looks phone-ish and a host that looks
+    // IP-ish: the email pattern must consume the WHOLE thing first
+    val df = Seq("ping a1-555-1234b@10.9.8.7a.example.com now")
+      .toDF("text").select(redact(col("text")).as("red"))
+    assert(df.collect().head.getString(0) === "ping <EMAIL> now")
+  }
+
+  test("PSI: every term non-negative, PSI is their sum, threshold wired") {
+    val out = SparkEntry.queries("dq_drift_psi")(spark, sf).collect()
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rows) =>
+      assert(rows.map(_.getAs[Int]("bin")).sorted.toSeq === (0 to 9),
+        s"$t must emit exactly bins 0..9")
+      rows.foreach { r =>
+        // (p−q)·ln(p/q) ≥ 0 for every p,q > 0 — a sign slip in either
+        // factor flips individual terms negative
+        assert(r.getAs[Double]("contrib") >= -1e-9,
+          s"$t bin ${r.getAs[Int]("bin")} has a negative PSI term")
+      }
+      val psi = rows.head.getAs[Double]("psi")
+      val sum = rows.map(_.getAs[Double]("contrib")).sum
+      assert(math.abs(psi - sum) <= 1e-5 * math.max(1.0, math.abs(sum)),
+        s"$t: psi $psi is not the sum of its terms $sum")
+      rows.foreach(r =>
+        assert(r.getAs[Boolean]("drifted") === (psi >= 0.1)))
+    }
+  }
+
+  test("PSI: smoothed proportions rebuild from the emitted counts") {
+    val out = SparkEntry.queries("dq_drift_psi")(spark, sf).collect()
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
+      val tRef = rows.map(_.getAs[Long]("n_ref")).sum
+      val tCur = rows.map(_.getAs[Long]("n_cur")).sum
+      rows.foreach { r =>
+        val pr = (r.getAs[Long]("n_ref") + 1.0) / (tRef + 10)
+        val pc = (r.getAs[Long]("n_cur") + 1.0) / (tCur + 10)
+        assert(math.abs(r.getAs[Double]("p_ref") - pr) < 5e-7, s"$t p_ref")
+        assert(math.abs(r.getAs[Double]("p_cur") - pc) < 5e-7, s"$t p_cur")
+      }
+    }
+  }
+
+  test("interpolation: every gap lies on the line through its output neighbors") {
+    val out = SparkEntry.queries("win_interpolate_linear")(spark, sf)
+      .collect()
+    var checked = 0
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
+      val sorted = rows.sortBy(_.getAs[java.sql.Timestamp]("hr").getTime)
+      val obs = sorted.zipWithIndex.filter(_._1.getAs[String]("src") == "obs")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        r.getAs[String]("src") match {
+          case "obs" =>
+            assert(r.getAs[Double]("v_interp") ===
+              r.getAs[Long]("v_obs").toDouble, s"$t obs row must copy v_obs")
+          case "interp" =>
+            val (p, pi) = obs.takeWhile(_._2 < i).last
+            val (n, ni) = obs.dropWhile(_._2 <= i).head
+            val pv = p.getAs[Long]("v_obs").toDouble
+            val nv = n.getAs[Long]("v_obs").toDouble
+            val want = pv + (nv - pv) * (i - pi).toDouble / (ni - pi)
+            assert(math.abs(r.getAs[Double]("v_interp") - want) <= 1e-4,
+              s"$t hour ${r.getAs[java.sql.Timestamp]("hr")} off the line")
+            checked += 1
+          case "edge" =>
+            val nearest =
+              if (obs.forall(_._2 > i)) obs.head._1 else obs.last._1
+            assert(r.getAs[Double]("v_interp") ===
+              nearest.getAs[Long]("v_obs").toDouble, s"$t edge must hold")
+        }
+      }
+    }
+    assert(checked >= 100, s"only $checked interior gaps exercised")
+  }
+
+  test("freshness: watermark law and ranges") {
+    val out = SparkEntry.queries("dq_freshness")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getAs[Long]("lag_hours") === 0L),
+      "some event_type must BE the corpus watermark")
+    out.foreach { r =>
+      assert(r.getAs[Long]("lag_hours") >= 0L)
+      val h = r.getAs[Long]("hours_covered_24h")
+      // a 24h lookback can touch at most 25 distinct hour buckets
+      assert(h >= 0L && h <= 25L)
+      assert(r.getAs[Boolean]("stale") === (r.getAs[Long]("lag_hours") > 1L)
+        || r.getAs[Long]("lag_hours") === 1L) // 3600s boundary: >1h strictly
+    }
+  }
+}

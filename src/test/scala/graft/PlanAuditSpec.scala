@@ -598,6 +598,57 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_normalize introduced a hash shuffle — no longer map-side")
   }
 
+  test("text_pii_redact: one rollup shuffle, pruned scan, partial aggs") {
+    // The scrub must scale as a scan: all regex work map-side inside the
+    // projection, ONE (lang, source) rollup (partial+final — only
+    // (key, partial) pairs cross the wire), and the documents scan must
+    // not read n_chars (column pruning through the regex projection).
+    val p = plans("text_pii_redact")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one hash shuffle (rollup), got $n")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "rollup lost its map-side partial aggregation")
+    assert(!p.contains("n_chars"),
+      "documents scan reads n_chars — pruning broke")
+  }
+
+  test("win_interpolate_linear: both neighbor frames share one Window pass") {
+    // Forward and backward IGNORE-NULLS fills (value + position, four
+    // functions) must ride a single Window operator over one
+    // (event_type, t) sort — a second window spec would re-sort and
+    // re-shuffle the spine relation per direction.
+    val p = plans("win_interpolate_linear")
+    val w = "Window \\[".r.findAllIn(p).length
+    assert(w == 1, s"expected one shared Window operator, got $w")
+    // every shuffle in the plan is over the HOURLY relation (hash on
+    // event_type[, hr]); the fact-table scan feeds exactly one partial
+    // aggregate before its exchange
+    assert(p.contains("partial_sum"),
+      "hourly aggregate lost its map-side partial")
+  }
+
+  test("dq_drift_psi: psi rejoin broadcasts; aggregates two-phase") {
+    // The per-type PSI relation is |types| rows — joining it back onto
+    // the 10×|types| per-bin relation must be a broadcast hash join, and
+    // both count rollups must carry map-side partials.
+    val p = plans("dq_drift_psi")
+    assert(p.contains("BroadcastHashJoin"),
+      "psi rejoin no longer broadcasts")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join crept into a dim-scale rejoin")
+    assert(p.contains("partial_sum"),
+      "bin counts lost their map-side partials")
+  }
+
+  test("embed_mips_ivf: candidate join stays broadcast on cell routing") {
+    // The probe side is |probes|·nprobe rows — the cells join must
+    // broadcast it (the embed_ann_ivf shape); a shuffle of the corpus-
+    // sized cell relation onto probe cells would be the wrong direction.
+    val p = plans("embed_mips_ivf")
+    assert(p.contains("BroadcastHashJoin"),
+      "MIPS candidate join lost its broadcast")
+  }
+
   test("text_chunk is map-side generate work: no hash shuffle anywhere") {
     // Chunking must scale as a scan + generate — the only exchange
     // allowed is the declared output sort's range partitioning; a hash
