@@ -428,6 +428,58 @@ object Aggs {
           D.r6(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"))
         .orderBy("l_returnflag")),
 
+    // A/B experiment readout (round 16) — Welch's unequal-variance
+    // t-test, the statistic every experimentation platform computes per
+    // metric at readout (dq_anomaly_volume z-scores a stream against its
+    // own history; this compares two concurrent ARMS). Assignment =
+    // user_id % 2 (deterministic, the hash-split every real platform
+    // uses); per (event_type, arm) the ONLY aggregates are exact integer
+    // cent sums (n, Σx, Σx²) pivoted into one row via sum(when) — so the
+    // corpus pass is a single two-phase HashAggregate and every double
+    // op (means, Welch variance, t, Welch–Satterthwaite dof) happens
+    // ONCE per output row, written with identical association in the
+    // oracle (the dq_anomaly_volume posture: exact ints in, one IEEE
+    // expression out, round 6dp). s1·s1 is computed in DOUBLE (cast
+    // before multiply): at ~5e10 summed cents a long square would
+    // overflow; the double product is inexact past 2^53 but IDENTICALLY
+    // inexact in both engines — determinism needs identity, not
+    // exactness. Scale: one scan, one |types|-row shuffle.
+    "agg_ab_ttest" -> ((s, dir) => {
+      val cents = round(col("value") * 100, 0).cast("long")
+      val arm = (col("user_id") % 2 === 0)
+      val g = Tables.events(s, dir)
+        .select(col("event_type"), arm.as("arm"), cents.as("c"))
+        .groupBy("event_type")
+        .agg(
+          count(when(col("arm"), 1)).as("n0"),
+          sum(when(col("arm"), col("c"))).as("s10"),
+          sum(when(col("arm"), col("c") * col("c"))).as("s20"),
+          count(when(!col("arm"), 1)).as("n1"),
+          sum(when(!col("arm"), col("c"))).as("s11"),
+          sum(when(!col("arm"), col("c") * col("c"))).as("s21"))
+      def mean(s1: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        s1.cast("double") / n
+      def variance(s2: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) =
+        (s2.cast("double") -
+          s1.cast("double") * s1.cast("double") / n) / (n - 1)
+      val v0 = variance(col("s20"), col("s10"), col("n0"))
+      val v1 = variance(col("s21"), col("s11"), col("n1"))
+      val se0 = v0 / col("n0")
+      val se1 = v1 / col("n1")
+      val t = (mean(col("s10"), col("n0")) - mean(col("s11"), col("n1"))) /
+        sqrt(se0 + se1)
+      val dof = (se0 + se1) * (se0 + se1) /
+        (se0 * se0 / (col("n0") - 1) + se1 * se1 / (col("n1") - 1))
+      g.select(col("event_type"), col("n0"), col("n1"),
+          round(mean(col("s10"), col("n0")) / 100, 6).as("mean_a"),
+          round(mean(col("s11"), col("n1")) / 100, 6).as("mean_b"),
+          round(t, 6).as("t_stat"),
+          round(dof, 6).as("dof"),
+          (abs(round(t, 6)) >= 1.96).as("significant"))
+        .orderBy("event_type")
+    }),
+
     // Fixed-width histogram: width_bucket + count per bin. Bin width is
     // (600000-0)/24 = 25000 EXACTLY representable, so Spark's
     // (v-min)/((max-min)/n) and the oracle's floor(v/25000) are the same
@@ -800,6 +852,33 @@ object Aggs {
        "round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept, " +
        "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2 " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // Exact integer (n, Σx, Σx²) per arm, then the identical double
+    // expression text: identity of every IEEE op, not exactness, is what
+    // the hash gate needs (the s1² double product is inexact past 2^53
+    // but identically so in both engines).
+    "agg_ab_ttest" ->
+      ("WITH e AS (SELECT event_type, user_id % 2 = 0 AS arm, " +
+       "CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+       "g AS (SELECT event_type, " +
+       "count(CASE WHEN arm THEN 1 END) AS n0, " +
+       "CAST(sum(CASE WHEN arm THEN c END) AS BIGINT) AS s10, " +
+       "CAST(sum(CASE WHEN arm THEN c * c END) AS BIGINT) AS s20, " +
+       "count(CASE WHEN NOT arm THEN 1 END) AS n1, " +
+       "CAST(sum(CASE WHEN NOT arm THEN c END) AS BIGINT) AS s11, " +
+       "CAST(sum(CASE WHEN NOT arm THEN c * c END) AS BIGINT) AS s21 " +
+       "FROM e GROUP BY event_type), " +
+       "k AS (SELECT event_type, n0, n1, " +
+       "CAST(s10 AS DOUBLE) / n0 AS m0, CAST(s11 AS DOUBLE) / n1 AS m1, " +
+       "((CAST(s20 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / n0) / (n0 - 1)) / n0 AS se0, " +
+       "((CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / n1) / (n1 - 1)) / n1 AS se1 " +
+       "FROM g) " +
+       "SELECT event_type, n0, n1, " +
+       "round(m0 / 100, 6) AS mean_a, round(m1 / 100, 6) AS mean_b, " +
+       "round((m0 - m1) / sqrt(se0 + se1), 6) AS t_stat, " +
+       "round((se0 + se1) * (se0 + se1) / " +
+       "(se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6) AS dof, " +
+       "abs(round((m0 - m1) / sqrt(se0 + se1), 6)) >= 1.96 AS significant " +
+       "FROM k ORDER BY event_type"),
     "agg_histogram" ->
       ("SELECT CASE WHEN o_totalprice < 0 THEN 0 " +
        "WHEN o_totalprice >= 600000 THEN 25 " +
