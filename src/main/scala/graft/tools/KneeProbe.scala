@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   * is snapshot/batch ratio, not corpus multiplier, so it keeps its own
   * harness. Scratch tool, not part of the driver contract; numbers in
   * ROUND12_NOTES.md. Usage: runMain graft.tools.KneeProbe [sfDir] [legs]
-  * — `legs` is an optional subset of "ABCDEFGH" (default all); the D/E loop
+  * — `legs` is an optional subset of "ABCDEFGHI" (default all); the D/E loop
   * runs when either letter is selected.
   */
 object KneeProbe {
@@ -61,7 +61,7 @@ object KneeProbe {
 
   private def run(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val legs = args.lift(1).getOrElse("ABCDEFGH").toUpperCase
+    val legs = args.lift(1).getOrElse("ABCDEFGHI").toUpperCase
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -360,6 +360,45 @@ object KneeProbe {
           }
         }
       } finally cleanupReplicas(dir, Seq("events.parquet", "documents.parquet"))
+    }
+
+    // ---- I. r16 keys: linear-decade check. The scan/agg family (PII
+    // scrub, PSI drift, freshness, interpolation, Welch t-test) must
+    // scale as one corpus pass each — their rollups are |types|- or
+    // |types|·10-row relations at any volume (interpolation's window
+    // runs over the HOURLY relation, which the replicas do NOT widen:
+    // same 30-day span, denser hours — its decade should be ~flat after
+    // the hourly agg). embed_mips_ivf rides the D-leg embeddings scheme:
+    // cold includes the augmented index build (2 corpus passes + cells),
+    // warm isolates the cell-bounded search. embed_ann_nsw is EXCLUDED
+    // by design: its staged kNN-graph build is brute-force quadratic at
+    // probe scale (the Scaladoc's NN-descent note is the production
+    // answer); its search-side decade is what the key's beam bound
+    // already pins structurally.
+    if (legs.contains('I'))
+    for ((m, warm) <- Seq((1, true), (1, false), (10, false))) {
+      val dir = java.nio.file.Files.createTempDirectory(tmpBase, s"graft_kneeI_${m}x_")
+      try {
+        replicate(Tables.events(spark, sfDir), m, 100000000L, "event_id", "user_id")
+          .repartition(4).write.parquet(s"$dir/events.parquet")
+        replicate(Tables.table(spark, sfDir, "documents"), m, 10000000L, "doc_id")
+          .repartition(4).write.parquet(s"$dir/documents.parquet")
+        replicate(Tables.table(spark, sfDir, "embeddings"), m, 1000000L, "vec_id")
+          .repartition(4).write.parquet(s"$dir/embeddings.parquet")
+        for (k <- Seq("text_pii_redact", "dq_drift_psi", "dq_freshness",
+                      "win_interpolate_linear", "agg_ab_ttest",
+                      "embed_mips_ivf")) {
+          if (warm) { graft.SparkEntry.queries(k)(spark, dir.toString).count(); () }
+          else {
+            t(s"I m=$m $k")(
+              graft.SparkEntry.queries(k)(spark, dir.toString).count())
+            if (k == "embed_mips_ivf")
+              t(s"I m=$m $k(warm)")(
+                graft.SparkEntry.queries(k)(spark, dir.toString).count())
+          }
+        }
+      } finally cleanupReplicas(dir,
+        Seq("events.parquet", "documents.parquet", "embeddings.parquet"))
     }
     spark.stop()
   }
