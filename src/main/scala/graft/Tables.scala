@@ -115,10 +115,17 @@ object Tables {
     * scheme must consider all three key spaces. */
   def sourceFingerprint(path: String): String = {
     val p = java.nio.file.Paths.get(path)
-    val ident = path + ":" + java.nio.file.Files.size(p) + ":" +
-      java.nio.file.Files.getLastModifiedTime(p).toMillis
-    // FNV-1a 64-bit over the identity string: every byte position shifts
-    // the accumulator, so any single-field change always changes the key.
+    fnv48(path + ":" + java.nio.file.Files.size(p) + ":" +
+      java.nio.file.Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** FNV-1a 64-bit over an identity string, rendered as 48-bit hex:
+    * every byte position shifts the accumulator, so any single-field
+    * change always changes the key. The ONE fingerprint fold — shared by
+    * [[sourceFingerprint]] and Sinks' content-inclusive
+    * successFingerprint so the two key spaces can never drift (r16
+    * review: the fold was previously duplicated verbatim). */
+  private[graft] def fnv48(ident: String): String = {
     var h = 0xcbf29ce484222325L
     ident.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
     java.lang.Long.toHexString(h & 0xffffffffffffL)

@@ -443,20 +443,27 @@ object Aggs {
     // before multiply): at ~5e10 summed cents a long square would
     // overflow; the double product is inexact past 2^53 but IDENTICALLY
     // inexact in both engines — determinism needs identity, not
-    // exactness. Scale: one scan, one |types|-row shuffle.
+    // exactness. The Σx/Σx² accumulators are DECIMAL(38,0): a long
+    // Σ(c²) overflows at ~3.8e9 rows per type (c² ≈ 2.4e9 at max cents)
+    // — inside the design envelope — while decimal keeps the sum an
+    // exact associative integer to ~1e28 rows (the DuckDB side sums in
+    // HUGEINT; both convert the identical exact integer to double once,
+    // a uniquely-defined rounding, so the derived stats still hash).
+    // Scale: one scan, one |types|-row shuffle.
     "agg_ab_ttest" -> ((s, dir) => {
       val cents = round(col("value") * 100, 0).cast("long")
       val arm = (col("user_id") % 2 === 0)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val g = Tables.events(s, dir)
         .select(col("event_type"), arm.as("arm"), cents.as("c"))
         .groupBy("event_type")
         .agg(
           count(when(col("arm"), 1)).as("n0"),
-          sum(when(col("arm"), col("c"))).as("s10"),
-          sum(when(col("arm"), col("c") * col("c"))).as("s20"),
+          sum(when(col("arm"), dec(col("c")))).as("s10"),
+          sum(when(col("arm"), dec(col("c") * col("c")))).as("s20"),
           count(when(!col("arm"), 1)).as("n1"),
-          sum(when(!col("arm"), col("c"))).as("s11"),
-          sum(when(!col("arm"), col("c") * col("c"))).as("s21"))
+          sum(when(!col("arm"), dec(col("c")))).as("s11"),
+          sum(when(!col("arm"), dec(col("c") * col("c")))).as("s21"))
       def mean(s1: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
         s1.cast("double") / n
       def variance(s2: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
@@ -859,13 +866,16 @@ object Aggs {
     "agg_ab_ttest" ->
       ("WITH e AS (SELECT event_type, user_id % 2 = 0 AS arm, " +
        "CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+       // sums stay HUGEINT (exact, overflow-free) mirroring the Spark
+       // side's decimal(38,0); both sides convert the same exact integer
+       // to double exactly once
        "g AS (SELECT event_type, " +
        "count(CASE WHEN arm THEN 1 END) AS n0, " +
-       "CAST(sum(CASE WHEN arm THEN c END) AS BIGINT) AS s10, " +
-       "CAST(sum(CASE WHEN arm THEN c * c END) AS BIGINT) AS s20, " +
+       "sum(CASE WHEN arm THEN c END) AS s10, " +
+       "sum(CASE WHEN arm THEN c * c END) AS s20, " +
        "count(CASE WHEN NOT arm THEN 1 END) AS n1, " +
-       "CAST(sum(CASE WHEN NOT arm THEN c END) AS BIGINT) AS s11, " +
-       "CAST(sum(CASE WHEN NOT arm THEN c * c END) AS BIGINT) AS s21 " +
+       "sum(CASE WHEN NOT arm THEN c END) AS s11, " +
+       "sum(CASE WHEN NOT arm THEN c * c END) AS s21 " +
        "FROM e GROUP BY event_type), " +
        "k AS (SELECT event_type, n0, n1, " +
        "CAST(s10 AS DOUBLE) / n0 AS m0, CAST(s11 AS DOUBLE) / n1 AS m1, " +

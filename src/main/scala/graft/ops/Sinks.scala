@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{D, Tables}
 import graft.QueryDefs.Q
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.1 sink surface, declared END-TO-END: the classic ETL date
@@ -214,17 +214,17 @@ object Sinks {
     * path+size+mtime, so a rebuilt input ALWAYS re-keys its derived chain
     * even when the rebuild lands in the same millisecond (r15 ADVICE: the
     * zero-byte `_SUCCESS` left mtime as the only distinguishing field).
-    * Reads ≤ 64 bytes; pre-nonce artifacts (empty `_SUCCESS`) hash to the
-    * plain fingerprint and get reclaimed as retired siblings. */
+    * Reads ≤ 64 bytes. Pre-nonce artifacts (empty `_SUCCESS`) hash to
+    * fnv48(plainFp + ":") — a DIFFERENT value from the plain fingerprint,
+    * not equal to it; they get reclaimed anyway because their dirs were
+    * NAMED with the plain fingerprint, which no live successFingerprint
+    * key matches (r16 review: the comment previously claimed equality). */
   private def successFingerprint(success: java.nio.file.Path): String = {
     val content =
       try new String(java.nio.file.Files.readAllBytes(success),
         java.nio.charset.StandardCharsets.UTF_8)
       catch { case scala.util.control.NonFatal(_) => "" }
-    val ident = Tables.sourceFingerprint(success.toString) + ":" + content
-    var h = 0xcbf29ce484222325L
-    ident.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
-    java.lang.Long.toHexString(h & 0xffffffffffffL)
+    Tables.fnv48(Tables.sourceFingerprint(success.toString) + ":" + content)
   }
 
   /** Remove the graft_sink artifacts keyed by any of `prefixes`, then
@@ -482,53 +482,76 @@ object Sinks {
     *     (filesystem copy here; a manifest pointer in a real lake).
     * A touched cell whose every row was a forget row simply vanishes —
     * files_after counts survivors' buckets, which the oracle replays. */
+  /** The touched-cell manifest of a copy-on-write commit: distinct
+    * (day, bkt) cells holding a row the commit's predicate marks —
+    * the bounded driver-side collect every table format does as a
+    * manifest diff (≤ days×16). Shared by the delete and upsert commits
+    * (r16 review: was copy-pasted). */
+  private def touchedCells(store: DataFrame,
+                           pred: Column): Set[(String, Int)] =
+    store.where(pred)
+      .select(col("day").cast("string"), col("bkt"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+
+  /** The touched cells' rows, partition-pruned: day/bkt isin filters
+    * reach the scan (PlanAuditSpec asserts them), then the composite
+    * cellKey filter cuts the isin cross-product back to exactly the
+    * touched set. */
+  private def prunedCellRows(store: DataFrame,
+                             touched: Set[(String, Int)]): DataFrame = {
+    val cellKey = concat_ws("#", col("day").cast("string"),
+      col("bkt").cast("string"))
+    store
+      .where(col("day").isin(
+          touched.map(_._1).toSeq.map(java.sql.Date.valueOf): _*) &&
+        col("bkt").isin(touched.map(_._2).toSeq: _*))
+      .where(cellKey.isin(touched.map(t => s"${t._1}#${t._2}").toSeq: _*))
+  }
+
+  /** One-file-per-cell rewrite of a commit's surviving rows. */
+  private def writeCells(df: DataFrame, tmp: java.nio.file.Path): Unit =
+    df.repartition(col("day"), col("bkt"))
+      .sortWithinPartitions("day", "bkt", "event_id")
+      .write.partitionBy("day", "bkt").mode("overwrite")
+      .parquet(tmp.toString)
+
+  /** Carry untouched cells over byte-identical. Streams are closed
+    * (fd leak otherwise — Bench/KneeProbe rebuild this in long-lived
+    * JVMs), and the bkt= parse runs only AFTER the prefix guard so a
+    * stray marker file under a day directory can't abort the publish
+    * with a NumberFormatException (r14 review findings). */
+  private def copyUntouchedCells(srcRoot: String, tmp: java.nio.file.Path,
+                                 touched: Set[(String, Int)]): Unit = {
+    import java.nio.file.{Files, Paths}
+    listUnder(Paths.get(srcRoot))(_.foreach { dayDir =>
+      val dn = dayDir.getFileName.toString
+      if (dn.startsWith("day=")) {
+        listUnder(dayDir)(_.foreach { bktDir =>
+          val bn = bktDir.getFileName.toString
+          if (bn.startsWith("bkt=")) {
+            val cell = (dn.stripPrefix("day="),
+              bn.stripPrefix("bkt=").toInt)
+            if (!touched.contains(cell)) {
+              val dst = tmp.resolve(dn).resolve(bn)
+              Files.createDirectories(dst)
+              listUnder(bktDir)(_.foreach { f =>
+                Files.copy(f, dst.resolve(f.getFileName.toString)); ()
+              })
+            }
+          }
+        })
+      }
+    })
+  }
+
   def ensureDeletedStore(s: SparkSession, dir: String): String = {
     val storeRoot = ensureRetentionStore(s, dir)
     publishDerived(storeRoot, "events_ret_del_v1") { tmp =>
-      import java.nio.file.{Files, Paths}
       val store = s.read.parquet(storeRoot)
-      val touched = store.where(isForget)
-        .select(col("day").cast("string"), col("bkt"))
-        .distinct().collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSet
-      val days = touched.map(_._1).toSeq
-      val bkts = touched.map(_._2).toSeq
-      val cellKey = concat_ws("#", col("day").cast("string"),
-        col("bkt").cast("string"))
-      store
-        .where(col("day").isin(days.map(java.sql.Date.valueOf): _*) &&
-          col("bkt").isin(bkts: _*))
-        .where(cellKey.isin(touched.map(t => s"${t._1}#${t._2}").toSeq: _*))
-        .where(!isForget)
-        .repartition(col("day"), col("bkt"))
-        .sortWithinPartitions("day", "bkt", "event_id")
-        .write.partitionBy("day", "bkt").mode("overwrite")
-        .parquet(tmp.toString)
-      // carry over untouched cells byte-identical. Streams are closed
-      // (fd leak otherwise — Bench/KneeProbe rebuild this in long-lived
-      // JVMs), and the bkt= parse runs only AFTER the prefix guard so a
-      // stray marker file under a day directory can't abort the publish
-      // with a NumberFormatException (r14 review findings).
-      val root = Paths.get(storeRoot)
-      listUnder(root)(_.foreach { dayDir =>
-        val dn = dayDir.getFileName.toString
-        if (dn.startsWith("day=")) {
-          listUnder(dayDir)(_.foreach { bktDir =>
-            val bn = bktDir.getFileName.toString
-            if (bn.startsWith("bkt=")) {
-              val cell = (dn.stripPrefix("day="),
-                bn.stripPrefix("bkt=").toInt)
-              if (!touched.contains(cell)) {
-                val dst = tmp.resolve(dn).resolve(bn)
-                Files.createDirectories(dst)
-                listUnder(bktDir)(_.foreach { f =>
-                  Files.copy(f, dst.resolve(f.getFileName.toString)); ()
-                })
-              }
-            }
-          })
-        }
-      })
+      val touched = touchedCells(store, isForget)
+      writeCells(prunedCellRows(store, touched).where(!isForget), tmp)
+      copyUntouchedCells(storeRoot, tmp, touched)
     }
   }
 
@@ -555,52 +578,16 @@ object Sinks {
   def ensureUpsertedStore(s: SparkSession, dir: String): String = {
     val v1Root = ensureDeletedStore(s, dir)
     publishDerived(v1Root, "events_ret_ups_v1") { tmp =>
-      import java.nio.file.{Files, Paths}
       val v1 = s.read.parquet(v1Root)
-      val touched = v1.where(isDelV2 || isUpdV2 || isTwinV2)
-        .select(col("day").cast("string"), col("bkt"))
-        .distinct().collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSet
-      val days = touched.map(_._1).toSeq
-      val bkts = touched.map(_._2).toSeq
-      val cellKey = concat_ws("#", col("day").cast("string"),
-        col("bkt").cast("string"))
-      val cellRows = v1
-        .where(col("day").isin(days.map(java.sql.Date.valueOf): _*) &&
-          col("bkt").isin(bkts: _*))
-        .where(cellKey.isin(touched.map(t => s"${t._1}#${t._2}").toSeq: _*))
+      val touched = touchedCells(v1, isDelV2 || isUpdV2 || isTwinV2)
+      val cellRows = prunedCellRows(v1, touched)
       val survivors = cellRows.where(!isDelV2)
         .withColumn("value", when(isUpdV2, lit(999.99)).otherwise(col("value")))
       val inserts = cellRows.where(isTwinV2)
         .withColumn("event_id", col("event_id") + lit(UpsOffset))
         .withColumn("value", lit(111.11))
-      survivors.unionByName(inserts)
-        .repartition(col("day"), col("bkt"))
-        .sortWithinPartitions("day", "bkt", "event_id")
-        .write.partitionBy("day", "bkt").mode("overwrite")
-        .parquet(tmp.toString)
-      // carry over untouched cells byte-identical (same discipline and
-      // guards as ensureDeletedStore)
-      val root = Paths.get(v1Root)
-      listUnder(root)(_.foreach { dayDir =>
-        val dn = dayDir.getFileName.toString
-        if (dn.startsWith("day=")) {
-          listUnder(dayDir)(_.foreach { bktDir =>
-            val bn = bktDir.getFileName.toString
-            if (bn.startsWith("bkt=")) {
-              val cell = (dn.stripPrefix("day="),
-                bn.stripPrefix("bkt=").toInt)
-              if (!touched.contains(cell)) {
-                val dst = tmp.resolve(dn).resolve(bn)
-                Files.createDirectories(dst)
-                listUnder(bktDir)(_.foreach { f =>
-                  Files.copy(f, dst.resolve(f.getFileName.toString)); ()
-                })
-              }
-            }
-          })
-        }
-      })
+      writeCells(survivors.unionByName(inserts), tmp)
+      copyUntouchedCells(v1Root, tmp, touched)
     }
   }
 

@@ -55,11 +55,12 @@ class DataQualitySpec extends AnyFunSuite {
       (nMatches(col("red"), emailPat) + nMatches(col("red"), phonePat) +
         nMatches(col("red"), ipPat)).as("resid"),
       col("red"), col("text"), col("id"))
-    resid.collect().foreach { r =>
+    val residRows = resid.collect()
+    residRows.foreach { r =>
       assert(r.getAs[Long]("resid") === 0L,
         s"residual PII in '${r.getAs[String]("red")}'")
     }
-    val m = resid.collect().map(r => r.getAs[Long]("id") ->
+    val m = residRows.map(r => r.getAs[Long]("id") ->
       r.getAs[String]("red")).toMap
     assert(m(1L) === "reach <EMAIL> for the report")
     assert(m(3L) === "gateway <IP> then <IP> failed")

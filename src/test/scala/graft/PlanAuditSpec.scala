@@ -332,8 +332,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // (r15 ADVICE: max(indexOf, len-1) always picked len-1, so the BHJ
     // assert silently spanned the initial plan too).
     val initialIdx = p.indexOf("Initial Plan")
-    val finalPart = p.substring(p.indexOf("Final Plan"),
-      if (initialIdx >= 0) initialIdx else p.length)
+    // the SMJ assert below NEEDS the initial-plan section; fail with a
+    // named cause if a Spark upgrade drops it, not an opaque substring
+    // bounds error (r16 review)
+    assert(initialIdx >= 0,
+      "adaptive plan string lost its 'Initial Plan' section")
+    val finalPart = p.substring(p.indexOf("Final Plan"), initialIdx)
     val initialPart = p.substring(initialIdx)
     assert(initialPart.contains("SortMergeJoin"),
       "static plan was not the pessimistic SMJ — the re-plan proves nothing")
