@@ -3,6 +3,7 @@ package graft.ops
 import graft.{D, Tables}
 import graft.QueryDefs.Q
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** SURVEY.md §2.4 aggregations. Stock `HashAggregateExec` two-phase
   * (partial + final) aggregation throughout — map-side combine is automatic,
@@ -487,6 +488,57 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // Mann–Whitney U (round 16) — the NONPARAMETRIC sibling of
+    // agg_ab_ttest's Welch test: rank-based, so it reads a heavy-tailed
+    // metric (exactly what event values are) without the normality
+    // assumption the t-test leans on. The scale trick is the whole
+    // point of this key: ranks are NOT computed by sorting rows — the
+    // per-(type, arm) VALUE HISTOGRAM is aggregated first (distinct
+    // cents ≤ 49k rows per type at ANY corpus size), and tie-averaged
+    // ranks fall out of the cumulative count: values at a distinct cent
+    // occupy ranks C_prev+1 .. C_prev+c, so 2·avgrank = 2·C_prev + c + 1
+    // — an exact integer ("doubled ranks" keep the ½-granularity of tie
+    // averages in integer space). 2·R₀ = Σ n0_v·(2C_prev+c+1) and the
+    // tie term Σ(c³−c) accumulate in DECIMAL(38,0) (per-row cubes and
+    // products cast BEFORE multiplying — a long c³ overflows at c ≳ 2M
+    // rows per value); U, the tie-corrected normal approximation z, and
+    // the |z| ≥ 1.96 flag are one double expression each, identical
+    // association in the oracle. Scale: one corpus pass into the
+    // histogram, a cumulative window over the BOUNDED distinct-value
+    // relation, a |types|-row report.
+    "agg_mann_whitney" -> ((s, dir) => {
+      val cents = round(col("value") * 100, 0).cast("long")
+      val arm0 = col("user_id") % 2 === 0
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val hist = Tables.events(s, dir)
+        .select(col("event_type"), arm0.as("a"), cents.as("c"))
+        .groupBy("event_type", "c")
+        .agg(count(when(col("a"), 1)).as("n0v"),
+          count(when(!col("a"), 1)).as("n1v"))
+      val w = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = hist
+        .withColumn("cv", col("n0v") + col("n1v"))
+        .withColumn("cprev",
+          coalesce(sum(col("n0v") + col("n1v")).over(w), lit(0L)))
+        .withColumn("dr", lit(2L) * col("cprev") + col("cv") + 1L)
+      val g = ranked.groupBy("event_type").agg(
+        sum(col("n0v")).as("n0"), sum(col("n1v")).as("n1"),
+        sum(dec(col("n0v")) * col("dr")).as("r2x0"),
+        sum(dec(col("cv")) * col("cv") * col("cv") - col("cv")).as("ties"))
+      val n = col("n0") + col("n1")
+      val u0 = (col("r2x0").cast("double") -
+        col("n0").cast("double") * (col("n0") + 1)) / 2
+      val m = col("n0").cast("double") * col("n1")
+      val vr = m / 12 * ((n + 1) -
+        col("ties").cast("double") / (n.cast("double") * (n - 1)))
+      val z = (u0 - m / 2) / sqrt(vr)
+      g.select(col("event_type"), col("n0"), col("n1"),
+          u0.as("u"), round(z, 6).as("z"),
+          (abs(round(z, 6)) >= 1.96).as("significant"))
+        .orderBy("event_type")
+    }),
+
     // Fixed-width histogram: width_bucket + count per bin. Bin width is
     // (600000-0)/24 = 25000 EXACTLY representable, so Spark's
     // (v-min)/((max-min)/n) and the oracle's floor(v/25000) are the same
@@ -859,6 +911,36 @@ object Aggs {
        "round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept, " +
        "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2 " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // Histogram ranks: 2·avgrank = 2·C_prev + c + 1 from the cumulative
+    // window over distinct cents; rank-sum and tie-cube accumulators in
+    // HUGEINT (mirroring Spark's decimal(38,0) — per-row cubes cast
+    // BEFORE multiplying), then the identical double expressions.
+    "agg_mann_whitney" ->
+      ("WITH e AS (SELECT event_type, user_id % 2 = 0 AS a, " +
+       "CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+       "h AS (SELECT event_type, c, " +
+       "count(CASE WHEN a THEN 1 END) AS n0v, " +
+       "count(CASE WHEN NOT a THEN 1 END) AS n1v FROM e GROUP BY 1, 2), " +
+       "t AS (SELECT *, n0v + n1v AS cv, " +
+       "coalesce(sum(n0v + n1v) OVER (PARTITION BY event_type ORDER BY c " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev " +
+       "FROM h), " +
+       "t2 AS (SELECT *, 2 * cprev + cv + 1 AS dr FROM t), " +
+       "g AS (SELECT event_type, CAST(sum(n0v) AS BIGINT) AS n0, " +
+       "CAST(sum(n1v) AS BIGINT) AS n1, " +
+       "sum(CAST(n0v AS HUGEINT) * dr) AS r2x0, " +
+       "sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS ties " +
+       "FROM t2 GROUP BY 1), " +
+       "k AS (SELECT event_type, n0, n1, n0 + n1 AS n, " +
+       "(CAST(r2x0 AS DOUBLE) - CAST(n0 AS DOUBLE) * (n0 + 1)) / 2 AS u0, " +
+       "CAST(n0 AS DOUBLE) * n1 AS m FROM g), " +
+       "k2 AS (SELECT k.*, m / 12 * ((n + 1) - " +
+       "CAST(g.ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) AS vr " +
+       "FROM k JOIN g USING (event_type)) " +
+       "SELECT event_type, n0, n1, u0 AS u, " +
+       "round((u0 - m / 2) / sqrt(vr), 6) AS z, " +
+       "abs(round((u0 - m / 2) / sqrt(vr), 6)) >= 1.96 AS significant " +
+       "FROM k2 ORDER BY event_type"),
     // Exact integer (n, Σx, Σx²) per arm, then the identical double
     // expression text: identity of every IEEE op, not exactness, is what
     // the hash gate needs (the s1² double product is inexact past 2^53
