@@ -146,6 +146,50 @@ class DataQualitySpec extends AnyFunSuite {
     assert(checked >= 100, s"only $checked interior gaps exercised")
   }
 
+  test("mann-whitney: U and z replay from a naive driver-side ranking") {
+    // The key computes ranks from the VALUE HISTOGRAM (the scale form);
+    // this leg recomputes them the textbook way — sort every row, assign
+    // tie-averaged ranks — and demands the same U and z. A histogram/
+    // cumulative-count bug that the oracle (same formulation) would
+    // reproduce cannot survive this independent derivation.
+    val out = SparkEntry.queries("agg_mann_whitney")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n0"), r.getAs[Long]("n1"),
+          r.getAs[Double]("u"), r.getAs[Double]("z"))).toMap
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("a"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (t, evs) =>
+      val sorted = evs.map(e => (e._3, e._2)).sortBy(_._1)
+      // tie-averaged ranks, assigned per run of equal values
+      val ranks = new Array[Double](sorted.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+        val avg = (i + 1 + j).toDouble / 2 // mean of ranks i+1 .. j
+        (i until j).foreach(k => ranks(k) = avg)
+        i = j
+      }
+      val n0 = sorted.count(_._2)
+      val n1 = sorted.length - n0
+      val r0 = sorted.zip(ranks).collect { case ((_, true), rk) => rk }.sum
+      val u0 = r0 - n0.toDouble * (n0 + 1) / 2
+      val (gn0, gn1, gu, gz) = out(t)
+      assert(gn0 === n0.toLong && gn1 === n1.toLong, s"$t arm sizes")
+      assert(math.abs(gu - u0) < 1e-6, s"$t U: key $gu vs naive $u0")
+      val ties = sorted.map(_._1).groupBy(identity).values
+        .map(g => math.pow(g.size, 3) - g.size).sum
+      val n = sorted.length
+      val m = n0.toDouble * n1
+      val vr = m / 12 * ((n + 1) - ties / (n.toDouble * (n - 1)))
+      val z = (u0 - m / 2) / math.sqrt(vr)
+      assert(math.abs(gz - z) < 1e-5, s"$t z: key $gz vs naive $z")
+    }
+  }
+
   test("freshness: watermark law and ranges") {
     val out = SparkEntry.queries("dq_freshness")(spark, sf).collect()
     assert(out.nonEmpty)
