@@ -12,6 +12,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Aggs {
 
+  /** Shared derivation for the two experimentation readouts
+    * (agg_ab_ttest, agg_mann_whitney): exact integer cents, the
+    * deterministic user_id%2 arm split, and NULL metrics excluded —
+    * one definition so the two keys can never decouple on what "the
+    * metric" or "the arms" mean (r16 review), and because a NULL value
+    * must neither sum nor rank (NULL ORDER position differs between
+    * Spark windows, NULLS FIRST, and DuckDB's default NULLS LAST —
+    * an engine divergence the filter removes at the source). */
+  private def abEvents(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("a"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .where(col("c").isNotNull)
+
+  /** decimal(38,0) widening for overflow-free exact integer sums (the
+    * DuckDB oracles mirror with HUGEINT). */
+  private def dec38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+
   val queries: Map[String, Q] = Map(
     /** Flagship: TPC-H Q1 shape — scan → filter → hash agg → sort. */
     "agg_pricing_summary" -> ((s, dir) =>
@@ -452,19 +471,15 @@ object Aggs {
     // a uniquely-defined rounding, so the derived stats still hash).
     // Scale: one scan, one |types|-row shuffle.
     "agg_ab_ttest" -> ((s, dir) => {
-      val cents = round(col("value") * 100, 0).cast("long")
-      val arm = (col("user_id") % 2 === 0)
-      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val g = Tables.events(s, dir)
-        .select(col("event_type"), arm.as("arm"), cents.as("c"))
+      val g = abEvents(s, dir)
         .groupBy("event_type")
         .agg(
-          count(when(col("arm"), 1)).as("n0"),
-          sum(when(col("arm"), dec(col("c")))).as("s10"),
-          sum(when(col("arm"), dec(col("c") * col("c")))).as("s20"),
-          count(when(!col("arm"), 1)).as("n1"),
-          sum(when(!col("arm"), dec(col("c")))).as("s11"),
-          sum(when(!col("arm"), dec(col("c") * col("c")))).as("s21"))
+          count(when(col("a"), 1)).as("n0"),
+          sum(when(col("a"), dec38(col("c")))).as("s10"),
+          sum(when(col("a"), dec38(col("c") * col("c")))).as("s20"),
+          count(when(!col("a"), 1)).as("n1"),
+          sum(when(!col("a"), dec38(col("c")))).as("s11"),
+          sum(when(!col("a"), dec38(col("c") * col("c")))).as("s21"))
       def mean(s1: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
         s1.cast("double") / n
       def variance(s2: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
@@ -503,15 +518,17 @@ object Aggs {
     // products cast BEFORE multiplying — a long c³ overflows at c ≳ 2M
     // rows per value); U, the tie-corrected normal approximation z, and
     // the |z| ≥ 1.96 flag are one double expression each, identical
-    // association in the oracle. Scale: one corpus pass into the
-    // histogram, a cumulative window over the BOUNDED distinct-value
-    // relation, a |types|-row report.
+    // association in the oracle. Degenerate groups (an empty arm, a
+    // single row, or every value tied — where the z denominator is 0 or
+    // the tie term divides by 0) emit z = NULL under an explicit guard:
+    // Spark turns double x/0 into NULL while DuckDB yields ±Inf/NaN, so
+    // an unguarded degenerate group would DIVERGE between engines (r16
+    // review; unreachable on the current corpus, reachable on any
+    // regenerated one with a rare event_type). Scale: one corpus pass
+    // into the histogram, a cumulative window over the BOUNDED
+    // distinct-value relation, a |types|-row report.
     "agg_mann_whitney" -> ((s, dir) => {
-      val cents = round(col("value") * 100, 0).cast("long")
-      val arm0 = col("user_id") % 2 === 0
-      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val hist = Tables.events(s, dir)
-        .select(col("event_type"), arm0.as("a"), cents.as("c"))
+      val hist = abEvents(s, dir)
         .groupBy("event_type", "c")
         .agg(count(when(col("a"), 1)).as("n0v"),
           count(when(!col("a"), 1)).as("n1v"))
@@ -519,23 +536,27 @@ object Aggs {
         .rowsBetween(Window.unboundedPreceding, -1)
       val ranked = hist
         .withColumn("cv", col("n0v") + col("n1v"))
-        .withColumn("cprev",
-          coalesce(sum(col("n0v") + col("n1v")).over(w), lit(0L)))
+        .withColumn("cprev", coalesce(sum(col("cv")).over(w), lit(0L)))
         .withColumn("dr", lit(2L) * col("cprev") + col("cv") + 1L)
       val g = ranked.groupBy("event_type").agg(
         sum(col("n0v")).as("n0"), sum(col("n1v")).as("n1"),
-        sum(dec(col("n0v")) * col("dr")).as("r2x0"),
-        sum(dec(col("cv")) * col("cv") * col("cv") - col("cv")).as("ties"))
+        sum(dec38(col("n0v")) * col("dr")).as("r2x0"),
+        sum(dec38(col("cv")) * col("cv") * col("cv") - col("cv")).as("ties"))
       val n = col("n0") + col("n1")
       val u0 = (col("r2x0").cast("double") -
         col("n0").cast("double") * (col("n0") + 1)) / 2
       val m = col("n0").cast("double") * col("n1")
+      // non-degenerate ⇔ both arms populated, ≥2 rows, values not all
+      // tied (ties = n³−n exactly when one value holds everything)
+      val ok = m > 0 && n > 1 &&
+        col("ties").cast("double") <
+          n.cast("double") * (n + 1) * (n - 1)
       val vr = m / 12 * ((n + 1) -
         col("ties").cast("double") / (n.cast("double") * (n - 1)))
-      val z = (u0 - m / 2) / sqrt(vr)
+      val z = when(ok, round((u0 - m / 2) / sqrt(vr), 6))
       g.select(col("event_type"), col("n0"), col("n1"),
-          u0.as("u"), round(z, 6).as("z"),
-          (abs(round(z, 6)) >= 1.96).as("significant"))
+          u0.as("u"), z.as("z"),
+          (abs(z) >= 1.96).as("significant"))
         .orderBy("event_type")
     }),
 
@@ -917,7 +938,8 @@ object Aggs {
     // BEFORE multiplying), then the identical double expressions.
     "agg_mann_whitney" ->
       ("WITH e AS (SELECT event_type, user_id % 2 = 0 AS a, " +
-       "CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+       "CAST(round(value*100) AS BIGINT) AS c FROM events " +
+       "WHERE value IS NOT NULL), " +
        "h AS (SELECT event_type, c, " +
        "count(CASE WHEN a THEN 1 END) AS n0v, " +
        "count(CASE WHEN NOT a THEN 1 END) AS n1v FROM e GROUP BY 1, 2), " +
@@ -931,15 +953,21 @@ object Aggs {
        "sum(CAST(n0v AS HUGEINT) * dr) AS r2x0, " +
        "sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS ties " +
        "FROM t2 GROUP BY 1), " +
-       "k AS (SELECT event_type, n0, n1, n0 + n1 AS n, " +
+       "k AS (SELECT event_type, n0, n1, n0 + n1 AS n, ties, " +
        "(CAST(r2x0 AS DOUBLE) - CAST(n0 AS DOUBLE) * (n0 + 1)) / 2 AS u0, " +
        "CAST(n0 AS DOUBLE) * n1 AS m FROM g), " +
-       "k2 AS (SELECT k.*, m / 12 * ((n + 1) - " +
-       "CAST(g.ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) AS vr " +
-       "FROM k JOIN g USING (event_type)) " +
+       // degenerate guard mirrors the Spark side: Spark x/0 -> NULL but
+       // DuckDB -> +/-Inf, so z must be NULL-gated identically
+       "k2 AS (SELECT k.*, " +
+       "m > 0 AND n > 1 AND CAST(ties AS DOUBLE) < " +
+       "CAST(n AS DOUBLE) * (n + 1) * (n - 1) AS ok, " +
+       "m / 12 * ((n + 1) - " +
+       "CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) AS vr " +
+       "FROM k) " +
        "SELECT event_type, n0, n1, u0 AS u, " +
-       "round((u0 - m / 2) / sqrt(vr), 6) AS z, " +
-       "abs(round((u0 - m / 2) / sqrt(vr), 6)) >= 1.96 AS significant " +
+       "CASE WHEN ok THEN round((u0 - m / 2) / sqrt(vr), 6) END AS z, " +
+       "abs(CASE WHEN ok THEN round((u0 - m / 2) / sqrt(vr), 6) END) " +
+       ">= 1.96 AS significant " +
        "FROM k2 ORDER BY event_type"),
     // Exact integer (n, Σx, Σx²) per arm, then the identical double
     // expression text: identity of every IEEE op, not exactness, is what
@@ -947,7 +975,8 @@ object Aggs {
     // but identically so in both engines).
     "agg_ab_ttest" ->
       ("WITH e AS (SELECT event_type, user_id % 2 = 0 AS arm, " +
-       "CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+       "CAST(round(value*100) AS BIGINT) AS c FROM events " +
+       "WHERE value IS NOT NULL), " +
        // sums stay HUGEINT (exact, overflow-free) mirroring the Spark
        // side's decimal(38,0); both sides convert the same exact integer
        // to double exactly once
