@@ -50,7 +50,8 @@ object Bench {
     "sink_time_travel", "sink_change_feed", // r15: read the store pair
     "sink_change_feed_upsert", // r16: stages the v2 upserted store
     "embed_ann_nsw", // r16: stages the k=12 kNN edge artifact
-    "embed_mips_ivf") // r16: stages the augmented-space IVF pair
+    "embed_mips_ivf", // r16: stages the augmented-space IVF pair
+    "text_bpe_tokenize", "pack_sequences_bpe") // r17: staged BPE vocab
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,8 +139,29 @@ object Bench {
         }
       def pass(): Map[String, (Option[Double], Boolean)] =
         passOver(SparkEntry.queries)
+      // Fixed pure-CPU calibration (r16 verdict item 6): an
+      // SF-independent arithmetic reduction — range → xxhash64 → one
+      // whole-stage-codegen'd sum, no I/O, no shuffle — timed inside
+      // every bench run so cross-round totals can be normalized for
+      // box-regime shifts (r16: identical code re-benched 76 → 98 s)
+      // without a manual old-commit control re-bench. One untimed JIT
+      // pass, then one timed run bracketing each timed query pass;
+      // reported calib_sec = their min (the suite's own convention),
+      // calib_runs = both, so a mid-bench regime change is visible.
+      def calibOnce(rows: Long): Double = {
+        val t0 = System.nanoTime()
+        // bit_xor, not sum: full-range hash values overflow a long SUM
+        // under ANSI mode; xor is overflow-free and just as codegen'd
+        spark.range(0L, rows, 1L, cpus.toInt)
+          .selectExpr("bit_xor(xxhash64(id))").head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      calibOnce(10000000L) // JIT/codegen warm-up, untimed
+      val CalibRows = 1500000000L
+      val c1 = calibOnce(CalibRows)
       val p1 = pass()
       val p2 = pass()
+      val c2 = calibOnce(CalibRows)
       // Third pass for the NOISY keys only (r12 verdict item 1): the
       // streaming drain keys' per-run swing on a loaded box is up to 2.2×
       // on identical code (two back-to-back DrainTune sweeps, r12 notes) —
@@ -188,7 +210,7 @@ object Bench {
       val failed = failedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
       val noisyJson = noisyKeys.toSeq.sorted.filter(results.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":2,"noisy_runs":3,"noisy_keys":$noisyJson,"agg":"min","warmup_sec":${f(warmSec)},"warmup_staged_builds":$warmBuilds,"staged_read_keys":$staged,"staged_hit":$hitJson,"staged_cold_other":$coldOther,"failed":$failed,"queries":$qs,"sf":"$sfDir","total_sec":${f(total)}}"""
+      val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":2,"noisy_runs":3,"noisy_keys":$noisyJson,"agg":"min","warmup_sec":${f(warmSec)},"warmup_staged_builds":$warmBuilds,"calib_sec":${f(math.min(c1, c2))},"calib_runs":[${f(c1)},${f(c2)}],"calib_rows":$CalibRows,"staged_read_keys":$staged,"staged_hit":$hitJson,"staged_cold_other":$coldOther,"failed":$failed,"queries":$qs,"sf":"$sfDir","total_sec":${f(total)}}"""
       // The driver's tail capture has front-truncated the single long line
       // three rounds running ("parsed": null in BENCH_r0{1,2,3}.json). Emit
       // a compact parseable summary FIRST, keep the full line (its trailing

@@ -16,7 +16,7 @@ object SparkEntry {
       Udx.queries ++ graft.streaming.Streams.queries ++
       TextQuality.queries ++ Dedup.queries ++ Ann.queries ++
       Multimodal.queries ++ Pipeline.queries ++ Sinks.queries ++
-      Analytics.queries ++ Warehouse.queries
+      Analytics.queries ++ Warehouse.queries ++ Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +26,5 @@ object SparkEntry {
       Udx.oracles ++ graft.streaming.Streams.oracles ++
       TextQuality.oracles ++ Dedup.oracles ++ Ann.oracles ++
       Multimodal.oracles ++ Pipeline.oracles ++ Sinks.oracles ++
-      Analytics.oracles ++ Warehouse.oracles
+      Analytics.oracles ++ Warehouse.oracles ++ Bpe.oracles
 }

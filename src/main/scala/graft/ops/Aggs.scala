@@ -494,12 +494,20 @@ object Aggs {
         sqrt(se0 + se1)
       val dof = (se0 + se1) * (se0 + se1) /
         (se0 * se0 / (col("n0") - 1) + se1 * se1 / (col("n1") - 1))
+      // degenerate guard, mirroring agg_mann_whitney: an arm with n≤1
+      // makes the Welch variance 0/0 and all-constant arms make the t
+      // denominator sqrt(0) — Spark (x/0 → NULL) and DuckDB (IEEE
+      // NaN/Inf, with NaN ordering above every value) would DIVERGE on
+      // `significant`, so t, dof, and the flag are NULL-gated
+      // identically in both engines (r16 ADVICE)
+      val ok = col("n0") > 1 && col("n1") > 1 && (se0 + se1) > 0
+      val tg = when(ok, round(t, 6))
       g.select(col("event_type"), col("n0"), col("n1"),
           round(mean(col("s10"), col("n0")) / 100, 6).as("mean_a"),
           round(mean(col("s11"), col("n1")) / 100, 6).as("mean_b"),
-          round(t, 6).as("t_stat"),
-          round(dof, 6).as("dof"),
-          (abs(round(t, 6)) >= 1.96).as("significant"))
+          tg.as("t_stat"),
+          when(ok, round(dof, 6)).as("dof"),
+          (abs(tg) >= 1.96).as("significant"))
         .orderBy("event_type")
     }),
 
@@ -992,14 +1000,21 @@ object Aggs {
        "CAST(s10 AS DOUBLE) / n0 AS m0, CAST(s11 AS DOUBLE) / n1 AS m1, " +
        "((CAST(s20 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / n0) / (n0 - 1)) / n0 AS se0, " +
        "((CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / n1) / (n1 - 1)) / n1 AS se1 " +
-       "FROM g) " +
+       "FROM g), " +
+       // degenerate guard mirrors the Spark side (n≤1 arm → 0/0 Welch
+       // variance, constant arms → sqrt(0) denominator): NULL-gate
+       // t_stat/dof/significant identically, since Spark yields NULL
+       // where DuckDB yields IEEE NaN/Inf
+       "k2 AS (SELECT k.*, " +
+       "n0 > 1 AND n1 > 1 AND se0 + se1 > 0 AS ok FROM k) " +
        "SELECT event_type, n0, n1, " +
        "round(m0 / 100, 6) AS mean_a, round(m1 / 100, 6) AS mean_b, " +
-       "round((m0 - m1) / sqrt(se0 + se1), 6) AS t_stat, " +
-       "round((se0 + se1) * (se0 + se1) / " +
-       "(se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6) AS dof, " +
-       "abs(round((m0 - m1) / sqrt(se0 + se1), 6)) >= 1.96 AS significant " +
-       "FROM k ORDER BY event_type"),
+       "CASE WHEN ok THEN round((m0 - m1) / sqrt(se0 + se1), 6) END AS t_stat, " +
+       "CASE WHEN ok THEN round((se0 + se1) * (se0 + se1) / " +
+       "(se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6) END AS dof, " +
+       "abs(CASE WHEN ok THEN round((m0 - m1) / sqrt(se0 + se1), 6) END) " +
+       ">= 1.96 AS significant " +
+       "FROM k2 ORDER BY event_type"),
     "agg_histogram" ->
       ("SELECT CASE WHEN o_totalprice < 0 THEN 0 " +
        "WHEN o_totalprice >= 600000 THEN 25 " +

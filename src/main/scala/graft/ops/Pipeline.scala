@@ -133,8 +133,11 @@ object Pipeline {
           .drop("bucket", "loc", "off")
     }
 
-  /** The declared packing rollup: per-(source, shard) doc/token counts. */
-  private def packRollup(docs: DataFrame, s: SparkSession): DataFrame =
+  /** The declared packing rollup: per-(source, shard) doc/token counts.
+    * private[ops] since r17: the BPE composition key
+    * (Bpe.pack_sequences_bpe) shares the exact shard arithmetic so the
+    * two packings can never drift. */
+  private[ops] def packRollup(docs: DataFrame, s: SparkSession): DataFrame =
     packShards(docs, SeqBudget, packBucketWidth(s))
       .groupBy("source", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_toks"))

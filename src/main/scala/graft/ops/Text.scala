@@ -54,6 +54,59 @@ object Text {
         .limit(100)
     }),
 
+    /** BM25 ranking (round 17 — r16 verdict item 5): the IR-default
+      * corpus-level query scoring text_tfidf stops short of. Okapi BM25
+      * with the standard k1 = 1.2, b = 0.75:
+      * score(d,t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+      * idf = ln((N − df + 0.5)/(df + 0.5) + 1). The query set is DERIVED
+      * deterministically from the corpus (the semCellCount precedent —
+      * no literal vocabulary to go stale on a regenerated corpus): the 5
+      * highest-df terms under (df DESC, term), i.e. the head of the
+      * document-frequency table, exactly where tf saturation and length
+      * normalization separate BM25 from tf·idf. Per query term the top
+      * 10 docs by (score DESC, doc_id).
+      *
+      * Scale: tf/df/dl are the same explode → two-phase hash aggregates
+      * as text_tfidf; the 5-term query relation and the two 1-row
+      * corpus stats (N, avgdl) broadcast; tf joins the BROADCAST query
+      * terms FIRST, so only rows for 5 terms reach the dl join and the
+      * per-term window — which Spark plans with a partial
+      * WindowGroupLimit (rank ≤ 10 applied map-side before the shuffle,
+      * the join_lateral posture), so no term ever sorts a corpus-sized
+      * partition in one task. avgdl is an exact BIGINT token count over
+      * an exact doc count, divided ONCE — both engines run the same
+      * IEEE division, then one shared expression tree per row, rounded
+      * 6dp at the very end. */
+    "text_bm25" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // sort-limit, not a global row_number window: TakeOrderedAndProject
+      // holds top-5 per partition map-side — no single-task vocab sort
+      val qterms = df.orderBy(col("df").desc, col("term")).limit(5)
+      val stats = toks.agg(count(lit(1)).as("toktot"))
+        .crossJoin(docs.agg(count(lit(1)).as("n")))
+        .select(col("n"), (col("toktot").cast("double") / col("n")).as("avgdl"))
+      val k1 = lit(1.2)
+      val b = lit(0.75)
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val score = idf * (col("tf") * (k1 + 1.0)) /
+        (col("tf") + k1 * (lit(1.0) - b + b * (col("dl") / col("avgdl"))))
+      val scored = tf.join(broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), round(score, 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 10)
+        .select(col("term"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy("term", "rnk")
+    }),
+
     "text_stats" -> ((s, dir) =>
       Tables.table(s, dir, "documents")
         .groupBy("lang", "source")
@@ -227,6 +280,28 @@ object Text {
        "SELECT doc_id, term, round(tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score " +
        "FROM tf JOIN df USING (term) CROSS JOIN n " +
        "ORDER BY score DESC, doc_id, term LIMIT 100"),
+    // BM25 replay: same tf/df/dl aggregates, derived 5-term query set
+    // (df DESC, term LIMIT 5), the identical IEEE expression tree per
+    // (term, doc) — constants written as (1.2 + 1.0) etc. so both
+    // engines fold the same doubles — rounded 6dp once at the end.
+    "text_bm25" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term " +
+       "FROM documents), " +
+       "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), " +
+       "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
+       "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+       "q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 5), " +
+       "st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks) / " +
+       "(SELECT count(*) FROM documents) AS avgdl, " +
+       "(SELECT count(*) FROM documents) AS n), " +
+       "sc AS (SELECT q.term, tf.doc_id, " +
+       "round(ln((st.n - q.df + 0.5) / (q.df + 0.5) + 1.0) * " +
+       "(tf.tf * (1.2 + 1.0)) / " +
+       "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl))), 6) AS score " +
+       "FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st) " +
+       "SELECT term, rnk, doc_id, score FROM (SELECT term, doc_id, score, " +
+       "row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk " +
+       "FROM sc) WHERE rnk <= 10 ORDER BY term, rnk"),
     "text_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, " +
        "round(avg(n_chars), 2) AS avg_chars, " +

@@ -211,22 +211,34 @@ object Vector {
     // BOUNDED-DEGREE by construction (top-3 per vector → ≤ 3n directed
     // edges), which is what makes the classic orient-and-join triangle
     // algorithm linear-ish: edges oriented a<b, T = E(ab)⋈E(bc)⋈E(ac),
-    // each join on a real equi-key. The declared key builds the exact
-    // kNN graph so the oracle can replay it; the production build at
-    // corpus scale swaps in the ANN candidates (embed_ann_ivf's
-    // cell-bounded top-k) and the counting half is unchanged.
+    // each join on a real equi-key. Since r17 the BUILD is candidate-
+    // bounded too (the r16 verdict's last quadratic): each vector's
+    // top-3 are taken over only the members of its own cell in the
+    // shared Lloyd-refined inverted file (Ann.semCells, C = max(16,
+    // ⌈√N⌉)) — Σ|cell|² ≈ N^1.5 scored pairs instead of N², the
+    // dedup_semantic bound, and the same graph the searches would see
+    // at 100 TB where the exact pass is unbuildable. The counting half
+    // is unchanged.
     "graph_knn_triangles" -> ((s, dir) => {
       // The kNN edge list is a pure function of the corpus — staged per
       // corpus version like every other similarity index (the n·k-row
-      // artifact is tiny next to the n² scoring pass that builds it);
+      // artifact is tiny next to the scoring pass that builds it);
       // the warm path reads edges and only pays the counting joins.
       val edges = graft.Staging.materialize(
-        s, Tables.path(dir, "embeddings"), "knn3_edges_v1") {
-        val e = emb(s, dir)
-        val probes = e.select(col("vec_id").as("q_id"), col("v").as("q"))
-        topK(e, probes, 3).select(
-          least(col("q_id"), col("vec_id")).as("a"),
-          greatest(col("q_id"), col("vec_id")).as("b")).distinct()
+        s, Tables.path(dir, "embeddings"), "knn3_edges_cell_v2") {
+        val cells = Ann.semCells(s, dir, Ann.embDouble(s, dir))
+        val a = cells.select(col("vec_id").as("q_id"), col("v").as("q"),
+          col("cell"))
+        val b = cells.select(col("vec_id"), col("v"), col("cell"))
+        rankPerProbe(
+          a.join(b, "cell")
+            .where(col("vec_id") =!= col("q_id"))
+            .withColumn("sim", round(cosine(col("q"), col("v")), 6))
+            .select(col("q_id"), col("vec_id"), col("sim")),
+          Seq(col("sim").desc, col("vec_id")), 3, "rnk")
+          .select(
+            least(col("q_id"), col("vec_id")).as("a"),
+            greatest(col("q_id"), col("vec_id")).as("b")).distinct()
       }
       val ecnt = edges.agg(count(lit(1)).as("n_edges"))
       val wed = edges
@@ -307,12 +319,16 @@ object Vector {
        "ORDER BY votes DESC, label) AS rb FROM votes) " +
        "SELECT q_id AS vec_id, label AS predicted, votes FROM best WHERE rb = 1 " +
        "ORDER BY vec_id"),
+    // Cell-bounded build replay (r17): the shared derived-C inverted
+    // file (Ann.semCellsCte, ends with cells(vec_id, v, cell)), top-3
+    // per vector over same-cell candidates only — the identical rule
+    // the Spark side stages; the counting tail is unchanged.
     "graph_knn_triangles" ->
-      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
-       "FROM embeddings), " +
+      (Ann.semCellsCte +
        "sims AS (SELECT p.vec_id AS q_id, c.vec_id AS nid, " +
-       "round(list_cosine_similarity(p.e, c.e), 6) AS sim " +
-       "FROM v p CROSS JOIN v c WHERE p.vec_id <> c.vec_id), " +
+       "round(list_cosine_similarity(p.v, c.v), 6) AS sim " +
+       "FROM cells p JOIN cells c ON p.cell = c.cell " +
+       "AND p.vec_id <> c.vec_id), " +
        "r AS (SELECT q_id, nid, row_number() OVER (PARTITION BY q_id " +
        "ORDER BY sim DESC, nid) AS rnk FROM sims), " +
        "ed AS (SELECT DISTINCT least(q_id, nid) AS a, " +

@@ -612,6 +612,43 @@ object Streams {
         .orderBy("v_id", "c_id")
     }),
 
+    // Stream-STREAM LEFT OUTER interval join (round 17 — r16 verdict
+    // item 3): the attribution variant real pipelines run — every view
+    // appears, matched clicks inline, UNMATCHED views null-padded once
+    // the watermark proves no click can still arrive. Same sides and
+    // interval as the inner key; the outer semantics are pure watermark
+    // mechanics: a view's state is evicted (and its null row emitted)
+    // when the global watermark passes v_ts + 30 min — the point after
+    // which the join condition can never be satisfied. The full-drain
+    // closed form is therefore EXACT (the stream_watermark_late oracling
+    // pattern): matches = the batch interval join; null rows = views
+    // with no match whose v_ts + 30 min < terminal watermark, where the
+    // terminal watermark is min(max v_ts, max c_ts) − 1 h (two watermark
+    // nodes, global = their min; ms granularity — Spark's event-time
+    // stats). Views younger than that stay in state at end-of-drain and
+    // are NOT emitted — exactly what a resumed stream would still need.
+    // The trailing no-data batch is REQUIRED here (it advances the
+    // watermark to terminal and fires the null-row evictions), so this
+    // key keeps drain()'s Append default instead of the inner key's
+    // noDataBatch=false.
+    "stream_stream_join_outer" -> ((s, dir) => {
+      val src = stageDir(Tables.path(dir, "events"))
+      def side(t: String, p: String) = eventsStreamDir(s, src)
+        .where(col("event_type") === t)
+        .select(col("user_id").as(s"${p}_uid"),
+          date_trunc("second", col("ts")).as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+        .withWatermark(s"${p}_ts", "1 hour")
+      val joined = side("view", "v").join(side("click", "c"),
+        col("v_uid") === col("c_uid") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("v_id"), col("c_id"))
+      drain(joined, OutputMode.Append())
+        .orderBy(col("v_id"), col("c_id").asc_nulls_first)
+    }),
+
     // Arbitrary stateful processing: running per-user event counter via
     // flatMapGroupsWithState with an EVENT-time timeout (processing-time
     // timers would hang an AvailableNow drain — see countUpdates). Each batch
@@ -1172,6 +1209,31 @@ object Streams {
         |     FROM events WHERE event_type = 'click')
         |SELECT v_id, c_id FROM v JOIN c USING (user_id)
         |WHERE c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTE
-        |ORDER BY v_id, c_id""".stripMargin
+        |ORDER BY v_id, c_id""".stripMargin,
+    // Full-drain closed form of the left-outer interval join: matches =
+    // the batch join; null rows = matchless views evicted by the
+    // TERMINAL watermark, min(max v_ts, max c_ts) − 1 h at ms
+    // granularity (two watermark nodes → global min; strict <, the
+    // state-eviction comparison). Views still live at end-of-drain are
+    // absent — mirroring the streaming engine exactly.
+    "stream_stream_join_outer" ->
+      """WITH v AS (SELECT event_id AS v_id, user_id,
+        |            date_trunc('second', ts) AS v_ts
+        |     FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS c_id, user_id,
+        |            date_trunc('second', ts) AS c_ts
+        |     FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(v_ts) FROM v),
+        |                    (SELECT max(c_ts) FROM c)) AS w),
+        |m AS (SELECT v_id, c_id FROM v JOIN c USING (user_id)
+        |      WHERE c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTE),
+        |nulls AS (SELECT v.v_id, CAST(NULL AS BIGINT) AS c_id
+        |          FROM v CROSS JOIN wm
+        |          WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.v_id = v.v_id)
+        |            AND epoch_ms(v.v_ts) + 1800000
+        |                < epoch_ms(wm.w) - 3600000)
+        |SELECT v_id, c_id FROM m
+        |UNION ALL SELECT v_id, c_id FROM nulls
+        |ORDER BY v_id, c_id NULLS FIRST""".stripMargin
   )
 }

@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   * is snapshot/batch ratio, not corpus multiplier, so it keeps its own
   * harness. Scratch tool, not part of the driver contract; numbers in
   * ROUND12_NOTES.md. Usage: runMain graft.tools.KneeProbe [sfDir] [legs]
-  * — `legs` is an optional subset of "ABCDEFGHI" (default all); the D/E loop
+  * — `legs` is an optional subset of "ABCDEFGHIJ" (default all); the D/E loop
   * runs when either letter is selected.
   */
 object KneeProbe {
@@ -61,7 +61,7 @@ object KneeProbe {
 
   private def run(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val legs = args.lift(1).getOrElse("ABCDEFGHI").toUpperCase
+    val legs = args.lift(1).getOrElse("ABCDEFGHIJ").toUpperCase
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -370,11 +370,8 @@ object KneeProbe {
     // same 30-day span, denser hours — its decade should be ~flat after
     // the hourly agg). embed_mips_ivf rides the D-leg embeddings scheme:
     // cold includes the augmented index build (2 corpus passes + cells),
-    // warm isolates the cell-bounded search. embed_ann_nsw is EXCLUDED
-    // by design: its staged kNN-graph build is brute-force quadratic at
-    // probe scale (the Scaladoc's NN-descent note is the production
-    // answer); its search-side decade is what the key's beam bound
-    // already pins structurally.
+    // warm isolates the cell-bounded search. embed_ann_nsw's build has
+    // its own leg (J) since r17 made it cell-bounded.
     if (legs.contains('I'))
     for ((m, warm) <- Seq((1, true), (1, false), (10, false))) {
       val dir = java.nio.file.Files.createTempDirectory(tmpBase, s"graft_kneeI_${m}x_")
@@ -399,6 +396,33 @@ object KneeProbe {
         }
       } finally cleanupReplicas(dir,
         Seq("events.parquet", "documents.parquet", "embeddings.parquet"))
+    }
+
+    // ---- J. r17: the two staged kNN-graph BUILDS are now cell-bounded
+    // (embed_ann_nsw routes both sides through the shared multi-probe
+    // inverted file; graph_knn_triangles through the single-probe cells)
+    // — this leg is the sub-quadratic evidence the r16 verdict asked
+    // for on the pre-r17 corpus×corpus passes. Cold − warm ≈ the staged
+    // build (mp/cell assignment N·C + Σ|cell|² within-cell scoring —
+    // the dedup_semantic ~N^1.5 target, ~3.2×/decade; the old exact
+    // pass would decade at ~100× = N²); warm isolates what the key pays
+    // per query against the staged edges (beam search / counting joins).
+    if (legs.contains('J'))
+    for ((m, warm) <- Seq((1, true), (1, false), (10, false))) {
+      val dir = java.nio.file.Files.createTempDirectory(tmpBase, s"graft_kneeJ_${m}x_")
+      try {
+        replicate(Tables.table(spark, sfDir, "embeddings"), m, 1000000L, "vec_id")
+          .repartition(4).write.parquet(s"$dir/embeddings.parquet")
+        for (k <- Seq("embed_ann_nsw", "graph_knn_triangles")) {
+          if (warm) { graft.SparkEntry.queries(k)(spark, dir.toString).count(); () }
+          else {
+            t(s"J m=$m $k")(
+              graft.SparkEntry.queries(k)(spark, dir.toString).count())
+            t(s"J m=$m $k(warm)")(
+              graft.SparkEntry.queries(k)(spark, dir.toString).count())
+          }
+        }
+      } finally cleanupReplicas(dir, Seq("embeddings.parquet"))
     }
     spark.stop()
   }

@@ -159,6 +159,10 @@ class DataQualitySpec extends AnyFunSuite {
     val rows = Tables.events(spark, sf)
       .select(col("event_type"), (col("user_id") % 2 === 0).as("a"),
         round(col("value") * 100, 0).cast("long").as("c"))
+      // the key's shared abEvents derivation excludes NULL metrics;
+      // without this filter Row.getLong would unbox NULL to a phantom
+      // c=0 row and the replay would diverge for the wrong reason
+      .where(col("c").isNotNull)
       .collect()
       .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
     rows.groupBy(_._1).foreach { case (t, evs) =>

@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_ann_ivfpq",     // broadcast probe LUTs + cell routing vs code table
     "text_tfidf", "text_unigram_nll", // nll: 1-row broadcast total, like tfidf
     "text_ppl_buckets",               // same 1-row total via shared unigramNll
+    "text_bm25",                      // 1-row broadcast (n, avgdl) stats
     "dedup_incremental",              // 1-row broadcast max(doc_id) boundary
     "embed_ann_incremental",          // 1-row broadcast max(vec_id) boundary
     "embed_ann_sq8",                  // broadcast probes vs decoded corpus
@@ -39,11 +40,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_semantic_2l",              // broadcast N^¼ coarse seeds, then bucket-joined fine
     "q22_dormant_value",              // 1-row broadcast (cnt,sum) avg threshold
     "q15_top_supplier",               // 1-row broadcast max-revenue threshold
-    "graph_knn_triangles",            // broadcast probe set + 1-row stat joins
+    "graph_knn_triangles",            // 1-row stat joins; staging-off exposes
+                                      // the cell-bounded build's broadcast
+                                      // √N centroid set (assignCells class)
     "embed_ann_nsw",                  // 10 probes × broadcast 32-row entry set;
-                                      // the kNN-graph build's broadcast corpus
-                                      // appears only because this audit runs
-                                      // staging-off (staged artifact otherwise)
+                                      // staging-off exposes the mp inverted
+                                      // file's broadcast centroid set (the
+                                      // dedup_semantic_mp class — the r17
+                                      // cell-bounded build, no corpus×corpus)
     "dq_freshness",                   // 1-row broadcast corpus watermark
     "embed_mips_ivf",                 // 1-row broadcast M² + broadcast probe
                                       // set; staging-off shows the augmented

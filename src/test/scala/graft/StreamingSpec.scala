@@ -207,6 +207,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(rowSet(multi).subsetOf(rowSet(batch)), "multi-batch invented pairs")
   }
 
+  test("stream-stream LEFT OUTER interval join: full drain equals the " +
+    "watermark closed form; multi-batch never invents matches or " +
+    "double-reports a view") {
+    // Sides mirror the declared key (second-truncated event time, 1 h
+    // watermark both sides, view→click within 30 min, left outer).
+    def sides(df: org.apache.spark.sql.DataFrame) = {
+      val v = df.where(col("event_type") === "view")
+        .select(col("user_id").as("v_uid"),
+          date_trunc("second", col("ts")).as("v_ts"),
+          col("event_id").as("v_id"))
+        .withWatermark("v_ts", "1 hour")
+      val c = df.where(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"),
+          date_trunc("second", col("ts")).as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      v.join(c, col("v_uid") === col("c_uid") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("v_id"), col("c_id"))
+    }
+    // The closed form, derived INDEPENDENTLY from the batch tables:
+    // matches = the batch interval join; null rows = matchless views
+    // with v_ts + 30 min strictly under the terminal watermark
+    // min(max v_ts, max c_ts) − 1 h.
+    val e = Tables.events(spark, sf)
+    def sideB(t: String, p: String) = e.where(col("event_type") === t)
+      .select(col("user_id").as(s"${p}_uid"),
+        date_trunc("second", col("ts")).as(s"${p}_ts"),
+        col("event_id").as(s"${p}_id"))
+    val vB = sideB("view", "v"); val cB = sideB("click", "c")
+    val matches = vB.join(cB, col("v_uid") === col("c_uid") &&
+      col("c_ts") >= col("v_ts") &&
+      col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_id"), col("c_id"))
+    val wmMs = math.min(
+      vB.agg(max(unix_millis(col("v_ts")))).head.getLong(0),
+      cB.agg(max(unix_millis(col("c_ts")))).head.getLong(0)) - 3600000L
+    val matchedIds = matches.select("v_id").distinct()
+    val nulls = vB.join(matchedIds, Seq("v_id"), "left_anti")
+      .where(unix_millis(col("v_ts")) + 1800000L < wmMs)
+      .select(col("v_id"), lit(null).cast("long").as("c_id"))
+    val want = rowSet(matches.unionByName(nulls))
+    val single = Streams.drain(sides(stream3(maxFiles = 3)),
+      OutputMode.Append())
+    assert(rowSet(single) === want,
+      "single-batch outer drain must equal the closed form")
+    assert(nulls.count() > 0, "vacuous fixture: no null-padded views")
+    // Unordered multi-batch: real matches stay a subset of the batch
+    // join, and no view may report both a match and a null row (the
+    // matched flag in join state must suppress the eviction emit).
+    val multi = Streams.drain(sides(stream3(maxFiles = 1)),
+      OutputMode.Append()).cache()
+    try {
+      val mPairs = multi.where(col("c_id").isNotNull)
+      assert(rowSet(mPairs).subsetOf(rowSet(matches)),
+        "multi-batch invented matches")
+      val both = multi.groupBy("v_id")
+        .agg(sum(when(col("c_id").isNull, 1).otherwise(0)).as("nn"),
+          sum(when(col("c_id").isNotNull, 1).otherwise(0)).as("nm"))
+        .where(col("nn") > 0 && col("nm") > 0)
+      assert(both.count() === 0,
+        "a view emitted both a null row and a match")
+    } finally { multi.unpersist(); () }
+  }
+
   test("streaming session_window equals batch session_window on drain") {
     val out = Streams.drain(
       stream3(maxFiles = 3) // one batch: in-order => every session finalized
