@@ -568,6 +568,45 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // Chi-square independence test (round 17) — the CATEGORICAL member
+    // of the experimentation triad (agg_ab_ttest reads a continuous
+    // metric, agg_mann_whitney its rank form; this reads a CONVERSION
+    // FLAG — the readout every growth experiment actually ships).
+    // Assignment = the shared abEvents user_id % 2 split; conversion =
+    // value ≥ $50 (c ≥ 5000 exact cents — a fixed contract threshold,
+    // ~40% base rate on this corpus). Per event_type the 2×2 table
+    // (ca..cd) is ONE two-phase HashAggregate of four filtered counts;
+    // χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with ad−bc computed in
+    // DECIMAL(38,0) (a long product overflows at ~3e9 rows/arm; DuckDB
+    // mirrors in HUGEINT) and ONE double expression thereafter, written
+    // with identical association in the oracle. Degenerate tables (any
+    // zero margin → 0/0) NULL-gate χ² and the flag under the same ok
+    // guard both engines evaluate (the agg_ab_ttest hardening).
+    // Scale: one scan, one |types|-row shuffle.
+    "agg_chi_square" -> ((s, dir) => {
+      val g = abEvents(s, dir)
+        .select(col("event_type"), col("a"), (col("c") >= 5000).as("cv"))
+        .groupBy("event_type")
+        .agg(
+          count(when(col("a") && col("cv"), 1)).as("ca"),
+          count(when(col("a") && !col("cv"), 1)).as("cb"),
+          count(when(!col("a") && col("cv"), 1)).as("cc"),
+          count(when(!col("a") && !col("cv"), 1)).as("cd"))
+      val nn = col("ca") + col("cb") + col("cc") + col("cd")
+      val det = dec38(col("ca")) * col("cd") - dec38(col("cb")) * col("cc")
+      val m1 = (col("ca") + col("cb")).cast("double")
+      val m2 = (col("cc") + col("cd")).cast("double")
+      val m3 = (col("ca") + col("cc")).cast("double")
+      val m4 = (col("cb") + col("cd")).cast("double")
+      val ok = m1 > 0 && m2 > 0 && m3 > 0 && m4 > 0
+      val chi = nn.cast("double") * det.cast("double") * det.cast("double") /
+        m1 / m2 / m3 / m4
+      val chig = when(ok, round(chi, 6))
+      g.select(col("event_type"), col("ca"), col("cb"), col("cc"), col("cd"),
+          chig.as("chi2"), (chig >= 3.841).as("significant"))
+        .orderBy("event_type")
+    }),
+
     // Fixed-width histogram: width_bucket + count per bin. Bin width is
     // (600000-0)/24 = 25000 EXACTLY representable, so Spark's
     // (v-min)/((max-min)/n) and the oracle's floor(v/25000) are the same
@@ -1014,6 +1053,33 @@ object Aggs {
        "(se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6) END AS dof, " +
        "abs(CASE WHEN ok THEN round((m0 - m1) / sqrt(se0 + se1), 6) END) " +
        ">= 1.96 AS significant " +
+       "FROM k2 ORDER BY event_type"),
+    // 2×2 filtered counts, HUGEINT ad−bc (mirroring decimal(38,0)),
+    // one double expression with identical association, zero-margin
+    // guard NULL-gating chi2/significant on both sides.
+    "agg_chi_square" ->
+      ("WITH e AS (SELECT event_type, user_id % 2 = 0 AS a, " +
+       "CAST(round(value*100) AS BIGINT) >= 5000 AS cv FROM events " +
+       "WHERE value IS NOT NULL), " +
+       "g AS (SELECT event_type, " +
+       "count(CASE WHEN a AND cv THEN 1 END) AS ca, " +
+       "count(CASE WHEN a AND NOT cv THEN 1 END) AS cb, " +
+       "count(CASE WHEN NOT a AND cv THEN 1 END) AS cc, " +
+       "count(CASE WHEN NOT a AND NOT cv THEN 1 END) AS cd " +
+       "FROM e GROUP BY event_type), " +
+       "k AS (SELECT event_type, ca, cb, cc, cd, " +
+       "ca + cb + cc + cd AS nn, " +
+       "CAST(ca AS HUGEINT) * cd - CAST(cb AS HUGEINT) * cc AS det, " +
+       "CAST(ca + cb AS DOUBLE) AS m1, CAST(cc + cd AS DOUBLE) AS m2, " +
+       "CAST(ca + cc AS DOUBLE) AS m3, CAST(cb + cd AS DOUBLE) AS m4 " +
+       "FROM g), " +
+       "k2 AS (SELECT k.*, " +
+       "m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0 AS ok, " +
+       "CAST(nn AS DOUBLE) * CAST(det AS DOUBLE) * CAST(det AS DOUBLE) / " +
+       "m1 / m2 / m3 / m4 AS chi FROM k) " +
+       "SELECT event_type, ca, cb, cc, cd, " +
+       "CASE WHEN ok THEN round(chi, 6) END AS chi2, " +
+       "CASE WHEN ok THEN round(chi, 6) END >= 3.841 AS significant " +
        "FROM k2 ORDER BY event_type"),
     "agg_histogram" ->
       ("SELECT CASE WHEN o_totalprice < 0 THEN 0 " +

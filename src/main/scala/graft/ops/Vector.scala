@@ -203,6 +203,58 @@ object Vector {
         .orderBy("vec_id", "pos")
     }),
 
+    /** Top principal direction by POWER ITERATION (round 17) — the
+      * dimensionality-reduction primitive the embedding family lacked
+      * (whitening, drift monitoring, and the classic "remove the top
+      * component" post-processing all start from the dominant
+      * eigenvector of XᵀX). Three fixed iterations from v₀ = e₁:
+      * v ← normalize(Σᵢ xᵢ·(xᵢ·v)). Each iteration is ONE corpus pass:
+      * the projection q = round((x·v)·10⁶) is map-side (v broadcast as
+      * 64 literals — dim-sized model state), and the per-dim update is
+      * an exact fixed-point aggregate — round(x_d·10⁶)·q summed in
+      * DECIMAL(38,0) (cast BEFORE the multiply; a long Σ overflows at
+      * ~1e12 rows, the t-test envelope) — so the accumulated vector is
+      * an exact integer both engines convert to double ONCE. The first
+      * two iterations collect 64 bounded sums driver-side (the IVF-
+      * centroid pattern) to feed the next round's literals; the LAST
+      * stays in the plan — norm via the embed_normalize ordered-fold
+      * idiom over a 1-row broadcast, loadings rounded 6dp. The oracle
+      * replays all three iterations as chained CTEs (Lloyd precedent).
+      * Scale: 3 scans, |dim| shuffle rows each, no vector ever rides a
+      * shuffle. */
+    "embed_top_eigen" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def sumsFor(vcur: Seq[Double]) = {
+        val vlit = array(vcur.map(lit): _*)
+        e.select(col("v"),
+            round(dot(col("v"), vlit) * 1e6).cast("long").as("q"))
+          .select(posexplode(col("v")).as(Seq("pos", "xd")), col("q"))
+          .select(col("pos"),
+            (round(col("xd") * 1e6).cast("long").cast("decimal(38,0)") *
+              col("q")).as("t"))
+          .groupBy("pos").agg(sum(col("t")).as("s"))
+      }
+      var vcur: Seq[Double] = 1.0 +: Seq.fill(63)(0.0)
+      for (_ <- 1 to 2) {
+        val sd = sumsFor(vcur).collect()
+          .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue).sortBy(_._1)
+          .map(_._2).toSeq
+        val nrm = math.sqrt(sd.map(x => x * x).foldLeft(0.0)(_ + _))
+        vcur = sd.map(_ / nrm)
+      }
+      val s3 = sumsFor(vcur)
+      val n3 = s3.groupBy()
+        .agg(sqrt(aggregate(transform(
+          array_sort(collect_list(struct(col("pos"),
+            col("s").cast("double").as("sd")))),
+          x => x.getField("sd") * x.getField("sd")), lit(0.0), _ + _))
+          .as("nrm"))
+      s3.crossJoin(broadcast(n3))
+        .select(col("pos").cast("long").as("pos"),
+          round(col("s").cast("double") / col("nrm"), 6).as("loading"))
+        .orderBy("pos")
+    }),
+
     // "Multimodal columns": text + embedding vector joined into one
     // relation, mixed-type analytics per label.
     // Triangle counting + global clustering coefficient over the kNN
@@ -347,6 +399,37 @@ object Vector {
       ("SELECT label, count(*) AS n, round(avg(n_chars), 2) AS avg_chars, " +
        "round(avg(len(string_split(text, ' '))), 2) AS avg_toks " +
        "FROM documents JOIN embeddings ON doc_id = vec_id " +
-       "GROUP BY label ORDER BY label")
+       "GROUP BY label ORDER BY label"),
+    // Power-iteration replay: three chained (project → fixed-point
+    // per-dim sums → ordered-fold norm → normalize) CTE blocks from
+    // v0 = e1, HUGEINT mirroring decimal(38,0), the identical left
+    // folds for dot and norm. s-CTEs MATERIALIZED (each is referenced
+    // twice and would otherwise inline its whole upstream chain).
+    "embed_top_eigen" -> {
+      val fold0 = "CAST(0.0 AS DOUBLE)"
+      def iter(r: Int): String =
+        s"q$r AS (SELECT vec_id, v, CAST(round(list_reduce(list_prepend(" +
+          s"$fold0, list_transform(range(1, 65), i -> v[i] * w.vv[i])), " +
+          s"(x, y) -> x + y) * 1e6) AS BIGINT) AS q " +
+          s"FROM e CROSS JOIN vv$r w), " +
+          s"s$r AS MATERIALIZED (SELECT d, " +
+          s"sum(CAST(CAST(round(x * 1e6) AS BIGINT) AS HUGEINT) * q) AS sd " +
+          s"FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS d, q " +
+          s"FROM q$r) GROUP BY d), " +
+          s"n$r AS (SELECT sqrt(list_reduce(list_prepend($fold0, " +
+          s"list_transform(list(CAST(sd AS DOUBLE) ORDER BY d), " +
+          s"t -> t * t)), (x, y) -> x + y)) AS nrm FROM s$r), " +
+          s"vv${r + 1} AS (SELECT list(CAST(s.sd AS DOUBLE) / n.nrm " +
+          s"ORDER BY s.d) AS vv FROM s$r s CROSS JOIN n$r n)"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings), " +
+        "vv1 AS (SELECT list_transform(range(1, 65), i -> " +
+        "CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END) AS vv), " +
+        (1 to 3).map(iter).mkString(", ") + " " +
+        "SELECT CAST(d - 1 AS BIGINT) AS pos, " +
+        "round(CAST(sd AS DOUBLE) / n.nrm, 6) AS loading " +
+        "FROM s3 CROSS JOIN n3 n ORDER BY pos"
+    }
   )
 }

@@ -295,6 +295,43 @@ object Windows {
           sum(col("len")).as("n_active_days"),
           date_format(min(col("start_d")), "yyyy-MM-dd").as("first_day"))
         .orderBy("user_id")
+    }),
+
+    /** CUSUM change-point monitor (round 17) — the sequential
+      * drift detector dq_anomaly_volume's per-window z-score can't be:
+      * CUSUM accumulates SMALL persistent shifts (S_t = max(0, S_{t-1} +
+      * (x_t − μ)) over hourly volumes) that never individually trip a
+      * z-threshold. The recursion looks driver-side but ISN'T: the
+      * standard closed form S_t = P_t − min(0, min_{j≤t} P_j) (P = the
+      * cumulative deviation sum) makes it two running windows. The
+      * whole computation runs in INTEGER space — deviations are scaled
+      * by the per-type hour count (d′ = n·x − total, so μ never becomes
+      * a double mid-stream) because a windowed DOUBLE cumsum is
+      * association-sensitive (DuckDB's segment-tree windows sum in a
+      * different order than Spark's running frame — exact ints are
+      * order-free); the single division by n happens once per OUTPUT
+      * row. Alarm = S > μ/4 ⟺ 4·S′ > total, again pure integers.
+      * Scale: one hourly pre-aggregate (the win_range_frame posture),
+      * then windows over the BOUNDED hours-per-type relation. */
+    "win_cusum" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("x"))
+      val tw = Window.partitionBy("event_type")
+      val rw = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hourly
+        .withColumn("n", count(lit(1)).over(tw))
+        .withColumn("tot", sum(col("x")).over(tw))
+        .withColumn("dd", col("n") * col("x") - col("tot"))
+        .withColumn("p", sum(col("dd")).over(rw))
+      cum.withColumn("m", least(lit(0L), min(col("p")).over(rw)))
+        .select(col("event_type"), unix_timestamp(col("hr")).as("hr_ts"),
+          col("x"),
+          round((col("p") - col("m")).cast("double") / col("n"), 4)
+            .as("cusum"),
+          ((col("p") - col("m")) * 4 > col("tot")).as("alarm"))
+        .orderBy("event_type", "hr_ts")
     })
   )
 
@@ -446,6 +483,27 @@ object Windows {
        "SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak, " +
        "CAST(sum(len) AS BIGINT) AS n_active_days, " +
        "strftime(min(start_d), '%Y-%m-%d') AS first_day " +
-       "FROM st GROUP BY user_id ORDER BY user_id")
+       "FROM st GROUP BY user_id ORDER BY user_id"),
+    // Integer-space CUSUM closed form: scaled deviations n·x − total,
+    // running sum + running min windows (exact ints — a double cumsum
+    // would be association-sensitive across engines), one division and
+    // one integer alarm comparison per output row.
+    "win_cusum" ->
+      ("WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, " +
+       "count(*) AS x FROM events GROUP BY 1, 2), " +
+       "t AS (SELECT event_type, count(*) AS n, " +
+       "CAST(sum(x) AS BIGINT) AS tot FROM h GROUP BY 1), " +
+       "d AS (SELECT h.event_type, h.hr, h.x, t.n, t.tot, " +
+       "t.n * h.x - t.tot AS dd FROM h JOIN t USING (event_type)), " +
+       "c AS (SELECT *, CAST(sum(dd) OVER (PARTITION BY event_type " +
+       "ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+       "AS BIGINT) AS p FROM d), " +
+       "c2 AS (SELECT *, least(CAST(0 AS BIGINT), min(p) OVER " +
+       "(PARTITION BY event_type ORDER BY hr " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS m FROM c) " +
+       "SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hr_ts, x, " +
+       "round(CAST(p - m AS DOUBLE) / n, 4) AS cusum, " +
+       "(p - m) * 4 > tot AS alarm " +
+       "FROM c2 ORDER BY event_type, hr_ts")
   )
 }

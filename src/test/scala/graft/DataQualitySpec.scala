@@ -194,6 +194,66 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("chi-square: statistic replays from the emitted 2x2 table via " +
+    "textbook expected-count arithmetic") {
+    // The key computes N(ad-bc)^2 / (margin product); this leg recomputes
+    // chi^2 the TEXTBOOK way — sum over cells of (obs-exp)^2/exp — an
+    // algebraically equal but computationally different formulation, so a
+    // wrong determinant or margin cannot survive (tolerance covers the
+    // different double association).
+    val out = SparkEntry.queries("agg_chi_square")(spark, sf).collect()
+    assert(out.nonEmpty)
+    var checked = 0
+    out.foreach { r =>
+      val (a, b, c, d) = (r.getAs[Long]("ca").toDouble,
+        r.getAs[Long]("cb").toDouble, r.getAs[Long]("cc").toDouble,
+        r.getAs[Long]("cd").toDouble)
+      val n = a + b + c + d
+      val margins = Seq(a + b, c + d, a + c, b + d)
+      if (margins.forall(_ > 0)) {
+        val exp = Seq((a + b) * (a + c) / n, (a + b) * (b + d) / n,
+          (c + d) * (a + c) / n, (c + d) * (b + d) / n)
+        val obs = Seq(a, b, c, d)
+        val chi = obs.zip(exp).map { case (o, e) => (o - e) * (o - e) / e }.sum
+        val got = r.getAs[Double]("chi2")
+        assert(math.abs(got - chi) < 1e-4,
+          s"${r.getString(0)}: key $got vs textbook $chi")
+        assert(r.getAs[Boolean]("significant") === (got >= 3.841))
+        checked += 1
+      } else assert(r.isNullAt(r.fieldIndex("chi2")),
+        "degenerate table must NULL-gate chi2")
+    }
+    assert(checked > 0, "no non-degenerate group exercised")
+  }
+
+  test("cusum: closed form replays the naive max(0, S+d) recursion") {
+    // The key computes S_t = P_t - min(0, min P_j) in scaled integer
+    // space; this leg runs the textbook per-row recursion in doubles and
+    // demands agreement — an off-by-one in the running windows (frame
+    // bounds, missing least(0,·)) cannot survive.
+    val out = SparkEntry.queries("win_cusum")(spark, sf).collect()
+    assert(out.nonEmpty)
+    var alarms = 0
+    out.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("hr_ts"))
+      val xs = sorted.map(_.getAs[Long]("x").toDouble)
+      val mu = xs.sum / xs.length
+      var s = 0.0
+      sorted.zip(xs).foreach { case (r, x) =>
+        s = math.max(0.0, s + (x - mu))
+        assert(math.abs(r.getAs[Double]("cusum") - s) < 1e-3,
+          s"$t @${r.getAs[Long]("hr_ts")}: key ${r.getAs[Double]("cusum")} vs naive $s")
+        if (r.getAs[Boolean]("alarm")) alarms += 1
+        // alarm = S > mu/4; skip the assert only on a float knife-edge
+        // (the key decides it in exact integers)
+        if (math.abs(4 * s - mu) > 1e-6)
+          assert(r.getAs[Boolean]("alarm") === (4 * s > mu),
+            s"$t alarm flag inconsistent with S > mu/4")
+      }
+    }
+    info(s"cusum alarms fired: $alarms")
+  }
+
   test("freshness: watermark law and ranges") {
     val out = SparkEntry.queries("dq_freshness")(spark, sf).collect()
     assert(out.nonEmpty)

@@ -53,7 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
                                       // set; staging-off shows the augmented
                                       // assignment's broadcast centroids
                                       // (same class as embed_ann_ivf)
-    "embed_normalize")                // 1-row broadcast per-dim mean array
+    "embed_normalize",                // 1-row broadcast per-dim mean array
+    "embed_top_eigen")                // 1-row broadcast norm (same idiom)
 
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation

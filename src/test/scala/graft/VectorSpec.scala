@@ -104,4 +104,30 @@ class VectorSpec extends AnyFunSuite {
     assert(got.size === 100)
     assert(got === want)
   }
+
+  test("top eigenvector: unit norm, dominant direction, deterministic") {
+    val out = SparkEntry.queries("embed_top_eigen")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    assert(out.length === 64)
+    // rounded loadings of a normalized vector: ||v|| = 1 up to rounding
+    val nrm = math.sqrt(out.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4, s"loadings norm $nrm != 1")
+    // the POINT of the key: mean squared projection onto the learned
+    // direction must dominate a fixed baseline axis (e1, the power
+    // iteration's own start — 3 iterations must have moved off it
+    // toward the dominant direction)
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0))
+    def msp(dir: Seq[Double]) = {
+      val ps = vecs.map(v => v.zip(dir).map { case (a, b) => a * b }.sum)
+      ps.map(p => p * p).sum / ps.length
+    }
+    val e1 = 1.0 +: Seq.fill(63)(0.0)
+    assert(msp(out) > msp(e1),
+      s"learned direction ${msp(out)} does not dominate e1 ${msp(e1)}")
+    val again = SparkEntry.queries("embed_top_eigen")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    assert(again === out)
+  }
 }
