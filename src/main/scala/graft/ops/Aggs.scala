@@ -24,8 +24,19 @@ object Aggs {
                        dir: String): org.apache.spark.sql.DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"), (col("user_id") % 2 === 0).as("a"),
-        round(col("value") * 100, 0).cast("long").as("c"))
+        round(col("value") * 100, 0).cast("long").as("c"),
+        col("event_id"))
       .where(col("c").isNotNull)
+
+  /** Poisson(1) inverse-CDF thresholds for the bootstrap resample
+    * weights, pre-scaled to the 2^32 draw space and rendered as
+    * FIXED-WIDTH lowercase hex so membership is a pure string compare on
+    * the md5 draw in BOTH engines (the sample_weighted idiom — no
+    * engine-specific hex-to-int parsing). floor(P(X≤k)·2^32) for
+    * k = 0..5; a draw past the last threshold gets w = 6 (P ≈ 6e-4). */
+  private val PoissonThr: Seq[String] =
+    Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L).map(t => f"$t%08x")
 
   /** decimal(38,0) widening for overflow-free exact integer sums (the
     * DuckDB oracles mirror with HUGEINT). */
@@ -607,6 +618,59 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // Poisson-bootstrap confidence interval (round 17) — the fourth
+    // member of the experimentation family: the t-test/MW/χ² keys all
+    // lean on distributional assumptions; the bootstrap is the
+    // assumption-free CI a metrics platform publishes next to every
+    // mean. The classic resample-with-replacement doesn't distribute
+    // (it needs global row indices); the POISSON bootstrap does — each
+    // row independently enters resample b with weight w ~ Poisson(1),
+    // which is exactly how the large-scale A/B platforms run it. Here w
+    // is DETERMINISTIC: an md5 content draw per (event_id, b) mapped
+    // through the Poisson(1) inverse CDF as fixed-width-hex threshold
+    // compares (PoissonThr — replayable in DuckDB byte-for-byte, the
+    // sample_weighted idiom). B = 16 resamples; per (type, b) the
+    // resample mean uses exact integer accumulators (Σw·c widened to
+    // decimal(38,0) — long overflows at ~5e11 rows/type at max cents;
+    // the oracle sums in HUGEINT); the CI is the 2nd/15th order
+    // statistic of the 16 means (87.5% coverage), picked from a
+    // VALUE-sorted array (engine-order-free, the text_entropy posture).
+    // A resample with all-zero weights (possible on a tiny regenerated
+    // type) NULLs its mean; both engines then drop it before sorting
+    // and NULL-gate the CI unless all 16 survive. Scale: the explode is
+    // map-side (16× rows into a two-phase HashAggregate, |types|·16
+    // partials out); nothing else grows with the corpus.
+    "agg_bootstrap_ci" -> ((s, dir) => {
+      val base = abEvents(s, dir)
+      val stats = base.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec38(col("c"))).as("sc"))
+      val u8 = substring(md5(concat(col("event_id").cast("string"),
+        lit(":"), col("b").cast("string")).cast("binary")), 1, 8)
+      val w = PoissonThr.zipWithIndex
+        .foldLeft(when(lit(false), lit(0))) { case (acc, (t, k)) =>
+          acc.when(u8 < lit(t), lit(k))
+        }.otherwise(lit(6))
+      val boot = base
+        .withColumn("b", explode(sequence(lit(1), lit(16))))
+        .withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(sum(col("w")).as("sw"), sum(dec38(col("w") * col("c"))).as("swc"))
+        .select(col("event_type"),
+          when(col("sw") > 0, col("swc").cast("double") /
+            col("sw").cast("double") / 100).as("m"))
+        .groupBy("event_type")
+        .agg(array_sort(collect_list(col("m"))).as("ms"))
+      stats.join(boot, "event_type")
+        .select(col("event_type"), col("n"),
+          round(col("sc").cast("double") / col("n").cast("double") / 100, 6)
+            .as("mean"),
+          when(size(col("ms")) === 16,
+            round(element_at(col("ms"), 2), 6)).as("ci_lo"),
+          when(size(col("ms")) === 16,
+            round(element_at(col("ms"), 15), 6)).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
     // Fixed-width histogram: width_bucket + count per bin. Bin width is
     // (600000-0)/24 = 25000 EXACTLY representable, so Spark's
     // (v-min)/((max-min)/n) and the oracle's floor(v/25000) are the same
@@ -1057,6 +1121,36 @@ object Aggs {
     // 2×2 filtered counts, HUGEINT ad−bc (mirroring decimal(38,0)),
     // one double expression with identical association, zero-margin
     // guard NULL-gating chi2/significant on both sides.
+    // Full replay of the deterministic Poisson bootstrap: the same
+    // PoissonThr hex literals (interpolated from the one Scala constant,
+    // so the CDF can never drift between engines), HUGEINT accumulators,
+    // value-sorted NULL-filtered mean list, all-16 CI gate.
+    "agg_bootstrap_ci" -> {
+      val thrCase = "CASE " + PoissonThr.zipWithIndex.map { case (t, k) =>
+        s"WHEN substring(md5(CAST(event_id AS VARCHAR) || ':' || " +
+          s"CAST(b AS VARCHAR)), 1, 8) < '$t' THEN $k "
+      }.mkString + "ELSE 6 END"
+      "WITH e AS (SELECT event_type, " +
+        "CAST(round(value*100) AS BIGINT) AS c, event_id FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "st AS (SELECT event_type, count(*) AS n, " +
+        "CAST(sum(c) AS HUGEINT) AS sc FROM e GROUP BY 1), " +
+        "x AS (SELECT event_type, c, event_id, " +
+        "unnest(generate_series(1, 16)) AS b FROM e), " +
+        s"wx AS (SELECT event_type, b, c, $thrCase AS w FROM x), " +
+        "g AS (SELECT event_type, b, CAST(sum(w) AS BIGINT) AS sw, " +
+        "CAST(sum(CAST(w * c AS HUGEINT)) AS HUGEINT) AS swc " +
+        "FROM wx GROUP BY 1, 2), " +
+        "mm AS (SELECT event_type, CASE WHEN sw > 0 THEN " +
+        "CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) / 100 END AS m FROM g), " +
+        "ar AS (SELECT event_type, list(m ORDER BY m) " +
+        "FILTER (WHERE m IS NOT NULL) AS ms FROM mm GROUP BY 1) " +
+        "SELECT st.event_type, st.n, " +
+        "round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6) AS mean, " +
+        "CASE WHEN len(ms) = 16 THEN round(ms[2], 6) END AS ci_lo, " +
+        "CASE WHEN len(ms) = 16 THEN round(ms[15], 6) END AS ci_hi " +
+        "FROM st JOIN ar USING (event_type) ORDER BY event_type"
+    },
     "agg_chi_square" ->
       ("WITH e AS (SELECT event_type, user_id % 2 = 0 AS a, " +
        "CAST(round(value*100) AS BIGINT) >= 5000 AS cv FROM events " +

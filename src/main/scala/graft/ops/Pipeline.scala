@@ -221,6 +221,43 @@ object Pipeline {
     // no shuffle, no RNG state, no join; output volume = Σ wᵢ·|srcᵢ|,
     // exactly the mixture's token multiple, which is the number a 100 TB
     // training-mix planner budgets against.
+    // Temperature-smoothed LANGUAGE mixture (round 17) — the multilingual
+    // rebalancing rule (τ = 1/2): raw per-lang shares make the head
+    // language drown the tail, so each language's keep rate is
+    // sqrt(c_min/c_l) — the smallest language keeps everything, larger
+    // ones downsample by the square root of their size ratio, and the
+    // post-sample mixture lands ∝ sqrt(c_l), exactly the τ=0.5 exponent.
+    // DETERMINISM ACROSS ENGINES is the design constraint: the rate goes
+    // through division and sqrt ONLY — both IEEE-correctly-rounded in
+    // both engines (a pow(x, τ) would not be, which is why τ is 1/2 and
+    // not 0.7) — then rounds to an integer threshold in 16^6 draw space
+    // rendered as FIXED-WIDTH hex. Membership = 6-hex md5 content draw <
+    // threshold, both zero-padded to SEVEN chars so the full-keep
+    // threshold 16^6 ('1000000') still compares numerically (the
+    // sample_weighted lpad-truncation lesson, solved by widening instead
+    // of a guard). Scale: lang counts are a bounded aggregate (or table
+    // stats); the filter itself is a map-side scan against a broadcast
+    // |langs|-row rate relation — no RNG state, membership a pure
+    // function of the bytes, so the mixture reproduces across corpus
+    // versions, partitionings, and engines, and composes with
+    // sample_hash's holdout (different hex window of the same draw).
+    "sample_temperature" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cl"))
+      val cmin = counts.agg(min(col("cl")).as("cmin"))
+      val thr = counts.crossJoin(broadcast(cmin))
+        .withColumn("thr", round(sqrt(col("cmin").cast("double") /
+          col("cl").cast("double")) * 16777216, 0).cast("long"))
+        .select(col("lang"),
+          lpad(lower(hex(col("thr"))), 7, "0").as("thr7"))
+      val draw7 = concat(lit("0"),
+        substring(md5(col("text").cast("binary")), 1, 6))
+      docs.join(broadcast(thr), "lang")
+        .where(draw7 < col("thr7"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     "sample_epochs_mix" -> ((s, dir) => {
       val k = coalesce(
         expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as int)"),
@@ -1090,6 +1127,18 @@ object Pipeline {
     "sample_hash" ->
       ("SELECT doc_id, lang, substring(md5(text), 1, 2) AS bucket " +
        "FROM documents WHERE substring(md5(text), 1, 2) < '14' " +
+       "ORDER BY doc_id"),
+    // identical rate pipeline (÷ then sqrt then round — both engines
+    // IEEE-correctly-rounded at every step), identical 7-wide hex render
+    "sample_temperature" ->
+      ("WITH c AS (SELECT lang, count(*) AS cl FROM documents GROUP BY 1), " +
+       "m AS (SELECT min(cl) AS cmin FROM c), " +
+       "r AS (SELECT lang, lpad(lower(hex(CAST(round(" +
+       "sqrt(CAST(cmin AS DOUBLE) / CAST(cl AS DOUBLE)) * 16777216) " +
+       "AS BIGINT))), 7, '0') AS thr7 FROM c, m) " +
+       "SELECT d.doc_id, d.lang, d.source FROM documents d " +
+       "JOIN r USING (lang) " +
+       "WHERE '0' || substring(md5(text), 1, 6) < r.thr7 " +
        "ORDER BY doc_id"),
     "sample_weighted" ->
       // mirrors the Spark side exactly: TRY_CAST + COALESCE(0) for

@@ -107,6 +107,49 @@ object Text {
         .orderBy("term", "rnk")
     }),
 
+    /** PMI collocation extraction (round 17) — the phrase-mining pass a
+      * corpus-curation pipeline runs to find multiword expressions worth
+      * protecting from tokenization ("new york", "machine learning"):
+      * pointwise mutual information of each ADJACENT token pair against
+      * its parts' unigram frequencies, pmi = ln(p(xy)/(p(x)p(y))) with
+      * p(xy) = c_xy/Nb over bigram positions and p(x) = c_x/Nu over
+      * token positions; pairs seen < 5× are dropped (the standard
+      * low-count PMI blowup guard), top 20 by (pmi DESC, w1, w2).
+      *
+      * Scale: the bigram relation rides ONE lead() window partitioned by
+      * doc (per-partition state = one row), then everything is
+      * two-phase hash aggregates; unigram counts re-attach by two
+      * bounded-vocab joins and the final top-20 is a sort-limit
+      * (TakeOrderedAndProject), never a global sort. The count products
+      * inside the ln are computed as doubles (identical left-assoc tree
+      * both engines — exact-int products would overflow int64 at corpus
+      * scale, which is the same reason the oracle doesn't CAST late). */
+    "text_collocations" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+      val bi = toks.withColumn("w2", lead(col("term"), 1).over(w))
+        .where(col("w2").isNotNull)
+        .select(col("term").as("w1"), col("w2"))
+      val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 5)
+      val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      val nu = toks.agg(count(lit(1)).as("nu"))
+      val nb = bi.agg(count(lit(1)).as("nb"))
+      val pmi = round(log(
+        (col("c_xy").cast("double") * col("nu") * col("nu")) /
+          (col("nb").cast("double") * col("c_x") * col("c_y"))), 6)
+      cxy
+        .join(uni.withColumnsRenamed(Map("term" -> "w1", "c" -> "c_x")), "w1")
+        .join(uni.withColumnsRenamed(Map("term" -> "w2", "c" -> "c_y")), "w2")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c_xy"), pmi.as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     "text_stats" -> ((s, dir) =>
       Tables.table(s, dir, "documents")
         .groupBy("lang", "source")
@@ -235,6 +278,27 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same lead()-window bigrams, same ≥5 count floor, the identical
+    // left-associated double product tree inside ln, 6dp once.
+    "text_collocations" ->
+      ("WITH toks AS (SELECT doc_id, " +
+       "unnest(string_split(lower(text), ' ')) AS term, " +
+       "generate_subscripts(string_split(lower(text), ' '), 1) AS pos " +
+       "FROM documents), " +
+       "bi AS (SELECT term AS w1, lead(term) OVER (PARTITION BY doc_id " +
+       "ORDER BY pos) AS w2 FROM toks), " +
+       "bi2 AS (SELECT w1, w2 FROM bi WHERE w2 IS NOT NULL), " +
+       "cxy AS (SELECT w1, w2, count(*) AS c_xy FROM bi2 GROUP BY 1, 2 " +
+       "HAVING count(*) >= 5), " +
+       "uni AS (SELECT term, count(*) AS c FROM toks GROUP BY 1), " +
+       "nu AS (SELECT count(*) AS nu FROM toks), " +
+       "nb AS (SELECT count(*) AS nb FROM bi2) " +
+       "SELECT w1, w2, c_xy, " +
+       "round(ln((CAST(c_xy AS DOUBLE) * nu * nu) / " +
+       "(CAST(nb AS DOUBLE) * ux.c * uy.c)), 6) AS pmi " +
+       "FROM cxy JOIN uni ux ON cxy.w1 = ux.term " +
+       "JOIN uni uy ON cxy.w2 = uy.term CROSS JOIN nu CROSS JOIN nb " +
+       "ORDER BY pmi DESC, w1, w2 LIMIT 20"),
     "dedup_minhash" -> {
       // Full replay of the md5-keyed pipeline, generated from the same
       // constants: 32 min-over-shingle md5 hexes per doc (string min ≡

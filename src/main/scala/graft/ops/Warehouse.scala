@@ -357,6 +357,88 @@ object Warehouse {
         .orderBy("event_type", "bin")
     }),
 
+    // Robust outlier detection (round 17) — the MAD/Hampel identifier
+    // over daily volumes per event_type: dq_anomaly_volume's z-score
+    // uses mean/stddev, which a single huge spike INFLATES until it
+    // masks itself (and its neighbors); the median/MAD version is the
+    // 50%-breakdown estimator monitoring texts actually recommend for
+    // exactly that failure. Everything stays ENGINE-EXACT by working in
+    // doubled-integer space: med2 = 2·median(n) is an exact
+    // integer-valued double on both engines (the interpolated median of
+    // ints is (a+b)/2; 0.5a+0.5b and a+0.5(b−a) are both exact IEEE for
+    // counts < 2^52) cast to long; deviations dev2 = |2n − med2| are
+    // longs; m2d = 2·median(dev2) likewise. The robust z =
+    // 0.6745·(n−med)/MAD algebraically equals 1.349·(2n−med2)/m2d — one
+    // shared double expression, rounded 6dp. A zero MAD (≥ half the
+    // days carry the median count exactly) NULL-gates z AND the flag
+    // (the agg_ab_ttest degenerate-group posture from birth). Scale:
+    // one corpus pass to the (day, type) rollup; the two median passes
+    // run over the BOUNDED daily relation (|days|·|types| rows) and
+    // broadcast back — raw events are never re-scanned.
+    "dq_outlier_mad" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy("event_type")
+        .agg(expr("cast(percentile(n, 0.5) * 2 as long)").as("med2"))
+      val dev = daily.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("n") * 2 - col("med2")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("cast(percentile(dev2, 0.5) * 2 as long)").as("m2d"))
+      val z = when(col("m2d") =!= 0,
+        round(lit(1.349) * (col("n") * 2 - col("med2")).cast("double") /
+          col("m2d").cast("double"), 6))
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("day").cast("timestamp").as("day"),
+          col("n"), z.as("rz"),
+          when(col("m2d") =!= 0, abs(z) > 3.5).as("is_outlier"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Referential-integrity audit (round 17) — dq_expectations checks
+    // ONE foreign key as part of its six-assertion gate; this is the
+    // whole-schema version a warehouse actually publishes: every
+    // declared FK edge in the corpus, one row each with child
+    // cardinality, orphan count, orphan rate, and the pass flag. Each
+    // edge is a left join against the parent KEY COLUMN only (column
+    // pruning reaches the scan) folded straight into a count/sum
+    // aggregate — at 100 TB both sides hash on the key, the dims
+    // broadcast, and only the per-edge counters come back; the report
+    // is |edges| rows no matter the fact volume. Orphan rate is the one
+    // IEEE division, over exact longs, rounded 6dp.
+    "dq_referential_audit" -> ((s, dir) => {
+      def edge(tag: String, child: DataFrame, fk: String,
+               parent: DataFrame, pk: String): DataFrame =
+        child.select(col(fk)).join(parent.select(col(pk)),
+            col(fk) === col(pk), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(tag).as("fk_edge"), col("n_child"), col("n_orphans"),
+            round(col("n_orphans").cast("double") /
+              col("n_child").cast("double"), 6).as("orphan_rate"),
+            (col("n_orphans") === 0).as("ok"))
+      val t = (n: String) => Tables.table(s, dir, n)
+      Seq(
+        edge("customer.c_nationkey->nation", t("customer"), "c_nationkey",
+          t("nation"), "n_nationkey"),
+        edge("events.user_id->customer", t("events"), "user_id",
+          t("customer"), "c_custkey"),
+        edge("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
+          t("orders"), "o_orderkey"),
+        edge("lineitem.l_partkey->part", t("lineitem"), "l_partkey",
+          t("part"), "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
+          t("supplier"), "s_suppkey"),
+        edge("nation.n_regionkey->region", t("nation"), "n_regionkey",
+          t("region"), "r_regionkey"),
+        edge("orders.o_custkey->customer", t("orders"), "o_custkey",
+          t("customer"), "c_custkey"),
+        edge("supplier.s_nationkey->nation", t("supplier"), "s_nationkey",
+          t("nation"), "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("fk_edge")
+    }),
+
     // Freshness / completeness monitor (round 16) — the staleness SLA
     // check every ingest pipeline pages on: per event_type, how far its
     // newest event lags the corpus watermark (max ts over all types) and
@@ -439,6 +521,59 @@ object Warehouse {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same doubled-integer median/MAD algebra: quantile_cont of ints is
+    // the same exact (a+b)/2 as Spark's percentile; the one IEEE
+    // expression 1.349·(2n−med2)/m2d is textually identical.
+    "dq_outlier_mad" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) " +
+       "  AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+       "med AS (SELECT event_type, " +
+       "  CAST(quantile_cont(n, 0.5) * 2 AS BIGINT) AS med2 " +
+       "  FROM daily GROUP BY 1), " +
+       "dev AS (SELECT d.*, med2, abs(d.n * 2 - med2) AS dev2 " +
+       "  FROM daily d JOIN med USING (event_type)), " +
+       "mad AS (SELECT event_type, " +
+       "  CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS m2d " +
+       "  FROM dev GROUP BY 1) " +
+       "SELECT dev.event_type, day, n, " +
+       "CASE WHEN m2d <> 0 THEN round(1.349 * " +
+       "  CAST(n * 2 - med2 AS DOUBLE) / CAST(m2d AS DOUBLE), 6) END " +
+       "  AS rz, " +
+       "CASE WHEN m2d <> 0 THEN abs(round(1.349 * " +
+       "  CAST(n * 2 - med2 AS DOUBLE) / CAST(m2d AS DOUBLE), 6)) > 3.5 " +
+       "  END AS is_outlier " +
+       "FROM dev JOIN mad USING (event_type) ORDER BY event_type, day"),
+    // One scalar-aggregate block per FK edge, orphan count via NOT
+    // EXISTS ≡ the Spark side's left-join null count.
+    "dq_referential_audit" -> {
+      def edge(tag: String, child: String, fk: String,
+               parent: String, pk: String): String =
+        s"SELECT '$tag' AS fk_edge, count(*) AS n_child, " +
+          s"CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM $parent p " +
+          s"WHERE p.$pk = c.$fk) THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_orphans FROM " + s"$child c"
+      val edges = Seq(
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edge("events.user_id->customer", "events", "user_id",
+          "customer", "c_custkey"),
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+      "WITH raw AS (" + edges.mkString(" UNION ALL ") + ") " +
+        "SELECT fk_edge, n_child, n_orphans, " +
+        "round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6) " +
+        "AS orphan_rate, n_orphans = 0 AS ok FROM raw ORDER BY fk_edge"
+    },
     // Same integer cent edges, same Laplace smoothing, same bin-sorted
     // list_reduce fold for the PSI sum (text_entropy's deterministic-
     // summation idiom); counts CAST to BIGINT past DuckDB's HUGEINT sums.

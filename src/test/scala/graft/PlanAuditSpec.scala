@@ -49,6 +49,8 @@ class PlanAuditSpec extends AnyFunSuite {
                                       // dedup_semantic_mp class — the r17
                                       // cell-bounded build, no corpus×corpus)
     "dq_freshness",                   // 1-row broadcast corpus watermark
+    "text_collocations",              // 1-row broadcast Nu/Nb token totals
+    "sample_temperature",             // 1-row broadcast min-lang count
     "embed_mips_ivf",                 // 1-row broadcast M² + broadcast probe
                                       // set; staging-off shows the augmented
                                       // assignment's broadcast centroids
