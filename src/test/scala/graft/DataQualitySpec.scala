@@ -226,6 +226,128 @@ class DataQualitySpec extends AnyFunSuite {
     assert(checked > 0, "no non-degenerate group exercised")
   }
 
+  test("bootstrap CI: means and order statistics replay from an " +
+    "independently derived Poisson CDF") {
+    // The key's thresholds are hex literals baked from floor(P(X≤k)·2^32);
+    // this leg re-derives the Poisson(1) CDF from math.exp here, rebuilds
+    // the weights with java MessageDigest md5, and accumulates resample
+    // means in plain Longs — a wrong baked threshold, a draw-string
+    // mismatch, or a CI index slip cannot survive both formulations.
+    val thr = {
+      var c = 0.0; var term = math.exp(-1.0)
+      (0 until 6).map { k =>
+        c += term; term /= (k + 1); f"${math.floor(c * 4294967296.0).toLong}%08x"
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val out = SparkEntry.queries("agg_bootstrap_ci")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.nonEmpty)
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .where(col("c").isNotNull).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_._1).foreach { case (t, evs) =>
+      val means = (1 to 16).flatMap { b =>
+        var sw = 0L; var swc = 0L
+        evs.foreach { case (_, id, c) =>
+          val u8 = md5hex(s"$id:$b").take(8)
+          val w = thr.indexWhere(u8 < _) match { case -1 => 6; case k => k }
+          sw += w; swc += w * c
+        }
+        if (sw > 0) Some(swc.toDouble / sw.toDouble / 100) else None
+      }.sorted
+      val r = out(t)
+      val n = evs.length
+      assert(r.getAs[Long]("n") === n.toLong, s"$t n")
+      val mean = r6(evs.map(_._3).sum.toDouble / n.toDouble / 100)
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-9, s"$t mean")
+      if (means.length == 16) {
+        assert(math.abs(r.getAs[Double]("ci_lo") - r6(means(1))) < 1e-9,
+          s"$t ci_lo")
+        assert(math.abs(r.getAs[Double]("ci_hi") - r6(means(14))) < 1e-9,
+          s"$t ci_hi")
+        assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("mean") &&
+          r.getAs[Double]("mean") <= r.getAs[Double]("ci_hi"),
+          s"$t CI must bracket the point estimate")
+      } else {
+        assert(r.isNullAt(r.fieldIndex("ci_lo")), s"$t must NULL-gate CI")
+        assert(r.isNullAt(r.fieldIndex("ci_hi")), s"$t must NULL-gate CI")
+      }
+    }
+  }
+
+  test("MAD outliers: robust z replays from a textbook median/MAD pass") {
+    // The key computes 1.349·(2n−med2)/m2d in doubled-integer space; this
+    // leg recomputes 0.6745·(n−med)/MAD the textbook way from a plain
+    // sorted collect — algebraically equal, computationally different.
+    val out = SparkEntry.queries("dq_outlier_mad")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("day")) -> r).toMap
+    assert(out.nonEmpty)
+    def median(xs: Seq[Long]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2).toDouble else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).cast("timestamp").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("day"), r.getAs[Long]("n")))
+    daily.groupBy(_._1).foreach { case (t, ds) =>
+      val med = median(ds.map(_._3).toSeq)
+      val mad = median(ds.map(d => math.abs(2 * d._3 - (2 * med).toLong))
+        .toSeq) / 2.0
+      ds.foreach { case (_, day, n) =>
+        val r = out((t, day))
+        assert(r.getAs[Long]("n") === n)
+        if (mad == 0.0) {
+          assert(r.isNullAt(r.fieldIndex("rz")), s"$t $day zero-MAD gate")
+          assert(r.isNullAt(r.fieldIndex("is_outlier")))
+        } else {
+          val z = 0.6745 * (n - med) / mad
+          val got = r.getAs[Double]("rz")
+          assert(math.abs(got - z) < 1e-5, s"$t $day: key $got vs naive $z")
+          assert(r.getAs[Boolean]("is_outlier") === (math.abs(got) > 3.5))
+        }
+      }
+    }
+  }
+
+  test("referential audit: child cardinalities match the raw tables and " +
+    "one edge recounts via an independent anti-join") {
+    val out = SparkEntry.queries("dq_referential_audit")(spark, sf).collect()
+      .map(r => r.getAs[String]("fk_edge") -> r).toMap
+    assert(out.size === 8)
+    val expectChild = Map(
+      "lineitem.l_orderkey->orders" -> "lineitem",
+      "orders.o_custkey->customer" -> "orders",
+      "events.user_id->customer" -> "events",
+      "customer.c_nationkey->nation" -> "customer")
+    expectChild.foreach { case (edge, child) =>
+      val n = Tables.table(spark, sf, child).count()
+      assert(out(edge).getAs[Long]("n_child") === n, s"$edge child count")
+    }
+    out.values.foreach { r =>
+      val orph = r.getAs[Long]("n_orphans")
+      assert(r.getAs[Boolean]("ok") === (orph === 0L))
+      assert(orph >= 0L && orph <= r.getAs[Long]("n_child"))
+    }
+    // independent recount of one big edge with a LEFT ANTI join (the key
+    // uses a left join + null-count aggregate)
+    val orphans = Tables.events(spark, sf).select(col("user_id"))
+      .join(Tables.table(spark, sf, "customer").select(col("c_custkey")),
+        col("user_id") === col("c_custkey"), "left_anti").count()
+    assert(out("events.user_id->customer").getAs[Long]("n_orphans")
+      === orphans)
+  }
+
   test("cusum: closed form replays the naive max(0, S+d) recursion") {
     // The key computes S_t = P_t - min(0, min P_j) in scaled integer
     // space; this leg runs the textbook per-row recursion in doubles and

@@ -262,6 +262,74 @@ class PipelineSpec extends AnyFunSuite {
       s"en sample covers only $keptResidues of 20 doc_id residues — draw is residue-structured")
   }
 
+  test("temperature sampling: full membership replay, min language kept " +
+    "whole, mixture flattens toward sqrt") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cmin = counts.values.min
+    // independent threshold derivation: java sqrt + HALF_UP round
+    val thr7 = counts.map { case (l, c) =>
+      l -> f"${math.floor(math.sqrt(cmin.toDouble / c.toDouble) *
+        16777216.0 + 0.5).toLong}%07x"
+    }
+    val expected = docs.filter { case (_, l, t) =>
+      ("0" + md5hex(t).take(6)) < thr7(l)
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("sample_temperature")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected, "membership must replay byte-for-byte")
+    // the smallest language's threshold is 16^6 → keeps everything
+    val minLang = counts.minBy(_._2)._1
+    val keptByLang = docs.filter(d => expected.contains(d._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(keptByLang(minLang) === counts(minLang),
+      "min language must be kept in full")
+    // mixture flattening: the head/tail keep-count ratio must shrink
+    // from c_max/c_min toward sqrt(c_max/c_min)
+    val maxLang = counts.maxBy(_._2)._1
+    if (maxLang != minLang && counts(maxLang) > 2 * counts(minLang)) {
+      val rawRatio = counts(maxLang).toDouble / counts(minLang)
+      val gotRatio = keptByLang(maxLang).toDouble / keptByLang(minLang)
+      assert(gotRatio < rawRatio * 0.8,
+        s"kept ratio $gotRatio did not flatten from raw $rawRatio")
+    }
+  }
+
+  test("PMI collocations replay from a naive driver-side count pass") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getString(1).toLowerCase.split(" ", -1).toSeq)
+    val uni = scala.collection.mutable.Map[String, Long]()
+    val big = scala.collection.mutable.Map[(String, String), Long]()
+    var nu = 0L; var nb = 0L
+    docs.foreach { toks =>
+      toks.foreach { t => uni(t) = uni.getOrElse(t, 0L) + 1; nu += 1 }
+      toks.sliding(2).foreach {
+        case Seq(a, b) => big((a, b)) = big.getOrElse((a, b), 0L) + 1; nb += 1
+        case _ =>
+      }
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = big.toSeq.filter(_._2 >= 5).map { case ((a, b), c) =>
+      (a, b, c, r6(math.log(c.toDouble * nu * nu /
+        (nb.toDouble * uni(a) * uni(b)))))
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }.take(20)
+    val got = SparkEntry.queries("text_collocations")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length === scored.length)
+    got.zip(scored).foreach { case ((gw1, gw2, gc, gp), (w1, w2, c, p)) =>
+      assert(gw1 === w1 && gw2 === w2 && gc === c, s"row ($w1,$w2)")
+      assert(math.abs(gp - p) < 1e-5, s"pmi($w1,$w2): key $gp vs naive $p")
+    }
+  }
+
   test("sequence packing equals a driver-side reference packer exactly") {
     val docs = Tables.table(spark, sf, "documents")
       .select(col("source"), col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
