@@ -660,6 +660,39 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Synchronous label propagation (round 17) — COMMUNITY detection
+    // over the near-dup graph, the third graph analytic next to
+    // dedup_cluster's connected components and graph_pagerank's
+    // centrality: CC says "reachable", LPA says "densely knit" — the
+    // distinction that matters when a bridge edge chains two unrelated
+    // near-dup families into one CC and a curation pipeline wants them
+    // apart. K = 4 synchronous rounds from self-labels; each node takes
+    // the MODE of its neighbors' labels, ties to the SMALLEST label (the
+    // deterministic tie rule every replayable LPA uses). A round is one
+    // equi-join on the node key + a (dst, lab) count + a per-dst argmax
+    // folded into max(struct(cnt, −lab)) — a codegen'd two-phase
+    // HashAggregate (the join_fuzzy_blocked packed-argmin posture), no
+    // window sort; per-node state is one long, per-round shuffles hash
+    // on the node key. Fixed K keeps it replayable (the PageRank/Lloyd
+    // precedent — LPA-to-convergence is run-order-dependent and could
+    // not be oracled).
+    "graph_label_prop" -> ((s, dir) => {
+      val pairs = Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      var lab = edges.select(col("src").as("doc")).distinct()
+        .select(col("doc"), col("doc").as("lab"))
+      for (_ <- 1 to 4) {
+        lab = edges.join(lab, col("src") === col("doc"))
+          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("dst").as("doc"), (-col("m.nl")).as("lab"))
+      }
+      lab.select(col("doc").as("doc_id"), col("lab").as("community"))
+        .orderBy("doc_id")
+    }),
+
     // Multi-source BFS over the same near-dup graph (round 15): distance
     // to the nearest SEED document (doc_id % 10 = 0 among graph nodes) —
     // the "proximity to known-good/known-bad" signal curation pipelines
@@ -1359,6 +1392,24 @@ object Pipeline {
       }.mkString(", ")
       s"WITH $pairCte, $iters " +
         "SELECT doc AS doc_id, pr AS rank FROM r5 ORDER BY doc_id"
+    },
+
+    "graph_label_prop" -> {
+      // shared pair-graph prefix; each round's argmax replayed as a
+      // (count DESC, lab ASC) row_number — the same tie rule the Spark
+      // side folds into max(struct(cnt, −lab))
+      val pairCte = NearDupEdgesCte + ", " +
+        "l0 AS (SELECT DISTINCT s AS doc, s AS lab FROM edges)"
+      val iters = (1 to 4).map { k =>
+        s"l$k AS (SELECT doc, lab FROM (" +
+        "SELECT e.d AS doc, r.lab AS lab, " +
+        "row_number() OVER (PARTITION BY e.d " +
+        "ORDER BY count(*) DESC, r.lab) AS rn " +
+        s"FROM edges e JOIN l${k - 1} r ON r.doc = e.s " +
+        "GROUP BY e.d, r.lab) WHERE rn = 1)"
+      }.mkString(", ")
+      s"WITH $pairCte, $iters " +
+        "SELECT doc AS doc_id, lab AS community FROM l4 ORDER BY doc_id"
     },
 
     "graph_shortest_path" -> {

@@ -444,6 +444,33 @@ object Streams {
         .orderBy("ws", "event_type")
     }),
 
+    // Streaming top-k (round 17) — the live leaderboard pattern: the
+    // STREAMING job maintains per-(window, type) counts in the state
+    // store (an unbounded-cardinality rank can't live inside a
+    // streaming agg — window functions are unsupported over update-mode
+    // state, and a global top-k would need cross-key state no engine
+    // exposes); the top-3-per-hour READ is a batch window over the
+    // drained snapshot — exactly how a serving layer queries a
+    // continuously-maintained aggregate. Complete drain holds every
+    // window ⇒ counts equal the batch rollup, so the rank is oracled
+    // end-to-end. Rank ties break on event_type (total order); the
+    // batch topping lowers to WindowGroupLimit over |windows|·|types|
+    // rows — bounded by the calendar, never by event volume.
+    "stream_topk_drain" -> ((s, dir) => {
+      val out = eventsStream(s, Tables.path(dir, "events"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count()
+      val snap = drain(out, OutputMode.Complete())
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("count").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ws").orderBy(col("n").desc, col("event_type"))
+      snap.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("ws"), col("rnk"), col("event_type"), col("n"))
+        .orderBy("ws", "rnk")
+    }),
+
     // The REAL-DRAIN twin of stream_sliding, declared and oracled: the
     // same 1-hour/15-min sliding aggregate drained complete-mode through
     // the streaming engine (each event expands to 4 windows INSIDE the
@@ -1115,6 +1142,15 @@ object Streams {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    // complete drain ≡ batch rollup, then the same (n DESC, event_type)
+    // rank-3 topping
+    "stream_topk_drain" ->
+      ("WITH g AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) " +
+       "AS ws, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+       "r AS (SELECT ws, event_type, n, row_number() OVER (" +
+       "PARTITION BY ws ORDER BY n DESC, event_type) AS rnk FROM g) " +
+       "SELECT ws, CAST(rnk AS INT) AS rnk, event_type, n FROM r " +
+       "WHERE rnk <= 3 ORDER BY ws, rnk"),
     "stream_ohlc_drain" ->
       ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, " +
        "first(value ORDER BY date_trunc('second', ts), event_id) AS open, " +

@@ -262,6 +262,38 @@ class PipelineSpec extends AnyFunSuite {
       s"en sample covers only $keptResidues of 20 doc_id residues — draw is residue-structured")
   }
 
+  test("label propagation: naive synchronous replay on the real graph, " +
+    "communities refine connected components") {
+    // Independent replay: collect the near-dup edge list once, run the
+    // textbook synchronous LPA (neighbor label mode, min-label ties) in
+    // plain Scala maps for the same 4 rounds, demand identical labels.
+    val pairs = ops.Dedup.ngramPairs(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lab = adj.map { case (n, ns) =>
+        val counts = ns.groupBy(lab).view.mapValues(_.size).toMap
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val got = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lab, "LPA labels must replay exactly")
+    // refinement law: labels only travel along edges, so no community
+    // may span two connected components
+    val cc = unionFind(pairs.toSeq)
+    got.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(cc).toSet.size === 1,
+        "a community crossed a connected component")
+    }
+    // LPA must be strictly finer than CC somewhere on this corpus, or
+    // the key adds no information over dedup_cluster
+    assert(got.values.toSet.size >= cc.values.toSet.size,
+      "fewer communities than components is impossible")
+  }
+
   test("temperature sampling: full membership replay, min language kept " +
     "whole, mixture flattens toward sqrt") {
     val md = java.security.MessageDigest.getInstance("MD5")

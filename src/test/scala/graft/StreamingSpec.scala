@@ -44,6 +44,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rowSet(out) === rowSet(batch))
   }
 
+  test("streaming top-k: rank laws and dominance over the batch rollup") {
+    // The oracle pins exact equality with the batch replay; this leg pins
+    // the LAWS a rank bug could break while still matching a same-bug
+    // replay: per window at most 3 rows, ranks contiguous from 1 ordered
+    // by (n DESC, event_type), and DOMINANCE — no omitted type in that
+    // window counts strictly more than an emitted one.
+    val out = SparkEntry.queries("stream_topk_drain")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        col("event_type"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    out.groupBy(_._1).foreach { case (ws, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.length <= 3 && sorted.map(_._2).toSeq ===
+        (1 to sorted.length), s"window $ws rank shape")
+      sorted.sliding(2).foreach {
+        case Array((_, _, t1, n1), (_, _, t2, n2)) =>
+          assert(n1 > n2 || (n1 == n2 && t1 < t2), s"window $ws rank order")
+        case _ =>
+      }
+      rows.foreach { case (_, _, t, n) =>
+        assert(batch((ws, t)) === n, s"window $ws $t count") }
+      val emitted = rows.map(_._3).toSet
+      val minEmitted = rows.map(_._4).min
+      batch.collect { case ((w, t), n) if w == ws && !emitted(t) => (t, n) }
+        .foreach { case (t, n) =>
+          assert(n <= minEmitted, s"window $ws omitted $t ($n) beats top-3")
+        }
+    }
+  }
+
   // The declared stream_sliding key evaluates the shared `window` operator
   // in batch; THIS is the real streaming engine run backing that claim.
   test("multi-batch sliding windows (complete mode) equal batch windows") {
