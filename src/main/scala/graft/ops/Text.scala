@@ -116,8 +116,12 @@ object Text {
       * token positions; pairs seen < 5× are dropped (the standard
       * low-count PMI blowup guard), top 20 by (pmi DESC, w1, w2).
       *
-      * Scale: the bigram relation rides ONE lead() window partitioned by
-      * doc (per-partition state = one row), then everything is
+      * Scale: the bigram relation is built MAP-SIDE by zipping the token
+      * array with its own tail (zip_with over two slices — adjacency is
+      * a property of the array, no per-doc lead() window and therefore
+      * no corpus-sized shuffle just to see the next token; the DuckDB
+      * replay keeps the window formulation, which doubles as an
+      * independent derivation of the pairs), then everything is
       * two-phase hash aggregates; unigram counts re-attach by two
       * bounded-vocab joins and the final top-20 is a sort-limit
       * (TakeOrderedAndProject), never a global sort. The count products
@@ -125,14 +129,15 @@ object Text {
       * both engines — exact-int products would overflow int64 at corpus
       * scale, which is the same reason the oracle doesn't CAST late). */
     "text_collocations" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val toks = Tables.table(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
-      val bi = toks.withColumn("w2", lead(col("term"), 1).over(w))
-        .where(col("w2").isNotNull)
-        .select(col("term").as("w1"), col("w2"))
+      val docs = Tables.table(s, dir, "documents")
+        .select(split(lower(col("text")), " ").as("t"))
+      val toks = docs.select(explode(col("t")).as("term"))
+      val bi = docs
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
       val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
         .where(col("c_xy") >= 5)
       val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
