@@ -618,6 +618,42 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // Count-Min sketch (round 17) — the FREQUENCY sketch the family
+    // lacked (HLL = distinct, GK = quantiles, bitmap = exact distinct,
+    // top-k = space-saving; CMS answers "how often does key x occur"
+    // in O(d·w) space with one-sided error). d = 4 hash rows × w = 256
+    // buckets; the bucket is the first 2 hex chars of md5("d:user_id") —
+    // the engine-portable draw family every replayable key here uses.
+    // The declared readout estimates the 10 heaviest users (derived by
+    // exact count — nothing to go stale) against their true counts,
+    // with the one-sided-error law (est ≥ exact, emitted as overcount)
+    // visible in the output. Scale: the counter build is a 4× map-side
+    // explode into a 1024-key two-phase HashAggregate — the mergeable-
+    // sketch shape (counters add across partitions/days); the probe side
+    // is 40 broadcast rows. The exact top-10 derivation scans once more
+    // at test scale; in production the probe list arrives from outside
+    // the sketch — the sketch itself never needs it.
+    "agg_count_min" -> ((s, dir) => {
+      def bh(d: org.apache.spark.sql.Column) = substring(md5(
+        concat(d.cast("string"), lit(":"), col("user_id").cast("string"))
+          .cast("binary")), 1, 2)
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val counters = ev
+        .withColumn("d", explode(sequence(lit(0), lit(3))))
+        .withColumn("bh", bh(col("d")))
+        .groupBy("d", "bh").agg(count(lit(1)).as("cnt"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      val probes = top
+        .withColumn("d", explode(sequence(lit(0), lit(3))))
+        .withColumn("bh", bh(col("d")))
+      probes.join(counters, Seq("d", "bh"))
+        .groupBy("user_id", "exact_n").agg(min(col("cnt")).as("cms_est"))
+        .select(col("user_id"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+    }),
+
     // Poisson-bootstrap confidence interval (round 17) — the fourth
     // member of the experimentation family: the t-test/MW/χ² keys all
     // lean on distributional assumptions; the bootstrap is the
@@ -1121,6 +1157,26 @@ object Aggs {
     // 2×2 filtered counts, HUGEINT ad−bc (mirroring decimal(38,0)),
     // one double expression with identical association, zero-margin
     // guard NULL-gating chi2/significant on both sides.
+    // identical md5 bucketing, HUGEINT counts cast back to BIGINT, the
+    // same min-over-rows estimate and derived probe set
+    "agg_count_min" ->
+      ("WITH ev AS (SELECT user_id FROM events), " +
+       "x AS (SELECT user_id, unnest(generate_series(0, 3)) AS d FROM ev), " +
+       "ctr AS (SELECT d, substring(md5(CAST(d AS VARCHAR) || ':' || " +
+       "CAST(user_id AS VARCHAR)), 1, 2) AS bh, count(*) AS cnt " +
+       "FROM x GROUP BY 1, 2), " +
+       "top AS (SELECT user_id, count(*) AS exact_n FROM ev GROUP BY 1 " +
+       "ORDER BY exact_n DESC, user_id LIMIT 10), " +
+       "pr AS (SELECT user_id, exact_n, unnest(generate_series(0, 3)) AS d " +
+       "FROM top), " +
+       "pb AS (SELECT user_id, exact_n, d, " +
+       "substring(md5(CAST(d AS VARCHAR) || ':' || " +
+       "CAST(user_id AS VARCHAR)), 1, 2) AS bh FROM pr) " +
+       "SELECT pb.user_id, CAST(exact_n AS BIGINT) AS exact_n, " +
+       "CAST(min(cnt) AS BIGINT) AS cms_est, " +
+       "CAST(min(cnt) - exact_n AS BIGINT) AS overcount " +
+       "FROM pb JOIN ctr USING (d, bh) GROUP BY pb.user_id, pb.exact_n " +
+       "ORDER BY exact_n DESC, user_id"),
     // Full replay of the deterministic Poisson bootstrap: the same
     // PoissonThr hex literals (interpolated from the one Scala constant,
     // so the CDF can never drift between engines), HUGEINT accumulators,

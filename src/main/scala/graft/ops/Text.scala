@@ -77,33 +77,57 @@ object Text {
       * an exact doc count, divided ONCE — both engines run the same
       * IEEE division, then one shared expression tree per row, rounded
       * 6dp at the very end. */
-    "text_bm25" -> ((s, dir) => {
+    "text_bm25" -> ((s, dir) =>
+      bm25Top10(s, dir)
+        .select(col("term"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy("term", "rnk")),
+
+    /** Reciprocal-rank fusion (round 17) — the HYBRID-retrieval merge
+      * step: two rankers disagree on scale (BM25 scores and tf·idf
+      * scores are incomparable numbers), so production search fuses
+      * their RANKS, not their scores: rrf(d) = Σ_r 1/(60 + rank_r(d))
+      * (the standard k = 60), over the shared derived 5-term query set.
+      * Ranker 1 is the BM25 top-10 (shared bm25Top10 derivation — the
+      * fusion can never drift from the declared text_bm25 ranking);
+      * ranker 2 is the tf·idf top-10 under the text_tfidf idf. A doc in
+      * one list only contributes one term (coalesce 0 for the other) —
+      * the full-outer join IS the fusion. Top-5 per query term by
+      * (rrf DESC, doc_id).
+      *
+      * Determinism: ranks are ints; 1/(60+r) is one exact IEEE division
+      * and the two-term sum is written in the same coalesce order both
+      * engines. Scale: both rankers are already query-bounded (5 terms ×
+      * top-10), so the fusion joins two 50-row relations — free at any
+      * corpus size; the cost lives in the rankers, which stay
+      * WindowGroupLimit-bounded. */
+    "text_rrf_fusion" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
       val toks = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      // sort-limit, not a global row_number window: TakeOrderedAndProject
-      // holds top-5 per partition map-side — no single-task vocab sort
       val qterms = df.orderBy(col("df").desc, col("term")).limit(5)
-      val stats = toks.agg(count(lit(1)).as("toktot"))
-        .crossJoin(docs.agg(count(lit(1)).as("n")))
-        .select(col("n"), (col("toktot").cast("double") / col("n")).as("avgdl"))
-      val k1 = lit(1.2)
-      val b = lit(0.75)
-      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-      val score = idf * (col("tf") * (k1 + 1.0)) /
-        (col("tf") + k1 * (lit(1.0) - b + b * (col("dl") / col("avgdl"))))
-      val scored = tf.join(broadcast(qterms), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("term"), col("doc_id"), round(score, 6).as("score"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val tscore = round(col("tf") *
+        log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("term").orderBy(col("score").desc, col("doc_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 10)
-        .select(col("term"), col("rnk"), col("doc_id"), col("score"))
+      val t10 = tf.join(broadcast(qterms), "term").crossJoin(broadcast(n))
+        .select(col("term"), col("doc_id"), tscore.as("score"))
+        .withColumn("trnk", row_number().over(w))
+        .where(col("trnk") <= 10).select("term", "doc_id", "trnk")
+      val b10 = bm25Top10(s, dir)
+        .select(col("term"), col("doc_id"), col("rnk").as("brnk"))
+      val rrf = round(
+        coalesce(lit(1.0) / (lit(60) + col("brnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("trnk")), lit(0.0)), 6)
+      val fused = b10.join(t10, Seq("term", "doc_id"), "full_outer")
+        .select(col("term"), col("doc_id"), rrf.as("rrf"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("term").orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rnk", row_number().over(wf))
+        .where(col("rnk") <= 5)
+        .select(col("term"), col("rnk"), col("doc_id"), col("rrf"))
         .orderBy("term", "rnk")
     }),
 
@@ -205,6 +229,44 @@ object Text {
           .orderBy("doc_a", "doc_b"))
   )
 
+  /** BM25 ranking (term, rnk, doc_id, score): the full scoring pipeline
+    * behind `text_bm25`, shared with `text_rrf_fusion` so the fused
+    * ranking can never drift from the declared one. Okapi BM25 with the
+    * standard k1 = 1.2, b = 0.75; query set DERIVED from the corpus
+    * (top-5 terms by (df DESC, term) — a sort-limit, so
+    * TakeOrderedAndProject holds top-5 per partition map-side, no
+    * single-task vocab sort); tf joins the BROADCAST query terms FIRST,
+    * so only 5 terms' rows reach the dl join and the per-term window
+    * (planned as a partial WindowGroupLimit). avgdl is an exact BIGINT
+    * token count over an exact doc count divided ONCE; one shared IEEE
+    * expression tree per row, rounded 6dp at the end. */
+  private def bm25Top10(s: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = df.orderBy(col("df").desc, col("term")).limit(5)
+    val stats = toks.agg(count(lit(1)).as("toktot"))
+      .crossJoin(docs.agg(count(lit(1)).as("n")))
+      .select(col("n"), (col("toktot").cast("double") / col("n")).as("avgdl"))
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val score = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + k1 * (lit(1.0) - b + b * (col("dl") / col("avgdl"))))
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), round(score, 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10)
+  }
+
   /** (doc_id, sig) for any (doc_id, text) relation — the pure signature
     * pipeline. PORTABLE since round 16 (r15 verdict item 5): component i
     * is the MIN over shingles of md5("i:" ++ shingle) kept as its
@@ -282,6 +344,31 @@ object Text {
       .select("doc_a", "doc_b", "est_jac")
   }
 
+  /** The BM25 scoring pipeline as a DuckDB CTE prefix ending in
+    * `ranked(term, doc_id, score, rnk)` (plus tf/df/q/st, which the
+    * rrf-fusion oracle reuses) — one constant shared by the text_bm25
+    * and text_rrf_fusion oracles, mirroring the Spark side's shared
+    * bm25Top10 so a k1/b/idf change can never update one replay and
+    * leave the other describing a different ranking. */
+  private val Bm25RankedCte =
+    "toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term " +
+    "FROM documents), " +
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), " +
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+    "q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 5), " +
+    "st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks) / " +
+    "(SELECT count(*) FROM documents) AS avgdl, " +
+    "(SELECT count(*) FROM documents) AS n), " +
+    "sc AS (SELECT q.term, tf.doc_id, " +
+    "round(ln((st.n - q.df + 0.5) / (q.df + 0.5) + 1.0) * " +
+    "(tf.tf * (1.2 + 1.0)) / " +
+    "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl))), 6) AS score " +
+    "FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+    "ranked AS (SELECT term, doc_id, score, " +
+    "row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk " +
+    "FROM sc)"
+
   val oracles: Map[String, String] = Map(
     // Same lead()-window bigrams, same ≥5 count floor, the identical
     // left-associated double product tree inside ln, 6dp once.
@@ -354,23 +441,30 @@ object Text {
     // (term, doc) — constants written as (1.2 + 1.0) etc. so both
     // engines fold the same doubles — rounded 6dp once at the end.
     "text_bm25" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term " +
-       "FROM documents), " +
-       "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), " +
-       "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
-       "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
-       "q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 5), " +
-       "st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks) / " +
-       "(SELECT count(*) FROM documents) AS avgdl, " +
-       "(SELECT count(*) FROM documents) AS n), " +
-       "sc AS (SELECT q.term, tf.doc_id, " +
-       "round(ln((st.n - q.df + 0.5) / (q.df + 0.5) + 1.0) * " +
-       "(tf.tf * (1.2 + 1.0)) / " +
-       "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl))), 6) AS score " +
-       "FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st) " +
-       "SELECT term, rnk, doc_id, score FROM (SELECT term, doc_id, score, " +
-       "row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk " +
-       "FROM sc) WHERE rnk <= 10 ORDER BY term, rnk"),
+      (s"WITH $Bm25RankedCte " +
+       "SELECT term, rnk, doc_id, score FROM ranked " +
+       "WHERE rnk <= 10 ORDER BY term, rnk"),
+    // same BM25 ranked prefix + the text_tfidf scorer over the same
+    // derived query set; fusion = full-outer USING join, rrf written in
+    // the identical coalesce order
+    "text_rrf_fusion" ->
+      (s"WITH $Bm25RankedCte, " +
+       "tsc AS (SELECT q.term, tf.doc_id, " +
+       "round(tf.tf * ln((st.n + 1.0) / (q.df + 1.0)), 6) AS score " +
+       "FROM tf JOIN q USING (term) CROSS JOIN st), " +
+       "t10 AS (SELECT term, doc_id, trnk FROM (SELECT term, doc_id, " +
+       "row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) " +
+       "AS trnk FROM tsc) WHERE trnk <= 10), " +
+       "b10 AS (SELECT term, doc_id, rnk AS brnk FROM ranked " +
+       "WHERE rnk <= 10), " +
+       "f AS (SELECT term, doc_id, " +
+       "round(coalesce(1.0 / (60 + brnk), 0.0) + " +
+       "coalesce(1.0 / (60 + trnk), 0.0), 6) AS rrf " +
+       "FROM b10 FULL OUTER JOIN t10 USING (term, doc_id)) " +
+       "SELECT term, CAST(rk AS INT) AS rnk, doc_id, rrf FROM (" +
+       "SELECT term, doc_id, rrf, row_number() OVER (PARTITION BY term " +
+       "ORDER BY rrf DESC, doc_id) AS rk FROM f) " +
+       "WHERE rk <= 5 ORDER BY term, rnk"),
     "text_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, " +
        "round(avg(n_chars), 2) AS avg_chars, " +

@@ -79,6 +79,34 @@ object Windows {
     // value is bitwise-stable. The frame is ≤5 rows per output row, so
     // per-row state is O(frame), not O(history), and the window is one
     // shuffle on o_custkey like every sibling key.
+    // Seasonal-baseline decomposition (round 17) — the hour-of-day
+    // profile every traffic monitor subtracts before alarming: raw
+    // volume z-scores (dq_anomaly_volume) flag every rush hour as an
+    // anomaly; comparing each hour to ITS OWN seasonal slot (the mean of
+    // all same-hour-of-day hours for that type) is the fix. expected =
+    // Σn/cnt over the (type, hour-of-day) slot, residual = n − expected —
+    // exact integer sums with ONE IEEE division/subtraction per row,
+    // identical tree both engines, rounded 6dp. Scale: one corpus pass
+    // to the hourly rollup; the window partitions over the BOUNDED
+    // hours-per-type relation (|days|·24·|types| rows — calendar-bounded,
+    // never event-bounded, the win_cusum posture).
+    "win_seasonal_baseline" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hw"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hod", hour(col("hw")))
+      val w = Window.partitionBy("event_type", "hod")
+      val withStats = hourly
+        .withColumn("s1", sum(col("n")).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+      val expected = col("s1").cast("double") / col("cnt").cast("double")
+      withStats
+        .select(col("event_type"), col("hw"), col("hod"), col("n"),
+          round(expected, 6).as("expected"),
+          round(col("n").cast("double") - expected, 6).as("residual"))
+        .orderBy("event_type", "hw")
+    }),
+
     "win_rolling_median" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -340,6 +368,20 @@ object Windows {
     "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey"
 
   val oracles: Map[String, String] = Map(
+    // same hourly rollup, same (type, hour-of-day) slot windows over
+    // exact ints, same single division/subtraction
+    "win_seasonal_baseline" ->
+      ("WITH h AS (SELECT date_trunc('hour', ts) AS hw, event_type, " +
+       "count(*) AS n FROM events GROUP BY 1, 2), " +
+       "k AS (SELECT event_type, hw, CAST(hour(hw) AS INT) AS hod, n, " +
+       "CAST(sum(n) OVER (PARTITION BY event_type, hour(hw)) AS BIGINT) " +
+       "AS s1, " +
+       "count(*) OVER (PARTITION BY event_type, hour(hw)) AS cnt FROM h) " +
+       "SELECT event_type, hw, hod, n, " +
+       "round(CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS expected, " +
+       "round(CAST(n AS DOUBLE) - " +
+       "CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS residual " +
+       "FROM k ORDER BY event_type, hw"),
     // The outer CAST(... AS BIGINT) on the windowed sum is load-bearing on
     // the ORACLE side: DuckDB widens integer sum() to INT128 (HUGEINT),
     // which the driver's hasher materializes as float64, breaking the hash

@@ -348,6 +348,53 @@ class DataQualitySpec extends AnyFunSuite {
       === orphans)
   }
 
+  test("count-min: one-sided error law and full naive sketch replay") {
+    val out = SparkEntry.queries("agg_count_min")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 10)
+    // the defining CMS law: estimates never undercount
+    out.foreach { case (u, exact, est, over) =>
+      assert(est >= exact, s"user $u: CMS undercounted ($est < $exact)")
+      assert(over === est - exact)
+    }
+    // independent replay: rebuild the 4×256 counter table with java md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bh(d: Int, u: Long): String =
+      md.digest(s"$d:$u".getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString.take(2)
+    val users = Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getLong(0))
+    val ctr = scala.collection.mutable.Map[(Int, String), Long]()
+    users.foreach { u =>
+      (0 to 3).foreach { d =>
+        val k = (d, bh(d, u)); ctr(k) = ctr.getOrElse(k, 0L) + 1
+      }
+    }
+    out.foreach { case (u, _, est, _) =>
+      val naive = (0 to 3).map(d => ctr((d, bh(d, u)))).min
+      assert(est === naive, s"user $u: key $est vs naive $naive")
+    }
+  }
+
+  test("seasonal baseline: slot means replay and residuals sum to zero " +
+    "per slot") {
+    val out = SparkEntry.queries("win_seasonal_baseline")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.groupBy(t => (t._1, t._2)).foreach { case ((ty, hod), rows) =>
+      val mean = rows.map(_._3).sum.toDouble / rows.length
+      rows.foreach { case (_, _, n, expected, residual) =>
+        assert(math.abs(expected - mean) < 1e-5, s"$ty/$hod expected")
+        assert(math.abs(residual - (n - mean)) < 1e-5, s"$ty/$hod residual")
+      }
+      // residuals of a mean-baseline sum to ~0 within rounding
+      val rs = rows.map(_._5).sum
+      assert(math.abs(rs) < 1e-3 * rows.length, s"$ty/$hod residual sum $rs")
+    }
+  }
+
   test("cusum: closed form replays the naive max(0, S+d) recursion") {
     // The key computes S_t = P_t - min(0, min P_j) in scaled integer
     // space; this leg runs the textbook per-row recursion in doubles and

@@ -332,6 +332,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rrf fusion: provenance, bounds, and exact recomputation from the " +
+    "two source rankings") {
+    val fused = SparkEntry.queries("text_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(fused.nonEmpty)
+    val bm25 = SparkEntry.queries("text_bm25")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getInt(1)).toMap
+    // naive tf-idf top-10 per bm25 query term, replayed driver-side
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1))
+    val n = docs.length
+    val tf = scala.collection.mutable.Map[(String, Long), Long]()
+    docs.foreach { case (id, ts) => ts.foreach { t =>
+      tf((t, id)) = tf.getOrElse((t, id), 0L) + 1 } }
+    val df = tf.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val qterms = bm25.keys.map(_._1).toSet
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t10 = qterms.flatMap { q =>
+      docs.flatMap { case (id, _) => tf.get((q, id)).map(c =>
+        (id, r6(c * math.log((n + 1.0) / (df(q) + 1.0))))) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (q, id) -> (i + 1) }
+    }.toMap
+    val expected = qterms.flatMap { q =>
+      val cands = (bm25.keys ++ t10.keys).filter(_._1 == q).map(_._2).toSet
+      cands.map { id =>
+        val s = bm25.get((q, id)).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          t10.get((q, id)).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (q, id, r6(s))
+      }.toSeq.sortBy { case (_, id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((qq, id, s), i) => (qq, i + 1, id, s) }
+    }
+    assert(fused.toSet === expected,
+      "fused ranking must recompute exactly from the two source rankings")
+    fused.foreach { case (q, _, id, _) =>
+      assert(bm25.contains((q, id)) || t10.contains((q, id)),
+        s"($q, $id) appears in neither source top-10")
+    }
+  }
+
   test("PMI collocations replay from a naive driver-side count pass") {
     val docs = Tables.table(spark, sf, "documents")
       .select("doc_id", "text").collect()

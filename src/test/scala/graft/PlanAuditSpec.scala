@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_tfidf", "text_unigram_nll", // nll: 1-row broadcast total, like tfidf
     "text_ppl_buckets",               // same 1-row total via shared unigramNll
     "text_bm25",                      // 1-row broadcast (n, avgdl) stats
+    "text_rrf_fusion",                // same bm25 stats + 1-row broadcast n
     "dedup_incremental",              // 1-row broadcast max(doc_id) boundary
     "embed_ann_incremental",          // 1-row broadcast max(vec_id) boundary
     "embed_ann_sq8",                  // broadcast probes vs decoded corpus
