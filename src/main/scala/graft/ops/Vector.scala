@@ -132,6 +132,45 @@ object Vector {
         .orderBy("q_id", "rnk")
     }),
 
+    /** Matryoshka prefix-rerank ANN (round 17) — the adaptive-retrieval
+      * pattern MRL-trained embeddings enable: the first D′ dims of the
+      * vector are themselves a usable embedding, so stage 1 ranks the
+      * corpus by PREFIX-32 cosine (half the arithmetic per candidate —
+      * and at scale the prefix is stored as its own column next to the
+      * full vector, so the scan reads half the bytes) and only the
+      * top-100 survivors pay the exact 64-dim re-rank (bounded:
+      * 100 × |probes| rows). The budget is wide because this corpus's
+      * RANDOM embeddings are the adversarial case for prefix ranking
+      * (the prefix carries only D′/D of the signal and no cluster
+      * structure concentrates it — measured recall@5 0.92/0.96/0.78 at
+      * the three SFs); MRL-trained embeddings front-load the signal and
+      * run the same plan with a tighter budget. Same probe set and
+      * output shape as
+      * embed_cosine_topk, so VectorSpec pins recall@5 against the exact
+      * scan. Stage 1 reuses the sharded two-stage topK ranking
+      * machinery; every ordering carries the (rounded sim, vec_id)
+      * total tie-break. */
+    "embed_ann_matryoshka" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))
+      val pref = e.select(col("vec_id"), col("label"),
+        slice(col("v"), 1, 32).as("v"))
+      val probesPref = probes
+        .select(col("q_id"), slice(col("q"), 1, 32).as("q"))
+      val cand = topK(pref, probesPref, 100).select("q_id", "vec_id")
+      val rer = cand
+        .join(e.select(col("vec_id"), col("v")), "vec_id")
+        .join(broadcast(probes.select(col("q_id"), col("q").as("qf"))),
+          "q_id")
+        .withColumn("sim", round(cosine(col("qf"), col("v")), 6))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      rer.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
+        .orderBy("q_id", "rnk")
+    }),
+
     /** kNN label prediction (k=10, majority vote, smaller label wins
       * ties) for the 100 held-out ids vec_id < 100 against the rest of the
       * corpus. Every step carries a total tie-break (rounded sim + vec_id
@@ -356,6 +395,24 @@ object Vector {
        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk " +
        "FROM sims) " +
        "SELECT q_id, rnk, vec_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"),
+    // DuckDB's l[1:32] is 1-based inclusive-first-32 ≡ Spark slice(v,1,32)
+    "embed_ann_matryoshka" ->
+      ("WITH p AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q " +
+       "FROM embeddings WHERE vec_id < 10), " +
+       "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+       "FROM embeddings), " +
+       "sims AS (SELECT p.q_id, c.vec_id, " +
+       "round(list_cosine_similarity(p.q[1:32], c.v[1:32]), 6) AS sim " +
+       "FROM p CROSS JOIN c WHERE c.vec_id <> p.q_id), " +
+       "cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+       "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) " +
+       "AS r FROM sims) WHERE r <= 100), " +
+       "rr AS (SELECT cand.q_id, cand.vec_id, " +
+       "round(list_cosine_similarity(p.q, c.v), 6) AS sim " +
+       "FROM cand JOIN p USING (q_id) JOIN c USING (vec_id)) " +
+       "SELECT q_id, rnk, vec_id, sim FROM (SELECT q_id, vec_id, sim, " +
+       "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) " +
+       "AS rnk FROM rr) WHERE rnk <= 5 ORDER BY q_id, rnk"),
     "embed_knn_label" ->
       ("WITH p AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q " +
        "FROM embeddings WHERE vec_id < 100), " +

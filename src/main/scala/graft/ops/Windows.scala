@@ -107,6 +107,56 @@ object Windows {
         .orderBy("event_type", "hw")
     }),
 
+    // Autocorrelation function (round 17) — the lag-k self-correlation
+    // of hourly volumes per type (k = 1..3), the diagnostic that tells a
+    // monitor WHICH seasonal/cusum baseline to trust (high ACF = the
+    // series is momentum-driven and a per-window z-score whipsaws). One
+    // lag() window over the bounded hourly relation emits all three
+    // (lag_k, y) pairs via an exploded struct array; per (type, k) the
+    // only aggregates are exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    // in DECIMAL(38,0) — a long Σx² overflows once hourly counts pass
+    // ~3e9 (the agg_ab_ttest envelope; x·y is computed in long FIRST,
+    // inside that envelope, then widened; DuckDB sums in HUGEINT) — and
+    // the Pearson r over them is ONE double expression written with
+    // identical association in the oracle, NULL-gated when either
+    // variance term is 0 (constant series). Scale: one corpus pass to
+    // the hourly rollup; everything after runs on calendar-bounded rows.
+    "win_acf" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hw"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("hw")
+      val lagged = hourly
+        // window exprs first, THEN the generator — a lag() inside
+        // explode()'s argument is an unsupported operator combination
+        .withColumns(Map(
+          "l1" -> lag(col("n"), 1).over(w),
+          "l2" -> lag(col("n"), 2).over(w),
+          "l3" -> lag(col("n"), 3).over(w)))
+        .withColumn("p", explode(array((1 to 3).map(k =>
+          struct(lit(k).as("k"), col(s"l$k").as("y"))): _*)))
+        .where(col("p.y").isNotNull)
+        .select(col("event_type"), col("p.k").as("lag_k"),
+          col("n").as("x"), col("p.y").as("y"))
+      val g = lagged.groupBy("event_type", "lag_k").agg(
+        count(lit(1)).as("np"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x") * col("y"))).as("sxy"),
+        sum(d38(col("x") * col("x"))).as("sxx"),
+        sum(d38(col("y") * col("y"))).as("syy"))
+      val num = col("np").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val d1 = col("np").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val d2 = col("np").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      val ok = d1 > 0 && d2 > 0
+      g.select(col("event_type"), col("lag_k"), col("np").as("n_pairs"),
+          when(ok, round(num / (sqrt(d1) * sqrt(d2)), 6)).as("acf"))
+        .orderBy("event_type", "lag_k")
+    }),
+
     "win_rolling_median" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -368,6 +418,35 @@ object Windows {
     "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey"
 
   val oracles: Map[String, String] = Map(
+    // same hourly rollup, three lag() blocks unioned, HUGEINT sums, the
+    // identical Pearson double tree NULL-gated on zero variance
+    "win_acf" -> {
+      val blocks = (1 to 3).map { k =>
+        s"SELECT event_type, $k AS lag_k, n AS x, " +
+        s"lag(n, $k) OVER (PARTITION BY event_type ORDER BY hw) AS y FROM h"
+      }.mkString(" UNION ALL ")
+      "WITH h AS (SELECT date_trunc('hour', ts) AS hw, event_type, " +
+      "count(*) AS n FROM events GROUP BY 1, 2), " +
+      s"lg AS (SELECT * FROM ($blocks) WHERE y IS NOT NULL), " +
+      "g AS (SELECT event_type, lag_k, count(*) AS np, " +
+      "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy, " +
+      "CAST(sum(x * y) AS HUGEINT) AS sxy, " +
+      "CAST(sum(x * x) AS HUGEINT) AS sxx, " +
+      "CAST(sum(y * y) AS HUGEINT) AS syy " +
+      "FROM lg GROUP BY 1, 2), " +
+      "k AS (SELECT event_type, lag_k, np, " +
+      "CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num, " +
+      "CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS d1, " +
+      "CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS d2 FROM g) " +
+      "SELECT event_type, CAST(lag_k AS INT) AS lag_k, " +
+      "CAST(np AS BIGINT) AS n_pairs, " +
+      "CASE WHEN d1 > 0 AND d2 > 0 THEN " +
+      "round(num / (sqrt(d1) * sqrt(d2)), 6) END AS acf " +
+      "FROM k ORDER BY event_type, lag_k"
+    },
     // same hourly rollup, same (type, hour-of-day) slot windows over
     // exact ints, same single division/subtraction
     "win_seasonal_baseline" ->

@@ -348,6 +348,44 @@ class DataQualitySpec extends AnyFunSuite {
       === orphans)
   }
 
+  test("acf: Pearson r replays from a naive driver-side lagged pass, " +
+    "lag-0 sanity = 1") {
+    val out = SparkEntry.queries("win_acf")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(out.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hw"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2)))
+    def pearson(xs: Seq[Long], ys: Seq[Long]): Option[Double] = {
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val d1 = xs.map(x => (x - mx) * (x - mx)).sum
+      val d2 = ys.map(y => (y - my) * (y - my)).sum
+      if (d1 > 0 && d2 > 0) Some(num / math.sqrt(d1 * d2)) else None
+    }
+    hourly.groupBy(_._1).foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(_._3).toSeq
+      (1 to 3).foreach { k =>
+        val x = series.drop(k); val y = series.dropRight(k)
+        val (np, acf) = out((t, k))
+        assert(np === x.length.toLong, s"$t lag $k pair count")
+        (pearson(x, y), acf) match {
+          case (Some(p), Some(a)) =>
+            assert(math.abs(a - p) < 1e-5, s"$t lag $k: key $a vs naive $p")
+          case (None, None) =>
+          case (p, a) => fail(s"$t lag $k gate mismatch: naive $p key $a")
+        }
+      }
+      // internal-consistency sanity: the same estimator at lag 0 is 1
+      assert(pearson(series, series).forall(p => math.abs(p - 1) < 1e-12))
+    }
+  }
+
   test("count-min: one-sided error law and full naive sketch replay") {
     val out = SparkEntry.queries("agg_count_min")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -26,6 +26,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // key itself, the theta/interval joins, and every embedding op that
   // broadcasts a small probe/centroid set against the corpus.
   private val crossOk = Set("join_cross", "join_theta_range", "join_interval",
+    "embed_ann_matryoshka",           // broadcast probes, prefix then re-rank
     "embed_cosine_topk", "embed_knn_label", "embed_neardup", "embed_ann_ivf",
     "embed_ann_pq",        // broadcast probe LUTs vs corpus codes
     "embed_ann_ivfpq",     // broadcast probe LUTs + cell routing vs code table
