@@ -572,6 +572,36 @@ object Pipeline {
     // single-shuffle except the CC fixpoint, which reads the staged pair
     // artifact (at 100 TB: pair lists + cluster labels live next to the
     // corpus; this query then costs one scan + one window).
+    // INCREMENTAL clean→pack (round 17) — the composition real pipelines
+    // actually run day to day: pipeline_clean_pack is the backfill;
+    // every ingest after it processes ONE BATCH (here the top-10% newest
+    // doc_ids — the dedup_incremental boundary convention) against the
+    // STAGED corpus. The batch is (1) deduped against the corpus via the
+    // shared dedup_incremental derivation (asymmetric PPJoin probing the
+    // staged gram index — reusing the declared key's function, so the
+    // dedup rule can never drift from the one the driver gates),
+    // (2) quality-filtered and mixture-sampled under the SAME rules as
+    // the backfill (shared qualityScore/draw/rate), and (3) packed with
+    // the SAME shard rule (shared packRollup) — shard ids are
+    // batch-relative (an incremental pack appends new shards; it never
+    // renumbers history). Work is batch-proportional: the corpus is
+    // touched only through the staged gram index the dedup probe reads.
+    "pipeline_incremental_clean_pack" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val batch = docs.crossJoin(broadcast(mx))
+        .where(col("doc_id") * 10 >= col("mx") * 9)
+      val dupIds = Dedup.queries("dedup_incremental")(s, dir)
+        .select("doc_id").distinct()
+      packRollup(
+        batch.join(dupIds, Seq("doc_id"), "left_anti")
+          .where(TextQuality.qualityScore >= 0.5)
+          .where(draw < rate)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks")),
+        s)
+    }),
+
     "pipeline_clean_pack" -> ((s, dir) => {
       val dups = ccLabels(s, dir)
         .where(col("doc") =!= col("lbl"))
@@ -1336,6 +1366,40 @@ object Pipeline {
     // Composes the four verified stage oracles (cluster CTE = dedup_cluster's,
     // quality CASE = text_quality's, draw = sample_stratified's, window =
     // pack_sequences') — any drift in a stage shows up in its own row first.
+    // dedup_incremental's pair CTE (batch-vs-index, no recursive CC
+    // needed — cross-corpus dups are direct pairs) + clean_pack's
+    // q/filt/pack text restricted to the batch side
+    "pipeline_incremental_clean_pack" ->
+      ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 3), " +
+        "mx AS (SELECT max(doc_id) AS mx FROM documents), " +
+        "sizes AS (SELECT doc_id, len(g) AS sz FROM grams), " +
+        "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
+        "pr AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_id, count(*) AS inter " +
+        "FROM inv a JOIN inv b ON a.gram = b.gram, mx " +
+        "WHERE a.doc_id * 10 >= mx.mx * 9 AND b.doc_id * 10 < mx.mx * 9 " +
+        "GROUP BY 1, 2), " +
+        "dups AS (SELECT DISTINCT p.doc_id FROM pr p " +
+        "JOIN sizes sa ON sa.doc_id = p.doc_id " +
+        "JOIN sizes sb ON sb.doc_id = p.dup_id " +
+        "WHERE inter / (sa.sz + sb.sz - inter) >= 0.8), " +
+        "q AS (SELECT d.doc_id, d.source, d.lang, d.text, round(" +
+        "(CASE WHEN d.n_chars BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END) + " +
+        "(CASE WHEN d.n_chars * 1.0 / len(string_split(lower(d.text), ' ')) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END) + " +
+        "(CASE WHEN len(list_intersect(list_distinct(string_split(lower(d.text), ' ')), " +
+        "['the','a','and','of','to'])) * 1.0 / len(string_split(lower(d.text), ' ')) > 0.01 THEN 0.2 ELSE 0.0 END) + " +
+        "(CASE WHEN len(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) * 1.0 / d.n_chars < 0.1 THEN 0.1 ELSE 0.0 END), 2) AS q " +
+        "FROM documents d, mx WHERE d.doc_id * 10 >= mx.mx * 9 " +
+        "AND d.doc_id NOT IN (SELECT doc_id FROM dups)), " +
+        "filt AS (SELECT doc_id, source, text FROM q " +
+        "WHERE q >= 0.5 AND ((doc_id * 48271) % 2147483647) % 100 < " +
+        "(CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'es' THEN 75 WHEN 'fr' THEN 90 ELSE 100 END)), " +
+        "c AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks, " +
+        "coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM filt) " +
+        "SELECT source, CAST(cum // 512 AS BIGINT) AS shard, count(*) AS n_docs, " +
+        "CAST(sum(toks) AS BIGINT) AS sum_toks FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
     "pipeline_clean_pack" ->
       ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
         "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +

@@ -332,6 +332,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental clean-pack: totals equal an independent survivor " +
+    "count, shards contiguous per source") {
+    val out = SparkEntry.queries("pipeline_incremental_clean_pack")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // independent survivor derivation: batch boundary + declared dedup
+    // key output + the clean_pack quality/draw rules replayed directly
+    val docs = Tables.table(spark, sf, "documents")
+    val mxv = docs.agg(max("doc_id")).head().getLong(0)
+    val dupIds = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val survivors = docs.where(ops.TextQuality.qualityScore >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = docs.select("doc_id", "lang", "text").collect().filter { r =>
+      val id = r.getLong(0)
+      val rateV = r.getString(1) match {
+        case "en" => 25; case "de" => 50; case "es" => 75; case "fr" => 90
+        case _ => 100
+      }
+      id * 10 >= mxv * 9 && !dupIds(id) && survivors(id) &&
+        ((id * 48271L) % 2147483647L) % 100 < rateV
+    }
+    assert(out.map(_._3).sum === kept.length.toLong,
+      "packed doc total must equal the independent survivor count")
+    val toks = kept.map(r => r.getString(2).split(" ", -1).length.toLong).sum
+    assert(out.map(_._4).sum === toks, "packed token mass must match")
+    out.groupBy(_._1).foreach { case (src, shards) =>
+      val ids = shards.map(_._2).sorted.toSeq
+      assert(ids === (0L until ids.length).toSeq,
+        s"$src shards not contiguous from 0: $ids")
+    }
+  }
+
   test("rrf fusion: provenance, bounds, and exact recomputation from the " +
     "two source rankings") {
     val fused = SparkEntry.queries("text_rrf_fusion")(spark, sf).collect()

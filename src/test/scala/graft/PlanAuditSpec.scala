@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_bm25",                      // 1-row broadcast (n, avgdl) stats
     "text_rrf_fusion",                // same bm25 stats + 1-row broadcast n
     "dedup_incremental",              // 1-row broadcast max(doc_id) boundary
+    "pipeline_incremental_clean_pack", // same boundary broadcast, composed
     "embed_ann_incremental",          // 1-row broadcast max(vec_id) boundary
     "embed_ann_sq8",                  // broadcast probes vs decoded corpus
     "dedup_semantic",                 // broadcast √N centroid set vs corpus (assignCells)
