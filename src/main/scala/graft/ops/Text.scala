@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{D, Tables}
 import graft.QueryDefs.Q
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.10 text-analysis + dedup operators over `documents`.
@@ -47,9 +47,7 @@ object Text {
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       tf.join(df, "term").crossJoin(broadcast(n))
-        .select(col("doc_id"), col("term"),
-          round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
-            .as("score"))
+        .select(col("doc_id"), col("term"), tfidfScore.as("score"))
         .orderBy(col("score").desc, col("doc_id"), col("term"))
         .limit(100)
     }),
@@ -101,19 +99,12 @@ object Text {
       * corpus size; the cost lives in the rankers, which stay
       * WindowGroupLimit-bounded. */
     "text_rrf_fusion" -> ((s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
-      val toks = docs
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val qterms = df.orderBy(col("df").desc, col("term")).limit(5)
-      val n = docs.agg(count(lit(1)).as("n"))
-      val tscore = round(col("tf") *
-        log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+      val p = bm25Parts(s, dir)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("term").orderBy(col("score").desc, col("doc_id"))
-      val t10 = tf.join(broadcast(qterms), "term").crossJoin(broadcast(n))
-        .select(col("term"), col("doc_id"), tscore.as("score"))
+      val t10 = p.tf.join(broadcast(p.qterms), "term")
+        .crossJoin(broadcast(p.n))
+        .select(col("term"), col("doc_id"), tfidfScore.as("score"))
         .withColumn("trnk", row_number().over(w))
         .where(col("trnk") <= 10).select("term", "doc_id", "trnk")
       val b10 = bm25Top10(s, dir)
@@ -240,8 +231,18 @@ object Text {
     * (planned as a partial WindowGroupLimit). avgdl is an exact BIGINT
     * token count over an exact doc count divided ONCE; one shared IEEE
     * expression tree per row, rounded 6dp at the end. */
-  private def bm25Top10(s: org.apache.spark.sql.SparkSession,
-                        dir: String): DataFrame = {
+  /** The shared tokenize → tf/dl/df → derived query set → corpus stats
+    * derivations behind text_bm25 AND text_rrf_fusion's second ranker —
+    * ONE definition so the fusion's inputs can never drift from the
+    * declared rankings (r17 review: the rrf key originally re-derived
+    * all four relations inline — two full corpus tokenize+aggregate
+    * pipelines per run and a silent-drift risk the oracle side had
+    * already eliminated with its shared CTE prefix). */
+  private case class Bm25Parts(tf: DataFrame, dl: DataFrame,
+                               qterms: DataFrame, n: DataFrame,
+                               stats: DataFrame)
+  private def bm25Parts(s: org.apache.spark.sql.SparkSession,
+                        dir: String): Bm25Parts = {
     val docs = Tables.table(s, dir, "documents")
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
@@ -249,17 +250,28 @@ object Text {
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = df.orderBy(col("df").desc, col("term")).limit(5)
-    val stats = toks.agg(count(lit(1)).as("toktot"))
-      .crossJoin(docs.agg(count(lit(1)).as("n")))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val stats = toks.agg(count(lit(1)).as("toktot")).crossJoin(n)
       .select(col("n"), (col("toktot").cast("double") / col("n")).as("avgdl"))
+    Bm25Parts(tf, dl, qterms, n, stats)
+  }
+
+  /** The text_tfidf scoring expression (tf · ln((N+1)/(df+1)), 6dp) —
+    * shared with text_rrf_fusion's second ranker. */
+  private def tfidfScore: Column =
+    round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+
+  private def bm25Top10(s: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val p = bm25Parts(s, dir)
     val k1 = lit(1.2)
     val b = lit(0.75)
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val score = idf * (col("tf") * (k1 + 1.0)) /
       (col("tf") + k1 * (lit(1.0) - b + b * (col("dl") / col("avgdl"))))
-    val scored = tf.join(broadcast(qterms), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+    val scored = p.tf.join(broadcast(p.qterms), "term")
+      .join(p.dl, "doc_id")
+      .crossJoin(broadcast(p.stats))
       .select(col("term"), col("doc_id"), round(score, 6).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("term").orderBy(col("score").desc, col("doc_id"))

@@ -399,42 +399,66 @@ object Warehouse {
     // ONE foreign key as part of its six-assertion gate; this is the
     // whole-schema version a warehouse actually publishes: every
     // declared FK edge in the corpus, one row each with child
-    // cardinality, orphan count, orphan rate, and the pass flag. Each
-    // edge is a left join against the parent KEY COLUMN only (column
-    // pruning reaches the scan) folded straight into a count/sum
-    // aggregate — at 100 TB both sides hash on the key, the dims
-    // broadcast, and only the per-edge counters come back; the report
-    // is |edges| rows no matter the fact volume. Orphan rate is the one
-    // IEEE division, over exact longs, rounded 6dp.
+    // cardinality, orphan count, orphan rate, and the pass flag.
+    // Parent sides join as DISTINCT key sets: a duplicated parent key —
+    // exactly the dirty-data condition an RI audit exists around, and
+    // one dq_expectations checks for elsewhere — would otherwise fan
+    // the left join out and inflate n_child past the child cardinality
+    // while the oracle's per-child-row NOT EXISTS stayed put (r17
+    // review finding; the distinct makes join ≡ exists). The three
+    // lineitem edges ride ONE fact scan: three left joins (orders keys
+    // hash; part/supplier broadcast) into a single six-counter
+    // aggregate, unpacked to rows dq_profile-style — not three separate
+    // corpus scans (same review). The report is |edges| rows no matter
+    // the fact volume; orphan rate is the one IEEE division, over exact
+    // longs, rounded 6dp.
     "dq_referential_audit" -> ((s, dir) => {
+      val t = (n: String) => Tables.table(s, dir, n)
+      def keys(n: String, pk: String) = t(n).select(col(pk)).distinct()
+      def finish(raw: DataFrame): DataFrame = raw
+        .select(col("fk_edge"), col("n_child"), col("n_orphans"),
+          round(col("n_orphans").cast("double") /
+            col("n_child").cast("double"), 6).as("orphan_rate"),
+          (col("n_orphans") === 0).as("ok"))
       def edge(tag: String, child: DataFrame, fk: String,
-               parent: DataFrame, pk: String): DataFrame =
-        child.select(col(fk)).join(parent.select(col(pk)),
-            col(fk) === col(pk), "left")
+               parentKeys: DataFrame, pk: String): DataFrame =
+        finish(child.select(col(fk))
+          .join(parentKeys, col(fk) === col(pk), "left")
           .agg(count(lit(1)).as("n_child"),
             sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
-          .select(lit(tag).as("fk_edge"), col("n_child"), col("n_orphans"),
-            round(col("n_orphans").cast("double") /
-              col("n_child").cast("double"), 6).as("orphan_rate"),
-            (col("n_orphans") === 0).as("ok"))
-      val t = (n: String) => Tables.table(s, dir, n)
+          .select(lit(tag).as("fk_edge"), col("n_child"), col("n_orphans")))
+      val liWide = t("lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .join(keys("orders", "o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(broadcast(keys("part", "p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(keys("supplier", "s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("oo"),
+          sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("po"),
+          sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("so"))
+      val liEdges = finish(liWide.select(explode(array(
+          struct(lit("lineitem.l_orderkey->orders").as("fk_edge"),
+            col("n").as("n_child"), col("oo").as("n_orphans")),
+          struct(lit("lineitem.l_partkey->part").as("fk_edge"),
+            col("n").as("n_child"), col("po").as("n_orphans")),
+          struct(lit("lineitem.l_suppkey->supplier").as("fk_edge"),
+            col("n").as("n_child"), col("so").as("n_orphans")))).as("r"))
+        .select("r.fk_edge", "r.n_child", "r.n_orphans"))
       Seq(
         edge("customer.c_nationkey->nation", t("customer"), "c_nationkey",
-          t("nation"), "n_nationkey"),
+          keys("nation", "n_nationkey"), "n_nationkey"),
         edge("events.user_id->customer", t("events"), "user_id",
-          t("customer"), "c_custkey"),
-        edge("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
-          t("orders"), "o_orderkey"),
-        edge("lineitem.l_partkey->part", t("lineitem"), "l_partkey",
-          t("part"), "p_partkey"),
-        edge("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
-          t("supplier"), "s_suppkey"),
+          keys("customer", "c_custkey"), "c_custkey"),
+        liEdges,
         edge("nation.n_regionkey->region", t("nation"), "n_regionkey",
-          t("region"), "r_regionkey"),
+          keys("region", "r_regionkey"), "r_regionkey"),
         edge("orders.o_custkey->customer", t("orders"), "o_custkey",
-          t("customer"), "c_custkey"),
+          keys("customer", "c_custkey"), "c_custkey"),
         edge("supplier.s_nationkey->nation", t("supplier"), "s_nationkey",
-          t("nation"), "n_nationkey"))
+          keys("nation", "n_nationkey"), "n_nationkey"))
         .reduce(_ unionByName _)
         .orderBy("fk_edge")
     }),

@@ -17,6 +17,32 @@ import org.apache.spark.sql.expressions.Window
   */
 object Windows {
 
+  /** The DENSIFIED hourly volume series (event_type, hw, n) — each
+    * type's calendar hours from its first to its last observed hour,
+    * zero-filled where no events landed. Shared by win_acf and
+    * win_seasonal_baseline: zero-volume hours are real observations for
+    * a volume monitor (a lag over the observed-rows-only rollup would
+    * treat hours across a gap as adjacent; a seasonal mean would skip
+    * exactly the hours that drag a sparse slot down — r17 review
+    * finding; the dq_drift_psi explode(sequence) densification
+    * precedent). The spine is per-type (no fabricated hours before a
+    * type first existed) and stays |days|·24·|types| rows — calendar-
+    * bounded, never event-bounded. */
+  private def denseHourly(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hw"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hourly.groupBy("event_type")
+      .agg(min(col("hw")).as("h0"), max(col("hw")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hw"))
+      .join(hourly, Seq("event_type", "hw"), "left")
+      .select(col("event_type"), col("hw"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "win_row_number_topk" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -83,17 +109,19 @@ object Windows {
     // profile every traffic monitor subtracts before alarming: raw
     // volume z-scores (dq_anomaly_volume) flag every rush hour as an
     // anomaly; comparing each hour to ITS OWN seasonal slot (the mean of
-    // all same-hour-of-day hours for that type) is the fix. expected =
-    // Σn/cnt over the (type, hour-of-day) slot, residual = n − expected —
-    // exact integer sums with ONE IEEE division/subtraction per row,
-    // identical tree both engines, rounded 6dp. Scale: one corpus pass
-    // to the hourly rollup; the window partitions over the BOUNDED
-    // hours-per-type relation (|days|·24·|types| rows — calendar-bounded,
-    // never event-bounded, the win_cusum posture).
+    // all same-hour-of-day hours for that type) is the fix. The slot
+    // means run over the DENSIFIED series (shared denseHourly spine):
+    // zero-volume hours are exactly the observations a seasonal mean
+    // must count, or sparse slots bias upward (r17 review finding).
+    // expected = Σn/cnt over the (type, hour-of-day) slot, residual =
+    // n − expected — exact integer sums with ONE IEEE division/
+    // subtraction per row, identical tree both engines, rounded 6dp.
+    // Scale: one corpus pass to the hourly rollup; the window
+    // partitions over the BOUNDED hours-per-type relation
+    // (|days|·24·|types| rows — calendar-bounded, never event-bounded,
+    // the win_cusum posture).
     "win_seasonal_baseline" -> ((s, dir) => {
-      val hourly = Tables.events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("hw"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
+      val hourly = denseHourly(s, dir)
         .withColumn("hod", hour(col("hw")))
       val w = Window.partitionBy("event_type", "hod")
       val withStats = hourly
@@ -110,22 +138,23 @@ object Windows {
     // Autocorrelation function (round 17) — the lag-k self-correlation
     // of hourly volumes per type (k = 1..3), the diagnostic that tells a
     // monitor WHICH seasonal/cusum baseline to trust (high ACF = the
-    // series is momentum-driven and a per-window z-score whipsaws). One
-    // lag() window over the bounded hourly relation emits all three
-    // (lag_k, y) pairs via an exploded struct array; per (type, k) the
-    // only aggregates are exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²)
-    // in DECIMAL(38,0) — a long Σx² overflows once hourly counts pass
-    // ~3e9 (the agg_ab_ttest envelope; x·y is computed in long FIRST,
-    // inside that envelope, then widened; DuckDB sums in HUGEINT) — and
-    // the Pearson r over them is ONE double expression written with
-    // identical association in the oracle, NULL-gated when either
-    // variance term is 0 (constant series). Scale: one corpus pass to
-    // the hourly rollup; everything after runs on calendar-bounded rows.
+    // series is momentum-driven and a per-window z-score whipsaws). The
+    // series is the DENSIFIED hourly volume (shared denseHourly spine —
+    // zero-volume hours are real observations; a rollup-only lag would
+    // silently treat hours across a gap as adjacent, r17 review
+    // finding). One lag() window emits all three (lag_k, y) pairs via
+    // an exploded struct array; per (type, k) the only aggregates are
+    // exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) in DECIMAL(38,0) —
+    // a long Σx² overflows once hourly counts pass ~3e9 (the
+    // agg_ab_ttest envelope; x·y is computed in long FIRST, inside that
+    // envelope, then widened; DuckDB sums in HUGEINT) — and the Pearson
+    // r over them is ONE double expression written with identical
+    // association in the oracle, NULL-gated when either variance term
+    // is 0 (constant series). Scale: one corpus pass to the hourly
+    // rollup; everything after runs on calendar-bounded rows.
     "win_acf" -> ((s, dir) => {
       val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val hourly = Tables.events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("hw"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
+      val hourly = denseHourly(s, dir)
       val w = Window.partitionBy("event_type").orderBy("hw")
       val lagged = hourly
         // window exprs first, THEN the generator — a lag() inside
@@ -417,16 +446,29 @@ object Windows {
   private val custW =
     "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey"
 
+  /** denseHourly's DuckDB replay, ending in `d(event_type, hw, n)` —
+    * one constant shared by the win_acf and win_seasonal_baseline
+    * oracles so the spine rule can never drift between them. */
+  private val DenseHourlyCte =
+    "h AS (SELECT date_trunc('hour', ts) AS hw, event_type, " +
+    "count(*) AS n FROM events GROUP BY 1, 2), " +
+    "sp AS (SELECT event_type, " +
+    "unnest(generate_series(min(hw), max(hw), INTERVAL 1 HOUR)) AS hw " +
+    "FROM h GROUP BY event_type), " +
+    "d AS (SELECT sp.event_type, sp.hw, " +
+    "CAST(coalesce(h.n, 0) AS BIGINT) AS n FROM sp " +
+    "LEFT JOIN h ON sp.event_type = h.event_type AND sp.hw = h.hw)"
+
   val oracles: Map[String, String] = Map(
-    // same hourly rollup, three lag() blocks unioned, HUGEINT sums, the
-    // identical Pearson double tree NULL-gated on zero variance
+    // same densified per-type hour spine, three lag() blocks unioned,
+    // HUGEINT sums, the identical Pearson double tree NULL-gated on
+    // zero variance
     "win_acf" -> {
       val blocks = (1 to 3).map { k =>
         s"SELECT event_type, $k AS lag_k, n AS x, " +
-        s"lag(n, $k) OVER (PARTITION BY event_type ORDER BY hw) AS y FROM h"
+        s"lag(n, $k) OVER (PARTITION BY event_type ORDER BY hw) AS y FROM d"
       }.mkString(" UNION ALL ")
-      "WITH h AS (SELECT date_trunc('hour', ts) AS hw, event_type, " +
-      "count(*) AS n FROM events GROUP BY 1, 2), " +
+      "WITH " + DenseHourlyCte + ", " +
       s"lg AS (SELECT * FROM ($blocks) WHERE y IS NOT NULL), " +
       "g AS (SELECT event_type, lag_k, count(*) AS np, " +
       "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy, " +
@@ -447,15 +489,14 @@ object Windows {
       "round(num / (sqrt(d1) * sqrt(d2)), 6) END AS acf " +
       "FROM k ORDER BY event_type, lag_k"
     },
-    // same hourly rollup, same (type, hour-of-day) slot windows over
+    // same densified spine, same (type, hour-of-day) slot windows over
     // exact ints, same single division/subtraction
     "win_seasonal_baseline" ->
-      ("WITH h AS (SELECT date_trunc('hour', ts) AS hw, event_type, " +
-       "count(*) AS n FROM events GROUP BY 1, 2), " +
+      ("WITH " + DenseHourlyCte + ", " +
        "k AS (SELECT event_type, hw, CAST(hour(hw) AS INT) AS hod, n, " +
        "CAST(sum(n) OVER (PARTITION BY event_type, hour(hw)) AS BIGINT) " +
        "AS s1, " +
-       "count(*) OVER (PARTITION BY event_type, hour(hw)) AS cnt FROM h) " +
+       "count(*) OVER (PARTITION BY event_type, hour(hw)) AS cnt FROM d) " +
        "SELECT event_type, hw, hod, n, " +
        "round(CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS expected, " +
        "round(CAST(n AS DOUBLE) - " +

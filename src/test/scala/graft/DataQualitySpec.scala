@@ -369,7 +369,12 @@ class DataQualitySpec extends AnyFunSuite {
       if (d1 > 0 && d2 > 0) Some(num / math.sqrt(d1 * d2)) else None
     }
     hourly.groupBy(_._1).foreach { case (t, rows) =>
-      val series = rows.sortBy(_._2.getTime).map(_._3).toSeq
+      // densify to the per-type hour spine (zero-volume hours are real
+      // observations — mirrors the key's shared denseHourly derivation)
+      val byHour = rows.map(r => r._2.getTime -> r._3).toMap
+      val (t0, t1) = (byHour.keys.min, byHour.keys.max)
+      val series = (t0 to t1 by 3600000L)
+        .map(h => byHour.getOrElse(h, 0L)).toSeq
       (1 to 3).foreach { k =>
         val x = series.drop(k); val y = series.dropRight(k)
         val (np, acf) = out((t, k))
