@@ -769,6 +769,47 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // HLL sketch INTERSECTION (round 17) — audience overlap, the
+    // question sketch stores get asked second ("how many users did BOTH
+    // X and Y") and the one HLL cannot answer directly: intersections
+    // come by inclusion-exclusion, est(A) + est(B) − est(A∪B), over the
+    // SAME mergeable per-type sketches agg_hll_merge maintains — the
+    // whole point of keeping sketches instead of exact sets is that
+    // every pairwise overlap then costs |types|² sketch-merges, not
+    // |types|² corpus passes. Per unordered type pair: the exact
+    // overlap (count of users present in both — the distinct (user,
+    // type) self-join fans out ≤ |types|²/row, bounded) plus the
+    // contract flag |est − exact| ≤ 0.1·exact + 50 (inclusion-exclusion
+    // COMPOUNDS the three sketches' errors, hence the looser-than-5%
+    // relative bound; the +50 absolute slack keeps a small-overlap
+    // regenerated corpus from flapping a 3σ gate). Estimates stay out
+    // of the output (engine-specific), the agg_hll_merge posture.
+    "agg_hll_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_type", "user_id")
+      val sk = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val est = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          (hll_sketch_estimate(col("a.sk")) +
+            hll_sketch_estimate(col("b.sk")) -
+            hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+            .as("est"))
+      val ut = ev.distinct()
+      val exact = ut.as("x").join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      exact.join(est, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_exact"),
+          (abs(col("est") - col("n_exact").cast("double")) <=
+            col("n_exact").cast("double") * 0.1 + 50).as("within_bound"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Mergeable QUANTILE sketch (Greenwald-Khanna summaries): the exact
     // `agg_median_percentile` twin that survives 100 TB — exact
     // percentiles buffer every value per group; the GK summary is a
@@ -875,6 +916,15 @@ object Aggs {
       ("SELECT event_type, " +
        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
        "TRUE AS within_5pct FROM events GROUP BY 1 ORDER BY 1"),
+    "agg_hll_intersect" ->
+      // same contract pattern: exact pairwise overlap via the distinct
+      // (user, type) self-join + the constant-TRUE compound bound
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) " +
+       "SELECT x.event_type AS type_a, y.event_type AS type_b, " +
+       "count(*) AS n_exact, TRUE AS within_bound " +
+       "FROM ut x JOIN ut y ON x.user_id = y.user_id " +
+       "AND x.event_type < y.event_type " +
+       "GROUP BY 1, 2 ORDER BY 1, 2"),
     "agg_hll_merge" ->
       // same contract pattern: exact count + constant-TRUE ±5% bound
       ("SELECT event_type, " +

@@ -212,6 +212,37 @@ object Joins {
         .orderBy("p_id")
     }),
 
+    // As-of join with TOLERANCE (round 17; pandas merge_asof
+    // tolerance=, kdb wj with a window bound) — the market-data form:
+    // a quote older than the staleness bound must NOT price the trade.
+    // Same single-window union-sort machinery as join_asof, but every
+    // purchase row survives (left semantics) and the matched signup is
+    // NULL-gated behind gap ≤ 1 h. The gap is integer seconds on
+    // second-truncated stamps (exact both engines); a purchase with no
+    // prior signup at all carries NULLs through the same gate (NULL gap
+    // fails ≤ identically in both engines). Scale: unchanged from
+    // join_asof — one exchange on user_id, one per-user sort, never a
+    // row×row time join.
+    "join_asof_tolerance" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"),
+                date_trunc("second", col("ts")).as("tss"), col("event_type"))
+        .withColumn("sig_ts",
+          when(col("event_type") === "signup", col("tss")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tss").asc, col("event_type").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev_signup", last("sig_ts", ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("gap_s",
+          unix_timestamp(col("tss")) - unix_timestamp(col("prev_signup")))
+        .select(col("event_id").as("p_id"), col("user_id"),
+          when(col("gap_s") <= 3600, col("prev_signup")).as("matched_signup"),
+          when(col("gap_s") <= 3600, col("gap_s")).as("gap_s"))
+        .orderBy("p_id")
+    }),
+
     // As-of join, NEAREST direction (pandas merge_asof
     // direction='nearest'; kdb wj) — each purchase matched to the closest
     // signup in EITHER time direction, ties to the earlier one. Same
@@ -853,6 +884,22 @@ object Joins {
        "FROM (SELECT event_id, user_id, date_trunc('second', ts) AS tss " +
        "FROM events WHERE event_type = 'purchase') p " +
        "ASOF JOIN (SELECT user_id, date_trunc('second', ts) AS tss " +
+       "FROM events WHERE event_type = 'signup') s " +
+       "ON p.user_id = s.user_id AND p.tss >= s.tss ORDER BY p_id"),
+    "join_asof_tolerance" ->
+      // ASOF LEFT JOIN keeps every purchase; the tolerance is the same
+      // NULL-gate over exact integer-second gaps on both engines
+      ("SELECT p.event_id AS p_id, p.user_id AS user_id, " +
+       "CASE WHEN CAST(epoch(p.tss) AS BIGINT) - " +
+       "CAST(epoch(s.tss) AS BIGINT) <= 3600 THEN s.tss END " +
+       "AS matched_signup, " +
+       "CASE WHEN CAST(epoch(p.tss) AS BIGINT) - " +
+       "CAST(epoch(s.tss) AS BIGINT) <= 3600 THEN " +
+       "CAST(epoch(p.tss) AS BIGINT) - CAST(epoch(s.tss) AS BIGINT) END " +
+       "AS gap_s " +
+       "FROM (SELECT event_id, user_id, date_trunc('second', ts) AS tss " +
+       "FROM events WHERE event_type = 'purchase') p " +
+       "ASOF LEFT JOIN (SELECT user_id, date_trunc('second', ts) AS tss " +
        "FROM events WHERE event_type = 'signup') s " +
        "ON p.user_id = s.user_id AND p.tss >= s.tss ORDER BY p_id"),
     "join_asof_nearest" ->

@@ -267,6 +267,29 @@ object Sinks {
         .write.partitionBy("day").mode("overwrite").parquet(tmp.toString)
     }
 
+  /** Day-partitioned events store with a DYNAMIC PARTITION OVERWRITE
+    * applied on top (round 17): the base write lands every day, then a
+    * restatement delta — the ~day-of-month %7=3 days, deduped to
+    * event_id % 3 ≠ 0 — is written `mode(overwrite)` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (Scoped child
+    * session — the conf must be live AT WRITE TIME, and setting it on
+    * the shared session would leak into every later overwrite in the
+    * JVM). Dynamic mode replaces ONLY the delta's partitions; static
+    * mode — the classic footgun this key exists to pin — would wipe
+    * every untouched day. At 100 TB this is the nightly restatement
+    * pattern: rewrite bytes ∝ restated days, never the table. */
+  def ensureDynOverwriteEvents(s: SparkSession, dir: String): String =
+    publishSink(dir, "events", "events_dynoverwrite_v1") { tmp =>
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      ev.write.partitionBy("day").mode("overwrite").parquet(tmp.toString)
+      val child = graft.Scoped.session(s, "dynOverwrite",
+        Seq("spark.sql.sources.partitionOverwriteMode" -> "dynamic"))
+      Tables.events(child, dir).withColumn("day", to_date(col("ts")))
+        .where(dayofmonth(col("day")) % 7 === 3)
+        .where(col("event_id") % 3 =!= 0)
+        .write.partitionBy("day").mode("overwrite").parquet(tmp.toString)
+    }
+
   /** Two schema-evolved generations of `orders` under one parent dir —
     * v1 wrote (o_orderkey, o_totalprice); v2 added `o_orderstatus` (the
     * classic additive column evolution). Split is `o_orderkey % 2` so
@@ -783,6 +806,24 @@ object Sinks {
         .orderBy("event_type")
     }),
 
+    // Dynamic partition overwrite (round 17) — INSERT OVERWRITE's
+    // partition-scoped form, the nightly-restatement op every
+    // day-partitioned warehouse runs. The declared output reads the
+    // post-overwrite store: restated days (%7=3) must carry exactly the
+    // deduped delta, untouched days the full corpus — and the fact that
+    // untouched days EXIST AT ALL is the dynamic-vs-static distinction
+    // (static mode wipes them; SinkRoundtripSpec pins the day-count
+    // causality). Oracle replays both halves from raw events.
+    "sink_overwrite_dynamic" -> ((s, dir) => {
+      val sunk = s.read.parquet(ensureDynOverwriteEvents(s, dir))
+      sunk.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .select(col("day").cast("timestamp").as("day"), col("n"),
+          col("cents"), (dayofmonth(col("day")) % 7 === 3).as("restated"))
+        .orderBy("day")
+    }),
+
     // Small-file compaction (lakehouse OPTIMIZE) as a declared key: the
     // fragmented artifact (8 writer files per day) is rewritten to
     // ⌈n_day/R⌉ bin-packed files per day. The declared output proves BOTH
@@ -1193,6 +1234,16 @@ object Sinks {
        "round(sum(value), 2) AS sum_value " +
        "FROM events, d WHERE date_trunc('day', ts) = d.d0 " +
        "GROUP BY 1, 2 ORDER BY event_type"),
+    "sink_overwrite_dynamic" ->
+      // both halves replayed from raw events: restated days keep only
+      // the deduped delta rows, untouched days keep everything
+      ("WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+       "day(ts) AS dom, event_id, value FROM events) " +
+       "SELECT day, count(*) AS n, " +
+       "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+       "dom % 7 = 3 AS restated FROM e " +
+       "WHERE dom % 7 <> 3 OR event_id % 3 <> 0 " +
+       "GROUP BY day, dom % 7 = 3 ORDER BY day"),
     "sink_compaction" ->
       // files_after replays the ⌈n/R⌉ bin-packing law (R = 1000); n_rows
       // and cents prove the rewrite preserved the data.

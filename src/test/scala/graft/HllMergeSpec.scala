@@ -39,6 +39,30 @@ class HllMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("hll intersect: bounds honest, overlap laws hold") {
+    val out = SparkEntry.queries("agg_hll_intersect")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.nonEmpty)
+    // the Spark-side bound column must be TRUE everywhere or the
+    // constant-TRUE oracle is dishonest
+    out.foreach { case (a, b, _, ok) => assert(ok, s"($a,$b) out of bound") }
+    // set laws: overlap ≤ each side's exact distinct; pair coverage is
+    // the full unordered type square
+    val perType = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (a, b, n, _) =>
+      assert(a < b, "pairs must be unordered-canonical")
+      assert(n <= math.min(perType(a), perType(b)), s"($a,$b) overlap law")
+    }
+    val types = perType.keySet
+    assert(out.length === types.size * (types.size - 1) / 2,
+      "every unordered pair must be present")
+  }
+
   test("two-level sketch rollup tracks exact distinct users per type") {
     val est = twoLevelEstimate
     val exact = Tables.events(spark, sf)

@@ -52,6 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
                                       // dedup_semantic_mp class — the r17
                                       // cell-bounded build, no corpus×corpus)
     "dq_freshness",                   // 1-row broadcast corpus watermark
+    "agg_hll_intersect",              // |types|² sketch pairs (≤25 rows)
     "text_collocations",              // 1-row broadcast Nu/Nb token totals
     "sample_temperature",             // 1-row broadcast min-lang count
     "embed_mips_ivf",                 // 1-row broadcast M² + broadcast probe

@@ -80,6 +80,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asof tolerance: gap laws, completeness vs the untolerated asof") {
+    val out = SparkEntry.queries("join_asof_tolerance")(spark, sf).collect()
+    assert(out.nonEmpty)
+    var matched = 0
+    out.foreach { r =>
+      val gapNull = r.isNullAt(r.fieldIndex("gap_s"))
+      val sigNull = r.isNullAt(r.fieldIndex("matched_signup"))
+      assert(gapNull === sigNull, "gap and match must NULL together")
+      if (!gapNull) {
+        val g = r.getAs[Long]("gap_s")
+        assert(g >= 0 && g <= 3600, s"gap $g outside tolerance")
+        matched += 1
+      }
+    }
+    assert(matched > 0, "tolerance must match something on this corpus")
+    // completeness + consistency against the declared untolerated key:
+    // same purchases, and a row is matched here iff its asof gap ≤ 1h
+    val base = SparkEntry.queries("join_asof")(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_id") ->
+        r.getAs[java.sql.Timestamp]("prev_signup")).toMap
+    val purchases = out.map(_.getAs[Long]("p_id")).toSet
+    assert(base.keySet.subsetOf(purchases),
+      "tolerance key must keep every purchase the base key matched")
+    out.foreach { r =>
+      val pid = r.getAs[Long]("p_id")
+      (base.get(pid), r.isNullAt(r.fieldIndex("matched_signup"))) match {
+        case (Some(sig), false) =>
+          assert(r.getAs[java.sql.Timestamp]("matched_signup") === sig,
+            s"$pid matched a different signup than the base asof")
+        case (None, keptNull) => assert(keptNull,
+          s"$pid has no prior signup yet the tolerance key matched one")
+        case _ => // base matched but gap > 1h → correctly NULL here
+      }
+    }
+  }
+
   test("win_rolling_median is always one of the customer's own totals") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("win_rolling_median")(spark, sf)

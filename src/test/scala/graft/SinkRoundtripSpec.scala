@@ -153,6 +153,34 @@ class SinkRoundtripSpec extends AnyFunSuite {
     assert(rowSet(back) === rowSet(result))
   }
 
+  test("dynamic overwrite kept every untouched day (static would wipe " +
+    "them) and restated days really shrank") {
+    val store = TestSpark.spark.read.parquet(
+      ops.Sinks.ensureDynOverwriteEvents(TestSpark.spark, TestSpark.sf))
+    val rawDays = Tables.events(TestSpark.spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .distinct().collect().map(_.getDate(0).toString).toSet
+    val storeDays = store.select("day").distinct().collect()
+      .map(_.getDate(0).toString).toSet
+    // THE dynamic-vs-static causality: a static overwrite leaves only
+    // the delta's partitions; dynamic must preserve the full day set
+    assert(storeDays === rawDays,
+      "store must carry every raw day, not just the restated ones")
+    val rawByDay = Tables.events(TestSpark.spark, TestSpark.sf)
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    store.groupBy("day").count().collect().foreach { r =>
+      val (d, n) = (r.getDate(0), r.getLong(1))
+      val restated = (d.toLocalDate.getDayOfMonth % 7) == 3
+      if (restated) assert(n < rawByDay(d.toString),
+        s"$d restated but did not shrink")
+      else assert(n === rawByDay(d.toString), s"$d untouched day mutated")
+    }
+  }
+
   test("sink_compaction actually shrinks per-day file counts") {
     // The oracle proves the "after" law (⌈n/R⌉ files) and data equality;
     // this pins the "before" half the oracle can't see: the fragmented
