@@ -723,6 +723,40 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Link prediction (round 17) — common-neighbor Jaccard over the
+    // near-dup graph: pairs that share many neighbors but carry no edge
+    // are the near-dups the pairwise threshold MISSED (a transcription
+    // chain A~B~C where A–C fell just under 0.8) — exactly what a
+    // curation pipeline reviews next. Candidates are the 2-HOP pairs
+    // only (a − mid − c, a < c, not already adjacent): never all-pairs,
+    // bounded by Σ deg² — the same in-degree bound every graph key here
+    // carries. Score = |N(a)∩N(c)| / |N(a)∪N(c)| with the union by
+    // inclusion-exclusion over exact degree counts; top-20 by
+    // (score DESC, a, c) is a sort-limit.
+    "graph_link_predict" -> ((s, dir) => {
+      val pairs = Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val cand = edges.as("e1").join(edges.as("e2"),
+          col("e1.dst") === col("e2.src") &&
+            col("e1.src") < col("e2.dst"))
+        .select(col("e1.src").as("a"), col("e2.dst").as("c"))
+        .groupBy("a", "c").agg(count(lit(1)).as("cn"))
+      val nonAdj = cand.join(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("c")),
+        Seq("a", "c"), "left_anti")
+      nonAdj
+        .join(deg.withColumnsRenamed(Map("src" -> "a", "deg" -> "deg_a")), "a")
+        .join(deg.withColumnsRenamed(Map("src" -> "c", "deg" -> "deg_c")), "c")
+        .select(col("a"), col("c"), col("cn"),
+          round(col("cn").cast("double") /
+            (col("deg_a") + col("deg_c") - col("cn")).cast("double"), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("a"), col("c"))
+        .limit(20)
+    }),
+
     // Multi-source BFS over the same near-dup graph (round 15): distance
     // to the nearest SEED document (doc_id % 10 = 0 among graph nodes) —
     // the "proximity to known-good/known-bad" signal curation pipelines
@@ -1456,6 +1490,23 @@ object Pipeline {
       }.mkString(", ")
       s"WITH $pairCte, $iters " +
         "SELECT doc AS doc_id, pr AS rank FROM r5 ORDER BY doc_id"
+    },
+
+    "graph_link_predict" -> {
+      // shared pair-graph prefix; 2-hop candidates, NOT EXISTS adjacency
+      // exclusion ≡ the Spark left_anti, inclusion-exclusion union
+      val pairCte = NearDupEdgesCte + ", " +
+        "deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY 1), " +
+        "cand AS (SELECT e1.s AS a, e2.d AS c, count(*) AS cn " +
+        "FROM edges e1 JOIN edges e2 ON e1.d = e2.s AND e1.s < e2.d " +
+        "GROUP BY 1, 2), " +
+        "nonadj AS (SELECT cand.* FROM cand WHERE NOT EXISTS (" +
+        "SELECT 1 FROM pairs p WHERE p.doc_a = cand.a AND p.doc_b = cand.c))"
+      s"WITH $pairCte " +
+        "SELECT a, c, cn, round(CAST(cn AS DOUBLE) / " +
+        "CAST(da.deg + dc.deg - cn AS DOUBLE), 6) AS score " +
+        "FROM nonadj JOIN deg da ON da.s = a JOIN deg dc ON dc.s = c " +
+        "ORDER BY score DESC, a, c LIMIT 20"
     },
 
     "graph_label_prop" -> {

@@ -463,6 +463,45 @@ object Warehouse {
         .orderBy("fk_edge")
     }),
 
+    // Benford first-digit screen (round 17) — the forensic-accounting
+    // conformance test auditors run on every monetary column: naturally
+    // occurring amounts follow P(d) = log10(1 + 1/d); fabricated or
+    // systematically generated ones don't, and the per-digit deviations
+    // say WHERE. First digits come from the exact-cents INTEGER rendered
+    // as a string (a double→string render differs between engines; a
+    // BIGINT's decimal digits cannot), so digit assignment is
+    // engine-exact. Per digit: observed count, expected share, and the
+    // χ² contribution (obs − n·p)²/(n·p) — one shared double expression;
+    // the total χ² folds the 9 contributions in digit order via
+    // aggregate(array_sort(collect_list)) (the dq_drift_psi
+    // deterministic-summation posture), flagged at the 15.507 critical
+    // value (8 dof, α=0.05). Scale: one scan into a 9-key two-phase
+    // HashAggregate; everything after runs on 9 rows.
+    "dq_benford" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val digit = substring(cents.cast("string"), 1, 1).cast("int")
+      val obs = Tables.table(s, dir, "orders")
+        .where(cents > 0)
+        .select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("n"))
+      val p = log10(lit(1.0) + lit(1.0) / col("digit"))
+      val exp = col("n").cast("double") * col("p")
+      val terms = obs.crossJoin(broadcast(tot))
+        .withColumn("p", p)
+        .withColumn("contrib",
+          (col("n_obs") - exp) * (col("n_obs") - exp) / exp)
+      val chi = terms.groupBy().agg(
+        round(aggregate(
+          array_sort(collect_list(struct(col("digit"), col("contrib")))),
+          lit(0.0), (a, x) => a + x("contrib")), 6).as("chi2"))
+      terms.crossJoin(broadcast(chi))
+        .select(col("digit"), col("n_obs"), round(col("p"), 6).as("p_exp"),
+          round(col("contrib"), 6).as("contrib"), col("chi2"),
+          (col("chi2") > 15.507).as("nonconforming"))
+        .orderBy("digit")
+    }),
+
     // Freshness / completeness monitor (round 16) — the staleness SLA
     // check every ingest pipeline pages on: per event_type, how far its
     // newest event lags the corpus watermark (max ts over all types) and
@@ -545,6 +584,26 @@ object Warehouse {
   }
 
   val oracles: Map[String, String] = Map(
+    // same exact-cents first digit, identical χ² expression, digit-
+    // ordered list_reduce fold, same 8-dof critical value
+    "dq_benford" ->
+      ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) " +
+       "AS cents FROM orders WHERE round(o_totalprice * 100) > 0), " +
+       "obs AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) " +
+       "AS INT) AS digit, count(*) AS n_obs FROM o GROUP BY 1), " +
+       "tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs), " +
+       "t AS (SELECT digit, n_obs, log10(1.0 + 1.0 / digit) AS p, " +
+       "(n_obs - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit)) * " +
+       "(n_obs - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit)) / " +
+       "(CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit)) AS contrib " +
+       "FROM obs, tot), " +
+       "chi AS (SELECT round(list_reduce(list_prepend(" +
+       "CAST(0.0 AS DOUBLE), list(contrib ORDER BY digit)), " +
+       "(a, b) -> a + b), 6) AS chi2 FROM t) " +
+       "SELECT digit, CAST(n_obs AS BIGINT) AS n_obs, " +
+       "round(p, 6) AS p_exp, round(contrib, 6) AS contrib, chi.chi2, " +
+       "chi.chi2 > 15.507 AS nonconforming " +
+       "FROM t, chi ORDER BY digit"),
     // Same doubled-integer median/MAD algebra: quantile_cont of ints is
     // the same exact (a+b)/2 as Spark's percentile; the one IEEE
     // expression 1.349·(2n−med2)/m2d is textually identical.

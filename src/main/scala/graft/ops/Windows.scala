@@ -135,6 +135,35 @@ object Windows {
         .orderBy("event_type", "hw")
     }),
 
+    // Theil–Sen robust trend (round 17) — the median-of-pairwise-slopes
+    // estimator (29% breakdown) for "is this metric drifting", immune to
+    // the spikes an OLS slope chases: slope = median over all day pairs
+    // of (n_j − n_i)/(d_j − d_i), per type over daily volumes. Pair
+    // enumeration is a within-type self-join over the CALENDAR-bounded
+    // daily relation (≤ |days|²/2 per type — never event-bounded); each
+    // slope is ONE IEEE division of exact ints (correctly rounded both
+    // engines), and the median interpolates two slopes with (a+b)/2 —
+    // also exact-identical. Emitted with the pair count and a rising
+    // flag at the 6dp-rounded slope.
+    "win_trend_theil_sen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("d", datediff(col("day"), lit("1970-01-01")))
+      val slopes = daily.as("x").join(daily.as("y"),
+          col("x.event_type") === col("y.event_type") &&
+            col("x.d") < col("y.d"))
+        .select(col("x.event_type").as("event_type"),
+          ((col("y.n") - col("x.n")).cast("double") /
+            (col("y.d") - col("x.d")).cast("double")).as("slope"))
+      slopes.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("round(percentile(slope, 0.5), 6)").as("slope_per_day"))
+        .select(col("event_type"), col("n_pairs"), col("slope_per_day"),
+          (col("slope_per_day") > 0).as("rising"))
+        .orderBy("event_type")
+    }),
+
     // Autocorrelation function (round 17) — the lag-k self-correlation
     // of hourly volumes per type (k = 1..3), the diagnostic that tells a
     // monitor WHICH seasonal/cusum baseline to trust (high ACF = the
@@ -460,6 +489,22 @@ object Windows {
     "LEFT JOIN h ON sp.event_type = h.event_type AND sp.hw = h.hw)"
 
   val oracles: Map[String, String] = Map(
+    // same daily rollup, same within-type pair join; quantile_cont on
+    // doubles ≡ percentile (both interpolate the two middles as exact
+    // IEEE (a+b)/2)
+    "win_trend_theil_sen" ->
+      ("WITH daily0 AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+       "event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+       "daily AS (SELECT event_type, n, " +
+       "datediff('day', DATE '1970-01-01', day) AS d FROM daily0), " +
+       "sl AS (SELECT x.event_type, " +
+       "CAST(y.n - x.n AS DOUBLE) / CAST(y.d - x.d AS DOUBLE) AS slope " +
+       "FROM daily x JOIN daily y ON x.event_type = y.event_type " +
+       "AND x.d < y.d) " +
+       "SELECT event_type, count(*) AS n_pairs, " +
+       "round(quantile_cont(slope, 0.5), 6) AS slope_per_day, " +
+       "round(quantile_cont(slope, 0.5), 6) > 0 AS rising " +
+       "FROM sl GROUP BY 1 ORDER BY 1"),
     // same densified per-type hour spine, three lag() blocks unioned,
     // HUGEINT sums, the identical Pearson double tree NULL-gated on
     // zero variance

@@ -348,6 +348,63 @@ class DataQualitySpec extends AnyFunSuite {
       === orphans)
   }
 
+  test("theil-sen: median slope replays from a naive all-pairs pass and " +
+    "sits inside the slope range") {
+    val out = SparkEntry.queries("win_trend_theil_sen")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(1), r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, ds) =>
+      val pts = ds.map(d => (d._2, d._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2).toDouble /
+        (pts(j)._1 - pts(i)._1).toDouble).sorted
+      val med = if (slopes.length % 2 == 1) slopes(slopes.length / 2)
+        else (slopes(slopes.length / 2 - 1) + slopes(slopes.length / 2)) / 2
+      val (np, slope, rising) = out(t)
+      assert(np === slopes.length.toLong, s"$t pair count")
+      assert(math.abs(slope - med) < 1e-5, s"$t: key $slope vs naive $med")
+      assert(rising === (slope > 0))
+      assert(slope >= slopes.head - 1e-9 && slope <= slopes.last + 1e-9,
+        s"$t median outside slope range")
+    }
+  }
+
+  test("benford: digit laws, probabilities sum to one, chi2 is the " +
+    "contribution sum") {
+    val out = SparkEntry.queries("dq_benford")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSet.subsetOf((1 to 9).toSet), "digits 1..9 only")
+    if (out.length == 9)
+      assert(math.abs(out.map(_._3).sum - 1.0) < 1e-3,
+        "expected shares must sum to ~1 when all digits are present")
+    else assert(out.map(_._3).sum < 1.0,
+      "partial digit coverage cannot exceed total probability")
+    val chi2s = out.map(_._5).distinct
+    assert(chi2s.length === 1, "one chi2 for the whole column")
+    assert(math.abs(out.map(_._4).sum - chi2s.head) < 1e-3,
+      "chi2 must be the sum of the per-digit contributions")
+    // textbook replay from the emitted observed counts
+    val n = out.map(_._2).sum.toDouble
+    val chi = out.map { case (d, obs, _, _, _, _) =>
+      val p = math.log10(1.0 + 1.0 / d)
+      (obs - n * p) * (obs - n * p) / (n * p)
+    }.sum
+    assert(math.abs(chi - chi2s.head) < 1e-3,
+      s"chi2 ${chi2s.head} vs textbook $chi")
+    out.foreach { case (_, _, _, _, c2, flag) =>
+      assert(flag === (c2 > 15.507))
+    }
+  }
+
   test("acf: Pearson r replays from a naive driver-side lagged pass, " +
     "lag-0 sanity = 1") {
     val out = SparkEntry.queries("win_acf")(spark, sf).collect()

@@ -294,6 +294,33 @@ class PipelineSpec extends AnyFunSuite {
       "fewer communities than components is impossible")
   }
 
+  test("link prediction: naive 2-hop Jaccard replay, never predicts an " +
+    "existing edge") {
+    val pairs = ops.Dedup.ngramPairs(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = pairs.toSet
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val naive = (for {
+      (a, na) <- adj.toSeq
+      mid <- na
+      c <- adj(mid) if a < c && !edgeSet((a, c))
+    } yield (a, c)).distinct.map { case (a, c) =>
+      val cn = adj(a).intersect(adj(c)).size
+      (a, c, cn.toLong,
+        r6(cn.toDouble / (adj(a).size + adj(c).size - cn)))
+    }.sortBy { case (a, c, _, s) => (-s, a, c) }.take(20)
+    val got = SparkEntry.queries("graph_link_predict")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === naive.toSeq,
+      "link prediction must replay from naive adjacency sets")
+    got.foreach { case (a, c, _, _) =>
+      assert(!edgeSet((a, c)), s"($a,$c) is already an edge")
+    }
+  }
+
   test("temperature sampling: full membership replay, min language kept " +
     "whole, mixture flattens toward sqrt") {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
                                       // cell-bounded build, no corpus×corpus)
     "dq_freshness",                   // 1-row broadcast corpus watermark
     "agg_hll_intersect",              // |types|² sketch pairs (≤25 rows)
+    "dq_benford",                     // 1-row broadcast total + chi2
     "text_collocations",              // 1-row broadcast Nu/Nb token totals
     "sample_temperature",             // 1-row broadcast min-lang count
     "embed_mips_ivf",                 // 1-row broadcast M² + broadcast probe
