@@ -769,6 +769,62 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // Kaplan–Meier survival (round 17) — the product-limit estimator
+    // behind every time-to-event curve: here TIME TO FIRST HIGH-VALUE
+    // CONVERSION (first purchase ≥ $200, exact cents ≥ 20000), t =
+    // days(first event → conversion); users who never convert are
+    // RIGHT-CENSORED at their last observed day — they haven't "not
+    // converted", they ran out of observation window, and ignoring that
+    // is the classic bias this estimator exists to fix (an
+    // end-of-activity churn rule would censor EVERY user of this
+    // always-active synthetic corpus — probed; conversion gives real
+    // deaths AND real censoring at every SF: 4/15, 32/150, 297/1500).
+    // S(t) = Π_{t_j ≤ t} (1 − d_j/n_j) over conversion times,
+    // with censored users leaving the risk set after their t. Exact
+    // integer plumbing end-to-end: per-duration death/total counts, the
+    // at-risk suffix via an INTEGER running window (the win_cusum
+    // integer-window posture — a double cumsum would be association-
+    // sensitive); the survival products are per-row LEFT FOLDS over the
+    // one collected death-time array (bounded by |days| — the IVF-
+    // centroid bounded-collect class), so every S(t_i) is an
+    // independent identically-ordered fold in both engines (O(k²)
+    // multiplications over k ≤ |days| rows — trivial; a windowed double
+    // product would not replay). Scale: one corpus pass to per-user
+    // (first, last), one |durations|-key aggregate, calendar-bounded
+    // everything after.
+    "agg_survival_km" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), round(col("value") * 100, 0).cast("long")
+            .as("c"))
+      val life = ev.groupBy("user_id")
+        .agg(min(col("day")).as("f"), max(col("day")).as("l"),
+          min(when(col("event_type") === "purchase" &&
+            col("c") >= 20000, col("day"))).as("cd"))
+      val u = life.select(
+        datediff(coalesce(col("cd"), col("l")), col("f")).as("t"),
+        col("cd").isNull.as("cens"))
+      val byT = u.groupBy("t")
+        .agg(count(when(!col("cens"), 1)).as("d"), count(lit(1)).as("m"))
+      val tot = u.agg(count(lit(1)).as("n_total"))
+      val w = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n_total") - coalesce(sum(col("m")).over(w), lit(0L)))
+        .where(col("d") > 0)
+      val arr = risk.agg(array_sort(collect_list(
+        struct(col("t"), col("d"), col("n_risk")))).as("a"))
+      arr.select(posexplode(col("a")).as(Seq("i", "x")), col("a"))
+        .select(col("x.t").as("t"), col("x.n_risk").as("n_risk"),
+          col("x.d").as("deaths"),
+          round(aggregate(slice(col("a"), lit(1), col("i") + 1), lit(1.0),
+            (acc, y) => acc * (lit(1.0) -
+              y("d").cast("double") / y("n_risk").cast("double"))), 6)
+            .as("s"))
+        .orderBy("t")
+    }),
+
     // HLL sketch INTERSECTION (round 17) — audience overlap, the
     // question sketch stores get asked second ("how many users did BOTH
     // X and Y") and the one HLL cannot answer directly: intersections
@@ -916,6 +972,36 @@ object Aggs {
       ("SELECT event_type, " +
        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
        "TRUE AS within_5pct FROM events GROUP BY 1 ORDER BY 1"),
+    "agg_survival_km" ->
+      // same lifetimes/censoring/risk-set arithmetic (integer windows),
+      // same per-row left-fold survival products over the ordered
+      // death-time list
+      ("WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) " +
+       "AS day, event_type, CAST(round(value * 100) AS BIGINT) AS c " +
+       "FROM events), " +
+       "life AS (SELECT user_id, min(day) AS f, max(day) AS l, " +
+       "min(CASE WHEN event_type = 'purchase' AND c >= 20000 " +
+       "THEN day END) AS cd FROM e GROUP BY 1), " +
+       "u AS (SELECT datediff('day', f, coalesce(cd, l)) AS t, " +
+       "cd IS NULL AS cens FROM life), " +
+       "byt AS (SELECT t, count(CASE WHEN NOT cens THEN 1 END) AS d, " +
+       "count(*) AS m FROM u GROUP BY 1), " +
+       "tot AS (SELECT count(*) AS n_total FROM u), " +
+       "r AS (SELECT t, d, CAST(tot.n_total - coalesce(sum(m) OVER (" +
+       "ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+       "AS BIGINT) AS n_risk FROM byt, tot), " +
+       "dd AS (SELECT t, d, n_risk FROM r WHERE d > 0), " +
+       "arr AS (SELECT list(struct_pack(t := t, d := d, n_risk := n_risk) " +
+       "ORDER BY t) AS a FROM dd), " +
+       "ex AS (SELECT unnest(a) AS x, generate_subscripts(a, 1) AS i, a " +
+       "FROM arr) " +
+       "SELECT CAST(x.t AS INT) AS t, x.n_risk AS n_risk, " +
+       "CAST(x.d AS BIGINT) AS deaths, " +
+       "round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), " +
+       "list_transform(a[1:i], y -> 1.0 - " +
+       "CAST(y.d AS DOUBLE) / CAST(y.n_risk AS DOUBLE))), " +
+       "(p, q) -> p * q), 6) AS s " +
+       "FROM ex ORDER BY t"),
     "agg_hll_intersect" ->
       // same contract pattern: exact pairwise overlap via the distinct
       // (user, type) self-join + the constant-TRUE compound bound

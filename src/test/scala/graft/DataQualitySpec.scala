@@ -348,6 +348,57 @@ class DataQualitySpec extends AnyFunSuite {
       === orphans)
   }
 
+  test("kaplan-meier: textbook sequential replay, monotone non-increasing, " +
+    "censoring reduces deaths below totals") {
+    val out = SparkEntry.queries("agg_survival_km")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // naive replay: time-to-conversion + censor flags -> textbook KM
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("c")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getString(2), r.getLong(3)))
+    // .toSeq BEFORE .map: mapping the Map directly would re-key by the
+    // (t, cens) pair and silently collapse users with equal lifetimes
+    val lives = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val first = rows.map(_._2).min
+      val conv = rows.filter(r => r._3 == "purchase" && r._4 >= 20000L)
+        .map(_._2)
+      if (conv.nonEmpty) ((conv.min - first).toInt, false)
+      else ((rows.map(_._2).max - first).toInt, true)
+    }.toSeq
+    val byT = lives.groupBy(_._1).view.mapValues { xs =>
+      (xs.count(!_._2).toLong, xs.size.toLong) // (deaths, total)
+    }.toMap
+    var atRisk = lives.size.toLong
+    var sRun = 1.0
+    val naive = byT.keys.toSeq.sorted.flatMap { t =>
+      val (d, m) = byT(t)
+      val row = if (d > 0) {
+        sRun *= 1.0 - d.toDouble / atRisk
+        Some((t, atRisk, d, sRun))
+      } else None
+      atRisk -= m
+      row
+    }
+    assert(out.length === naive.length)
+    out.zip(naive).foreach {
+      case ((t, n, d, s), (t2, n2, d2, s2)) =>
+        assert(t === t2 && n === n2 && d === d2, s"support point $t")
+        assert(math.abs(s - s2) < 1e-5, s"t=$t: key $s vs naive $s2")
+    }
+    // survival laws
+    out.sliding(2).foreach {
+      case Array((_, _, _, s1), (_, _, _, s2)) => assert(s2 <= s1 + 1e-9)
+      case _ =>
+    }
+    out.foreach { case (_, _, _, s) => assert(s >= 0.0 && s <= 1.0) }
+    assert(lives.exists(_._2), "corpus must contain censored users or " +
+      "the censoring path is untested")
+  }
+
   test("theil-sen: median slope replays from a naive all-pairs pass and " +
     "sits inside the slope range") {
     val out = SparkEntry.queries("win_trend_theil_sen")(spark, sf).collect()
