@@ -769,6 +769,48 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // Gini concentration (round 17) — the Lorenz-curve inequality
+    // coefficient per market segment over customer spend: the
+    // "whale-dependence" readout every revenue review slides next to
+    // the totals (G→0 even spend, G→1 one customer carries the
+    // segment). Closed form over the spend-sorted ranking:
+    // G = Σ(2i − n − 1)·x_i / (n·Σx) — the rank weights make ties
+    // order-insensitive (a tie block's coefficients sum identically
+    // under any permutation of equal x), and the (rank, custkey)
+    // ordering is total anyway. The weighted sum is exact integers in
+    // DECIMAL(38,0) ((2i−n−1)·cents crosses int64 at ~1e9 customers ×
+    // $10M spend — the envelope class; DuckDB sums in HUGEINT); ONE
+    // double division at the end. Scale: one orders pass into a
+    // per-(segment, customer) aggregate, then a per-segment window over
+    // customer-sized partitions — the shuffles hash on segment/customer
+    // keys and only (segment) rows come back.
+    "agg_gini" -> ((s, dir) => {
+      val spend = Tables.table(s, dir, "orders")
+        .join(Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val w = Window.partitionBy("segment")
+        .orderBy(col("cents"), col("c_custkey"))
+      val ws = Window.partitionBy("segment")
+      val ranked = spend
+        .withColumn("i", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(ws))
+      ranked.groupBy("segment")
+        .agg(max(col("n")).as("n_cust"),
+          sum(dec38(col("cents"))).as("tot"),
+          sum(dec38(col("i") * 2L - col("n") - 1L) * col("cents"))
+            .as("num"))
+        .select(col("segment"), col("n_cust"),
+          col("tot").cast("long").as("total_cents"),
+          round(col("num").cast("double") /
+            (col("n_cust").cast("double") * col("tot").cast("double")), 6)
+            .as("gini"))
+        .orderBy("segment")
+    }),
+
     // Kaplan–Meier survival (round 17) — the product-limit estimator
     // behind every time-to-event curve: here TIME TO FIRST HIGH-VALUE
     // CONVERSION (first purchase ≥ $200, exact cents ≥ 20000), t =
@@ -972,6 +1014,23 @@ object Aggs {
       ("SELECT event_type, " +
        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
        "TRUE AS within_5pct FROM events GROUP BY 1 ORDER BY 1"),
+    "agg_gini" ->
+      // same spend ranking, HUGEINT weighted sum, identical final
+      // division
+      ("WITH sp AS (SELECT c_mktsegment AS segment, c_custkey, " +
+       "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+       "AS cents FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY 1, 2), " +
+       "r AS (SELECT segment, c_custkey, cents, " +
+       "row_number() OVER (PARTITION BY segment " +
+       "ORDER BY cents, c_custkey) AS i, " +
+       "count(*) OVER (PARTITION BY segment) AS n FROM sp) " +
+       "SELECT segment, CAST(max(n) AS BIGINT) AS n_cust, " +
+       "CAST(sum(cents) AS BIGINT) AS total_cents, " +
+       "round(CAST(sum(CAST(i * 2 - n - 1 AS HUGEINT) * cents) " +
+       "AS DOUBLE) / (CAST(max(n) AS DOUBLE) * " +
+       "CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE)), 6) AS gini " +
+       "FROM r GROUP BY 1 ORDER BY 1"),
     "agg_survival_km" ->
       // same lifetimes/censoring/risk-set arithmetic (integer windows),
       // same per-row left-fold survival products over the ordered

@@ -348,6 +348,36 @@ class DataQualitySpec extends AnyFunSuite {
       === orphans)
   }
 
+  test("gini: mean-absolute-difference replay (different formulation), " +
+    "range law") {
+    // The key computes the rank closed form Σ(2i−n−1)x/(nΣx); this leg
+    // recomputes G = Σ_ij |x_i − x_j| / (2n²μ) — algebraically equal,
+    // computationally different, so a rank-weight slip cannot survive.
+    val out = SparkEntry.queries("agg_gini")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    val spend = Tables.table(spark, sf, "orders")
+      .join(Tables.table(spark, sf, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    spend.groupBy(_._1).foreach { case (seg, xs) =>
+      val v = xs.map(_._2.toDouble)
+      val n = v.length
+      val mu = v.sum / n
+      val mad = (for (a <- v; b <- v) yield math.abs(a - b)).sum
+      val g = mad / (2.0 * n * n * mu)
+      val (gotN, gotTot, gotG) = out(seg)
+      assert(gotN === n.toLong, s"$seg customer count")
+      assert(gotTot === xs.map(_._2).sum, s"$seg total")
+      assert(math.abs(gotG - g) < 1e-5, s"$seg: key $gotG vs MAD $g")
+      assert(gotG >= 0.0 && gotG < 1.0, s"$seg gini out of range")
+    }
+  }
+
   test("kaplan-meier: textbook sequential replay, monotone non-increasing, " +
     "censoring reduces deaths below totals") {
     val out = SparkEntry.queries("agg_survival_km")(spark, sf).collect()
