@@ -877,11 +877,14 @@ object Aggs {
     // |types|² corpus passes. Per unordered type pair: the exact
     // overlap (count of users present in both — the distinct (user,
     // type) self-join fans out ≤ |types|²/row, bounded) plus the
-    // contract flag |est − exact| ≤ 0.1·exact + 50 (inclusion-exclusion
-    // COMPOUNDS the three sketches' errors, hence the looser-than-5%
-    // relative bound; the +50 absolute slack keeps a small-overlap
-    // regenerated corpus from flapping a 3σ gate). Estimates stay out
-    // of the output (engine-specific), the agg_hll_merge posture.
+    // contract flag |est − exact| ≤ 0.1·(|A|+|B|) + 50 — the slack
+    // scales with the AUDIENCE sizes, because inclusion-exclusion
+    // error compounds the three sketches' errors and each is relative
+    // to ITS set's cardinality, not the (possibly tiny) intersection
+    // (r17 review: an intersection-relative bound reads false whenever
+    // big audiences barely overlap); the +50 absolute slack covers
+    // sub-sketch-resolution corpora. Estimates stay out of the output
+    // (engine-specific), the agg_hll_merge posture.
     "agg_hll_intersect" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_type", "user_id")
       val sk = ev.groupBy("event_type")
@@ -895,16 +898,22 @@ object Aggs {
             hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
             .as("est"))
       val ut = ev.distinct()
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("nt"))
       val exact = ut.as("x").join(ut.as("y"),
           col("x.user_id") === col("y.user_id") &&
             col("x.event_type") < col("y.event_type"))
         .groupBy(col("x.event_type").as("type_a"),
           col("y.event_type").as("type_b"))
         .agg(count(lit(1)).as("n_exact"))
+      val slack = (col("na") + col("nb")).cast("double") * 0.1 + 50
       exact.join(est, Seq("type_a", "type_b"))
+        .join(broadcast(sizes.withColumnsRenamed(
+          Map("event_type" -> "type_a", "nt" -> "na"))), "type_a")
+        .join(broadcast(sizes.withColumnsRenamed(
+          Map("event_type" -> "type_b", "nt" -> "nb"))), "type_b")
         .select(col("type_a"), col("type_b"), col("n_exact"),
-          (abs(col("est") - col("n_exact").cast("double")) <=
-            col("n_exact").cast("double") * 0.1 + 50).as("within_bound"))
+          (abs(col("est") - col("n_exact").cast("double")) <= slack)
+            .as("within_bound"))
         .orderBy("type_a", "type_b")
     }),
 

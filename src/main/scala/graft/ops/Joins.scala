@@ -20,6 +20,32 @@ import org.apache.spark.sql.expressions.Window
   */
 object Joins {
 
+  /** The backward as-of fill shared by join_asof and
+    * join_asof_tolerance (r17 review: the tolerance key originally
+    * copy-pasted the whole union+window machinery — a tie/truncation
+    * convention change would have had to land in two places): per
+    * PURCHASE row, the latest signup at-or-before it. One user_id
+    * window over the unioned event stream ordered (tss ASC, event_type
+    * DESC — 'signup' > 'purchase' lexicographically, so a same-second
+    * signup lands in the preceding frame, matching DuckDB ASOF's
+    * `>=`); one exchange, one per-user sort, never a row×row time
+    * join. Returns (event_id, user_id, tss, prev_signup ∅-able). */
+  private def asofBackfill(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.events(s, dir)
+      .where(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), col("user_id"),
+              date_trunc("second", col("ts")).as("tss"), col("event_type"))
+      .withColumn("sig_ts",
+        when(col("event_type") === "signup", col("tss")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tss").asc, col("event_type").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_signup", last("sig_ts", ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "tss", "prev_signup")
+  }
+
   val queries: Map[String, Q] = Map(
     // Fact → three broadcast dims; revenue of ASIA nations (TPC-H Q5 shape).
     "join_broadcast" -> ((s, dir) => {
@@ -194,54 +220,33 @@ object Joins {
     // user_id, per-key sort; state is one timestamp per row. At equal
     // truncated seconds the signup sorts first ('signup' > 'purchase'
     // descending), matching ASOF's inclusive >= bound.
-    "join_asof" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .where(col("event_type").isin("purchase", "signup"))
-        .select(col("event_id"), col("user_id"),
-                date_trunc("second", col("ts")).as("tss"), col("event_type"))
-        .withColumn("sig_ts",
-          when(col("event_type") === "signup", col("tss")))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("tss").asc, col("event_type").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.withColumn("prev_signup", last("sig_ts", ignoreNulls = true).over(w))
-        .where(col("event_type") === "purchase" &&
-               col("prev_signup").isNotNull)
+    "join_asof" -> ((s, dir) =>
+      asofBackfill(s, dir)
+        .where(col("prev_signup").isNotNull)
         .select(col("event_id").as("p_id"), col("user_id"),
                 col("prev_signup"))
-        .orderBy("p_id")
-    }),
+        .orderBy("p_id")),
 
     // As-of join with TOLERANCE (round 17; pandas merge_asof
     // tolerance=, kdb wj with a window bound) — the market-data form:
     // a quote older than the staleness bound must NOT price the trade.
-    // Same single-window union-sort machinery as join_asof, but every
-    // purchase row survives (left semantics) and the matched signup is
-    // NULL-gated behind gap ≤ 1 h. The gap is integer seconds on
-    // second-truncated stamps (exact both engines); a purchase with no
-    // prior signup at all carries NULLs through the same gate (NULL gap
-    // fails ≤ identically in both engines). Scale: unchanged from
-    // join_asof — one exchange on user_id, one per-user sort, never a
-    // row×row time join.
-    "join_asof_tolerance" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .where(col("event_type").isin("purchase", "signup"))
-        .select(col("event_id"), col("user_id"),
-                date_trunc("second", col("ts")).as("tss"), col("event_type"))
-        .withColumn("sig_ts",
-          when(col("event_type") === "signup", col("tss")))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("tss").asc, col("event_type").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.withColumn("prev_signup", last("sig_ts", ignoreNulls = true).over(w))
-        .where(col("event_type") === "purchase")
+    // The SHARED asofBackfill derivation (one definition with
+    // join_asof — the tie/truncation convention cannot drift between
+    // the two keys), but every purchase row survives (left semantics)
+    // and the matched signup is NULL-gated behind gap ≤ 1 h. The gap is
+    // integer seconds on second-truncated stamps (exact both engines);
+    // a purchase with no prior signup at all carries NULLs through the
+    // same gate (NULL gap fails ≤ identically in both engines). Scale:
+    // unchanged from join_asof — one exchange on user_id, one per-user
+    // sort, never a row×row time join.
+    "join_asof_tolerance" -> ((s, dir) =>
+      asofBackfill(s, dir)
         .withColumn("gap_s",
           unix_timestamp(col("tss")) - unix_timestamp(col("prev_signup")))
         .select(col("event_id").as("p_id"), col("user_id"),
           when(col("gap_s") <= 3600, col("prev_signup")).as("matched_signup"),
           when(col("gap_s") <= 3600, col("gap_s")).as("gap_s"))
-        .orderBy("p_id")
-    }),
+        .orderBy("p_id")),
 
     // As-of join, NEAREST direction (pandas merge_asof
     // direction='nearest'; kdb wj) — each purchase matched to the closest
@@ -749,6 +754,15 @@ object Joins {
     }
   }
 
+  /** The two as-of oracle subqueries, shared by join_asof and
+    * join_asof_tolerance (mirrors the Spark side's asofBackfill). */
+  private val AsofP =
+    "(SELECT event_id, user_id, date_trunc('second', ts) AS tss " +
+    "FROM events WHERE event_type = 'purchase') p"
+  private val AsofS =
+    "(SELECT user_id, date_trunc('second', ts) AS tss " +
+    "FROM events WHERE event_type = 'signup') s"
+
   val oracles: Map[String, String] = Map(
     "join_null_anti" -> NullAntiSql,
     "join_lateral" -> LateralSql,
@@ -881,10 +895,7 @@ object Joins {
        "AND p.tss <= s.tss + INTERVAL 1 HOUR ORDER BY p_id, s_id"),
     "join_asof" ->
       ("SELECT p.event_id AS p_id, p.user_id AS user_id, s.tss AS prev_signup " +
-       "FROM (SELECT event_id, user_id, date_trunc('second', ts) AS tss " +
-       "FROM events WHERE event_type = 'purchase') p " +
-       "ASOF JOIN (SELECT user_id, date_trunc('second', ts) AS tss " +
-       "FROM events WHERE event_type = 'signup') s " +
+       s"FROM $AsofP ASOF JOIN $AsofS " +
        "ON p.user_id = s.user_id AND p.tss >= s.tss ORDER BY p_id"),
     "join_asof_tolerance" ->
       // ASOF LEFT JOIN keeps every purchase; the tolerance is the same
@@ -897,10 +908,7 @@ object Joins {
        "CAST(epoch(s.tss) AS BIGINT) <= 3600 THEN " +
        "CAST(epoch(p.tss) AS BIGINT) - CAST(epoch(s.tss) AS BIGINT) END " +
        "AS gap_s " +
-       "FROM (SELECT event_id, user_id, date_trunc('second', ts) AS tss " +
-       "FROM events WHERE event_type = 'purchase') p " +
-       "ASOF LEFT JOIN (SELECT user_id, date_trunc('second', ts) AS tss " +
-       "FROM events WHERE event_type = 'signup') s " +
+       s"FROM $AsofP ASOF LEFT JOIN $AsofS " +
        "ON p.user_id = s.user_id AND p.tss >= s.tss ORDER BY p_id"),
     "join_asof_nearest" ->
       // DuckDB ASOF is single-direction; nearest replays the same

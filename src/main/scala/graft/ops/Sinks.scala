@@ -1236,13 +1236,22 @@ object Sinks {
        "GROUP BY 1, 2 ORDER BY event_type"),
     "sink_overwrite_dynamic" ->
       // both halves replayed from raw events: restated days keep only
-      // the deduped delta rows, untouched days keep everything
+      // the deduped delta rows, untouched days keep everything. The
+      // empty-delta carve-out mirrors the ENGINE's semantics (r17
+      // review): dynamic overwrite only replaces partitions the delta
+      // actually WRITES, so a targeted day whose delta filtered to
+      // nothing keeps its full base rows — without this the oracle
+      // would drop such a day entirely and the gate would diverge on
+      // any corpus where a %7=3 day's ids are all %3=0.
       ("WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
-       "day(ts) AS dom, event_id, value FROM events) " +
+       "day(ts) AS dom, event_id, value FROM events), " +
+       "emptyd AS (SELECT day FROM e WHERE dom % 7 = 3 GROUP BY day " +
+       "HAVING count(CASE WHEN event_id % 3 <> 0 THEN 1 END) = 0) " +
        "SELECT day, count(*) AS n, " +
        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents, " +
        "dom % 7 = 3 AS restated FROM e " +
        "WHERE dom % 7 <> 3 OR event_id % 3 <> 0 " +
+       "OR day IN (SELECT day FROM emptyd) " +
        "GROUP BY day, dom % 7 = 3 ORDER BY day"),
     "sink_compaction" ->
       // files_after replays the ⌈n/R⌉ bin-packing law (R = 1000); n_rows

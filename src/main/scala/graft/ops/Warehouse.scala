@@ -470,9 +470,15 @@ object Warehouse {
     // say WHERE. First digits come from the exact-cents INTEGER rendered
     // as a string (a double→string render differs between engines; a
     // BIGINT's decimal digits cannot), so digit assignment is
-    // engine-exact. Per digit: observed count, expected share, and the
-    // χ² contribution (obs − n·p)²/(n·p) — one shared double expression;
-    // the total χ² folds the 9 contributions in digit order via
+    // engine-exact. ALL NINE digit cells enter the statistic: absent
+    // digits are densified onto a 1..9 spine with n_obs = 0 (the
+    // dq_drift_psi densification — without it a missing digit's
+    // (0 − n·p)²/(n·p) = n·p term, the strongest possible
+    // non-conformance evidence, silently drops and χ² understates
+    // against its 8-dof critical value; r17 review). Per digit:
+    // observed count, expected share, and the χ² contribution
+    // (obs − n·p)²/(n·p) — one shared double expression; the total χ²
+    // folds the 9 contributions in digit order via
     // aggregate(array_sort(collect_list)) (the dq_drift_psi
     // deterministic-summation posture), flagged at the 15.507 critical
     // value (8 dof, α=0.05). Scale: one scan into a 9-key two-phase
@@ -485,9 +491,12 @@ object Warehouse {
         .select(digit.as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n_obs"))
       val tot = obs.agg(sum(col("n_obs")).as("n"))
+      val spine = tot
+        .select(explode(sequence(lit(1), lit(9))).as("digit"), col("n"))
       val p = log10(lit(1.0) + lit(1.0) / col("digit"))
       val exp = col("n").cast("double") * col("p")
-      val terms = obs.crossJoin(broadcast(tot))
+      val terms = spine.join(obs, Seq("digit"), "left")
+        .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
         .withColumn("p", p)
         .withColumn("contrib",
           (col("n_obs") - exp) * (col("n_obs") - exp) / exp)
@@ -592,11 +601,16 @@ object Warehouse {
        "obs AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) " +
        "AS INT) AS digit, count(*) AS n_obs FROM o GROUP BY 1), " +
        "tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs), " +
+       "sp AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) " +
+       "AS digit, n FROM tot), " +
+       "d AS (SELECT sp.digit, sp.n, " +
+       "CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs " +
+       "FROM sp LEFT JOIN obs USING (digit)), " +
        "t AS (SELECT digit, n_obs, log10(1.0 + 1.0 / digit) AS p, " +
        "(n_obs - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit)) * " +
        "(n_obs - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit)) / " +
        "(CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit)) AS contrib " +
-       "FROM obs, tot), " +
+       "FROM d), " +
        "chi AS (SELECT round(list_reduce(list_prepend(" +
        "CAST(0.0 AS DOUBLE), list(contrib ORDER BY digit)), " +
        "(a, b) -> a + b), 6) AS chi2 FROM t) " +

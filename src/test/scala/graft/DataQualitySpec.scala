@@ -462,13 +462,12 @@ class DataQualitySpec extends AnyFunSuite {
     val out = SparkEntry.queries("dq_benford")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
-    assert(out.nonEmpty)
-    assert(out.map(_._1).toSet.subsetOf((1 to 9).toSet), "digits 1..9 only")
-    if (out.length == 9)
-      assert(math.abs(out.map(_._3).sum - 1.0) < 1e-3,
-        "expected shares must sum to ~1 when all digits are present")
-    else assert(out.map(_._3).sum < 1.0,
-      "partial digit coverage cannot exceed total probability")
+    // the 1..9 spine makes every digit a cell — absent digits carry the
+    // full n·p evidence instead of silently dropping (r17 review)
+    assert(out.length === 9, "all nine digit cells must be present")
+    assert(out.map(_._1).toSet === (1 to 9).toSet)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-3,
+      "expected shares must sum to ~1 over the full digit spine")
     val chi2s = out.map(_._5).distinct
     assert(chi2s.length === 1, "one chi2 for the whole column")
     assert(math.abs(out.map(_._4).sum - chi2s.head) < 1e-3,

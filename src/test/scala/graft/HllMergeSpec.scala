@@ -58,9 +58,14 @@ class HllMergeSpec extends AnyFunSuite {
       assert(a < b, "pairs must be unordered-canonical")
       assert(n <= math.min(perType(a), perType(b)), s"($a,$b) overlap law")
     }
+    // pairs with zero common users legitimately drop out of the inner
+    // join (both engines), so coverage is asserted as an upper bound +
+    // positivity, not full-square presence (r17 review: full presence
+    // was a corpus-distribution assumption)
     val types = perType.keySet
-    assert(out.length === types.size * (types.size - 1) / 2,
-      "every unordered pair must be present")
+    assert(out.length <= types.size * (types.size - 1) / 2)
+    out.foreach { case (a, b, n, _) =>
+      assert(n >= 1L, s"($a,$b) emitted with zero overlap") }
   }
 
   test("two-level sketch rollup tracks exact distinct users per type") {

@@ -172,12 +172,24 @@ class SinkRoundtripSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("ts")).as("day"))
       .count().collect()
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // delta row counts per restated day — an EMPTY delta never writes
+    // its partition, so the base day survives whole (engine semantics,
+    // mirrored by the oracle's carve-out)
+    val deltaByDay = Tables.events(TestSpark.spark, TestSpark.sf)
+      .where(org.apache.spark.sql.functions.expr(
+        "day(ts) % 7 = 3 AND event_id % 3 != 0"))
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     store.groupBy("day").count().collect().foreach { r =>
       val (d, n) = (r.getDate(0), r.getLong(1))
       val restated = (d.toLocalDate.getDayOfMonth % 7) == 3
-      if (restated) assert(n < rawByDay(d.toString),
-        s"$d restated but did not shrink")
-      else assert(n === rawByDay(d.toString), s"$d untouched day mutated")
+      if (restated && deltaByDay.contains(d.toString))
+        assert(n === deltaByDay(d.toString),
+          s"$d restated day must carry exactly the delta")
+      else assert(n === rawByDay(d.toString),
+        s"$d untouched (or empty-delta) day mutated")
     }
   }
 
