@@ -33,10 +33,15 @@ object Aggs {
     * FIXED-WIDTH lowercase hex so membership is a pure string compare on
     * the md5 draw in BOTH engines (the sample_weighted idiom — no
     * engine-specific hex-to-int parsing). floor(P(X≤k)·2^32) for
-    * k = 0..5; a draw past the last threshold gets w = 6 (P ≈ 6e-4). */
+    * k = 0..8; a draw past the last threshold gets w = PoissonThr.size
+    * = 9 (tail mass P(X≥9) ≈ 1.1e-7 — the r17 ADVICE extension: the
+    * old k ≤ 5 cut lumped ~6.3e-4 of mass into w = 6 and slightly
+    * deflated resample variance; both engines interpolate the SAME
+    * constant, so the CDF cannot drift between them). */
   private val PoissonThr: Seq[String] =
     Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
-      4279248373L, 4292415291L).map(t => f"$t%08x")
+      4279248373L, 4292415291L, 4294609777L, 4294923276L,
+      4294962463L).map(t => f"$t%08x")
 
   /** decimal(38,0) widening for overflow-free exact integer sums (the
     * DuckDB oracles mirror with HUGEINT). */
@@ -685,7 +690,7 @@ object Aggs {
       val w = PoissonThr.zipWithIndex
         .foldLeft(when(lit(false), lit(0))) { case (acc, (t, k)) =>
           acc.when(u8 < lit(t), lit(k))
-        }.otherwise(lit(6))
+        }.otherwise(lit(PoissonThr.size))
       val boot = base
         .withColumn("b", explode(sequence(lit(1), lit(16))))
         .withColumn("w", w)
@@ -769,21 +774,35 @@ object Aggs {
         .orderBy("event_type")
     }),
 
-    // Gini concentration (round 17) — the Lorenz-curve inequality
-    // coefficient per market segment over customer spend: the
-    // "whale-dependence" readout every revenue review slides next to
-    // the totals (G→0 even spend, G→1 one customer carries the
-    // segment). Closed form over the spend-sorted ranking:
-    // G = Σ(2i − n − 1)·x_i / (n·Σx) — the rank weights make ties
-    // order-insensitive (a tie block's coefficients sum identically
-    // under any permutation of equal x), and the (rank, custkey)
-    // ordering is total anyway. The weighted sum is exact integers in
-    // DECIMAL(38,0) ((2i−n−1)·cents crosses int64 at ~1e9 customers ×
-    // $10M spend — the envelope class; DuckDB sums in HUGEINT); ONE
-    // double division at the end. Scale: one orders pass into a
-    // per-(segment, customer) aggregate, then a per-segment window over
-    // customer-sized partitions — the shuffles hash on segment/customer
-    // keys and only (segment) rows come back.
+    // Gini concentration (round 17; rank rewritten round 18) — the
+    // Lorenz-curve inequality coefficient per market segment over
+    // customer spend: the "whale-dependence" readout every revenue
+    // review slides next to the totals (G→0 even spend, G→1 one
+    // customer carries the segment). Closed form over the spend-sorted
+    // ranking: G = Σ(2i − n − 1)·x_i / (n·Σx). The rank weights are
+    // tie-order-insensitive, so ranks are NOT computed by sorting
+    // customers — a per-segment row_number window would sort the whole
+    // customer relation on |segments| = 5 tasks, the classic
+    // few-partition scale killer (r17 verdict). Instead the
+    // agg_mann_whitney histogram-rank identity: a tie block at spend v
+    // with c customers and C predecessors contributes exactly
+    // x_v·c·(2C + c − n), so num = Σ_v x_v·c_v·(2C_v + c_v) − n·Σx —
+    // the same integer the sorted form produces, which is why the
+    // row_number oracle below still hash-matches. C_v comes from a
+    // TWO-LEVEL prefix sum (the distributed-ranking decomposition):
+    // coarse $10k buckets (cents DIV 1e6 — integral division, monotone
+    // in cents) give a per-(segment, bucket) count relation BOUNDED by
+    // the spend envelope, its per-segment prefix window sorts only
+    // that bounded relation, and the residual prefix runs partitioned
+    // by (segment, bucket) — thousands of independent partitions whose
+    // size shrinks as buckets fill, never 5 fact-scale sorts. All
+    // integer terms accumulate in DECIMAL(38,0) (c·C·cents crosses
+    // int64 at ~1e9 customers × $10M spend — the envelope class;
+    // DuckDB sums in HUGEINT); ONE double division at the end, with
+    // the identical association as before the rewrite. Scale: one
+    // orders pass into the (segment, customer) aggregate, one hash
+    // shuffle into the spend histogram, a broadcast of the bounded
+    // bucket-prefix relation, and only (segment) rows come back.
     "agg_gini" -> ((s, dir) => {
       val spend = Tables.table(s, dir, "orders")
         .join(Tables.table(s, dir, "customer")
@@ -792,20 +811,30 @@ object Aggs {
         .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
           .as("cents"))
-      val w = Window.partitionBy("segment")
-        .orderBy(col("cents"), col("c_custkey"))
-      val ws = Window.partitionBy("segment")
-      val ranked = spend
-        .withColumn("i", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(ws))
+      val hist = spend.groupBy(col("segment"), col("cents"))
+        .agg(count(lit(1)).as("cv"))
+        .withColumn("b", expr("cents DIV 1000000"))
+      val wb = Window.partitionBy("segment").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = hist.groupBy("segment", "b")
+        .agg(sum(col("cv")).as("cb"))
+        .withColumn("cbprev", coalesce(sum(col("cb")).over(wb), lit(0L)))
+        .select(col("segment"), col("b"), col("cbprev"))
+      val ww = Window.partitionBy("segment", "b").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = hist
+        .withColumn("cwprev", coalesce(sum(col("cv")).over(ww), lit(0L)))
+        .join(broadcast(bpre), Seq("segment", "b"))
+        .withColumn("cprev", col("cbprev") + col("cwprev"))
       ranked.groupBy("segment")
-        .agg(max(col("n")).as("n_cust"),
-          sum(dec38(col("cents"))).as("tot"),
-          sum(dec38(col("i") * 2L - col("n") - 1L) * col("cents"))
-            .as("num"))
+        .agg(sum(col("cv")).as("n_cust"),
+          sum(dec38(col("cents")) * col("cv")).as("tot"),
+          sum(dec38(lit(2L) * col("cprev") + col("cv")) * col("cv") *
+            col("cents")).as("pnum"))
         .select(col("segment"), col("n_cust"),
           col("tot").cast("long").as("total_cents"),
-          round(col("num").cast("double") /
+          round((col("pnum") - dec38(col("n_cust")) * col("tot"))
+            .cast("double") /
             (col("n_cust").cast("double") * col("tot").cast("double")), 6)
             .as("gini"))
         .orderBy("segment")
@@ -1024,8 +1053,12 @@ object Aggs {
        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
        "TRUE AS within_5pct FROM events GROUP BY 1 ORDER BY 1"),
     "agg_gini" ->
-      // same spend ranking, HUGEINT weighted sum, identical final
-      // division
+      // the REFERENCE row_number form of the rank weights: the Spark
+      // side's two-level histogram rank produces the exact same
+      // DECIMAL/HUGEINT integer (tie blocks contribute x·c·(2C+c−n)
+      // under either derivation), and the final double division keeps
+      // the identical association, so the sorted form is the clearest
+      // oracle — DuckDB sorts 15k rows happily; Spark must not.
       ("WITH sp AS (SELECT c_mktsegment AS segment, c_custkey, " +
        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
        "AS cents FROM orders JOIN customer ON o_custkey = c_custkey " +
@@ -1389,7 +1422,7 @@ object Aggs {
       val thrCase = "CASE " + PoissonThr.zipWithIndex.map { case (t, k) =>
         s"WHEN substring(md5(CAST(event_id AS VARCHAR) || ':' || " +
           s"CAST(b AS VARCHAR)), 1, 8) < '$t' THEN $k "
-      }.mkString + "ELSE 6 END"
+      }.mkString + s"ELSE ${PoissonThr.size} END"
       "WITH e AS (SELECT event_type, " +
         "CAST(round(value*100) AS BIGINT) AS c, event_id FROM events " +
         "WHERE value IS NOT NULL), " +

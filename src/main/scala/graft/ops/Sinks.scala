@@ -814,13 +814,24 @@ object Sinks {
     // untouched days EXIST AT ALL is the dynamic-vs-static distinction
     // (static mode wipes them; SinkRoundtripSpec pins the day-count
     // causality). Oracle replays both halves from raw events.
+    // `restated` = targeted AND the delta actually wrote rows (r17
+    // ADVICE): a %7=3 day whose delta filtered to nothing kept its full
+    // base partition (the empty-delta carve-out), and flagging it
+    // restated would claim a rewrite that never happened. Delta
+    // presence is read off the survivors themselves — a truly restated
+    // day's rows ARE the delta (all event_id % 3 ≠ 0), an untouched
+    // targeted day kept only base rows (all % 3 = 0) — so the flag is
+    // one more conditional count in the same aggregate, no extra scan.
     "sink_overwrite_dynamic" -> ((s, dir) => {
       val sunk = s.read.parquet(ensureDynOverwriteEvents(s, dir))
       sunk.groupBy(col("day"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+          count(when(col("event_id") % 3 =!= 0, 1)).as("nd"))
         .select(col("day").cast("timestamp").as("day"), col("n"),
-          col("cents"), (dayofmonth(col("day")) % 7 === 3).as("restated"))
+          col("cents"),
+          (dayofmonth(col("day")) % 7 === 3 && col("nd") > 0)
+            .as("restated"))
         .orderBy("day")
     }),
 
@@ -1242,14 +1253,18 @@ object Sinks {
       // actually WRITES, so a targeted day whose delta filtered to
       // nothing keeps its full base rows — without this the oracle
       // would drop such a day entirely and the gate would diverge on
-      // any corpus where a %7=3 day's ids are all %3=0.
+      // any corpus where a %7=3 day's ids are all %3=0. `restated`
+      // mirrors the Spark side's survivor-derived flag (r17 ADVICE):
+      // targeted AND the surviving rows carry delta ids.
       ("WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
        "day(ts) AS dom, event_id, value FROM events), " +
        "emptyd AS (SELECT day FROM e WHERE dom % 7 = 3 GROUP BY day " +
        "HAVING count(CASE WHEN event_id % 3 <> 0 THEN 1 END) = 0) " +
        "SELECT day, count(*) AS n, " +
        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents, " +
-       "dom % 7 = 3 AS restated FROM e " +
+       "dom % 7 = 3 AND " +
+       "count(CASE WHEN event_id % 3 <> 0 THEN 1 END) > 0 AS restated " +
+       "FROM e " +
        "WHERE dom % 7 <> 3 OR event_id % 3 <> 0 " +
        "OR day IN (SELECT day FROM emptyd) " +
        "GROUP BY day, dom % 7 = 3 ORDER BY day"),

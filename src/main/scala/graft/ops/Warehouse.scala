@@ -411,22 +411,34 @@ object Warehouse {
     // aggregate, unpacked to rows dq_profile-style — not three separate
     // corpus scans (same review). The report is |edges| rows no matter
     // the fact volume; orphan rate is the one IEEE division, over exact
-    // longs, rounded 6dp.
+    // longs, rounded 6dp. A NULL FK is NOT an orphan (r17 ADVICE): 'the
+    // key is absent' and 'the key points at a missing parent' are
+    // different defects — nulls are counted apart (n_null), orphans
+    // require a present key with no parent, and the rate's denominator
+    // is the CHECKABLE (non-null) child rows, NULL-gated when an edge
+    // has no checkable rows at all (Spark would emit IEEE NaN, DuckDB
+    // NULL — the usual x/0 engine divergence).
     "dq_referential_audit" -> ((s, dir) => {
       val t = (n: String) => Tables.table(s, dir, n)
       def keys(n: String, pk: String) = t(n).select(col(pk)).distinct()
       def finish(raw: DataFrame): DataFrame = raw
-        .select(col("fk_edge"), col("n_child"), col("n_orphans"),
-          round(col("n_orphans").cast("double") /
-            col("n_child").cast("double"), 6).as("orphan_rate"),
+        .select(col("fk_edge"), col("n_child"), col("n_null"),
+          col("n_orphans"),
+          when(col("n_child") - col("n_null") > 0,
+            round(col("n_orphans").cast("double") /
+              (col("n_child") - col("n_null")).cast("double"), 6))
+            .as("orphan_rate"),
           (col("n_orphans") === 0).as("ok"))
       def edge(tag: String, child: DataFrame, fk: String,
                parentKeys: DataFrame, pk: String): DataFrame =
         finish(child.select(col(fk))
           .join(parentKeys, col(fk) === col(pk), "left")
           .agg(count(lit(1)).as("n_child"),
-            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
-          .select(lit(tag).as("fk_edge"), col("n_child"), col("n_orphans")))
+            sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null"),
+            sum(when(col(fk).isNotNull && col(pk).isNull, 1L)
+              .otherwise(0L)).as("n_orphans"))
+          .select(lit(tag).as("fk_edge"), col("n_child"), col("n_null"),
+            col("n_orphans")))
       val liWide = t("lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
         .join(keys("orders", "o_orderkey"),
@@ -436,17 +448,26 @@ object Warehouse {
         .join(broadcast(keys("supplier", "s_suppkey")),
           col("l_suppkey") === col("s_suppkey"), "left")
         .agg(count(lit(1)).as("n"),
-          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("oo"),
-          sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("po"),
-          sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("so"))
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("on"),
+          sum(when(col("l_partkey").isNull, 1L).otherwise(0L)).as("pn"),
+          sum(when(col("l_suppkey").isNull, 1L).otherwise(0L)).as("sn"),
+          sum(when(col("l_orderkey").isNotNull && col("o_orderkey").isNull,
+            1L).otherwise(0L)).as("oo"),
+          sum(when(col("l_partkey").isNotNull && col("p_partkey").isNull,
+            1L).otherwise(0L)).as("po"),
+          sum(when(col("l_suppkey").isNotNull && col("s_suppkey").isNull,
+            1L).otherwise(0L)).as("so"))
       val liEdges = finish(liWide.select(explode(array(
           struct(lit("lineitem.l_orderkey->orders").as("fk_edge"),
-            col("n").as("n_child"), col("oo").as("n_orphans")),
+            col("n").as("n_child"), col("on").as("n_null"),
+            col("oo").as("n_orphans")),
           struct(lit("lineitem.l_partkey->part").as("fk_edge"),
-            col("n").as("n_child"), col("po").as("n_orphans")),
+            col("n").as("n_child"), col("pn").as("n_null"),
+            col("po").as("n_orphans")),
           struct(lit("lineitem.l_suppkey->supplier").as("fk_edge"),
-            col("n").as("n_child"), col("so").as("n_orphans")))).as("r"))
-        .select("r.fk_edge", "r.n_child", "r.n_orphans"))
+            col("n").as("n_child"), col("sn").as("n_null"),
+            col("so").as("n_orphans")))).as("r"))
+        .select("r.fk_edge", "r.n_child", "r.n_null", "r.n_orphans"))
       Seq(
         edge("customer.c_nationkey->nation", t("customer"), "c_nationkey",
           keys("nation", "n_nationkey"), "n_nationkey"),
@@ -640,13 +661,18 @@ object Warehouse {
        "  CAST(n * 2 - med2 AS DOUBLE) / CAST(m2d AS DOUBLE), 6)) > 3.5 " +
        "  END AS is_outlier " +
        "FROM dev JOIN mad USING (event_type) ORDER BY event_type, day"),
-    // One scalar-aggregate block per FK edge, orphan count via NOT
-    // EXISTS ≡ the Spark side's left-join null count.
+    // One scalar-aggregate block per FK edge; orphan count via
+    // fk-present AND NOT EXISTS ≡ the Spark side's non-null left-join
+    // miss count, NULL FKs counted apart and excluded from the rate's
+    // denominator (r17 ADVICE).
     "dq_referential_audit" -> {
       def edge(tag: String, child: String, fk: String,
                parent: String, pk: String): String =
         s"SELECT '$tag' AS fk_edge, count(*) AS n_child, " +
-          s"CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM $parent p " +
+          s"CAST(sum(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_null, " +
+          s"CAST(sum(CASE WHEN c.$fk IS NOT NULL AND NOT EXISTS " +
+          s"(SELECT 1 FROM $parent p " +
           s"WHERE p.$pk = c.$fk) THEN 1 ELSE 0 END) AS BIGINT) " +
           "AS n_orphans FROM " + s"$child c"
       val edges = Seq(
@@ -667,8 +693,10 @@ object Warehouse {
         edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
           "nation", "n_nationkey"))
       "WITH raw AS (" + edges.mkString(" UNION ALL ") + ") " +
-        "SELECT fk_edge, n_child, n_orphans, " +
-        "round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6) " +
+        "SELECT fk_edge, n_child, n_null, n_orphans, " +
+        "CASE WHEN n_child - n_null > 0 THEN " +
+        "round(CAST(n_orphans AS DOUBLE) / " +
+        "CAST(n_child - n_null AS DOUBLE), 6) END " +
         "AS orphan_rate, n_orphans = 0 AS ok FROM raw ORDER BY fk_edge"
     },
     // Same integer cent edges, same Laplace smoothing, same bin-sorted

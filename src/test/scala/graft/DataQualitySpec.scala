@@ -235,7 +235,7 @@ class DataQualitySpec extends AnyFunSuite {
     // mismatch, or a CI index slip cannot survive both formulations.
     val thr = {
       var c = 0.0; var term = math.exp(-1.0)
-      (0 until 6).map { k =>
+      (0 until 9).map { k =>
         c += term; term /= (k + 1); f"${math.floor(c * 4294967296.0).toLong}%08x"
       }
     }
@@ -257,7 +257,7 @@ class DataQualitySpec extends AnyFunSuite {
         var sw = 0L; var swc = 0L
         evs.foreach { case (_, id, c) =>
           val u8 = md5hex(s"$id:$b").take(8)
-          val w = thr.indexWhere(u8 < _) match { case -1 => 6; case k => k }
+          val w = thr.indexWhere(u8 < _) match { case -1 => 9; case k => k }
           sw += w; swc += w * c
         }
         if (sw > 0) Some(swc.toDouble / sw.toDouble / 100) else None
@@ -336,12 +336,19 @@ class DataQualitySpec extends AnyFunSuite {
     }
     out.values.foreach { r =>
       val orph = r.getAs[Long]("n_orphans")
+      val nNull = r.getAs[Long]("n_null")
       assert(r.getAs[Boolean]("ok") === (orph === 0L))
-      assert(orph >= 0L && orph <= r.getAs[Long]("n_child"))
+      // nulls and orphans are DISJOINT counts (a NULL FK is not an
+      // orphan — r17 ADVICE), so together they bound by the child side
+      assert(orph >= 0L && nNull >= 0L &&
+        orph + nNull <= r.getAs[Long]("n_child"))
     }
     // independent recount of one big edge with a LEFT ANTI join (the key
-    // uses a left join + null-count aggregate)
+    // uses a left join + null-count aggregate); the anti join would also
+    // count NULL FKs (a null key never matches), so mirror the key's
+    // null exclusion explicitly
     val orphans = Tables.events(spark, sf).select(col("user_id"))
+      .where(col("user_id").isNotNull)
       .join(Tables.table(spark, sf, "customer").select(col("c_custkey")),
         col("user_id") === col("c_custkey"), "left_anti").count()
     assert(out("events.user_id->customer").getAs[Long]("n_orphans")

@@ -64,6 +64,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_normalize",                // 1-row broadcast per-dim mean array
     "embed_top_eigen")                // 1-row broadcast norm (same idiom)
 
+  /** Typed plan traversal under AQE: AdaptiveSparkPlanExec is a LEAF
+    * node to TreeNode.collect (its real tree hangs off currentPhysicalPlan,
+    * not children), so a typed `plan.collect` on the wrapped root silently
+    * matches nothing — unwrap before collecting. String assertions are
+    * unaffected (toString prints through the wrapper). */
+  private def unwrapAqe(p: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a.executedPlan
+    case other => other
+  }
+
   private lazy val plans: Map[String, String] = {
     // bypass staging so the audited plans contain the real computation
     // subtrees (not staged-file scans) and plan-building runs no jobs
@@ -565,11 +577,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "embed_ann_ivfpq")   // codes + LUTs out before ADC rank, vectors before re-rank
     sys.props("graft.staging") = "false"
     try keys.foreach { k =>
-      val plan = SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan
-      val wide = plan.collect {
+      val plan = unwrapAqe(SparkEntry.queries(k)(spark, sf)
+        .queryExecution.executedPlan)
+      val windows = plan.collect {
         case w: WindowExec => w.child.schema.fields.toSeq
         case w: WindowGroupLimitExec => w.child.schema.fields.toSeq
-      }.flatten.filter(_.dataType.isInstanceOf[ArrayType])
+      }
+      // non-vacuity: every audited key ranks through a window — an empty
+      // collect means the traversal is broken (the pre-unwrap AQE bug),
+      // not that the key got narrower
+      assert(windows.nonEmpty, s"$k: no window found — traversal broken?")
+      val wide = windows.flatten.filter(_.dataType.isInstanceOf[ArrayType])
       assert(wide.isEmpty,
         s"$k ranking window orders array columns: ${wide.map(_.name)}")
     } finally sys.props.remove("graft.staging")
@@ -941,5 +959,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "delta leg lost its ts >= cutoff pushdown")
     // and the merge must never degenerate to a cartesian on the dim side
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("agg_gini ranks via the bounded histogram — no fact-scale sort on a " +
+       "5-value partition key") {
+    // The r17 verdict's scale-killer: row_number over
+    // Window.partitionBy(segment) with |segments| = 5 sorts the whole
+    // customer relation on five tasks. The rewrite must rank through the
+    // two-level histogram prefix: any window partitioned by segment
+    // ALONE may only see the bucket-aggregate relation (bounded by the
+    // spend envelope), and the residual prefix must partition by
+    // (segment, bucket) so its sort parallelism grows with the data.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val plan = unwrapAqe(SparkEntry.queries("agg_gini")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(!plan.toString.contains("row_number"),
+      "gini regressed to a per-row rank")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "gini lost its prefix windows entirely")
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      "residual prefix window lost its (segment, bucket) partitioning")
+    windows.filter(_.partitionSpec.size < 2).foreach { w =>
+      val bucketAgg = w.collect { case a: HashAggregateExec => a }
+        .exists(_.groupingExpressions.size >= 2)
+      assert(bucketAgg,
+        "a segment-only window runs over a non-bucket-bounded relation — " +
+          "that is a customer-scale sort on 5 tasks at 100 TB")
+    }
   }
 }
