@@ -638,6 +638,42 @@ object Joins {
   private[graft] def analyzedName(dir: String, table: String): String =
     s"graft_cbo_${Tables.sourceFingerprint(Tables.path(dir, table))}_$table"
 
+  /** Catalog names for the HISTOGRAM-CBO witness (r17 verdict item 9):
+    * the SAME events files registered twice — `colstats` carries plain
+    * column stats (ndv/min/max → uniform-interpolation selectivity),
+    * `hist` is ANALYZEd under `spark.sql.statistics.histogram.enabled=
+    * true` so an equi-height histogram rides its catalog entry. Only the
+    * ANALYZE-time conf differs; the files are identical, which is what
+    * lets PlanAuditSpec attribute a plan change to the histogram alone. */
+  private[graft] def histStatsName(dir: String, variant: String): String =
+    s"graft_${variant}_" +
+      s"${Tables.sourceFingerprint(Tables.path(dir, "events"))}_events"
+
+  /** Register + ANALYZE both histogram-witness tables (once per JVM —
+    * same memoization story as [[ensureAnalyzed]]). The histogram
+    * ANALYZE runs on a Scoped child session because the conf must be
+    * live AT ANALYZE TIME (it changes what the command computes, not
+    * how later plans read it) and must not leak into any other ANALYZE
+    * in the JVM. Raw file schema on purpose: the witness only reads
+    * (value, user_id), never the physically-drifting ts column. */
+  private[graft] def ensureHistAnalyzed(s: SparkSession, dir: String): Unit =
+    synchronized {
+      val schema =
+        s.read.parquet(Tables.path(dir, "events")).schema.toDDL
+      def register(ss: SparkSession, name: String): Unit = {
+        ss.sql(s"CREATE TABLE $name ($schema) USING parquet " +
+          s"LOCATION '${Tables.path(dir, "events")}'")
+        ss.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
+          "FOR COLUMNS value, user_id")
+      }
+      val plain = histStatsName(dir, "colstats")
+      if (!s.catalog.tableExists(plain)) register(s, plain)
+      val hist = histStatsName(dir, "hist")
+      if (!s.catalog.tableExists(hist))
+        register(graft.Scoped.session(s, "histAnalyze",
+          Seq("spark.sql.statistics.histogram.enabled" -> "true")), hist)
+    }
+
   /** EXTERNAL tables over the (read-only) source parquet + `ANALYZE TABLE
     * … COMPUTE STATISTICS FOR ALL COLUMNS` — the production warehouse
     * bootstrap for cost-based planning. No data is copied or written:

@@ -653,6 +653,56 @@ object Pipeline {
         .select(col("doc").as("doc_id"), col("lbl").as("cluster"))
         .orderBy("doc_id")),
 
+    // Group-aware train/eval split with a leakage guard (round 18) —
+    // the CONSTRUCTIVE sibling of text_contamination (which only
+    // detects): a day-to-day op of real LLM data work, because a random
+    // per-doc split leaks training content into eval through near-
+    // duplicates and inflates every downstream metric. Split unit is
+    // the SOURCE (deterministic md5 2-hex split, ~80/20 — the
+    // sample_hash idiom: membership is a pure function of the group
+    // key, reproducible across engines/partitionings/corpus versions),
+    // then the near-dup COMPONENTS of the staged trigram-Jaccard graph
+    // (the exact ccLabels artifact dedup_cluster publishes) are closed
+    // over the split: a component with ANY train-source member moves
+    // wholly to train, so eval stays pure — no eval doc has a near-dup
+    // anywhere in train, transitively. The declared output emits the
+    // per-split report AND the audited straddle count from the pair
+    // graph itself — computed, not asserted, so a future rule change
+    // that breaks closure fails the gate honestly (the count is 0 by
+    // construction today). Scale: the split is a map-side hash; the
+    // closure is one |components|-key aggregate joined back; the audit
+    // rides the staged pair list through two doc-keyed hash joins —
+    // nothing here is quadratic, and the corpus-sized relations shuffle
+    // on their natural keys.
+    "split_grouped" -> ((s, dir) => {
+      val base = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (substring(md5(col("source").cast("binary")), 1, 2) >= "cd")
+            .as("src_eval"))
+      val labels = ccLabels(s, dir)
+        .select(col("doc").as("doc_id"), col("lbl").as("cluster"))
+      val j = base.join(labels, Seq("doc_id"), "left")
+      val comp = j.where(col("cluster").isNotNull)
+        .groupBy("cluster")
+        .agg(max(when(!col("src_eval"), 1).otherwise(0)).as("any_train"))
+      val fin = j.join(comp, Seq("cluster"), "left")
+        .withColumn("split",
+          when(col("src_eval") &&
+            (col("cluster").isNull || col("any_train") === 0), "eval")
+            .otherwise("train"))
+      val sp = fin.select(col("doc_id"), col("split"))
+      val leaks = Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
+        .join(sp.toDF("doc_a", "sa"), "doc_a")
+        .join(sp.toDF("doc_b", "sb"), "doc_b")
+        .agg(count(when(col("sa") =!= col("sb"), 1)).as("leak_pairs"))
+      fin.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          count(col("cluster")).as("n_grouped"))
+        .crossJoin(broadcast(leaks))
+        .orderBy("split")
+    }),
+
     // Fixed-iteration PageRank over the near-dup graph — the iterative
     // WEIGHTED propagation family (dedup_cluster's min-label CC is the
     // unweighted one): rank flows along duplication edges, so a high
@@ -946,7 +996,8 @@ object Pipeline {
     * joins/counts eagerly) — plan-only tools must skip these, same as
     * `Streams.drainKeys`: the returned DataFrame's plan is just the final
     * checkpoint scan, not the computation. */
-  val loopKeys: Set[String] = Set("dedup_cluster", "pipeline_clean_pack")
+  val loopKeys: Set[String] =
+    Set("dedup_cluster", "pipeline_clean_pack", "split_grouped")
 
   /** Per-round lineage-cut plumbing shared by both CC variants. Default:
     * localCheckpoint — executor-local blocks, no configured dir needed,
@@ -1472,6 +1523,35 @@ object Pipeline {
         "UNION SELECT reach.doc, e.d FROM reach JOIN edges e ON e.s = reach.r) " +
         "SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster " +
         "FROM reach GROUP BY doc ORDER BY doc"),
+    // shared pair-graph prefix + the dedup_cluster reachability CC; the
+    // same source-hash split, component closure (any train member pulls
+    // the whole component), and the pair-straddle audit re-counted from
+    // the pair list itself
+    "split_grouped" ->
+      (s"WITH RECURSIVE $NearDupEdgesCte, " +
+        "reach(doc, r) AS (SELECT s, s FROM edges " +
+        "UNION SELECT reach.doc, e.d FROM reach JOIN edges e ON e.s = reach.r), " +
+        "lab AS (SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster " +
+        "FROM reach GROUP BY doc), " +
+        "base AS (SELECT doc_id, source, " +
+        "substring(md5(source), 1, 2) >= 'cd' AS src_eval FROM documents), " +
+        "j AS (SELECT b.doc_id, b.source, b.src_eval, l.cluster " +
+        "FROM base b LEFT JOIN lab l USING (doc_id)), " +
+        "comp AS (SELECT cluster, " +
+        "max(CASE WHEN NOT src_eval THEN 1 ELSE 0 END) AS any_train " +
+        "FROM j WHERE cluster IS NOT NULL GROUP BY 1), " +
+        "fin AS (SELECT j.doc_id, j.source, j.cluster, " +
+        "CASE WHEN j.src_eval AND (j.cluster IS NULL OR c.any_train = 0) " +
+        "THEN 'eval' ELSE 'train' END AS split " +
+        "FROM j LEFT JOIN comp c USING (cluster)), " +
+        "lk AS (SELECT count(CASE WHEN a.split <> b.split THEN 1 END) " +
+        "AS leak_pairs FROM pairs p " +
+        "JOIN fin a ON p.doc_a = a.doc_id " +
+        "JOIN fin b ON p.doc_b = b.doc_id) " +
+        "SELECT split, count(*) AS n_docs, " +
+        "count(DISTINCT source) AS n_sources, " +
+        "count(cluster) AS n_grouped, lk.leak_pairs " +
+        "FROM fin, lk GROUP BY split, lk.leak_pairs ORDER BY split"),
     // Same trigram-Jaccard pair-graph prefix as dedup_cluster; then 5
     // fixed PageRank rounds, each folding contributions in sorted-src
     // order (list_reduce over `list(... ORDER BY s)` ≡ Spark's

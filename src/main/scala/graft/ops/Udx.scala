@@ -57,6 +57,34 @@ object Udx {
         .orderBy("c_custkey")
     }),
 
+    // SQL-defined function (round 18) — Spark 4's `CREATE FUNCTION ...
+    // RETURN <expr>`, the UDx path a SQL-first user reaches for FIRST
+    // (no Scala involved). Unlike udf_scalar's black-box closure, the
+    // analyzer INLINES the SQL body into the calling plan, so the tier
+    // expression stays inside whole-stage codegen, constant-foldable
+    // and pushdown-eligible — at 100 TB a SQL UDF is free where a Scala
+    // UDF costs a codegen break at every call site. The declared query
+    // rolls customers up per tier (count + 2dp balance sum); the oracle
+    // is the hand-inlined CASE — which is exactly what the analyzer
+    // produces, so a semantics drift in the inliner fails the hash.
+    // CREATE OR REPLACE + a namespaced function name keep the DDL
+    // idempotent on a shared session.
+    "sql_udf" -> ((s, dir) => {
+      Tables.table(s, dir, "customer")
+        .createOrReplaceTempView("graft_sql_udf_customer")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_acct_tier(bal DOUBLE)
+          |RETURNS STRING
+          |RETURN CASE WHEN bal < 0 THEN 'debt'
+          |            WHEN bal < 3000 THEN 'low'
+          |            WHEN bal < 7000 THEN 'mid'
+          |            ELSE 'high' END""".stripMargin)
+      s.sql(
+        """SELECT graft_acct_tier(c_acctbal) AS tier, count(*) AS n,
+          |       round(sum(c_acctbal), 2) AS sum_bal
+          |FROM graft_sql_udf_customer GROUP BY tier ORDER BY tier""".stripMargin)
+    }),
+
     // Weighted-average discount (weight = quantity) per return flag via the
     // typed Aggregator, registered through functions.udaf.
     "udaf_aggregator" -> ((s, dir) => {
@@ -107,6 +135,15 @@ object Udx {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_udf" ->
+      // the hand-inlined body — identical to what Spark's analyzer
+      // substitutes at the call site
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |            WHEN c_acctbal < 3000 THEN 'low'
+        |            WHEN c_acctbal < 7000 THEN 'mid'
+        |            ELSE 'high' END AS tier,
+        |       count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer GROUP BY tier ORDER BY tier""".stripMargin,
     "udf_scalar" ->
       """SELECT c_custkey,
         |       CASE WHEN c_acctbal < 0 THEN 'debt'

@@ -310,6 +310,78 @@ object Vector {
     // dedup_semantic bound, and the same graph the searches would see
     // at 100 TB where the exact pass is unbuildable. The counting half
     // is unchanged.
+    // Fixed-K k-means (round 18) — the first-class CLUSTERING operator
+    // the ANN family trains privately (IVF/PQ each run Lloyd rounds as
+    // index prep) but never declared: K = 8 centers over the embedding
+    // corpus, 3 Lloyd rounds, the workhorse behind topic bucketing /
+    // corpus curation / semantic sharding. Fully deterministic so the
+    // static SQL oracle can replay it: seeds are the K lowest vec_ids
+    // (the ivfCentroids convention), assignment is argmin over
+    // (6dp-rounded squared L2, c_id) — the native codegen'd L2Sq fused
+    // loop, identical fold order to DuckDB's replay — and each update
+    // moves a center to the per-dim FIXED-POINT mean (round(x·10⁶)
+    // longs; long addition is associative, so centers are bit-identical
+    // under any partitioning). Empty clusters keep their previous
+    // center. The declared output is the per-cluster report (size +
+    // inertia, the Σd² training loss) of the final assignment; inertia
+    // sums the 6dp-rounded distances as exact 10⁻⁶ fixed-point longs in
+    // DECIMAL(38,0) (a double sum would wobble with partition order;
+    // DuckDB mirrors in HUGEINT). Scale: each round is ONE corpus pass
+    // (map-side K×dim argmin into a K-row partial+final aggregate —
+    // the model state collected is K rows, the ivfCentroids bound), and
+    // the trained centers are STAGED per corpus version like every
+    // other index artifact — at 100 TB the 4 training passes amortize
+    // into metadata and the serving pass is a single scan.
+    // VectorSpec replays the whole trajectory driver-side and pins the
+    // inertia-monotonicity law on the update rounds.
+    "embed_kmeans" -> ((s, dir) => {
+      val K = 8; val Rounds = 3
+      val e = emb(s, dir).select(col("vec_id"), col("v"))
+      def scoredArr(cs: Seq[(Long, Seq[Double])]): Column =
+        array_sort(array(cs.map { case (cid, cv) =>
+          struct(round(org.apache.spark.sql.graft.L2Sq(col("v"),
+            array(cv.map(lit): _*)), 6).as("d"), lit(cid).as("c"))
+        }: _*))
+      val cents = graft.Staging.materialize(
+        s, Tables.path(dir, "embeddings"), "kmeans8_lloyd3_v1") {
+        // one bounded collect (K rows — fixed model state), then
+        // Rounds × (corpus pass → K-row collect), all inside the build
+        // thunk so a warm staged hit launches exactly one job
+        val seedRows: Seq[(Long, Seq[Double])] =
+          e.where(col("vec_id") < K).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+        val dim = seedRows.headOption.map(_._2.size).getOrElse(0)
+        val fin = (1 to Rounds).foldLeft(seedRows) { (cs, _) =>
+          val upd = e.select(element_at(scoredArr(cs), 1)("c").as("cl"),
+              transform(col("v"), x => round(x * 1e6).cast("long")).as("q"))
+            .groupBy("cl")
+            .agg(count(lit(1)).as("n"),
+              array((0 until dim).map(i =>
+                sum(element_at(col("q"), i + 1))): _*).as("sums"))
+            .collect()
+            .map { r =>
+              r.getLong(0) ->
+                r.getSeq[Long](2).map(sv => sv.toDouble / r.getLong(1) / 1e6)
+            }.toMap
+          cs.map { case (cid, cv) => cid -> upd.getOrElse(cid, cv) }
+        }
+        import s.implicits._
+        fin.toDF("c_id", "cv")
+      }
+      val centLit: Seq[(Long, Seq[Double])] =
+        cents.collect().toSeq.sortBy(_.getLong(0))
+          .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      e.select(element_at(scoredArr(centLit), 1).as("a"))
+        .select(col("a.c").as("cluster"),
+          round(col("a.d") * 1e6).cast("long").as("ic"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("ic").cast("decimal(38,0)")).as("ics"))
+        .select(col("cluster"), col("n_members"),
+          round(col("ics").cast("double") / 1e6, 6).as("inertia"))
+        .orderBy("cluster")
+    }),
+
     "graph_knn_triangles" -> ((s, dir) => {
       // The kNN edge list is a pure function of the corpus — staged per
       // corpus version like every other similarity index (the n·k-row
@@ -363,6 +435,46 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full 3-round Lloyd replay as chained CTEs (the embed_ann_ivf
+    // refinement block, iterated): per round assign by (rounded l2²,
+    // c_id) row_number, fixed-point per-dim means, empty clusters
+    // keep the previous center; the final assignment aggregates the
+    // per-cluster report with the identical 10⁻⁶ fixed-point inertia.
+    "embed_kmeans" -> {
+      val l2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(1, 65), i -> " +
+        "((v)[i] - (cv)[i]) * ((v)[i] - (cv)[i]))), (x, y) -> x + y)"
+      def roundCte(i: Int): String = {
+        val prev = s"cent${i - 1}"
+        s"a$i AS (SELECT vec_id, v, c_id, row_number() OVER " +
+        s"(PARTITION BY vec_id ORDER BY round($l2, 6), c_id) AS rc " +
+        s"FROM e CROSS JOIN $prev), " +
+        s"m$i AS (SELECT v, c_id FROM a$i WHERE rc = 1), " +
+        s"dx$i AS (SELECT c_id, unnest(v) AS x, " +
+        s"generate_subscripts(v, 1) AS d FROM m$i), " +
+        s"ds$i AS (SELECT c_id, d, " +
+        s"sum(CAST(round(x * 1e6) AS BIGINT)) AS sm, count(*) AS n " +
+        s"FROM dx$i GROUP BY c_id, d), " +
+        s"cm$i AS (SELECT c_id, list(CAST(sm AS DOUBLE) / n / 1e6 " +
+        s"ORDER BY d) AS cv FROM ds$i GROUP BY c_id), " +
+        s"cent$i AS (SELECT c_id, cv FROM cm$i UNION ALL " +
+        s"SELECT c_id, cv FROM $prev " +
+        s"WHERE c_id NOT IN (SELECT c_id FROM cm$i)), "
+      }
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings), " +
+      "cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8), " +
+      (1 to 3).map(roundCte).mkString +
+      "fa AS (SELECT vec_id, c_id, dd, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY dd, c_id) AS rc FROM " +
+      s"(SELECT vec_id, c_id, round($l2, 6) AS dd " +
+      "FROM e CROSS JOIN cent3)), " +
+      "fm AS (SELECT c_id, CAST(round(dd * 1e6) AS BIGINT) AS ic " +
+      "FROM fa WHERE rc = 1) " +
+      "SELECT c_id AS cluster, count(*) AS n_members, " +
+      "round(CAST(CAST(sum(ic) AS HUGEINT) AS DOUBLE) / 1e6, 6) " +
+      "AS inertia FROM fm GROUP BY 1 ORDER BY 1"
+    },
     "embed_centroid_label" ->
       // unnest + generate_subscripts in one SELECT zip positionally;
       // - 1 matches posexplode's 0-based pos (cast long on both sides).

@@ -135,6 +135,55 @@ object Windows {
         .orderBy("event_type", "hw")
     }),
 
+    // Holt double-exponential forecast (round 18) — the projection
+    // member of the time-series family: win_seasonal_baseline
+    // decomposes, agg_ewma smooths a level, but neither projects
+    // FORWARD; Holt's linear method carries a level AND a trend and
+    // answers "what does the next hour look like", the readout a
+    // capacity monitor actually pages on. Per type over the DENSIFIED
+    // hourly spine (shared denseHourly — zero hours are real
+    // observations for a volume forecast): l_t = α·x_t +
+    // (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1},
+    // seeded l_2 = x_2, b_2 = x_2 − x_1; forecast_next = l + b. α = 1/4
+    // and β = 1/8 are EXACT binary fractions and the recurrence is a
+    // chronological left fold of IEEE *,+ only (the agg_ewma Horner
+    // posture), so the unrounded state is bitwise-reproducible — the
+    // oracle replays the identical fold with list_reduce over (l, b)
+    // structs (elements pre-lifted to the state type because DuckDB's
+    // fold is seedless — the first element IS the seed, b := NULL until
+    // the second observation defines the trend). A one-observation type
+    // NULL-gates trend and forecast. Scale: one corpus pass to the
+    // hourly rollup; the per-type fold state is the calendar-bounded
+    // spine (|days|·24 rows), the event_pattern_match bound.
+    "win_forecast_des" -> ((s, dir) => {
+      val vals = transform(
+        array_sort(collect_list(struct(col("hw"), col("n")))),
+        x => x.getField("n").cast("double"))
+      val a = lit(0.25); val a1 = lit(0.75)
+      val b = lit(0.125); val b1 = lit(0.875)
+      denseHourly(s, dir)
+        .groupBy("event_type")
+        .agg(vals.as("xs"))
+        .select(col("event_type"), size(col("xs")).as("n_hours"),
+          aggregate(
+            slice(col("xs"), lit(2), size(col("xs")) - 1),
+            struct(element_at(col("xs"), 1).as("l"),
+              lit(null).cast("double").as("b")),
+            (acc, x) => {
+              val l0 = acc.getField("l"); val b0 = acc.getField("b")
+              val lN = x * a + (l0 + b0) * a1
+              struct(
+                when(b0.isNull, x).otherwise(lN).as("l"),
+                when(b0.isNull, x - l0)
+                  .otherwise((lN - l0) * b + b0 * b1).as("b"))
+            }).as("st"))
+        .select(col("event_type"), col("n_hours"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round(col("st.l") + col("st.b"), 6).as("forecast_next"))
+        .orderBy("event_type")
+    }),
+
     // Theil–Sen robust trend (round 17) — the median-of-pairwise-slopes
     // estimator (29% breakdown) for "is this metric drifting", immune to
     // the spikes an OLS slope chases: slope = median over all day pairs
@@ -533,6 +582,33 @@ object Windows {
       "CASE WHEN d1 > 0 AND d2 > 0 THEN " +
       "round(num / (sqrt(d1) * sqrt(d2)), 6) END AS acf " +
       "FROM k ORDER BY event_type, lag_k"
+    },
+    // same densified spine; the identical Holt fold via list_reduce.
+    // The state rides a DOUBLE[2] list, not a struct: DuckDB's fold is
+    // seedless (acc starts as the FIRST element, so acc and element
+    // types must match) and its struct-typed lambda CASE mis-unifies
+    // field types (probed: a struct fold returned DECIMAL l and a
+    // wrong b on this DuckDB) — the homogeneous-list encoding sidesteps
+    // both. The l_2/b_2 seed is prepended explicitly ([x_2, x_2 − x_1])
+    // and the fold runs from x_3, exactly the Spark side's recurrence;
+    // the one-observation edge NULL-gates the trend via the outer CASE.
+    "win_forecast_des" -> {
+      val lN = "e[1] * CAST(0.25 AS DOUBLE) + " +
+        "(a[1] + a[2]) * CAST(0.75 AS DOUBLE)"
+      "WITH " + DenseHourlyCte + ", " +
+      "g AS (SELECT event_type, " +
+      "list(CAST(n AS DOUBLE) ORDER BY hw) AS xs FROM d GROUP BY 1), " +
+      "f AS (SELECT event_type, len(xs) AS n_hours, " +
+      "CASE WHEN len(xs) = 1 THEN [xs[1], CAST(NULL AS DOUBLE)] " +
+      "ELSE list_reduce(list_prepend([xs[2], xs[2] - xs[1]], " +
+      "list_transform(xs[3:], v -> [v, CAST(0 AS DOUBLE)])), " +
+      s"(a, e) -> [$lN, " +
+      s"($lN - a[1]) * CAST(0.125 AS DOUBLE) + " +
+      "a[2] * CAST(0.875 AS DOUBLE)]) END AS st FROM g) " +
+      "SELECT event_type, CAST(n_hours AS INT) AS n_hours, " +
+      "round(st[1], 6) AS level, round(st[2], 6) AS trend, " +
+      "round(st[1] + st[2], 6) AS forecast_next " +
+      "FROM f ORDER BY event_type"
     },
     // same densified spine, same (type, hour-of-day) slot windows over
     // exact ints, same single division/subtraction

@@ -582,6 +582,49 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("holt forecast: level/trend replay from a naive per-hour recursion " +
+    "over an independently densified spine") {
+    // The key folds the Holt recurrence over the shared denseHourly
+    // collect_list; this leg rebuilds the spine by WALKING THE CALENDAR
+    // hour-by-hour from a plain events rollup (gaps filled with explicit
+    // zeros), runs the textbook two-equation recursion in mutable vars,
+    // and demands agreement — a spine gap, a seed slip (l₂ = x₂,
+    // b₂ = x₂ − x₁), or a swapped α/β cannot survive both forms.
+    val out = SparkEntry.queries("win_forecast_des")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hw"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).getTime, r.getLong(2)))
+    hourly.groupBy(_._1).foreach { case (ty, rows) =>
+      val byHour = rows.map(t => t._2 -> t._3).toMap
+      val (h0, h1) = (byHour.keys.min, byHour.keys.max)
+      val xs = (h0 to h1 by 3600000L)
+        .map(h => byHour.getOrElse(h, 0L).toDouble)
+      var l = xs.head; var b = Double.NaN
+      xs.tail.foreach { x =>
+        if (b.isNaN) { b = x - l; l = x }
+        else {
+          val lN = 0.25 * x + 0.75 * (l + b)
+          b = 0.125 * (lN - l) + 0.875 * b
+          l = lN
+        }
+      }
+      val r = out(ty)
+      assert(r.getAs[Int]("n_hours") === xs.length, s"$ty spine length")
+      assert(math.abs(r.getAs[Double]("level") - l) < 1e-5, s"$ty level")
+      if (xs.length > 1) {
+        assert(math.abs(r.getAs[Double]("trend") - b) < 1e-5, s"$ty trend")
+        assert(math.abs(r.getAs[Double]("forecast_next") - (l + b)) < 1e-5,
+          s"$ty forecast")
+      } else {
+        assert(r.isNullAt(r.fieldIndex("trend")), s"$ty must NULL-gate")
+      }
+    }
+  }
+
   test("cusum: closed form replays the naive max(0, S+d) recursion") {
     // The key computes S_t = P_t - min(0, min P_j) in scaled integer
     // space; this leg runs the textbook per-row recursion in doubles and

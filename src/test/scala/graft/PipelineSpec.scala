@@ -26,6 +26,63 @@ class PipelineSpec extends AnyFunSuite {
     nodes.map(n => n -> find(n)).toMap
   }
 
+  test("split_grouped: no near-dup pair straddles splits, components " +
+       "co-move, and a train member pulls its whole group") {
+    // Independent derivation: union-find over the staged pair list (not
+    // the key's CC), md5 source split recomputed with MessageDigest (not
+    // Spark md5) — the leakage guarantee must survive both formulations.
+    val pairs = graft.ops.Dedup.ngramPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "corpus has no near-dup pairs — law is vacuous")
+    val comp = unionFind(pairs)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def srcEval(src: String): Boolean =
+      md.digest(src.getBytes("UTF-8")).take(1)
+        .map(b => f"$b%02x").mkString >= "cd"
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // expected split: component train iff any member's source is train
+    val compTrain = comp.groupBy(_._2).map { case (c, ms) =>
+      c -> ms.keys.exists(d => !srcEval(docs(d)))
+    }
+    def split(d: Long): String =
+      comp.get(d) match {
+        case Some(c) => if (compTrain(c)) "train" else "eval"
+        case None => if (srcEval(docs(d))) "eval" else "train"
+      }
+    // law 1: every near-dup pair co-moves
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"pair ($a, $b) straddles splits")
+    }
+    // law 2: the declared report matches the reference partition and
+    // pins leak_pairs at the audited zero
+    val out = SparkEntry.queries("split_grouped")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val all = docs.keys.toSeq
+    Seq("train", "eval").foreach { sp =>
+      val mine = all.filter(split(_) == sp)
+      val r = out(sp)
+      assert(r.getAs[Long]("n_docs") === mine.size.toLong, s"$sp n_docs")
+      assert(r.getAs[Long]("n_sources") ===
+        mine.map(docs).distinct.size.toLong, s"$sp n_sources")
+      assert(r.getAs[Long]("n_grouped") ===
+        mine.count(comp.contains).toLong, s"$sp n_grouped")
+      assert(r.getAs[Long]("leak_pairs") === 0L, s"$sp leak_pairs")
+    }
+    // law 3 (the guard is doing real work): at least one doc was PULLED
+    // across its source split by its component, or every component is
+    // split-homogeneous by luck — require the corpus to exercise the
+    // pull on at least one side so a silently-disabled closure cannot
+    // pass
+    val pulled = comp.keys.count(d =>
+      srcEval(docs(d)) && compTrain(comp(d)))
+    assert(pulled > 0,
+      "no document was pulled train-ward by its group — the closure " +
+        "was never exercised on this corpus")
+  }
+
   private def viaSpark(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     ops.Pipeline.connectedComponents(edges.toDF("doc_a", "doc_b"))

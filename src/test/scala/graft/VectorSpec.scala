@@ -105,6 +105,67 @@ class VectorSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("embed_kmeans: driver-side Lloyd replay matches exactly and " +
+       "inertia is monotone non-increasing across rounds") {
+    // Independent formulation: plain while-loop arrays, same seed rule
+    // (lowest-8 vec_ids), same (round-6 l2², id) argmin, same 10⁻⁶
+    // fixed-point means — a rank/rounding/empty-cell slip in the
+    // declared key cannot survive both implementations. Plus the law
+    // that makes it k-MEANS: each Lloyd update must not increase the
+    // training loss (assignment and mean steps are both minimizers;
+    // the 1e-6 fixed-point quantization gets a matching tolerance).
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val ids = vecs.keys.toSeq.sorted
+    var cents: Seq[(Long, Array[Double])] =
+      ids.filter(_ < 8).sorted.map(id => id -> vecs(id)._1)
+    def assign(cs: Seq[(Long, Array[Double])]): Map[Long, (Long, Double)] =
+      ids.map { id =>
+        val best = cs.map { case (cid, cv) =>
+          (r6(l2sq(vecs(id)._1, cv)), cid) }.min
+        id -> (best._2, best._1)
+      }.toMap
+    def inertia(cs: Seq[(Long, Array[Double])]): Double =
+      assign(cs).values.map(_._2).sum
+    val trajectory = Seq.newBuilder[Double]
+    trajectory += inertia(cents)
+    for (_ <- 1 to 3) {
+      val a = assign(cents)
+      val upd = a.toSeq.groupBy(_._2._1).map { case (cid, members) =>
+        val vs = members.map(m => vecs(m._1)._1)
+        val dim = vs.head.length
+        cid -> Array.tabulate(dim) { d =>
+          vs.map(v => math.round(v(d) * 1e6)).sum.toDouble / vs.size / 1e6
+        }
+      }
+      cents = cents.map { case (cid, cv) => cid -> upd.getOrElse(cid, cv) }
+      trajectory += inertia(cents)
+    }
+    val traj = trajectory.result()
+    traj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-3, s"inertia increased across a Lloyd round: $traj")
+    }
+    // the declared per-cluster report equals the replay's final state
+    val fin = assign(cents)
+    val expect = fin.toSeq.groupBy(_._2._1).map { case (cid, ms) =>
+      cid -> (ms.size.toLong,
+        r6(ms.map(m => math.round(m._2._2 * 1e6)).sum.toDouble / 1e6))
+    }
+    val out = SparkEntry.queries("embed_kmeans")(spark, sf).collect()
+    assert(out.length === expect.size)
+    out.foreach { r =>
+      val (n, in) = expect(r.getLong(0))
+      assert(r.getLong(1) === n, s"cluster ${r.getLong(0)} size")
+      assert(math.abs(r.getDouble(2) - in) < 1e-9,
+        s"cluster ${r.getLong(0)} inertia")
+    }
+  }
+
   test("top eigenvector: unit norm, dominant direction, deterministic") {
     val out = SparkEntry.queries("embed_top_eigen")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
