@@ -840,6 +840,42 @@ object Aggs {
         .orderBy("segment")
     }),
 
+    // Herfindahl–Hirschman concentration (round 18) — the antitrust /
+    // revenue-concentration index next to agg_gini's Lorenz coefficient:
+    // HHI = Σ s_i² over customer spend shares per segment (1/n even
+    // market → 1 monopoly; the DOJ's merger-review statistic, and the
+    // "how many customers could we lose" readout). Pure two-level
+    // aggregate — no ranking at all, which is the point of declaring it
+    // next to gini: HHI = Σ cents_i² / (Σ cents)², both sums exact in
+    // DECIMAL(38,0) (cents² crosses int64 at ~$43M customer spend;
+    // squares sum to <1e26 at 1e9 customers — inside decimal; DuckDB
+    // HUGEINT), the square of the total taken in DOUBLE (it would cross
+    // 1e38 only past ~1e10 exabyte-spend corpora, and the final ratio
+    // is IEEE either way). top_share = the largest single customer's
+    // share, the companion number every concentration review quotes.
+    // Scale: orders pass → (segment, customer) aggregate → |segments|
+    // rows; both shuffles hash on real keys, nothing sorts.
+    "agg_hhi" -> ((s, dir) => {
+      val spend = Tables.table(s, dir, "orders")
+        .join(Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val tot = col("tot").cast("double")
+      spend.groupBy("segment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec38(col("cents"))).as("tot"),
+          sum(dec38(col("cents")) * col("cents")).as("sq"),
+          max(col("cents")).as("mx"))
+        .select(col("segment"), col("n_cust"),
+          col("tot").cast("long").as("total_cents"),
+          round(col("sq").cast("double") / (tot * tot), 6).as("hhi"),
+          round(col("mx").cast("double") / tot, 6).as("top_share"))
+        .orderBy("segment")
+    }),
+
     // Kaplan–Meier survival (round 17) — the product-limit estimator
     // behind every time-to-event curve: here TIME TO FIRST HIGH-VALUE
     // CONVERSION (first purchase ≥ $200, exact cents ≥ 20000), t =
@@ -1073,6 +1109,21 @@ object Aggs {
        "AS DOUBLE) / (CAST(max(n) AS DOUBLE) * " +
        "CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE)), 6) AS gini " +
        "FROM r GROUP BY 1 ORDER BY 1"),
+    "agg_hhi" ->
+      // same spend relation, HUGEINT square sums, identical double
+      // ratio trees
+      ("WITH sp AS (SELECT c_mktsegment AS segment, c_custkey, " +
+       "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+       "AS cents FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY 1, 2) " +
+       "SELECT segment, count(*) AS n_cust, " +
+       "CAST(CAST(sum(cents) AS HUGEINT) AS BIGINT) AS total_cents, " +
+       "round(CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) / " +
+       "(CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE) * " +
+       "CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE)), 6) AS hhi, " +
+       "round(CAST(max(cents) AS DOUBLE) / " +
+       "CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE), 6) AS top_share " +
+       "FROM sp GROUP BY 1 ORDER BY 1"),
     "agg_survival_km" ->
       // same lifetimes/censoring/risk-set arithmetic (integer windows),
       // same per-row left-fold survival products over the ordered

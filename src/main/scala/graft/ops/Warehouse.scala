@@ -137,6 +137,60 @@ object Warehouse {
         .orderBy("user_id", "effective_from")
     }),
 
+    // Point-in-time dimension lookup (round 18) — the READ side of the
+    // SCD2 story: merge_scd2 maintains the versioned dim; this is the
+    // query every warehouse then runs against it — each fact joined to
+    // the dimension row THAT WAS VALID AT THE FACT'S TIMESTAMP ("the
+    // customer's state as it was at sale time", the join that makes
+    // type-2 history worth storing; joining the current row instead is
+    // the classic time-travel bug). Facts = purchase events; lookup is
+    // STRICTLY-BEFORE (the state the user was in when the purchase
+    // arrived — its own transition not yet applied). NOT an interval
+    // join: per user the validity intervals are disjoint, so the PIT
+    // lookup is the union-and-carry-forward shape — dim transitions and
+    // facts interleaved on ONE user_id shuffle, ordered (ts, fact<dim)
+    // so equal-ts facts read the prior state, and last(state,
+    // ignoreNulls) carries the in-force version onto each fact row. At
+    // 100 TB that is one hash partition + per-user ordered walk; a
+    // range/theta join against the interval table would rescan the dim
+    // per fact. The dim is the staged full-history build (the
+    // merge_scd2 oracle's reference semantics — stored once, read per
+    // query, the production shape).
+    "join_scd2_pit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"))
+      val dim = graft.Staging.materialize(
+        s, Tables.path(dir, "events"), "scd2_full_v1") {
+        scd2(changesOnly(lastPerTs(ev)))
+      }
+      val facts = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val tagged = dim.select(col("user_id"),
+          col("effective_from").as("ts"), lit(1).as("m"),
+          col("state"), col("effective_from"),
+          lit(null).cast("long").as("event_id"),
+          lit(null).cast("long").as("cents"))
+        .unionByName(facts.select(col("user_id"), col("ts"),
+          lit(0).as("m"), lit(null).cast("string").as("state"),
+          lit(null).cast("timestamp").as("effective_from"),
+          col("event_id"), col("cents")))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("prior_state", last(col("state"), true).over(w))
+        .withColumn("prior_since",
+          last(col("effective_from"), true).over(w))
+        .where(col("m") === 0)
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts_s"), col("cents"),
+          col("prior_state"),
+          date_trunc("second", col("prior_since")).as("prior_since"))
+        .orderBy("event_id")
+    }),
+
     // INCREMENTAL MATERIALIZED-VIEW refresh (round 15 — the aggregate
     // sibling of merge_scd2's dimension merge): the per-(day, event_type)
     // count/cents rollup is maintained as a STORED aggregate over
@@ -393,6 +447,93 @@ object Warehouse {
           col("n"), z.as("rz"),
           when(col("m2d") =!= 0, abs(z) > 3.5).as("is_outlier"))
         .orderBy("event_type", "day")
+    }),
+
+    // Primary-key uniqueness audit (round 18) — the third leg of the
+    // whole-schema audit family (dq_referential_audit checks FK edges
+    // point somewhere; this checks the PKs they point AT are actually
+    // unique — the assumption the RI audit's DISTINCT-parent guard
+    // exists to survive, here measured instead of worked around). Every
+    // declared key in the corpus, one row each: row count, distinct key
+    // count, duplicate-row count, worst multiplicity, pass flag. Shape:
+    // per table ONE two-phase groupBy(key)→count aggregate collapsed to
+    // a single summary row (the key-distinct shuffle is the price of an
+    // exact answer at any scale — same shape a real warehouse pays;
+    // composite lineitem key included); the report is |tables| rows.
+    "dq_uniqueness_audit" -> ((s, dir) => {
+      def audit(tag: String, df: DataFrame, keys: Seq[String]): DataFrame =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_mult"))
+          .select(lit(tag).as("pk"), col("n_rows"), col("n_keys"),
+            (col("n_rows") - col("n_keys")).as("n_dup_rows"),
+            col("max_mult"),
+            (col("n_rows") === col("n_keys")).as("ok"))
+      val t = (n: String) => Tables.table(s, dir, n)
+      Seq(
+        audit("customer.c_custkey", t("customer"), Seq("c_custkey")),
+        audit("documents.doc_id", t("documents"), Seq("doc_id")),
+        audit("embeddings.vec_id", t("embeddings"), Seq("vec_id")),
+        audit("events.event_id", Tables.events(s, dir), Seq("event_id")),
+        audit("lineitem.(l_orderkey,l_linenumber)", t("lineitem"),
+          Seq("l_orderkey", "l_linenumber")),
+        audit("nation.n_nationkey", t("nation"), Seq("n_nationkey")),
+        audit("orders.o_orderkey", t("orders"), Seq("o_orderkey")),
+        audit("part.p_partkey", t("part"), Seq("p_partkey")),
+        audit("region.r_regionkey", t("region"), Seq("r_regionkey")),
+        audit("supplier.s_suppkey", t("supplier"), Seq("s_suppkey")))
+        .reduce(_ unionByName _)
+        .orderBy("pk")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift test (round 18) — the
+    // DISTRIBUTION-SHAPE member of the drift family: dq_drift_psi reads
+    // drift through 10 fixed log bins (blind to shifts inside a bin);
+    // KS compares the FULL empirical CDFs and is the standard
+    // feature-drift gate next to PSI on every ML monitoring dashboard.
+    // Same ref/cur split (day-of-month ≤ 15) and exact-cents metric as
+    // PSI, per event_type. D = max|F_ref − F_cur| is computed WITHOUT
+    // any double accumulation: cumulative INTEGER counts over the
+    // distinct-cents histogram (≤49k rows/type at any corpus size — the
+    // agg_mann_whitney bounded relation), then the supremum as an exact
+    // integer max of |cr·t_cur − cc·t_ref| in DECIMAL(38,0) (the
+    // cross-product crosses int64 at ~3e9 rows/side; DuckDB mirrors in
+    // HUGEINT) and ONE double division at the end. Significance at
+    // α = 0.05: D > 1.358·√((n+m)/(n·m)) — both factors IEEE-correctly-
+    // rounded, identical association in the oracle; an empty side
+    // NULL-gates. Scale: one corpus pass into the histogram; windows
+    // run over the value-domain-bounded relation, and |types| rows
+    // come back.
+    "dq_drift_ks" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val ev = Tables.events(s, dir).select(col("event_type"),
+          (dayofmonth(col("ts")) <= 15).as("is_ref"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        .where(col("c").isNotNull)
+      val hist = ev.groupBy("event_type", "c").agg(
+        count(when(col("is_ref"), 1)).as("nr"),
+        count(when(!col("is_ref"), 1)).as("nc"))
+      val w = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("event_type")
+      val cum = hist
+        .withColumn("cr", sum(col("nr")).over(w))
+        .withColumn("cc", sum(col("nc")).over(w))
+        .withColumn("tr", sum(col("nr")).over(wt))
+        .withColumn("tc", sum(col("nc")).over(wt))
+      val g = cum.groupBy("event_type").agg(
+        max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+        max(abs(d38(col("cr")) * col("tc") - d38(col("cc")) * col("tr")))
+          .as("dint"))
+      val m = col("n_ref").cast("double") * col("n_cur").cast("double")
+      val ok = col("n_ref") > 0 && col("n_cur") > 0
+      val d = col("dint").cast("double") / m
+      val crit = lit(1.358) *
+        sqrt((col("n_ref") + col("n_cur")).cast("double") / m)
+      g.select(col("event_type"), col("n_ref"), col("n_cur"),
+          when(ok, round(d, 6)).as("d_stat"),
+          when(ok, d > crit).as("drifted"))
+        .orderBy("event_type")
     }),
 
     // Referential-integrity audit (round 17) — dq_expectations checks
@@ -661,6 +802,61 @@ object Warehouse {
        "  CAST(n * 2 - med2 AS DOUBLE) / CAST(m2d AS DOUBLE), 6)) > 3.5 " +
        "  END AS is_outlier " +
        "FROM dev JOIN mad USING (event_type) ORDER BY event_type, day"),
+    // one grouped-count subquery per declared key, same summary algebra
+    "dq_uniqueness_audit" -> {
+      def block(tag: String, table: String, keys: String): String =
+        s"SELECT '$tag' AS pk, CAST(sum(c) AS BIGINT) AS n_rows, " +
+          "count(*) AS n_keys, " +
+          "CAST(sum(c) - count(*) AS BIGINT) AS n_dup_rows, " +
+          "CAST(max(c) AS BIGINT) AS max_mult, " +
+          "CAST(sum(c) AS BIGINT) = count(*) AS ok FROM " +
+          s"(SELECT count(*) AS c FROM $table GROUP BY $keys)"
+      Seq(
+        block("customer.c_custkey", "customer", "c_custkey"),
+        block("documents.doc_id", "documents", "doc_id"),
+        block("embeddings.vec_id", "embeddings", "vec_id"),
+        block("events.event_id", "events", "event_id"),
+        block("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+          "l_orderkey, l_linenumber"),
+        block("nation.n_nationkey", "nation", "n_nationkey"),
+        block("orders.o_orderkey", "orders", "o_orderkey"),
+        block("part.p_partkey", "part", "p_partkey"),
+        block("region.r_regionkey", "region", "r_regionkey"),
+        block("supplier.s_suppkey", "supplier", "s_suppkey"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY pk")
+    },
+    // same histogram, same integer cumulative/total windows, the same
+    // exact HUGEINT supremum and identically-associated double
+    // division/critical-value trees
+    "dq_drift_ks" ->
+      ("WITH e AS (SELECT event_type, day(ts) <= 15 AS is_ref, " +
+       "CAST(round(value * 100) AS BIGINT) AS c FROM events " +
+       "WHERE value IS NOT NULL), " +
+       "h AS (SELECT event_type, c, " +
+       "count(CASE WHEN is_ref THEN 1 END) AS nr, " +
+       "count(CASE WHEN NOT is_ref THEN 1 END) AS nc FROM e GROUP BY 1, 2), " +
+       "k AS (SELECT event_type, " +
+       "CAST(sum(nr) OVER (PARTITION BY event_type ORDER BY c " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cr, " +
+       "CAST(sum(nc) OVER (PARTITION BY event_type ORDER BY c " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc, " +
+       "CAST(sum(nr) OVER (PARTITION BY event_type) AS BIGINT) AS tr, " +
+       "CAST(sum(nc) OVER (PARTITION BY event_type) AS BIGINT) AS tc " +
+       "FROM h), " +
+       "g AS (SELECT event_type, max(tr) AS n_ref, max(tc) AS n_cur, " +
+       "max(abs(CAST(cr AS HUGEINT) * tc - CAST(cc AS HUGEINT) * tr)) " +
+       "AS dint FROM k GROUP BY 1) " +
+       "SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref, " +
+       "CAST(n_cur AS BIGINT) AS n_cur, " +
+       "CASE WHEN n_ref > 0 AND n_cur > 0 THEN " +
+       "round(CAST(dint AS DOUBLE) / " +
+       "(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 6) END AS d_stat, " +
+       "CASE WHEN n_ref > 0 AND n_cur > 0 THEN " +
+       "CAST(dint AS DOUBLE) / " +
+       "(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) > " +
+       "1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / " +
+       "(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))) END AS drifted " +
+       "FROM g ORDER BY 1"),
     // One scalar-aggregate block per FK edge; orphan count via
     // fk-present AND NOT EXISTS ≡ the Spark side's non-null left-join
     // miss count, NULL FKs counted apart and excluded from the rate's
@@ -770,6 +966,28 @@ object Warehouse {
        "CAST(row_number() OVER (PARTITION BY user_id " +
        "  ORDER BY effective_from) AS INT) AS version " +
        "FROM v ORDER BY user_id, effective_from"),
+    "join_scd2_pit" ->
+      // the merge_scd2 oracle's dim CTE + DuckDB's native ASOF LEFT
+      // JOIN with a STRICT inequality (greatest effective_from < ts) ≡
+      // the Spark side's union-and-carry-forward strictly-before lookup
+      ("WITH e1 AS (SELECT user_id, ts, event_type, row_number() OVER (" +
+       "  PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+       "  FROM events), " +
+       "e2 AS (SELECT user_id, ts, event_type FROM e1 WHERE rn = 1), " +
+       "ch AS (SELECT user_id, ts, event_type, lag(event_type) OVER (" +
+       "  PARTITION BY user_id ORDER BY ts) AS pv FROM e2), " +
+       "v AS (SELECT user_id, event_type AS state, ts AS effective_from " +
+       "  FROM ch WHERE pv IS NULL OR pv <> event_type), " +
+       "f AS (SELECT user_id, ts, event_id, " +
+       "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+       "WHERE event_type = 'purchase') " +
+       "SELECT f.event_id, f.user_id, " +
+       "date_trunc('second', f.ts) AS ts_s, f.cents, " +
+       "v.state AS prior_state, " +
+       "date_trunc('second', v.effective_from) AS prior_since " +
+       "FROM f ASOF LEFT JOIN v " +
+       "ON f.user_id = v.user_id AND f.ts > v.effective_from " +
+       "ORDER BY f.event_id"),
     "mv_incremental_refresh" ->
       // full-history rebuild of the same rollup — equality with the
       // incremental merge is the gate's whole point (merge_scd2 posture)

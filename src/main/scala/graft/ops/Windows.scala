@@ -135,6 +135,43 @@ object Windows {
         .orderBy("event_type", "hw")
     }),
 
+    // Weekly cohort retention MATRIX (round 18) — the heat-map chart
+    // itself, complementing agg_retention's fixed-offset probe
+    // (0/1/7/14/30-day survival for the whole population): here users
+    // are bucketed by FIRST-ACTIVITY week (ISO Monday truncation,
+    // identical in both engines) and every cell of the cohort × offset
+    // grid is emitted — the view that separates "week-3 signups churn
+    // faster" from "everyone churned in calendar week 3", which a
+    // single global offset probe cannot. Offset = user-anchored
+    // datediff DIV 7 (exact integer); cell = distinct users from
+    // cohort c active in offset week k; retention = n_active/n_cohort.
+    // Offset 0 is 100% by construction (every user is active in their
+    // own first week) — the law DataQualitySpec pins. Shape: distinct
+    // (user, day) pass → per-user min → one (cohort, offset) distinct
+    // + count; cohort sizes are a CALENDAR-bounded relation broadcast
+    // back. Exact integers throughout, one rounded division per cell.
+    "win_retention_cohort" -> ((s, dir) => {
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = act.groupBy("user_id").agg(min(col("day")).as("f"))
+      val off = act.join(first, "user_id")
+        .select(date_trunc("week", col("f")).as("cohort"),
+          col("user_id"),
+          expr("CAST(datediff(day, f) DIV 7 AS INT)").as("offset"))
+        .distinct()
+      val sizes = first
+        .groupBy(date_trunc("week", col("f")).as("cohort"))
+        .agg(count(lit(1)).as("n_cohort"))
+      off.groupBy("cohort", "offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort")
+        .select(col("cohort").as("cohort_week"), col("offset"),
+          col("n_cohort"), col("n_active"),
+          round(col("n_active").cast("double") /
+            col("n_cohort").cast("double"), 6).as("retention"))
+        .orderBy("cohort_week", "offset")
+    }),
+
     // Holt double-exponential forecast (round 18) — the projection
     // member of the time-series family: win_seasonal_baseline
     // decomposes, agg_ewma smooths a level, but neither projects
@@ -583,6 +620,26 @@ object Windows {
       "round(num / (sqrt(d1) * sqrt(d2)), 6) END AS acf " +
       "FROM k ORDER BY event_type, lag_k"
     },
+    // same distinct-activity relation, ISO week truncation, DIV-7
+    // offsets, identical rounded division
+    "win_retention_cohort" ->
+      ("WITH act AS (SELECT DISTINCT user_id, " +
+       "CAST(date_trunc('day', ts) AS DATE) AS day FROM events), " +
+       "f AS (SELECT user_id, min(day) AS f FROM act GROUP BY 1), " +
+       "o AS (SELECT DISTINCT " +
+       "CAST(date_trunc('week', f.f) AS TIMESTAMP) AS cohort, " +
+       "act.user_id, " +
+       "CAST(datediff('day', f.f, act.day) // 7 AS INT) AS \"offset\" " +
+       "FROM act JOIN f ON act.user_id = f.user_id), " +
+       "sz AS (SELECT CAST(date_trunc('week', f) AS TIMESTAMP) AS cohort, " +
+       "count(*) AS n_cohort FROM f GROUP BY 1) " +
+       "SELECT o.cohort AS cohort_week, o.\"offset\", sz.n_cohort, " +
+       "count(*) AS n_active, " +
+       "round(CAST(count(*) AS DOUBLE) / CAST(sz.n_cohort AS DOUBLE), 6) " +
+       "AS retention FROM o JOIN sz ON o.cohort = sz.cohort " +
+       "GROUP BY o.cohort, o.\"offset\", sz.n_cohort " +
+       "ORDER BY cohort_week, \"offset\""),
+
     // same densified spine; the identical Holt fold via list_reduce.
     // The state rides a DOUBLE[2] list, not a struct: DuckDB's fold is
     // seedless (acc starts as the FIRST element, so acc and element

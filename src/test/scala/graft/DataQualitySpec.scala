@@ -355,6 +355,106 @@ class DataQualitySpec extends AnyFunSuite {
       === orphans)
   }
 
+  test("KS drift: D replays from a naive driver-side two-sample pass, " +
+    "bounds hold") {
+    // The key computes sup|F_ref − F_cur| as an exact integer cross-
+    // product max over the cumulative histogram; this leg walks the raw
+    // per-type samples the textbook way (merge the sorted supports,
+    // step both ECDFs in doubles) and demands agreement, plus the
+    // [0, 1] range law and the critical-value wiring.
+    val out = SparkEntry.queries("dq_drift_ks")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.nonEmpty)
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), dayofmonth(col("ts")) <= 15,
+        round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (ty, evs) =>
+      val ref = evs.filter(_._2).map(_._3).sorted
+      val cur = evs.filterNot(_._2).map(_._3).sorted
+      val r = out(ty)
+      assert(r.getAs[Long]("n_ref") === ref.length.toLong, s"$ty n_ref")
+      assert(r.getAs[Long]("n_cur") === cur.length.toLong, s"$ty n_cur")
+      if (ref.nonEmpty && cur.nonEmpty) {
+        val support = (ref ++ cur).distinct.sorted
+        val d = support.map { v =>
+          val fr = ref.count(_ <= v).toDouble / ref.length
+          val fc = cur.count(_ <= v).toDouble / cur.length
+          math.abs(fr - fc)
+        }.max
+        assert(math.abs(r.getAs[Double]("d_stat") - d) < 1e-5, s"$ty D")
+        assert(d >= 0 && d <= 1, s"$ty D range")
+        val crit = 1.358 * math.sqrt(
+          (ref.length + cur.length).toDouble / (ref.length.toDouble * cur.length))
+        if (math.abs(d - crit) > 1e-9)
+          assert(r.getAs[Boolean]("drifted") === (d > crit), s"$ty flag")
+      } else {
+        assert(r.isNullAt(r.fieldIndex("d_stat")), s"$ty must NULL-gate")
+      }
+    }
+  }
+
+  test("retention cohort: offset 0 is exactly 100%, rates within (0,1], " +
+    "matrix replays from a naive per-user pass") {
+    val out = SparkEntry.queries("win_retention_cohort")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0 && ret <= 1 + 1e-9, s"retention out of range: $r")
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+      if (r.getAs[Int]("offset") == 0)
+        assert(math.abs(ret - 1.0) < 1e-9,
+          s"offset-0 cell must be 100%: $r")
+    }
+    // naive replay: per-user first day + active days, cells from a
+    // driver-side map — an off-by-one in the week truncation or the
+    // DIV-7 offset cannot survive
+    val act = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val first = act.groupBy(_._1).map { case (u, ds) =>
+      u -> ds.map(_._2).minBy(_.toEpochDay) }
+    def week(d: java.time.LocalDate): java.time.LocalDate =
+      d.minusDays(d.getDayOfWeek.getValue - 1L)
+    val cells = act.map { case (u, d) =>
+      (week(first(u)), (d.toEpochDay - first(u).toEpochDay) / 7, u)
+    }.distinct.groupBy(t => (t._1, t._2)).map { case (k, vs) => k -> vs.size }
+    assert(out.length === cells.size, "cell count")
+    out.foreach { r =>
+      val cohort = r.getTimestamp(0).toLocalDateTime.toLocalDate
+      val k = (cohort, r.getAs[Int]("offset").toLong)
+      assert(cells(k) === r.getAs[Long]("n_active").toInt, s"cell $k")
+    }
+  }
+
+  test("HHI: shares-squared replay, range and top-share laws") {
+    // Independent formulation: driver-side double shares (the key sums
+    // exact integer squares); laws: 1/n ≤ HHI ≤ 1 and top_share² ≤ HHI.
+    val out = SparkEntry.queries("agg_hhi")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size === 5)
+    val spend = Tables.table(spark, sf, "orders")
+      .join(Tables.table(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    spend.groupBy(_._1).foreach { case (seg, cs) =>
+      val cents = cs.map(_._2)
+      val tot = cents.sum.toDouble
+      val hhi = cents.map(c => (c / tot) * (c / tot)).sum
+      val r = out(seg)
+      assert(r.getAs[Long]("n_cust") === cents.length.toLong, s"$seg n")
+      assert(math.abs(r.getAs[Double]("hhi") - hhi) < 1e-6, s"$seg hhi")
+      assert(hhi >= 1.0 / cents.length - 1e-9 && hhi <= 1.0 + 1e-9,
+        s"$seg range")
+      val ts = r.getAs[Double]("top_share")
+      assert(math.abs(ts - cents.max / tot) < 1e-6, s"$seg top_share")
+      assert(r.getAs[Double]("hhi") >= ts * ts - 1e-6, s"$seg hhi ≥ ts²")
+    }
+  }
+
   test("gini: mean-absolute-difference replay (different formulation), " +
     "range law") {
     // The key computes the rank closed form Σ(2i−n−1)x/(nΣx); this leg

@@ -69,4 +69,42 @@ class DocSyncSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("no key is declared in two modules (Map ++ silently overrides)") {
+    // SparkEntry builds its maps by ++ over the per-module maps, where a
+    // duplicate key silently drops one side's definition — worse, the
+    // QUERY can win from one module while the ORACLE wins from another,
+    // and the gate then compares two different operators (caught live in
+    // r18 when a re-added agg_funnel shadowed the r12 original's query
+    // but not its oracle). Any intersection across modules fails here.
+    import graft.ops._
+    val modules: Seq[(String, Set[String])] = Seq(
+      "Relational" -> Relational.queries.keySet,
+      "Aggs" -> Aggs.queries.keySet,
+      "Joins" -> Joins.queries.keySet,
+      "Scalars" -> Scalars.queries.keySet,
+      "Windows" -> Windows.queries.keySet,
+      "Text" -> Text.queries.keySet,
+      "Vector" -> Vector.queries.keySet,
+      "Udx" -> Udx.queries.keySet,
+      "Streams" -> graft.streaming.Streams.queries.keySet,
+      "TextQuality" -> TextQuality.queries.keySet,
+      "Dedup" -> Dedup.queries.keySet,
+      "Ann" -> Ann.queries.keySet,
+      "Multimodal" -> Multimodal.queries.keySet,
+      "Pipeline" -> Pipeline.queries.keySet,
+      "Sinks" -> Sinks.queries.keySet,
+      "Analytics" -> Analytics.queries.keySet,
+      "Warehouse" -> Warehouse.queries.keySet,
+      "Bpe" -> Bpe.queries.keySet)
+    val clashes = for {
+      Seq((ma, ka), (mb, kb)) <- modules.combinations(2).toSeq
+      k <- (ka & kb).toSeq
+    } yield s"$k ($ma vs $mb)"
+    assert(clashes.isEmpty, s"duplicate keys across modules: $clashes")
+    // and the total must equal the concatenation — a within-module
+    // duplicate (two -> entries in one Map literal) also shrinks it
+    assert(SparkEntry.queries.size === modules.map(_._2.size).sum,
+      "module key counts do not sum to the declared inventory")
+  }
 }

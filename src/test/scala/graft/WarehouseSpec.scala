@@ -71,6 +71,54 @@ class WarehouseSpec extends AnyFunSuite {
     } finally graft.Staging.deleteRecursively(dir)
   }
 
+  test("join_scd2_pit: every purchase carries the state in force strictly " +
+    "before it, replayed by a brute-force scan of the change history") {
+    // Independent formulation: per user, the raw (ts, type) change list
+    // is walked driver-side; the in-force state for a purchase at t is
+    // the last CHANGE strictly before t (the user's own transition at t
+    // must not be visible). Also pins the interval law prior_since < ts
+    // and the NULL gate for first-event purchases.
+    val out = SparkEntry.queries("join_scd2_pit")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val hist = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getString(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues { evs =>
+        // lastPerTs: highest event_id wins a (user, ts) tie; then
+        // change-detect consecutive states
+        val dedup = evs.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (ts, g) => ts -> g.maxBy(_._4)._3 }
+        dedup.foldLeft(Vector.empty[(Long, String)]) { case (acc, (ts, st)) =>
+          if (acc.lastOption.exists(_._2 == st)) acc else acc :+ (ts -> st)
+        }
+      }.toMap
+    val purchases = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2).getTime))
+      .toMap
+    assert(out.length === purchases.size)
+    var nulls = 0
+    out.foreach { r =>
+      val (u, t) = purchases(r.getLong(0))
+      val prior = hist(u).takeWhile(_._1 < t).lastOption
+      prior match {
+        case Some((since, st)) =>
+          assert(r.getString(4) === st, s"event ${r.getLong(0)} state")
+          assert(r.getTimestamp(5).getTime === since - since % 1000,
+            s"event ${r.getLong(0)} since")
+          assert(r.getTimestamp(5).getTime < t, "interval law")
+        case None =>
+          nulls += 1
+          assert(r.isNullAt(4) && r.isNullAt(5),
+            s"first-event purchase ${r.getLong(0)} must NULL-gate")
+      }
+    }
+    info(s"join_scd2_pit: ${out.length} purchases, $nulls first-event NULLs")
+  }
+
   test("dq_expectations: clean corpus passes every check") {
     val rep = SparkEntry.queries("dq_expectations")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
