@@ -42,6 +42,40 @@ object Vector {
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
 
+  /** One power-iteration aggregate: per-dim exact fixed-point sums of
+    * xᵢ·(xᵢ·v) against the broadcast current direction — the body of
+    * embed_top_eigen's iterations, factored out so embed_abtt derives
+    * the SAME eigenvector (drift between the two would silently change
+    * what "the top component" means). sd accumulates as
+    * round(x·10⁶)·round((x·v)·10⁶) in DECIMAL(38,0) — exact integers,
+    * partition-order-proof, HUGEINT-mirrored in the oracles. */
+  private def eigenSums(e: DataFrame, vcur: Seq[Double]): DataFrame = {
+    val vlit = array(vcur.map(lit): _*)
+    e.select(col("v"),
+        round(dot(col("v"), vlit) * 1e6).cast("long").as("q"))
+      .select(posexplode(col("v")).as(Seq("pos", "xd")), col("q"))
+      .select(col("pos"),
+        (round(col("xd") * 1e6).cast("long").cast("decimal(38,0)") *
+          col("q")).as("t"))
+      .groupBy("pos").agg(sum(col("t")).as("s"))
+  }
+
+  /** `rounds` driver-side power iterations from v₀ = e₁ (64 bounded sums
+    * collected per round — the IVF-centroid class); each new direction is
+    * sd/‖sd‖ with the SAME double conversion and ordered fold both
+    * engines run, so the result is bit-identical to the oracle CTEs. */
+  private def powerIterate(e: DataFrame, rounds: Int): Seq[Double] = {
+    var vcur: Seq[Double] = 1.0 +: Seq.fill(63)(0.0)
+    for (_ <- 1 to rounds) {
+      val sd = eigenSums(e, vcur).collect()
+        .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue).sortBy(_._1)
+        .map(_._2).toSeq
+      val nrm = math.sqrt(sd.map(x => x * x).foldLeft(0.0)(_ + _))
+      vcur = sd.map(_ / nrm)
+    }
+    vcur
+  }
+
   /** Shard count for a corpus-sized ranking when the session conf leaves
     * the choice to the engine. 8 bounds the local[32] bench's widest
     * candidate sets at ~1/8 corpus per task; a 1000-executor deployment
@@ -242,6 +276,34 @@ object Vector {
         .orderBy("vec_id", "pos")
     }),
 
+    // All-but-the-top post-processing (round 18) — the classic
+    // embedding correction (Mu & Viswanath '18): subtract each vector's
+    // projection on the DOMINANT principal direction, which in real
+    // embedding spaces carries corpus-frequency noise rather than
+    // meaning; retrieval/similarity quality improves once it is gone.
+    // Composes the family: u = the SAME three exact fixed-point power
+    // iterations embed_top_eigen runs (shared powerIterate derivation —
+    // the two keys cannot disagree about what "the top component" is),
+    // broadcast as 64 literals; each row then emits x − (x·u)·u per
+    // dimension with the ordered-fold dot product. Output doubles are
+    // UNROUNDED (bitwise-stable: identical fold order on identical
+    // inputs — the embed_normalize posture). Scale: the u derivation
+    // is 3 bounded-collect corpus passes (index-build class); the
+    // correction itself is ONE map-side pass, no shuffle but the
+    // declared output order.
+    "embed_abtt" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val u = powerIterate(e, 3)
+      val ulit = array(u.map(lit): _*)
+      e.select(col("vec_id"), col("v"), dot(col("v"), ulit).as("p"))
+        .select(col("vec_id"),
+          posexplode(zip_with(col("v"), ulit,
+            (x, uu) => x - col("p") * uu)))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("aval"))
+        .orderBy("vec_id", "pos")
+    }),
+
     /** Top principal direction by POWER ITERATION (round 17) — the
       * dimensionality-reduction primitive the embedding family lacked
       * (whitening, drift monitoring, and the classic "remove the top
@@ -263,24 +325,8 @@ object Vector {
       * shuffle. */
     "embed_top_eigen" -> ((s, dir) => {
       val e = emb(s, dir)
-      def sumsFor(vcur: Seq[Double]) = {
-        val vlit = array(vcur.map(lit): _*)
-        e.select(col("v"),
-            round(dot(col("v"), vlit) * 1e6).cast("long").as("q"))
-          .select(posexplode(col("v")).as(Seq("pos", "xd")), col("q"))
-          .select(col("pos"),
-            (round(col("xd") * 1e6).cast("long").cast("decimal(38,0)") *
-              col("q")).as("t"))
-          .groupBy("pos").agg(sum(col("t")).as("s"))
-      }
-      var vcur: Seq[Double] = 1.0 +: Seq.fill(63)(0.0)
-      for (_ <- 1 to 2) {
-        val sd = sumsFor(vcur).collect()
-          .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue).sortBy(_._1)
-          .map(_._2).toSeq
-        val nrm = math.sqrt(sd.map(x => x * x).foldLeft(0.0)(_ + _))
-        vcur = sd.map(_ / nrm)
-      }
+      def sumsFor(vcur: Seq[Double]) = eigenSums(e, vcur)
+      val vcur = powerIterate(e, 2)
       val s3 = sumsFor(vcur)
       val n3 = s3.groupBy()
         .agg(sqrt(aggregate(transform(
@@ -574,31 +620,56 @@ object Vector {
     // v0 = e1, HUGEINT mirroring decimal(38,0), the identical left
     // folds for dot and norm. s-CTEs MATERIALIZED (each is referenced
     // twice and would otherwise inline its whole upstream chain).
-    "embed_top_eigen" -> {
-      val fold0 = "CAST(0.0 AS DOUBLE)"
-      def iter(r: Int): String =
-        s"q$r AS (SELECT vec_id, v, CAST(round(list_reduce(list_prepend(" +
-          s"$fold0, list_transform(range(1, 65), i -> v[i] * w.vv[i])), " +
-          s"(x, y) -> x + y) * 1e6) AS BIGINT) AS q " +
-          s"FROM e CROSS JOIN vv$r w), " +
-          s"s$r AS MATERIALIZED (SELECT d, " +
-          s"sum(CAST(CAST(round(x * 1e6) AS BIGINT) AS HUGEINT) * q) AS sd " +
-          s"FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS d, q " +
-          s"FROM q$r) GROUP BY d), " +
-          s"n$r AS (SELECT sqrt(list_reduce(list_prepend($fold0, " +
-          s"list_transform(list(CAST(sd AS DOUBLE) ORDER BY d), " +
-          s"t -> t * t)), (x, y) -> x + y)) AS nrm FROM s$r), " +
-          s"vv${r + 1} AS (SELECT list(CAST(s.sd AS DOUBLE) / n.nrm " +
-          s"ORDER BY s.d) AS vv FROM s$r s CROSS JOIN n$r n)"
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
-        "FROM embeddings), " +
-        "vv1 AS (SELECT list_transform(range(1, 65), i -> " +
-        "CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) " +
-        "ELSE CAST(0.0 AS DOUBLE) END) AS vv), " +
-        (1 to 3).map(iter).mkString(", ") + " " +
+    "embed_top_eigen" ->
+      (EigenPrefixCte +
         "SELECT CAST(d - 1 AS BIGINT) AS pos, " +
         "round(CAST(sd AS DOUBLE) / n.nrm, 6) AS loading " +
-        "FROM s3 CROSS JOIN n3 n ORDER BY pos"
-    }
+        "FROM s3 CROSS JOIN n3 n ORDER BY pos"),
+    // same three-iteration u, per-row ordered-fold projection, the
+    // identical x − p·u tree per dimension — unrounded doubles
+    "embed_abtt" ->
+      (EigenPrefixCte.dropRight(1) + ", " +
+        s"p AS (SELECT vec_id, v, list_reduce(list_prepend($EigenFold0, " +
+        "list_transform(range(1, 65), i -> v[i] * u.vv[i])), " +
+        "(x, y) -> x + y) AS p FROM e CROSS JOIN vv4 u) " +
+        "SELECT vec_id, CAST(d - 1 AS BIGINT) AS pos, " +
+        "x - p * uv AS aval FROM " +
+        "(SELECT vec_id, p, unnest(v) AS x, " +
+        "generate_subscripts(v, 1) AS d, unnest(u2.vv) AS uv " +
+        "FROM p CROSS JOIN vv4 u2) " +
+        "ORDER BY vec_id, pos")
   )
+
+  // defs / lazy val: the oracles map above references these at object
+  // init, and a forward-referenced plain val would still be null there
+  private def EigenFold0 = "CAST(0.0 AS DOUBLE)"
+
+  /** One eigen power-iteration round as a CTE chunk (vv{r} → vv{r+1}),
+    * verbatim from the proven embed_top_eigen replay — shared with
+    * embed_abtt so the two keys replay the SAME direction. */
+  private def eigenIterCte(r: Int): String =
+    s"q$r AS (SELECT vec_id, v, CAST(round(list_reduce(list_prepend(" +
+      s"$EigenFold0, list_transform(range(1, 65), i -> v[i] * w.vv[i])), " +
+      s"(x, y) -> x + y) * 1e6) AS BIGINT) AS q " +
+      s"FROM e CROSS JOIN vv$r w), " +
+      s"s$r AS MATERIALIZED (SELECT d, " +
+      s"sum(CAST(CAST(round(x * 1e6) AS BIGINT) AS HUGEINT) * q) AS sd " +
+      s"FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS d, q " +
+      s"FROM q$r) GROUP BY d), " +
+      s"n$r AS (SELECT sqrt(list_reduce(list_prepend($EigenFold0, " +
+      s"list_transform(list(CAST(sd AS DOUBLE) ORDER BY d), " +
+      s"t -> t * t)), (x, y) -> x + y)) AS nrm FROM s$r), " +
+      s"vv${r + 1} AS (SELECT list(CAST(s.sd AS DOUBLE) / n.nrm " +
+      s"ORDER BY s.d) AS vv FROM s$r s CROSS JOIN n$r n)"
+
+  /** `WITH e, vv1, 3 iterations ` — the shared eigen replay prefix
+    * (trailing space; ends ready for a SELECT, vv4 = the unit top
+    * direction). */
+  private lazy val EigenPrefixCte: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings), " +
+      "vv1 AS (SELECT list_transform(range(1, 65), i -> " +
+      "CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) " +
+      "ELSE CAST(0.0 AS DOUBLE) END) AS vv), " +
+      (1 to 3).map(eigenIterCte).mkString(", ") + " "
 }

@@ -172,6 +172,44 @@ object Windows {
         .orderBy("cohort_week", "offset")
     }),
 
+    // Cohort LTV curve (round 18) — the REVENUE companion to
+    // win_retention_cohort's activity matrix: per (first-activity week
+    // cohort × user-anchored week offset), that week's purchase revenue
+    // and the RUNNING cumulative, expressed per cohort member — the
+    // "how much is a week-N signup worth by week K" curve every
+    // payback-period decision reads. Exact integer cents end-to-end
+    // (per-week sums and the cumulative window both long/HUGEINT); the
+    // per-user division is the one rounded double. Weeks with zero
+    // purchases carry no row (the cumulative is over present offsets —
+    // documented sparse form). Shape: events pass → per-user first day
+    // (shared rule with the retention matrix) → (cohort, offset) rollup;
+    // the cumulative window and cohort sizes live on CALENDAR-bounded
+    // relations.
+    "win_cohort_ltv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("f"))
+      val rev = ev.where(col("event_type") === "purchase")
+        .join(first, "user_id")
+        .groupBy(date_trunc("week", col("f")).as("cohort"),
+          expr("CAST(datediff(day, f) DIV 7 AS INT)").as("offset"))
+        .agg(sum(col("c")).as("cents"))
+      val sizes = first
+        .groupBy(date_trunc("week", col("f")).as("cohort"))
+        .agg(count(lit(1)).as("n_cohort"))
+      val w = Window.partitionBy("cohort").orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.join(broadcast(sizes), "cohort")
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .select(col("cohort").as("cohort_week"), col("offset"),
+          col("n_cohort"), col("cents"), col("cum_cents"),
+          round(col("cum_cents").cast("double") /
+            col("n_cohort").cast("double") / 100, 6).as("ltv_per_user"))
+        .orderBy("cohort_week", "offset")
+    }),
+
     // Holt double-exponential forecast (round 18) — the projection
     // member of the time-series family: win_seasonal_baseline
     // decomposes, agg_ewma smooths a level, but neither projects
@@ -620,6 +658,29 @@ object Windows {
       "round(num / (sqrt(d1) * sqrt(d2)), 6) END AS acf " +
       "FROM k ORDER BY event_type, lag_k"
     },
+    // same first-day rule, week truncation, DIV-7 offsets; integer
+    // cents with a HUGEINT-safe cumulative window, identical division
+    "win_cohort_ltv" ->
+      ("WITH e AS (SELECT user_id, " +
+       "CAST(date_trunc('day', ts) AS DATE) AS day, event_type, " +
+       "CAST(round(value * 100) AS BIGINT) AS c FROM events), " +
+       "f AS (SELECT user_id, min(day) AS f FROM e GROUP BY 1), " +
+       "rev AS (SELECT CAST(date_trunc('week', f.f) AS TIMESTAMP) " +
+       "AS cohort, CAST(datediff('day', f.f, e.day) // 7 AS INT) " +
+       "AS \"offset\", CAST(sum(e.c) AS BIGINT) AS cents " +
+       "FROM e JOIN f ON e.user_id = f.user_id " +
+       "WHERE e.event_type = 'purchase' GROUP BY 1, 2), " +
+       "sz AS (SELECT CAST(date_trunc('week', f) AS TIMESTAMP) AS cohort, " +
+       "count(*) AS n_cohort FROM f GROUP BY 1), " +
+       "k AS (SELECT rev.cohort, rev.\"offset\", sz.n_cohort, rev.cents, " +
+       "CAST(sum(rev.cents) OVER (PARTITION BY rev.cohort " +
+       "ORDER BY rev.\"offset\" ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+       "CURRENT ROW) AS BIGINT) AS cum_cents " +
+       "FROM rev JOIN sz ON rev.cohort = sz.cohort) " +
+       "SELECT cohort AS cohort_week, \"offset\", n_cohort, cents, " +
+       "cum_cents, round(CAST(cum_cents AS DOUBLE) / " +
+       "CAST(n_cohort AS DOUBLE) / 100, 6) AS ltv_per_user " +
+       "FROM k ORDER BY cohort_week, \"offset\""),
     // same distinct-activity relation, ISO week truncation, DIV-7
     // offsets, identical rounded division
     "win_retention_cohort" ->

@@ -428,6 +428,43 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("cohort LTV: cumulative is monotone and exactly sums the weekly " +
+    "cents, which replay from a naive pass") {
+    val out = SparkEntry.queries("win_cohort_ltv")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getTimestamp(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("offset"))
+      var run = 0L
+      sorted.foreach { r =>
+        run += r.getAs[Long]("cents")
+        assert(r.getAs[Long]("cum_cents") === run, "cumulative law")
+        assert(math.abs(r.getAs[Double]("ltv_per_user") -
+          BigDecimal(run.toDouble / r.getAs[Long]("n_cohort") / 100)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      }
+    }
+    // naive weekly revenue replay
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), round(col("value") * 100, 0).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getString(2), r.getLong(3)))
+    val first = ev.groupBy(_._1).map { case (u, g) =>
+      u -> g.map(_._2).minBy(_.toEpochDay) }
+    def week(d: java.time.LocalDate) =
+      d.minusDays(d.getDayOfWeek.getValue - 1L)
+    val cells = ev.filter(_._3 == "purchase").groupBy { case (u, d, _, _) =>
+      (week(first(u)), (d.toEpochDay - first(u).toEpochDay) / 7)
+    }.map { case (k, g) => k -> g.map(_._4).sum }
+    assert(out.length === cells.size, "cell count")
+    out.foreach { r =>
+      val k = (r.getTimestamp(0).toLocalDateTime.toLocalDate,
+        r.getAs[Int]("offset").toLong)
+      assert(cells(k) === r.getAs[Long]("cents"), s"cell $k cents")
+    }
+  }
+
   test("HHI: shares-squared replay, range and top-share laws") {
     // Independent formulation: driver-side double shares (the key sums
     // exact integer squares); laws: 1/n ≤ HHI ≤ 1 and top_share² ≤ HHI.

@@ -166,6 +166,35 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_abtt: output is orthogonal to the top direction and obeys " +
+       "Pythagoras per vector") {
+    // The corrected vector a = x − (x·u)u must satisfy a·u ≈ 0 and
+    // ‖a‖² = ‖x‖² − (x·u)² for a UNIT u — both laws fail loudly if u is
+    // unnormalized, the projection is off, or a dimension is misaligned.
+    val rows = SparkEntry.queries("embed_abtt")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val a = rows.groupBy(_._1).map { case (id, ds) =>
+      id -> ds.sortBy(_._2).map(_._3).toArray }
+    assert(a.nonEmpty)
+    // recover u from any two vectors' residuals: u ∝ x − a
+    val xs = vecs
+    val (id0, a0) = a.head
+    val diff = xs(id0)._1.zip(a0).map { case (x, av) => x - av }
+    val dn = math.sqrt(diff.map(d => d * d).sum)
+    // degenerate only if x ⟂ u exactly — not this corpus
+    assert(dn > 1e-12, "residual degenerate; cannot recover u")
+    val u = diff.map(_ / dn)
+    a.foreach { case (id, av) =>
+      val x = xs(id)._1
+      val p = x.zip(u).map { case (xi, ui) => xi * ui }.sum
+      val du = av.zip(u).map { case (ai, ui) => ai * ui }.sum
+      assert(math.abs(du) < 1e-6, s"vec $id not orthogonal to u: $du")
+      val nx = x.map(v => v * v).sum
+      val na = av.map(v => v * v).sum
+      assert(math.abs(na - (nx - p * p)) < 1e-6, s"vec $id Pythagoras")
+    }
+  }
+
   test("top eigenvector: unit norm, dominant direction, deterministic") {
     val out = SparkEntry.queries("embed_top_eigen")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
