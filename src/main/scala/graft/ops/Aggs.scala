@@ -840,6 +840,80 @@ object Aggs {
         .orderBy("segment")
     }),
 
+    // Markov transition matrix (round 18) — the user-journey model
+    // underneath funnel/retention readouts: P(next event = j | current
+    // = i) over each user's chronologically ordered stream, the input
+    // to next-action prediction, journey simulation, and "where do
+    // users go after an error" questions no fixed funnel answers.
+    // Consecutive pairs come from ONE lead() window per user
+    // (second-truncated ts + event_id total order — the win_lag_lead
+    // posture; per-user partitions, corpus-parallel); counts are exact
+    // integers, row-normalized over the |types|² ≤ 25-row matrix via a
+    // bounded window, ONE rounded division per cell. Scale: one
+    // user-keyed window shuffle, a 25-row report.
+    "agg_markov_transition" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tss"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("tss"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("from_type")
+      pairs
+        .withColumn("tot", sum(col("n")).over(wt))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Market-basket pair mining (round 18) — association rules over
+    // what is bought TOGETHER: for each co-ordered part pair, support
+    // (orders carrying both), confidence (n_ab/n_a), and lift
+    // (n_ab·N/(n_a·n_b) — >1 means the pair travels together more than
+    // chance), the recommender/assortment primitive. Pair generation is
+    // bounded by the per-order line count (≤7 lines in this schema →
+    // ≤21 pairs per order — NEVER a parts×parts product): distinct
+    // (order, part) self-joined on o_orderkey with a < b, a real
+    // equi-key join. The report is top-20 pairs by (support, pair id)
+    // — a TakeOrderedAndProject, not a global sort — and the per-part
+    // counts and lift arithmetic join onto ONLY those 20 survivors
+    // (broadcast). Exact integer counts; lift/confidence are one
+    // rounded division each (n_ab·N in DECIMAL(38,0) — crosses int64
+    // at ~3e9 orders both sides).
+    "agg_basket_pairs" -> ((s, dir) => {
+      val op = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("part_a"), col("y.p").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+        .limit(20)
+      val pc = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
+      val n = op.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(pc.select(col("p").as("part_a"), col("np").as("n_a")),
+          "part_a")
+        .join(pc.select(col("p").as("part_b"), col("np").as("n_b")),
+          "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+            .as("confidence"),
+          round((dec38(col("n_ab")) * col("n_orders")).cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("lift"))
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+    }),
+
     // Herfindahl–Hirschman concentration (round 18) — the antitrust /
     // revenue-concentration index next to agg_gini's Lorenz coefficient:
     // HHI = Σ s_i² over customer spend shares per segment (1/n even
@@ -1109,6 +1183,37 @@ object Aggs {
        "AS DOUBLE) / (CAST(max(n) AS DOUBLE) * " +
        "CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE)), 6) AS gini " +
        "FROM r GROUP BY 1 ORDER BY 1"),
+    "agg_markov_transition" ->
+      // same per-user lead() pairs, same bounded row-normalization
+      ("WITH p AS (SELECT event_type, lead(event_type) OVER (" +
+       "PARTITION BY user_id " +
+       "ORDER BY date_trunc('second', ts), event_id) AS nxt " +
+       "FROM events), " +
+       "c AS (SELECT event_type AS from_type, nxt AS to_type, " +
+       "count(*) AS n FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2) " +
+       "SELECT from_type, to_type, n, " +
+       "round(CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (" +
+       "PARTITION BY from_type) AS BIGINT) AS DOUBLE), 6) AS p " +
+       "FROM c ORDER BY from_type, to_type"),
+    "agg_basket_pairs" ->
+      // same distinct (order, part) relation, a<b pair join, top-20 by
+      // (support, pair), HUGEINT lift numerator, identical divisions
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+       "FROM lineitem), " +
+       "pr AS (SELECT x.p AS part_a, y.p AS part_b, count(*) AS n_ab " +
+       "FROM op x JOIN op y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2 " +
+       "ORDER BY n_ab DESC, part_a, part_b LIMIT 20), " +
+       "pc AS (SELECT p, count(*) AS np FROM op GROUP BY 1), " +
+       "t AS (SELECT count(DISTINCT o) AS n_orders FROM op) " +
+       "SELECT pr.part_a, pr.part_b, pr.n_ab, " +
+       "CAST(a.np AS BIGINT) AS n_a, CAST(b.np AS BIGINT) AS n_b, " +
+       "round(CAST(pr.n_ab AS DOUBLE) / CAST(a.np AS DOUBLE), 6) " +
+       "AS confidence, " +
+       "round(CAST(CAST(pr.n_ab AS HUGEINT) * t.n_orders AS DOUBLE) / " +
+       "(CAST(a.np AS DOUBLE) * CAST(b.np AS DOUBLE)), 6) AS lift " +
+       "FROM pr JOIN pc a ON pr.part_a = a.p " +
+       "JOIN pc b ON pr.part_b = b.p, t " +
+       "ORDER BY n_ab DESC, part_a, part_b"),
     "agg_hhi" ->
       // same spend relation, HUGEINT square sums, identical double
       // ratio trees

@@ -492,6 +492,60 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("markov transitions: rows are distributions and counts replay " +
+    "from a naive per-user walk") {
+    val out = SparkEntry.queries("agg_markov_transition")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (ft, rows) =>
+      val ps = rows.map(_.getAs[Double]("p"))
+      assert(ps.forall(p => p > 0 && p <= 1), s"$ft p range")
+      assert(math.abs(ps.sum - 1.0) < 1e-4, s"$ft rows must sum to 1")
+    }
+    val naive = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("second", col("ts")),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        val seq = evs.sortBy(e => (e._2, e._3)).map(_._4)
+        seq.zip(seq.drop(1))
+      }.groupBy(x => x).map { case (k, g) => k -> g.size }
+    assert(out.length === naive.size)
+    out.foreach { r =>
+      assert(naive((r.getString(0), r.getString(1))) ===
+        r.getAs[Long]("n").toInt, s"${r.getString(0)}->${r.getString(1)}")
+    }
+  }
+
+  test("basket pairs: top-20 replays from a brute-force pass; " +
+    "confidence and lift laws hold") {
+    val out = SparkEntry.queries("agg_basket_pairs")(spark, sf).collect()
+    assert(out.length === 20)
+    val op = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCount = byOrder.values.toSeq.flatMap { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, g) => k -> g.size }
+    val top = pairCount.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    val partCount = op.groupBy(_._2).view.mapValues(_.length).toMap
+    val nOrders = byOrder.size
+    out.zip(top).foreach { case (r, ((a, b), n)) =>
+      assert(r.getLong(0) === a && r.getLong(1) === b, s"pair order: $r")
+      assert(r.getAs[Long]("n_ab") === n.toLong)
+      assert(r.getAs[Long]("n_a") === partCount(a).toLong)
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0 && conf <= 1 + 1e-9)
+      val lift = r.getAs[Double]("lift")
+      val expect = n.toDouble * nOrders / (partCount(a).toDouble * partCount(b))
+      assert(math.abs(lift - expect) < 1e-4, s"lift $lift vs $expect")
+    }
+  }
+
   test("gini: mean-absolute-difference replay (different formulation), " +
     "range law") {
     // The key computes the rank closed form Σ(2i−n−1)x/(nΣx); this leg

@@ -54,6 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dq_freshness",                   // 1-row broadcast corpus watermark
     "agg_hll_intersect",              // |types|² sketch pairs (≤25 rows)
     "dq_benford",                     // 1-row broadcast total + chi2
+    "agg_basket_pairs",               // 1-row broadcast order total onto
+                                      // the 20 top-k survivors
     "agg_survival_km",                // 1-row broadcast risk-set total
     "text_collocations",              // 1-row broadcast Nu/Nb token totals
     "sample_temperature",             // 1-row broadcast min-lang count
