@@ -675,21 +675,29 @@ object Pipeline {
     // nothing here is quadratic, and the corpus-sized relations shuffle
     // on their natural keys.
     "split_grouped" -> ((s, dir) => {
-      val base = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          (substring(md5(col("source").cast("binary")), 1, 2) >= "cd")
-            .as("src_eval"))
-      val labels = ccLabels(s, dir)
-        .select(col("doc").as("doc_id"), col("lbl").as("cluster"))
-      val j = base.join(labels, Seq("doc_id"), "left")
-      val comp = j.where(col("cluster").isNotNull)
-        .groupBy("cluster")
-        .agg(max(when(!col("src_eval"), 1).otherwise(0)).as("any_train"))
-      val fin = j.join(comp, Seq("cluster"), "left")
-        .withColumn("split",
-          when(col("src_eval") &&
-            (col("cluster").isNull || col("any_train") === 0), "eval")
-            .otherwise("train"))
+      // the doc-level split manifest is a pure function of the corpus
+      // AND the artifact a training pipeline actually consumes — staged
+      // per corpus version, so the closure computes once and both
+      // declared consumers (the report and the straddle audit) read the
+      // manifest instead of re-deriving it per branch
+      val fin = graft.Staging.materialize(
+        s, Tables.path(dir, "documents"), "split_grouped_v1") {
+        val base = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            (substring(md5(col("source").cast("binary")), 1, 2) >= "cd")
+              .as("src_eval"))
+        val labels = ccLabels(s, dir)
+          .select(col("doc").as("doc_id"), col("lbl").as("cluster"))
+        val j = base.join(labels, Seq("doc_id"), "left")
+        val comp = j.where(col("cluster").isNotNull)
+          .groupBy("cluster")
+          .agg(max(when(!col("src_eval"), 1).otherwise(0)).as("any_train"))
+        j.join(comp, Seq("cluster"), "left")
+          .select(col("doc_id"), col("source"), col("cluster"),
+            when(col("src_eval") &&
+              (col("cluster").isNull || col("any_train") === 0), "eval")
+              .otherwise("train").as("split"))
+      }
       val sp = fin.select(col("doc_id"), col("split"))
       val leaks = Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
         .join(sp.toDF("doc_a", "sa"), "doc_a")

@@ -293,7 +293,17 @@ object Vector {
     // declared output order.
     "embed_abtt" -> ((s, dir) => {
       val e = emb(s, dir)
-      val u = powerIterate(e, 3)
+      // u is index metadata (64 doubles): staged per corpus version so
+      // the 3 training passes amortize like every other model artifact
+      // (doubles round-trip parquet bit-exactly — staged ≡ fresh)
+      val uDf = graft.Staging.materialize(
+        s, Tables.path(dir, "embeddings"), "abtt_u3_v1") {
+        import s.implicits._
+        powerIterate(e, 3).zipWithIndex.map { case (v, i) => (i, v) }
+          .toDF("pos", "uval")
+      }
+      val u: Seq[Double] = uDf.collect().sortBy(_.getInt(0))
+        .map(_.getDouble(1)).toSeq
       val ulit = array(u.map(lit): _*)
       e.select(col("vec_id"), col("v"), dot(col("v"), ulit).as("p"))
         .select(col("vec_id"),
