@@ -1016,6 +1016,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("r18 analytics: PIT join carries state on one window, basket top-20 " +
+       "is a top-k operator, KS windows never sort fact-scale rows") {
+    // join_scd2_pit: the strictly-before lookup must stay the
+    // union-and-carry-forward shape — exactly one user-partitioned
+    // Window and NO join between the dim and fact legs (a range/theta
+    // join here rescans the dim per fact at scale).
+    val pit = plans("join_scd2_pit")
+    assert("Window".r.findAllIn(pit).length >= 1, "PIT lost its window")
+    assert(!pit.contains("CartesianProduct") &&
+      !pit.contains("BroadcastNestedLoopJoin"),
+      "PIT lookup degenerated to a product join")
+    // agg_basket_pairs: the top-20 cut must be TakeOrderedAndProject
+    // (a global sort of the pair space would materialize every pair
+    // ordered), and the lift joins hang off that 20-row side.
+    assert(plans("agg_basket_pairs").contains("TakeOrderedAndProject"),
+      "basket top-20 is not a top-k operator")
+    // dq_drift_ks: both windows run over the distinct-cents HISTOGRAM
+    // (child of a partial+final aggregate), never raw events — assert
+    // the aggregate sits below the windows.
+    val ks = plans("dq_drift_ks")
+    val winIdx = ks.indexOf("Window")
+    assert(winIdx >= 0 && "HashAggregate".r.findAllIn(ks.substring(winIdx))
+      .length >= 2, "KS windows do not sit over the histogram aggregate")
+  }
+
   test("agg_gini ranks via the bounded histogram — no fact-scale sort on a " +
        "5-value partition key") {
     // The r17 verdict's scale-killer: row_number over
