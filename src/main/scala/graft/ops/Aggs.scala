@@ -34,7 +34,7 @@ object Aggs {
     * the md5 draw in BOTH engines (the sample_weighted idiom — no
     * engine-specific hex-to-int parsing). floor(P(X≤k)·2^32) for
     * k = 0..8; a draw past the last threshold gets w = PoissonThr.size
-    * = 9 (tail mass P(X≥9) ≈ 1.1e-7 — the r17 ADVICE extension: the
+    * = 9 (tail mass P(X≥9) ≈ 1.1e-6 — the r17 ADVICE extension: the
     * old k ≤ 5 cut lumped ~6.3e-4 of mass into w = 6 and slightly
     * deflated resample variance; both engines interpolate the SAME
     * constant, so the CDF cannot drift between them). */
@@ -808,9 +808,14 @@ object Aggs {
       // and within-bucket residuals) — staged per corpus version so the
       // expensive orders⋈customer spend pass runs once, not once per
       // consumer branch (static planning does not reuse the shared
-      // subtree; measured 2× at sf0.1 unstaged — the q21 rescan class)
+      // subtree; measured 2× at sf0.1 unstaged — the q21 rescan class).
+      // The artifact embeds customer.c_mktsegment, so the CUSTOMER
+      // fingerprint folds into the name (r18 ADVICE): keyed on orders
+      // alone, a customer-table regeneration would serve a stale
+      // segment mapping.
+      val custFp = Tables.sourceFingerprint(Tables.path(dir, "customer"))
       val hist = graft.Staging.materialize(
-        s, Tables.path(dir, "orders"), "gini_spend_hist_v1") {
+        s, Tables.path(dir, "orders"), s"gini_spend_hist_c${custFp}_v1") {
         Tables.table(s, dir, "orders")
           .join(Tables.table(s, dir, "customer")
             .select(col("c_custkey"), col("c_mktsegment")),

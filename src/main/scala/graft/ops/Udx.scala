@@ -79,9 +79,14 @@ object Udx {
           |            WHEN bal < 3000 THEN 'low'
           |            WHEN bal < 7000 THEN 'mid'
           |            ELSE 'high' END""".stripMargin)
+      // balances sum as exact integer cents (SURVEY §7.3 money posture,
+      // r18 ADVICE): a raw-double sum's partition order can differ from
+      // DuckDB's near a 2dp rounding boundary — the tier FUNCTION stays
+      // the feature under test, the rollup arithmetic is associative.
       s.sql(
         """SELECT graft_acct_tier(c_acctbal) AS tier, count(*) AS n,
-          |       round(sum(c_acctbal), 2) AS sum_bal
+          |       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+          |            AS DOUBLE) / 100.0 AS sum_bal
           |FROM graft_sql_udf_customer GROUP BY tier ORDER BY tier""".stripMargin)
     }),
 
@@ -142,7 +147,9 @@ object Udx {
         |            WHEN c_acctbal < 3000 THEN 'low'
         |            WHEN c_acctbal < 7000 THEN 'mid'
         |            ELSE 'high' END AS tier,
-        |       count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+        |            AS DOUBLE) / 100.0 AS sum_bal
         |FROM customer GROUP BY tier ORDER BY tier""".stripMargin,
     "udf_scalar" ->
       """SELECT c_custkey,

@@ -43,6 +43,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_semantic_2l",              // broadcast N^¼ coarse seeds, then bucket-joined fine
     "q22_dormant_value",              // 1-row broadcast (cnt,sum) avg threshold
     "q15_top_supplier",               // 1-row broadcast max-revenue threshold
+    "q11_important_stock",            // 1-row broadcast (total, count) threshold
     "graph_knn_triangles",            // 1-row stat joins; staging-off exposes
                                       // the cell-bounded build's broadcast
                                       // √N centroid set (assignCells class)
@@ -209,6 +210,42 @@ class PlanAuditSpec extends AnyFunSuite {
     val fed = plans("fn_edit_distance")
     assert(!fed.contains("Join"), "fn_edit_distance must be join-free")
     assert(fed.contains("Window"), "fn_edit_distance lost its lag window")
+  }
+
+  test("r19 TPC-H shapes: decorrelation, semi chains, anti composition") {
+    // q2: the correlated scalar min-subquery MUST decorrelate into one
+    // aggregate joined back on the correlation key — a surviving
+    // scalar-subquery expression means Catalyst re-runs the inner query
+    // per outer row (quadratic at scale). The rewritten form is the
+    // min-aggregate leg (partial+final) joined to the outer supply leg.
+    val q2 = plans("q2_min_cost_supplier")
+    assert(!q2.contains("scalar-subquery") && !q2.contains("Subquery"),
+      "q2 correlated min subquery did not decorrelate")
+    assert("HashAggregate".r.findAllIn(q2).length >= 4,
+      "q2 lost a two-phase aggregate leg (outer supply / min-per-part)")
+    // q20: BOTH set-membership predicates must stay semi joins — an
+    // inner join would duplicate suppliers per qualifying part and the
+    // duplicates survive into the output at any scale.
+    assert("LeftSemi".r.findAllIn(plans("q20_nested_semi")).length >= 2,
+      "q20 nested IN chain is not two semi joins")
+    // q16: the NOT IN exclusion stays an anti join with the
+    // dimension-sized blacklist broadcast as its build side.
+    val q16 = plans("q16_not_in_distinct")
+    assert(q16.contains("LeftAnti"), "q16 NOT IN is not an anti join")
+    assert(q16.contains("BroadcastHashJoin"),
+      "q16 supplier blacklist not broadcast")
+    // q9: name-filtered part and supplier→nation broadcast — the fact
+    // side shuffles only for the orders key join.
+    assert("BroadcastHashJoin".r.findAllIn(plans("q9_profit_rollup"))
+      .length >= 2, "q9 dims are not broadcast")
+    // q11: the shared per-part aggregate is partial+final, and the
+    // threshold rides a 1-row broadcast (never a whole-relation window).
+    val q11 = plans("q11_important_stock")
+    assert("HashAggregate".r.findAllIn(q11).length >= 2,
+      "q11 per-part value aggregate is not two-phase")
+    assert(q11.contains("BroadcastNestedLoopJoin") ||
+      q11.contains("BroadcastHashJoin"),
+      "q11 scalar threshold is not broadcast")
   }
 
   test("runtime bloom filter reduces the fact side of selective shuffle joins") {
