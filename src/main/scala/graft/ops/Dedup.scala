@@ -212,7 +212,8 @@ object Dedup {
         .orderBy("q_id", "vec_id")
     }),
 
-    /** no-oracle (DedupBloomSpec replays the exact sketch bit pattern):
+    /** Contract-oracled since r19 (DedupBloomSpec additionally replays
+      * the exact sketch bit pattern via [[bloomProbe]]):
       * memory-BOUNDED incremental exact-dedup membership — the 100 TB
       * posture where the anti-join's build side (every content key ever
       * ingested) fits nowhere, but a ~1.2 B/key Bloom sketch still
@@ -226,7 +227,28 @@ object Dedup {
       * `bloom_flag`; no-false-negative (exact ⇒ flagged) is asserted at
       * runtime in the plan itself via the output's `miss` column, which
       * the spec pins to all-false. */
-    "dedup_bloom_incremental" -> ((s, dir) => {
+    // Declared output is the CONTRACT-ORACLE projection (r18 verdict
+    // item 4 — the agg_approx_distinct pattern): the exact membership
+    // decision, which DuckDB replays from raw text equality, plus the
+    // sketch's one-sided-error LAW as a column — `no_false_negative`
+    // must be constant TRUE (a Bloom filter may false-positive, never
+    // false-negative over the seen set), and the oracle pins TRUE. The
+    // raw bloom decision itself stays implementation-defined (Spark's
+    // hash family) and keeps its bit-level teeth in DedupBloomSpec's
+    // driver-side replay of [[bloomProbe]].
+    "dedup_bloom_incremental" -> ((s, dir) =>
+      bloomProbe(s, dir)
+        .select(col("doc_id"), col("exact_dup"),
+          (col("bloom_flag") || !col("exact_dup")).as("no_false_negative"))
+        .orderBy("doc_id"))
+  )
+
+  /** Full incremental-Bloom probe relation, raw sketch decision included:
+    * (doc_id, exact_dup, bloom_flag, miss) for every post-boundary doc.
+    * The declared key projects its oracle contract from this; the spec
+    * replays bloom_flag bit-exactly. */
+  private[graft] def bloomProbe(
+      s: SparkSession, dir: String): DataFrame = {
       val key = md5(lower(trim(col("text")))).as("k")
       val staged = graft.Staging.materialize(
         s, Tables.path(dir, "documents"), "bloom_exact_idx90_v1") {
@@ -259,8 +281,7 @@ object Dedup {
             .as("bloom_flag"))
         .withColumn("miss", col("exact_dup") && !col("bloom_flag"))
         .orderBy("doc_id")
-    })
-  )
+  }
 
   private[ops] def groupedReportOn(s: SparkSession): Boolean =
     s.conf.getOption("graft.dedup.groupedReport").exists(_.toBoolean)
@@ -524,6 +545,19 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // Contract-flag replay (r19): exact membership from raw text
+    // equality across the same 90% ingest boundary; the sketch law
+    // column is the literal TRUE the one-sided-error guarantee promises.
+    // md5 keying on the Spark side is content-equivalent to direct
+    // normalized-text equality here.
+    "dedup_bloom_incremental" ->
+      ("WITH mx AS (SELECT max(doc_id) AS m FROM documents) " +
+       "SELECT p.doc_id, EXISTS (SELECT 1 FROM documents c, mx " +
+       "WHERE c.doc_id * 10 < mx.m * 9 " +
+       "AND lower(trim(c.text)) = lower(trim(p.text))) AS exact_dup, " +
+       "TRUE AS no_false_negative " +
+       "FROM documents p, mx WHERE p.doc_id * 10 >= mx.m * 9 " +
+       "ORDER BY p.doc_id"),
     "dedup_simhash" -> {
       // Full replay of the md5-keyed 60-bit SimHash, generated from the
       // same constants: token hash = first 15 md5 hex chars as BIGINT,

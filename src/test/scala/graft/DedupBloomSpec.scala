@@ -41,17 +41,28 @@ class DedupBloomSpec extends AnyFunSuite {
           val k = md5hex(t)
           (id, corpusKeys.contains(k), bf.mightContainString(k))
       }
-      val got = SparkEntry.queries("dedup_bloom_incremental")(spark, sfDir)
+      // The raw probe relation keeps the bit-level teeth (the declared
+      // key projects the contract-oracle columns from it since r19).
+      val got = graft.ops.Dedup.bloomProbe(spark, sfDir)
         .collect()
         .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
       assert(got.length === expected.length, "batch row count drifted")
       // miss (exact && !flagged) must be all-false — the no-false-negative
-      // contract surfaced as a column by the key itself.
+      // contract surfaced as a column by the probe itself.
       assert(got.forall(!_._4), "false negative: exact dup not flagged")
       got.zip(expected).foreach { case ((gi, ge, gf, _), (ei, ee, ef)) =>
         assert(gi === ei && ge === ee, s"exact-dup ground truth drifted at $gi")
         assert(gf === ef, s"bloom flag mismatch at doc $gi (replay says $ef)")
       }
+      // The DECLARED key must be exactly the probe's contract projection:
+      // same ground truth, and the law column all-TRUE (what the DuckDB
+      // oracle pins as a literal).
+      val decl = SparkEntry.queries("dedup_bloom_incremental")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+      assert(decl.map(d => (d._1, d._2)).toSeq ===
+        got.map(g => (g._1, g._2)).toSeq,
+        "declared projection drifted from the probe relation")
+      assert(decl.forall(_._3), "no_false_negative law column not all-TRUE")
     }
 
   test("no false negatives on guaranteed positives; fp rate bounded") {
