@@ -1005,7 +1005,8 @@ object Pipeline {
     * `Streams.drainKeys`: the returned DataFrame's plan is just the final
     * checkpoint scan, not the computation. */
   val loopKeys: Set[String] =
-    Set("dedup_cluster", "pipeline_clean_pack", "split_grouped")
+    Set("dedup_cluster", "pipeline_clean_pack", "split_grouped",
+      "graph_components")
 
   /** Per-round lineage-cut plumbing shared by both CC variants. Default:
     * localCheckpoint — executor-local blocks, no configured dir needed,

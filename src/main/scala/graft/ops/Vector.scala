@@ -439,26 +439,7 @@ object Vector {
     }),
 
     "graph_knn_triangles" -> ((s, dir) => {
-      // The kNN edge list is a pure function of the corpus — staged per
-      // corpus version like every other similarity index (the n·k-row
-      // artifact is tiny next to the scoring pass that builds it);
-      // the warm path reads edges and only pays the counting joins.
-      val edges = graft.Staging.materialize(
-        s, Tables.path(dir, "embeddings"), "knn3_edges_cell_v2") {
-        val cells = Ann.semCells(s, dir, Ann.embDouble(s, dir))
-        val a = cells.select(col("vec_id").as("q_id"), col("v").as("q"),
-          col("cell"))
-        val b = cells.select(col("vec_id"), col("v"), col("cell"))
-        rankPerProbe(
-          a.join(b, "cell")
-            .where(col("vec_id") =!= col("q_id"))
-            .withColumn("sim", round(cosine(col("q"), col("v")), 6))
-            .select(col("q_id"), col("vec_id"), col("sim")),
-          Seq(col("sim").desc, col("vec_id")), 3, "rnk")
-          .select(
-            least(col("q_id"), col("vec_id")).as("a"),
-            greatest(col("q_id"), col("vec_id")).as("b")).distinct()
-      }
+      val edges = knnEdges(s, dir)
       val ecnt = edges.agg(count(lit(1)).as("n_edges"))
       val wed = edges
         .select(explode(array(col("a"), col("b"))).as("vv"))
@@ -478,6 +459,29 @@ object Vector {
             .as("clustering"))
     }),
 
+    // Connected components over the kNN graph as a FIRST-CLASS key
+    // (r18 verdict item 5) — the most-used graph primitive in data
+    // curation (near-dup family resolution, split closure, "everything
+    // reachable from flagged content"). Min-label pointer-jumping CC
+    // (the dedup_cluster machinery, O(log n) rounds, per-node state one
+    // long) over the SAME staged kNN edge list graph_knn_triangles
+    // counts on; labels are themselves staged per corpus version — the
+    // production shape where cluster ids live next to the index and
+    // update incrementally. Output: (vec_id, component = smallest
+    // vec_id reachable) for every vector with ≥1 kNN edge; the oracle
+    // replays reachability exactly via DuckDB's recursive CTE (the
+    // dedup_cluster precedent), so the fixpoint's round count cannot
+    // matter — only the closure it converges to.
+    "graph_components" -> ((s, dir) =>
+      graft.Staging.materialize(
+        s, Tables.path(dir, "embeddings"), "knn_cc_v1") {
+        Pipeline.connectedComponents(
+          knnEdges(s, dir)
+            .select(col("a").as("doc_a"), col("b").as("doc_b")))
+      }
+        .select(col("doc").as("vec_id"), col("lbl").as("component"))
+        .orderBy("vec_id")),
+
     "multimodal_join" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
       val e = Tables.table(s, dir, "embeddings")
@@ -489,6 +493,31 @@ object Vector {
         .orderBy("label")
     })
   )
+
+  /** The staged top-3 kNN edge list over the cell-bounded similarity
+    * join — a pure function of the corpus, staged per corpus version
+    * like every other similarity index (the n·k-row artifact is tiny
+    * next to the scoring pass that builds it). Shared by
+    * `graph_knn_triangles` (counting joins) and `graph_components`
+    * (min-label CC) so the two keys can never disagree on the graph. */
+  private[graft] def knnEdges(
+      s: SparkSession, dir: String): DataFrame =
+    graft.Staging.materialize(
+      s, Tables.path(dir, "embeddings"), "knn3_edges_cell_v2") {
+      val cells = Ann.semCells(s, dir, Ann.embDouble(s, dir))
+      val a = cells.select(col("vec_id").as("q_id"), col("v").as("q"),
+        col("cell"))
+      val b = cells.select(col("vec_id"), col("v"), col("cell"))
+      rankPerProbe(
+        a.join(b, "cell")
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(cosine(col("q"), col("v")), 6))
+          .select(col("q_id"), col("vec_id"), col("sim")),
+        Seq(col("sim").desc, col("vec_id")), 3, "rnk")
+        .select(
+          least(col("q_id"), col("vec_id")).as("a"),
+          greatest(col("q_id"), col("vec_id")).as("b")).distinct()
+    }
 
   val oracles: Map[String, String] = Map(
     // Full 3-round Lloyd replay as chained CTEs (the embed_ann_ivf
@@ -620,6 +649,27 @@ object Vector {
        "e2 AS (SELECT count(*) AS n_edges FROM ed) " +
        "SELECT e2.n_edges, w.n_wedges, t.n_triangles, " +
        "3.0 * t.n_triangles / w.n_wedges AS clustering FROM e2, w, t"),
+    // Same cell-bounded kNN edge replay as graph_knn_triangles, then
+    // EXACT reachability closure via the recursive CTE (the
+    // dedup_cluster precedent): component = min reachable id, which is
+    // what min-label propagation converges to — the oracle is round-
+    // count-free by construction.
+    "graph_components" ->
+      (Ann.semCellsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+       "sims AS (SELECT p.vec_id AS q_id, c.vec_id AS nid, " +
+       "round(list_cosine_similarity(p.v, c.v), 6) AS sim " +
+       "FROM cells p JOIN cells c ON p.cell = c.cell " +
+       "AND p.vec_id <> c.vec_id), " +
+       "rk AS (SELECT q_id, nid, row_number() OVER (PARTITION BY q_id " +
+       "ORDER BY sim DESC, nid) AS rnk FROM sims), " +
+       "ed AS (SELECT DISTINCT least(q_id, nid) AS a, " +
+       "greatest(q_id, nid) AS b FROM rk WHERE rnk <= 3), " +
+       "edges AS (SELECT a AS s, b AS d FROM ed " +
+       "UNION ALL SELECT b, a FROM ed), " +
+       "reach(doc, r) AS (SELECT s, s FROM edges " +
+       "UNION SELECT reach.doc, e.d FROM reach JOIN edges e ON e.s = reach.r) " +
+       "SELECT doc AS vec_id, CAST(min(r) AS BIGINT) AS component " +
+       "FROM reach GROUP BY doc ORDER BY doc"),
     "multimodal_join" ->
       ("SELECT label, count(*) AS n, round(avg(n_chars), 2) AS avg_chars, " +
        "round(avg(len(string_split(text, ' '))), 2) AS avg_toks " +

@@ -35,6 +35,31 @@ class VectorSpec extends AnyFunSuite {
     sims.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
   }
 
+  test("graph_components: edge endpoints share a component, " +
+      "label is the component minimum (union-find law)") {
+    val comp = SparkEntry.queries("graph_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.ops.Vector.knnEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && comp.nonEmpty)
+    // Law 1: the component of a vector equals the component of every
+    // one of its kNN neighbors — the closure property the key exists for.
+    edges.foreach { case (a, b) =>
+      assert(comp(a) === comp(b),
+        s"edge ($a,$b) straddles components ${comp(a)}/${comp(b)}")
+    }
+    // Law 2: min-label semantics — each component's label IS its
+    // smallest member id, and the label names a member.
+    comp.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min === lbl,
+        s"component $lbl label is not its min member")
+    }
+    // Every edge endpoint is labeled (no node dropped by the fixpoint).
+    edges.foreach { case (a, b) =>
+      assert(comp.contains(a) && comp.contains(b))
+    }
+  }
+
   test("embed_normalize output is unit-norm and mean-centered") {
     val rows = SparkEntry.queries("embed_normalize")(spark, sf)
       .collect()
