@@ -43,7 +43,79 @@ object Windows {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Two-sided CUSUM DECISION rule with alarm-reset (the Page–Hinkley
+    * readout `win_cusum` stops short of), factored so DataQualitySpec
+    * can drive it with synthetic series. Input: a dense hourly series
+    * (event_type, hw, n). Semantics per type, hours indexed t by hw:
+    *  - reference μ = mean of the 24-hour warm-up, slack k = μ/8,
+    *    threshold λ = 3μ — all carried in EXACT integer 1/192 units
+    *    (Z_up = 192·n − 9·bs, Z_dn = 7·bs − 192·n, Λ = 24·bs where
+    *    bs = Σ warm-up counts), so the recurrence is engine-exact.
+    *  - s±(t) = max(0, s±(t−1) + Z±) — the CUSUM zero-floor reset;
+    *    crossing Λ raises an alarm (up checked first) and RESETS both
+    *    sides (the sequential-detection restart).
+    * The recurrence is inherently ordered, so it folds per type via
+    * `aggregate(array_sort(collect_list(...)))` — the graph_pagerank /
+    * text_entropy HOF posture. That IS the 100 TB shape: the fact-scale
+    * work is the hourly pre-aggregate (map-side partials); the fold
+    * state is one small struct over a CALENDAR-BOUNDED array (≤ hours
+    * in retention — ~9k/year), per type, thousands of types in
+    * parallel. Alarms serialize pipe-joined (no array outputs — the
+    * agg_collect_sorted driver-hasher rule). */
+  private[graft] def changepointDetect(
+      hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tw = Window.partitionBy("event_type").orderBy("hw")
+    val zero = lit(0L)
+    val acc0 = struct(zero.as("su"), zero.as("sd"), zero.as("na"),
+      lit("").as("alarms"), zero.as("mu"), zero.as("md"))
+    val folded = hourly
+      .withColumn("t", row_number().over(tw))
+      .groupBy("event_type")
+      .agg(sum(when(col("t") <= 24, col("n"))).as("bs"),
+        array_sort(collect_list(when(col("t") > 24,
+          struct(unix_timestamp(col("hw")).as("ts"), col("n").as("n")))))
+          .as("seq"))
+      .withColumn("fold", aggregate(col("seq"), acc0, (acc, e) => {
+        val su1 = greatest(zero,
+          acc("su") + (lit(192L) * e("n") - lit(9L) * col("bs")))
+        val sd1 = greatest(zero,
+          acc("sd") + (lit(7L) * col("bs") - lit(192L) * e("n")))
+        val lam = lit(24L) * col("bs")
+        val alarm = su1 > lam || sd1 > lam
+        val entry = when(su1 > lam,
+            concat(e("ts").cast("string"), lit(":up")))
+          .when(sd1 > lam, concat(e("ts").cast("string"), lit(":dn")))
+          .otherwise("")
+        struct(
+          when(alarm, zero).otherwise(su1).as("su"),
+          when(alarm, zero).otherwise(sd1).as("sd"),
+          (acc("na") + when(alarm, 1L).otherwise(0L)).as("na"),
+          concat(acc("alarms"),
+            when(!alarm, lit(""))
+              .when(acc("alarms") === "", entry)
+              .otherwise(concat(lit("|"), entry))).as("alarms"),
+          greatest(acc("mu"), su1).as("mu"),
+          greatest(acc("md"), sd1).as("md"))
+      }))
+    folded.select(col("event_type"), col("bs").as("base_24h"),
+      col("fold.na").as("n_alarms"), col("fold.alarms").as("alarms"),
+      col("fold.mu").as("max_up"), col("fold.md").as("max_dn"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    // Sequential changepoint DETECTION over the dense hourly spine
+    // (round 19) — the decision readout win_cusum's statistic feeds:
+    // alarm hours + direction under the reset rule, the Page–Hinkley
+    // member the monitoring family (z-score, PSI/KS drift, CUSUM
+    // statistic) lacked. See [[changepointDetect]] for the exact
+    // integer recurrence; the oracle replays it as a DuckDB recursive
+    // CTE over the same spine (depth = hours, calendar-bounded).
+    "win_changepoint" -> ((s, dir) =>
+      changepointDetect(denseHourly(s, dir)
+        .select(col("event_type"), col("hw"), col("n")))),
+
     "win_row_number_topk" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -613,6 +685,53 @@ object Windows {
     "LEFT JOIN h ON sp.event_type = h.event_type AND sp.hw = h.hw)"
 
   val oracles: Map[String, String] = Map(
+    // The identical integer recurrence replayed as a recursive CTE over
+    // the same dense spine (depth = hours — calendar-bounded; the
+    // dedup_cluster recursion precedent). Validated against an
+    // independent Python reference at 3 SFs before landing.
+    "win_changepoint" ->
+      ("WITH RECURSIVE " + DenseHourlyCte + ", " +
+       "idx AS (SELECT event_type, hw, n, " +
+       "row_number() OVER (PARTITION BY event_type ORDER BY hw) AS t " +
+       "FROM d), " +
+       "tm AS (SELECT event_type, max(t) AS tmax FROM idx GROUP BY 1), " +
+       "bs24 AS (SELECT event_type, " +
+       "CAST(coalesce(sum(n), 0) AS BIGINT) AS bs " +
+       "FROM idx WHERE t <= 24 GROUP BY event_type), " +
+       "st(event_type, t, su, sd, na, alarms, mu, md) AS (" +
+       "SELECT event_type, CAST(24 AS BIGINT), CAST(0 AS BIGINT), " +
+       "CAST(0 AS BIGINT), CAST(0 AS BIGINT), '', " +
+       "CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM bs24 " +
+       "UNION ALL " +
+       "SELECT i.event_type, i.t, " +
+       "CASE WHEN greatest(0, st.su + (192*i.n - 9*b.bs)) > 24*b.bs " +
+       "OR greatest(0, st.sd + (7*b.bs - 192*i.n)) > 24*b.bs " +
+       "THEN 0 ELSE greatest(0, st.su + (192*i.n - 9*b.bs)) END, " +
+       "CASE WHEN greatest(0, st.su + (192*i.n - 9*b.bs)) > 24*b.bs " +
+       "OR greatest(0, st.sd + (7*b.bs - 192*i.n)) > 24*b.bs " +
+       "THEN 0 ELSE greatest(0, st.sd + (7*b.bs - 192*i.n)) END, " +
+       "st.na + CASE WHEN greatest(0, st.su + (192*i.n - 9*b.bs)) > 24*b.bs " +
+       "OR greatest(0, st.sd + (7*b.bs - 192*i.n)) > 24*b.bs " +
+       "THEN 1 ELSE 0 END, " +
+       "st.alarms || CASE " +
+       "WHEN greatest(0, st.su + (192*i.n - 9*b.bs)) > 24*b.bs " +
+       "THEN (CASE WHEN st.alarms = '' THEN '' ELSE '|' END) || " +
+       "CAST(CAST(epoch(i.hw) AS BIGINT) AS VARCHAR) || ':up' " +
+       "WHEN greatest(0, st.sd + (7*b.bs - 192*i.n)) > 24*b.bs " +
+       "THEN (CASE WHEN st.alarms = '' THEN '' ELSE '|' END) || " +
+       "CAST(CAST(epoch(i.hw) AS BIGINT) AS VARCHAR) || ':dn' " +
+       "ELSE '' END, " +
+       "greatest(st.mu, greatest(0, st.su + (192*i.n - 9*b.bs))), " +
+       "greatest(st.md, greatest(0, st.sd + (7*b.bs - 192*i.n))) " +
+       "FROM st " +
+       "JOIN idx i ON i.event_type = st.event_type AND i.t = st.t + 1 " +
+       "JOIN bs24 b ON b.event_type = st.event_type) " +
+       "SELECT s.event_type, b2.bs AS base_24h, s.na AS n_alarms, " +
+       "s.alarms, s.mu AS max_up, s.md AS max_dn " +
+       "FROM st s JOIN tm ON tm.event_type = s.event_type " +
+       "AND s.t = tm.tmax " +
+       "JOIN bs24 b2 ON b2.event_type = s.event_type " +
+       "ORDER BY s.event_type"),
     // same daily rollup, same within-type pair join; quantile_cont on
     // doubles ≡ percentile (both interpolate the two middles as exact
     // IEEE (a+b)/2)

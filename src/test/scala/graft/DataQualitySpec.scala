@@ -23,6 +23,37 @@ import org.scalatest.funsuite.AnyFunSuite
 class DataQualitySpec extends AnyFunSuite {
   import TestSpark._
 
+  test("win_changepoint laws: silent on a constant series, alarms " +
+      "within 9 hours of an injected level shift") {
+    val sess = spark
+    import sess.implicits._
+    // 240 dense hours from epoch hour 0; constant 100/h.
+    def series(tag: String, f: Int => Long) =
+      (0 until 240).map(h => (tag, new java.sql.Timestamp(h * 3600_000L), f(h)))
+    val flat = series("flat", _ => 100L)
+    // +50% level shift at hour 120: Z_up = 192·150 − 9·2400 = 7200/h,
+    // Λ = 24·2400 = 57600 → first crossing 9 hours in (9·7200 > Λ,
+    // 8·7200 = Λ not >), then the reset restarts the count.
+    val shift = series("shift", h => if (h < 120) 100L else 150L)
+    val out = graft.ops.Windows.changepointDetect(
+      (flat ++ shift).toDF("event_type", "hw", "n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(out("flat")._1 === 0L && out("flat")._2 === "",
+      "alarm raised on a constant series")
+    val (na, alarms) = out("shift")
+    assert(na >= 1L, "no alarm after a 50% level shift")
+    val first = alarms.split('|').head
+    assert(first.endsWith(":up"), s"first alarm not 'up': $first")
+    val firstTs = first.stripSuffix(":up").toLong
+    assert(firstTs === (120 + 8) * 3600L,
+      s"detection delay drifted: alarm at $firstTs, shift at ${120 * 3600}")
+    // Alarms only ever AFTER the shift on this series.
+    alarms.split('|').foreach { a =>
+      assert(a.split(':')(0).toLong >= 120 * 3600L, s"pre-shift alarm $a")
+    }
+  }
+
   test("PII: planted body PII is counted and redacted; clean text untouched") {
     val sess = spark
     import sess.implicits._
