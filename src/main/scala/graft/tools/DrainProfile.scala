@@ -21,9 +21,18 @@ object DrainProfile {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit =
         println(s"[prof] started ${e.id}")
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
         println(s"[prof] batch=${e.progress.batchId} rows=${e.progress.numInputRows} " +
           s"durations=${e.progress.durationMs}")
+        // state-store cost split inside addBatch (r18 verdict item 6):
+        // updates vs removal vs COMMIT (provider snapshot/maintenance).
+        e.progress.stateOperators.foreach { so =>
+          println(s"[prof]   state op=${so.operatorName} rows=${so.numRowsTotal} " +
+            s"updated=${so.numRowsUpdated} updMs=${so.allUpdatesTimeMs} " +
+            s"rmMs=${so.allRemovalsTimeMs} commitMs=${so.commitTimeMs} " +
+            s"memUsed=${so.memoryUsedBytes}")
+        }
+      }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         println(s"[prof] terminated")
     })
