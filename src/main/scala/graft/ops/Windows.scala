@@ -331,6 +331,59 @@ object Windows {
         .orderBy("event_type")
     }),
 
+    // Holt–Winters triple smoothing (round 19) — the SEASONAL member of
+    // the forecast family (win_forecast_des carries level+trend only;
+    // hourly ops series are daily-periodic, so a DES forecast chases
+    // the cycle instead of modeling it). Additive seasonality, period
+    // 24: l_t = α(x_t − s_{t−24}) + (1−α)(l+b); b_t = β(l_t − l) +
+    // (1−β)b; s_t = γ(x_t − l_t) + (1−γ)s_{t−24}, with α=0.25,
+    // β=0.125, γ=0.25 (power-of-2 fractions — exact binary literals on
+    // both engines). Init: l₀ = mean of the first 24 h (left-fold sum
+    // over exact-int doubles — same association in the oracle), b₀=0,
+    // sᵢ = xᵢ − l₀. The seasonal state is a 24-double ring carried in
+    // the fold accumulator and rotated per step — per-type state is
+    // CONSTANT (26 doubles), the fold input calendar-bounded (the DES
+    // posture); every step is +/−/× over identical doubles in the
+    // identical association, so the oracle's 26-list list_reduce replay
+    // is bit-exact and the outputs round at 6dp.
+    "win_forecast_hw" -> ((s, dir) => {
+      val vals = transform(
+        array_sort(collect_list(struct(col("hw"), col("n")))),
+        x => x.getField("n").cast("double"))
+      denseHourly(s, dir)
+        .groupBy("event_type")
+        .agg(vals.as("xs"))
+        .select(col("event_type"), size(col("xs")).as("n_hours"),
+          {
+            val l0 = aggregate(slice(col("xs"), 1, 24), lit(0.0),
+              (a, x) => a + x) / 24.0
+            val acc0 = struct(l0.as("l"), lit(0.0).as("b"),
+              transform(slice(col("xs"), 1, 24), x => x - l0).as("ss"))
+            aggregate(
+              slice(col("xs"), lit(25),
+                greatest(lit(0), size(col("xs")) - 24)),
+              acc0,
+              (acc, x) => {
+                val s1 = element_at(acc.getField("ss"), 1)
+                val lN = (x - s1) * lit(0.25) +
+                  (acc.getField("l") + acc.getField("b")) * lit(0.75)
+                val bN = (lN - acc.getField("l")) * lit(0.125) +
+                  acc.getField("b") * lit(0.875)
+                val sN = (x - lN) * lit(0.25) + s1 * lit(0.75)
+                struct(lN.as("l"), bN.as("b"),
+                  concat(slice(acc.getField("ss"), 2, 23), array(sN))
+                    .as("ss"))
+              }).as("st")
+          })
+        .select(col("event_type"), col("n_hours"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round(element_at(col("st.ss"), 1), 6).as("season_next"),
+          round(col("st.l") + col("st.b") +
+            element_at(col("st.ss"), 1), 6).as("forecast_next"))
+        .orderBy("event_type")
+    }),
+
     // Theil–Sen robust trend (round 17) — the median-of-pairwise-slopes
     // estimator (29% breakdown) for "is this metric drifting", immune to
     // the spikes an OLS slope chases: slope = median over all day pairs
@@ -845,6 +898,34 @@ object Windows {
       "SELECT event_type, CAST(n_hours AS INT) AS n_hours, " +
       "round(st[1], 6) AS level, round(st[2], 6) AS trend, " +
       "round(st[1] + st[2], 6) AS forecast_next " +
+      "FROM f ORDER BY event_type"
+    },
+    // The 26-list fold replay: acc = [l, b, s1..s24], elements wrapped
+    // as 1-lists (the DES list_prepend init trick); identical
+    // association per step, so the final doubles are bit-exact.
+    "win_forecast_hw" -> {
+      val lN = "(e[1] - a[3]) * CAST(0.25 AS DOUBLE) + " +
+        "(a[1] + a[2]) * CAST(0.75 AS DOUBLE)"
+      "WITH " + DenseHourlyCte + ", " +
+      "g AS (SELECT event_type, " +
+      "list(CAST(n AS DOUBLE) ORDER BY hw) AS xs FROM d GROUP BY 1), " +
+      "i AS (SELECT event_type, xs, len(xs) AS n_hours, " +
+      "list_reduce(xs[1:24], (a, e) -> a + e) / CAST(24 AS DOUBLE) " +
+      "AS l0 FROM g), " +
+      "f AS (SELECT event_type, n_hours, " +
+      "list_reduce(list_prepend(" +
+      "list_concat([l0, CAST(0 AS DOUBLE)], " +
+      "list_transform(xs[1:24], v -> v - l0)), " +
+      "list_transform(xs[25:], v -> [v])), " +
+      s"(a, e) -> list_concat(list_concat([$lN, " +
+      s"(($lN) - a[1]) * CAST(0.125 AS DOUBLE) + " +
+      "a[2] * CAST(0.875 AS DOUBLE)], a[4:]), " +
+      s"[(e[1] - ($lN)) * CAST(0.25 AS DOUBLE) + " +
+      "a[3] * CAST(0.75 AS DOUBLE)])) AS st FROM i) " +
+      "SELECT event_type, CAST(n_hours AS INT) AS n_hours, " +
+      "round(st[1], 6) AS level, round(st[2], 6) AS trend, " +
+      "round(st[3], 6) AS season_next, " +
+      "round(st[1] + st[2] + st[3], 6) AS forecast_next " +
       "FROM f ORDER BY event_type"
     },
     // same densified spine, same (type, hour-of-day) slot windows over
