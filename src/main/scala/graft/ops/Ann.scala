@@ -326,22 +326,40 @@ object Ann {
     // from the raw table); every corpus vector lands in its nearest
     // cell; each probe (vec_id < 10) searches its 4 nearest cells and
     // ranks candidates by rounded cosine with vec_id tie-break.
-    "embed_ann_ivf" -> ((s, dir) => {
-      val e = embDouble(s, dir)
-      val centLit = ivfCentroids(s, dir, e)
-      val cells = ivfCells(s, dir, e, centLit)
-      val probeCells = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("q"),
-          explode(transform(nearestCells(col("v"), centLit, NProbe),
-            x => x("c_id"))).as("cell"))
-      Vector.rankPerProbe(
-        cells.join(broadcast(probeCells), "cell")
-          .where(col("vec_id") =!= col("q_id"))
-          .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
-          .select("q_id", "vec_id", "sim"), // vectors stay out of the window shuffle
-        Seq(col("sim").desc, col("vec_id")), 5, "rnk")
+    "embed_ann_ivf" -> ((s, dir) =>
+      ivfTop5(s, dir)
         .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
-        .orderBy("q_id", "rnk")
+        .orderBy("q_id", "rnk")),
+
+    // ANN index QUALITY audit (round 19) — recall@5 of the IVF index
+    // against the exact brute-force scan, per probe: the regression
+    // readout every production vector index ships next to itself (an
+    // index rebuild or a centroid drift that silently halves recall is
+    // invisible to every other ANN key, which only pins its OWN
+    // output). Composes the two existing machineries — the exact side
+    // is the embed_cosine_topk broadcast-probe scan, the approx side
+    // the staged IVF route — joined per (probe, neighbor); recall is an
+    // exact small-integer ratio (n_hit/5, one rounded division). Scale:
+    // probe-bounded everywhere (both sides are top-5 relations over
+    // |probes| rows); the exact side's full scan is the audit's cost by
+    // definition — at 100 TB you run it over a probe SAMPLE, which is
+    // exactly what the vec_id<10 probe set is.
+    "embed_ann_recall_audit" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))
+      val exact = Vector.topK(e, probes, 5).select("q_id", "vec_id")
+      val approx = ivfTop5(s, dir)
+        .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+      exact.join(broadcast(approx),
+          col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("a_vid")).as("n_hit"))
+        .select(col("q_id"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            col("n_exact").cast("double"), 4).as("recall_at_5"))
+        .orderBy("q_id")
     }),
 
     /** Maximum-inner-product search (round 16) — the retrieval objective
@@ -748,6 +766,26 @@ object Ann {
   private val NumPlanes = 6
 
   /** embeddings with the float vector widened to array<double> once. */
+  /** The IVF top-5 neighbor relation (q_id, rnk, vec_id, sim) for the
+    * standard vec_id<10 probe set — the embed_ann_ivf plan, factored so
+    * `embed_ann_recall_audit` scores the IDENTICAL route (a drifted
+    * copy would audit a different index than the one declared). */
+  private[graft] def ivfTop5(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val centLit = ivfCentroids(s, dir, e)
+    val cells = ivfCells(s, dir, e, centLit)
+    val probeCells = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q"),
+        explode(transform(nearestCells(col("v"), centLit, NProbe),
+          x => x("c_id"))).as("cell"))
+    Vector.rankPerProbe(
+      cells.join(broadcast(probeCells), "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
+        .select("q_id", "vec_id", "sim"), // vectors stay out of the window shuffle
+      Seq(col("sim").desc, col("vec_id")), 5, "rnk")
+  }
+
   private[graft] def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1639,6 +1677,37 @@ object Ann {
         "ORDER BY round(list_inner_product(q, v[1:len(v)-1]), 6) DESC, vec_id) AS rnk FROM cand) " +
         "SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"),
     "embed_ann_ivf" ->
+      (IvfRankedCte +
+        " SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 5 " +
+        "ORDER BY q_id, rnk"),
+    // IDENTICAL ivf replay prefix (shared constant — the two replays can
+    // never drift), exact side = the embed_cosine_topk brute force, one
+    // left join + per-probe counting.
+    "embed_ann_recall_audit" ->
+      (IvfRankedCte +
+        ", approx AS (SELECT q_id, vec_id FROM ranked WHERE rnk <= 5), " +
+        "xsims AS (SELECT p.q_id, c.vec_id, " +
+        "round(list_cosine_similarity(p.q, c.v), 6) AS sim " +
+        "FROM probes p CROSS JOIN e c WHERE c.vec_id <> p.q_id), " +
+        "xr AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY sim DESC, vec_id) AS rnk FROM xsims), " +
+        "exact AS (SELECT q_id, vec_id FROM xr WHERE rnk <= 5) " +
+        "SELECT x.q_id, count(*) AS n_exact, " +
+        "count(a.vec_id) AS n_hit, " +
+        "round(CAST(count(a.vec_id) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 4) AS recall_at_5 " +
+        "FROM exact x LEFT JOIN approx a " +
+        "ON a.q_id = x.q_id AND a.vec_id = x.vec_id " +
+        "GROUP BY x.q_id ORDER BY x.q_id")
+  )
+
+  /** The embed_ann_ivf replay up to `ranked(q_id, vec_id, sim, rnk)` —
+    * one constant shared by the embed_ann_ivf and embed_ann_recall_audit
+    * oracles so the index replay can never drift between them. Also
+    * leaves `e` and `probes` in scope for the audit's exact side. */
+  // lazy: referenced by `oracles` above — a plain val would still be
+  // null (object vals initialize in declaration order).
+  private lazy val IvfRankedCte =
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16), " +
         // one Lloyd refinement round, replayed exactly: assign to seed
@@ -1669,7 +1738,5 @@ object Ann {
         "WHERE c.vec_id <> p.q_id), " +
         "ranked AS (SELECT q_id, vec_id, round(list_cosine_similarity(q, v), 6) AS sim, " +
         "row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY round(list_cosine_similarity(q, v), 6) DESC, vec_id) AS rnk FROM cand) " +
-        "SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk")
-  )
+        "ORDER BY round(list_cosine_similarity(q, v), 6) DESC, vec_id) AS rnk FROM cand)")
 }

@@ -602,6 +602,43 @@ object Pipeline {
         s)
     }),
 
+    // INCREMENTAL connected components (round 19) — the update step the
+    // staged-labels scaladocs promise ("labels live next to the corpus
+    // and update incrementally") but no key demonstrated: the 90% ingest
+    // boundary (the dedup_incremental/bloom convention) splits the
+    // corpus into an OLD half whose CC labels are a staged artifact and
+    // a NEW batch. The merge graph = the old labels' STAR (doc → label;
+    // connectivity-equivalent to the old pair set, |old docs| edges)
+    // ∪ every pair touching a new doc — so the live fixpoint's input is
+    // |old labels| + |new pairs|, never the full pair graph, and seeded
+    // merges converge in rounds ∝ merge-chain length. CORRECTNESS LAW:
+    // incremental ≡ batch — the oracle IS the full-graph reachability
+    // recompute (dedup_cluster's), so any divergence fails the hash;
+    // PipelineSpec also pins equality against the declared batch key.
+    "dedup_cluster_incremental" -> ((s, dir) => {
+      val pairs = Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
+      val mxdf = Tables.table(s, dir, "documents")
+        .agg(max("doc_id").as("mx"))
+      val oldLabels = stagedComponents(
+        s, Tables.path(dir, "documents"), "cc_labels08_old90_v1") {
+        pairs.crossJoin(broadcast(mxdf))
+          .where(col("doc_a") * 10 < col("mx") * 9 &&
+                 col("doc_b") * 10 < col("mx") * 9)
+          .select("doc_a", "doc_b")
+      }
+      val star = oldLabels.where(col("doc") =!= col("lbl"))
+        .select(col("doc").as("doc_a"), col("lbl").as("doc_b"))
+      val newPairs = pairs.crossJoin(broadcast(mxdf))
+        .where(col("doc_a") * 10 >= col("mx") * 9 ||
+               col("doc_b") * 10 >= col("mx") * 9)
+        .select("doc_a", "doc_b")
+      connectedComponents(star.union(newPairs))
+        .crossJoin(broadcast(mxdf))
+        .select(col("doc").as("doc_id"), col("lbl").as("cluster"),
+          (col("doc") * 10 >= col("mx") * 9).as("is_new"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_clean_pack" -> ((s, dir) => {
       val dups = ccLabels(s, dir)
         .where(col("doc") =!= col("lbl"))
@@ -1006,7 +1043,7 @@ object Pipeline {
     * checkpoint scan, not the computation. */
   val loopKeys: Set[String] =
     Set("dedup_cluster", "pipeline_clean_pack", "split_grouped",
-      "graph_components")
+      "graph_components", "dedup_cluster_incremental")
 
   /** Per-round lineage-cut plumbing shared by both CC variants. Default:
     * localCheckpoint — executor-local blocks, no configured dir needed,
@@ -1239,6 +1276,27 @@ object Pipeline {
     * callers still need distinct `graft.cc.checkpointDir` values — see
     * connectedComponents — but the handoff itself is now race-free.) */
   val lastCcNamespace = new ThreadLocal[String]
+
+  /** Stage CC labels for an edge relation, reclaiming the fixpoint's
+    * reliable-checkpoint namespace once the labels are safely STAGED
+    * (the ccLabels contract, factored for the other CC-staging keys:
+    * graph_components' kNN labels, dedup_cluster_incremental's
+    * old-corpus labels). A live (unstaged) result keeps its namespace —
+    * the returned frame is backed by it. */
+  private[graft] def stagedComponents(
+      s: SparkSession, sourcePath: String, name: String)(
+      pairs: => DataFrame): DataFrame = {
+    lastCcNamespace.set(null)
+    val (labels, staged) = graft.Staging.materializeWithStatus(
+      s, sourcePath, name)(connectedComponents(pairs))
+    val ns = lastCcNamespace.get()
+    lastCcNamespace.set(null)
+    if (ns != null && staged) {
+      val p = new org.apache.hadoop.fs.Path(ns)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    labels
+  }
 
   /** The trigram-Jaccard near-dup pair graph as a DuckDB CTE prefix
     * (toks → grams → sizes → inv → prc → pairs → symmetric edges) —
@@ -1532,6 +1590,17 @@ object Pipeline {
         "UNION SELECT reach.doc, e.d FROM reach JOIN edges e ON e.s = reach.r) " +
         "SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster " +
         "FROM reach GROUP BY doc ORDER BY doc"),
+    // The incremental key's oracle IS the batch recompute — the
+    // incremental ≡ batch law as a hash gate — plus the boundary flag.
+    "dedup_cluster_incremental" ->
+      (s"WITH RECURSIVE $NearDupEdgesCte, " +
+        "reach(doc, r) AS (SELECT s, s FROM edges " +
+        "UNION SELECT reach.doc, e.d FROM reach JOIN edges e ON e.s = reach.r), " +
+        "lab AS (SELECT doc, CAST(min(r) AS BIGINT) AS cluster " +
+        "FROM reach GROUP BY doc), " +
+        "mx AS (SELECT max(doc_id) AS m FROM documents) " +
+        "SELECT doc AS doc_id, cluster, doc * 10 >= mx.m * 9 AS is_new " +
+        "FROM lab, mx ORDER BY doc"),
     // shared pair-graph prefix + the dedup_cluster reachability CC; the
     // same source-hash split, component closure (any train member pulls
     // the whole component), and the pair-straddle audit re-counted from

@@ -147,7 +147,7 @@ object Vector {
     * before any window: the 64-dim vectors are consumed by the map-side
     * cosine and must not ride the ranking shuffles — at corpus scale
     * they are ~50× the width of the rows the windows actually order. */
-  private def topK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
+  private[ops] def topK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
     rankPerProbe(
       corpus.crossJoin(broadcast(probes))
         .where(col("vec_id") =!= col("q_id"))
@@ -473,11 +473,10 @@ object Vector {
     // dedup_cluster precedent), so the fixpoint's round count cannot
     // matter — only the closure it converges to.
     "graph_components" -> ((s, dir) =>
-      graft.Staging.materialize(
+      Pipeline.stagedComponents(
         s, Tables.path(dir, "embeddings"), "knn_cc_v1") {
-        Pipeline.connectedComponents(
-          knnEdges(s, dir)
-            .select(col("a").as("doc_a"), col("b").as("doc_b")))
+        knnEdges(s, dir)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
       }
         .select(col("doc").as("vec_id"), col("lbl").as("component"))
         .orderBy("vec_id")),

@@ -89,6 +89,21 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("dedup_cluster_incremental == batch dedup_cluster plus the " +
+      "boundary flag (the incremental ≡ batch law)") {
+    val inc = SparkEntry.queries("dedup_cluster_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val batch = SparkEntry.queries("dedup_cluster")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inc.map(t => (t._1, t._2)).toSeq === batch.toSeq,
+      "incremental CC labels diverged from the batch recompute")
+    val mx = Tables.table(spark, sf, "documents")
+      .agg(max("doc_id")).head().getLong(0)
+    inc.foreach { case (id, _, isNew) =>
+      assert(isNew === (id * 10 >= mx * 9), s"boundary flag wrong at $id")
+    }
+  }
+
   test("connected components == union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (round <- 0 until 3) {
