@@ -30,9 +30,17 @@ object Windows {
     * bounded, never event-bounded. */
   private def denseHourly(s: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame = {
+    // LAZY barrier (the q15/join_fuzzy_blocked pattern): the hourly
+    // aggregate feeds BOTH the per-type [min,max] spine bounds and the
+    // spine join — without it every denseHourly consumer scanned events
+    // TWICE (PlanSweep r19: events×2 across the whole family — win_acf,
+    // seasonal_baseline, forecast_des/hw, changepoint, interpolate).
+    // The materialized relation is calendar-bounded (types × hours), so
+    // the lineage trade is the standard dim-sized one.
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hw"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     hourly.groupBy("event_type")
       .agg(min(col("hw")).as("h0"), max(col("hw")).as("h1"))
       .select(col("event_type"),
@@ -622,9 +630,13 @@ object Windows {
     // (|types|·hours rows), never the fact table; one hash exchange on
     // event_type, per-task state bounded by the series length.
     "win_interpolate_linear" -> ((s, dir) => {
+      // Own cents-valued hourly relation (denseHourly carries counts),
+      // same spine-vs-join double reference → same lazy barrier
+      // (PlanSweep r19: events×2 without it).
       val hourly = Tables.events(s, dir)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .localCheckpoint(false)
       val spine = hourly.groupBy("event_type")
         .agg(min("hr").as("h0"), max("hr").as("h1"))
         .select(col("event_type"),
