@@ -115,7 +115,61 @@ object TextQuality {
         when(symRatio < 0.1, lit(0.1)).otherwise(lit(0.0)), 2)
   }
 
+  /** RAKE stopword set — the fixed filler vocabulary across the corpus's
+    * langs (the langWords posture: grades the MECHANICS — segmentation,
+    * degree/frequency scoring, ordered fold — not real-world accuracy;
+    * swap a real per-language list in production). Shared verbatim with
+    * the oracle's IN list via [[rakeStopsSql]]. */
+  private val RakeStops = Seq("a", "the", "and", "of", "to", "in",
+    "der", "die", "das", "und", "le", "la", "et", "el", "y")
+  private def rakeStopsSql: String =
+    RakeStops.map(w => s"'$w'").mkString(", ")
+
   val queries: Map[String, Q] = Map(
+    // RAKE keyword extraction (round 19) — the document-keywords member
+    // of the text-analysis family (collocations finds corpus-level PMI
+    // bigrams; this extracts stopword-delimited candidate PHRASES and
+    // ranks them by the classic degree/frequency word scores). Pipeline:
+    // tokenize with positions → phrase id = running stopword count per
+    // doc (ONE per-doc window — doc-bounded partitions) → per-word
+    // corpus stats (freq, degree = Σ phrase length over occurrences —
+    // two-phase hash aggregates) → word score = degree/freq → phrase
+    // score folds member scores IN POSITION ORDER (the text_entropy
+    // ordered-fold posture, so the IEEE sum is engine-identical) →
+    // global top-20 = TakeOrderedAndProject. Scale: token-scale maps,
+    // word-keyed shuffles, nothing corpus-quadratic.
+    "text_keywords_rake" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")))
+        .withColumnRenamed("col", "w")
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val seg = toks
+        .withColumn("is_stop", col("w").isin(RakeStops: _*))
+        .withColumn("pid", sum(col("is_stop").cast("long")).over(wDoc))
+        .where(!col("is_stop"))
+      val members = seg.withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "pid")))
+      val wscore = members.groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+        .select(col("w"),
+          (col("degree").cast("double") / col("freq").cast("double"))
+            .as("wscore"))
+      members.join(wscore, "w")
+        .groupBy(col("doc_id"), col("pid"))
+        .agg(array_sort(collect_list(
+          struct(col("pos"), col("w"), col("wscore")))).as("ms"))
+        .select(
+          array_join(transform(col("ms"), m => m.getField("w")), " ")
+            .as("phrase"),
+          aggregate(col("ms"), lit(0.0),
+            (acc, m) => acc + m.getField("wscore")).as("score"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n"), round(max(col("score")), 6).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(20)
+    }),
 
     // Per-source heavy hitters: top-5 tokens by count (token asc
     // tie-break) — the vocabulary/stopword audit every corpus pipeline
@@ -411,6 +465,31 @@ object TextQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same segmentation (running stopword count), same degree/freq
+    // stats, same position-ordered fold (list_reduce with a prepended
+    // 0.0 init ≡ Spark's aggregate left fold).
+    "text_keywords_rake" ->
+      ("WITH tok AS (SELECT doc_id, " +
+       "unnest(string_split(lower(text), ' ')) AS w, " +
+       "generate_subscripts(string_split(lower(text), ' '), 1) AS pos " +
+       "FROM documents), " +
+       s"seg AS (SELECT doc_id, pos, w, w IN ($rakeStopsSql) AS is_stop, " +
+       s"sum(CASE WHEN w IN ($rakeStopsSql) THEN 1 ELSE 0 END) " +
+       "OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM tok), " +
+       "mem AS (SELECT doc_id, pid, pos, w, " +
+       "count(*) OVER (PARTITION BY doc_id, pid) AS plen " +
+       "FROM seg WHERE NOT is_stop), " +
+       "wsc AS (SELECT w, CAST(sum(plen) AS DOUBLE) / " +
+       "CAST(count(*) AS DOUBLE) AS wscore FROM mem GROUP BY w), " +
+       "ph AS (SELECT m.doc_id, m.pid, " +
+       "list(m.w ORDER BY m.pos) AS words, " +
+       "list(wsc.wscore ORDER BY m.pos) AS scs " +
+       "FROM mem m JOIN wsc ON wsc.w = m.w GROUP BY 1, 2), " +
+       "ps AS (SELECT array_to_string(words, ' ') AS phrase, " +
+       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), scs), " +
+       "(a, e) -> a + e) AS score FROM ph) " +
+       "SELECT phrase, count(*) AS n, round(max(score), 6) AS score " +
+       "FROM ps GROUP BY phrase ORDER BY score DESC, phrase LIMIT 20"),
     // Same footer construction, same three RE2-safe patterns, same
     // redaction chain order; counts CAST to BIGINT (DuckDB sum → HUGEINT)
     // and the checksum rides the proven '0x' hex-parse idiom.
