@@ -639,6 +639,48 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Dataset CARD (round 19) — the per-source datasheet every released
+    // training set ships: volume (docs, exact token count), language
+    // spread (distinct langs + modal lang with a deterministic
+    // tie-break), near-dup exposure (share of docs that are
+    // non-representative members of a CC cluster — read from the SAME
+    // staged labels the dedup keys publish), quality (mean of the
+    // text_quality score, averaged over exact integer centi-points so
+    // the sum is associative), and a p50 length. One doc-level map +
+    // one source-keyed aggregate + a 5×|langs| modal rollup — nothing
+    // beyond the label join touches a second corpus pass.
+    "pipeline_dataset_card" -> ((s, dir) => {
+      val dups = ccLabels(s, dir).where(col("doc") =!= col("lbl"))
+        .select(col("doc").as("doc_id"), lit(true).as("is_dup"))
+      val d = Tables.table(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("q2i",
+          round(TextQuality.qualityScore * 100, 0).cast("long"))
+        .join(dups, Seq("doc_id"), "left")
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        count(col("is_dup")).as("n_dup_members"),
+        (sum(col("q2i")).cast("double") / count(lit(1)) / 100.0)
+          .as("avg_q_raw"),
+        expr("percentile(n_toks, 0.5)").as("p50_toks"))
+      val topLang = d.groupBy("source", "lang")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("cnt").desc, col("lang"))))
+        .where(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      base.join(topLang, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"), col("top_lang"), col("n_dup_members"),
+          round(col("n_dup_members").cast("double") /
+            col("n_docs").cast("double"), 4).as("dup_pct"),
+          round(col("avg_q_raw"), 4).as("avg_q"), col("p50_toks"))
+        .orderBy("source")
+    }),
+
     "pipeline_clean_pack" -> ((s, dir) => {
       val dups = ccLabels(s, dir)
         .where(col("doc") =!= col("lbl"))
@@ -1043,7 +1085,8 @@ object Pipeline {
     * checkpoint scan, not the computation. */
   val loopKeys: Set[String] =
     Set("dedup_cluster", "pipeline_clean_pack", "split_grouped",
-      "graph_components", "dedup_cluster_incremental")
+      "graph_components", "dedup_cluster_incremental",
+      "pipeline_dataset_card")
 
   /** Per-round lineage-cut plumbing shared by both CC variants. Default:
     * localCheckpoint — executor-local blocks, no configured dir needed,
@@ -1590,6 +1633,45 @@ object Pipeline {
         "UNION SELECT reach.doc, e.d FROM reach JOIN edges e ON e.s = reach.r) " +
         "SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster " +
         "FROM reach GROUP BY doc ORDER BY doc"),
+    // dedup_cluster's reachability CC for the dup share + text_quality's
+    // CASE (over exact centi-points) + exact token counts; modal lang =
+    // (cnt DESC, lang) row_number, quantile_cont ≡ percentile (the
+    // theil_sen exact-(a+b)/2 precedent).
+    "pipeline_dataset_card" ->
+      (s"WITH RECURSIVE $NearDupEdgesCte, " +
+        "reach(doc, r) AS (SELECT s, s FROM edges " +
+        "UNION SELECT reach.doc, e.d FROM reach JOIN edges e ON e.s = reach.r), " +
+        "lab AS (SELECT doc, CAST(min(r) AS BIGINT) AS cluster " +
+        "FROM reach GROUP BY doc), " +
+        "dups AS (SELECT doc AS doc_id FROM lab WHERE doc <> cluster), " +
+        "m AS (SELECT d.source, d.lang, " +
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks, " +
+        "CAST(round((" +
+        "(CASE WHEN d.n_chars BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END) + " +
+        "(CASE WHEN d.n_chars * 1.0 / len(string_split(lower(d.text), ' ')) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END) + " +
+        "(CASE WHEN len(list_intersect(list_distinct(string_split(lower(d.text), ' ')), " +
+        "['the','a','and','of','to'])) * 1.0 / len(string_split(lower(d.text), ' ')) > 0.01 THEN 0.2 ELSE 0.0 END) + " +
+        "(CASE WHEN len(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) * 1.0 / d.n_chars < 0.1 THEN 0.1 ELSE 0.0 END)" +
+        ") * 100) AS BIGINT) AS q2i, " +
+        "(dup.doc_id IS NOT NULL) AS is_dup " +
+        "FROM documents d LEFT JOIN dups dup ON d.doc_id = dup.doc_id), " +
+        "base AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
+        "count(DISTINCT lang) AS n_langs, " +
+        "CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_members, " +
+        "CAST(sum(q2i) AS DOUBLE) / count(*) / 100.0 AS avg_q_raw, " +
+        "quantile_cont(n_toks, 0.5) AS p50_toks FROM m GROUP BY source), " +
+        "lc AS (SELECT source, lang, count(*) AS cnt FROM m GROUP BY 1, 2), " +
+        "tl AS (SELECT source, lang, row_number() OVER (" +
+        "PARTITION BY source ORDER BY cnt DESC, lang) AS rn FROM lc) " +
+        "SELECT b.source, b.n_docs, b.n_tokens, b.n_langs, " +
+        "tl.lang AS top_lang, b.n_dup_members, " +
+        "round(CAST(b.n_dup_members AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 4) " +
+        "AS dup_pct, round(avg_q_raw, 4) AS avg_q, b.p50_toks " +
+        "FROM base b JOIN tl ON tl.source = b.source AND tl.rn = 1 " +
+        "ORDER BY b.source"),
+
     // The incremental key's oracle IS the batch recompute — the
     // incremental ≡ batch law as a hash gate — plus the boundary flag.
     "dedup_cluster_incremental" ->
