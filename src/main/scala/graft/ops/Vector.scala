@@ -76,6 +76,19 @@ object Vector {
     vcur
   }
 
+  /** The staged top direction (abtt's u — 64 doubles of index metadata,
+    * staged per corpus version so the 3 training passes amortize like
+    * every other model artifact; doubles round-trip parquet bit-exactly,
+    * so staged ≡ fresh). Shared by embed_abtt and embed_pca2 — the two
+    * keys MUST agree on what "the top component" is. */
+  private def abttU(s: SparkSession, dir: String): Seq[Double] =
+    graft.Staging.materialize(
+      s, Tables.path(dir, "embeddings"), "abtt_u3_v1") {
+      import s.implicits._
+      powerIterate(emb(s, dir), 3).zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("pos", "uval")
+    }.collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+
   /** Shard count for a corpus-sized ranking when the session conf leaves
     * the choice to the engine. 8 bounds the local[32] bench's widest
     * candidate sets at ~1/8 corpus per task; a 1000-executor deployment
@@ -293,18 +306,7 @@ object Vector {
     // declared output order.
     "embed_abtt" -> ((s, dir) => {
       val e = emb(s, dir)
-      // u is index metadata (64 doubles): staged per corpus version so
-      // the 3 training passes amortize like every other model artifact
-      // (doubles round-trip parquet bit-exactly — staged ≡ fresh)
-      val uDf = graft.Staging.materialize(
-        s, Tables.path(dir, "embeddings"), "abtt_u3_v1") {
-        import s.implicits._
-        powerIterate(e, 3).zipWithIndex.map { case (v, i) => (i, v) }
-          .toDF("pos", "uval")
-      }
-      val u: Seq[Double] = uDf.collect().sortBy(_.getInt(0))
-        .map(_.getDouble(1)).toSeq
-      val ulit = array(u.map(lit): _*)
+      val ulit = array(abttU(s, dir).map(lit): _*)
       e.select(col("vec_id"), col("v"), dot(col("v"), ulit).as("p"))
         .select(col("vec_id"),
           posexplode(zip_with(col("v"), ulit,
@@ -312,6 +314,42 @@ object Vector {
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           col("col").as("aval"))
         .orderBy("vec_id", "pos")
+    }),
+
+    // Two-component PCA projections (round 19) — the visualization /
+    // whitening readout the spectral family stops short of
+    // (embed_top_eigen emits u₁'s loadings, embed_abtt removes u₁;
+    // neither gives the (pc1, pc2) coordinates every embedding-space
+    // map plots). u₁ = the SAME staged abtt direction; u₂ = three
+    // power iterations over the DEFLATED rows x − (x·u₁)u₁ (classic
+    // Hotelling deflation — u₂ ⊥ u₁ by construction), staged as its own
+    // artifact. Every iteration is the proven eigenSums pass: exact
+    // fixed-point DECIMAL(38,0) per-dim sums, 64-row driver collects
+    // (IVF-centroid-class model state), no vector ever rides a shuffle.
+    // Projections are one ordered-fold dot per component, rounded 6dp;
+    // the oracle chains a SECOND eigen-iteration CTE block over the
+    // abtt residual tree, so u₂ replays bit-exactly.
+    "embed_pca2" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val u1 = abttU(s, dir)
+      val u1lit = array(u1.map(lit): _*)
+      val u2Df = graft.Staging.materialize(
+        s, Tables.path(dir, "embeddings"), "pca2_u2_v1") {
+        import s.implicits._
+        val deflated = e
+          .withColumn("p", dot(col("v"), u1lit))
+          .select(col("vec_id"),
+            zip_with(col("v"), u1lit, (x, uu) => x - col("p") * uu)
+              .as("v"))
+        powerIterate(deflated, 3).zipWithIndex
+          .map { case (v, i) => (i, v) }.toDF("pos", "uval")
+      }
+      val u2lit = array(u2Df.collect().sortBy(_.getInt(0))
+        .map(_.getDouble(1)).map(lit): _*)
+      e.select(col("vec_id"), col("label"),
+          round(dot(col("v"), u1lit), 6).as("pc1"),
+          round(dot(col("v"), u2lit), 6).as("pc2"))
+        .orderBy("vec_id")
     }),
 
     /** Top principal direction by POWER ITERATION (round 17) — the
@@ -684,6 +722,32 @@ object Vector {
         "SELECT CAST(d - 1 AS BIGINT) AS pos, " +
         "round(CAST(sd AS DOUBLE) / n.nrm, 6) AS loading " +
         "FROM s3 CROSS JOIN n3 n ORDER BY pos"),
+    // u1 = the shared eigen chain; deflated rows = the abtt residual
+    // tree rebuilt into per-vec lists; u2 = a SECOND eigen chain (tag
+    // "b") over them; projections = the same ordered-fold dot, 6dp.
+    "embed_pca2" ->
+      (EigenPrefixCte.dropRight(1) + ", " +
+        s"pp AS (SELECT vec_id, v, list_reduce(list_prepend($EigenFold0, " +
+        "list_transform(range(1, 65), i -> v[i] * u.vv[i])), " +
+        "(x, y) -> x + y) AS p FROM e CROSS JOIN vv4 u), " +
+        "a AS (SELECT vec_id, list(x - p * uv ORDER BY d) AS v FROM " +
+        "(SELECT vec_id, p, unnest(v) AS x, " +
+        "generate_subscripts(v, 1) AS d, unnest(u2.vv) AS uv " +
+        "FROM pp CROSS JOIN vv4 u2) GROUP BY vec_id), " +
+        "vvb1 AS (SELECT list_transform(range(1, 65), i -> " +
+        "CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END) AS vv), " +
+        (1 to 3).map(eigenIterCteFrom("a", "b", _)).mkString(", ") + " " +
+        s"SELECT e.vec_id, emb.label, " +
+        s"round(list_reduce(list_prepend($EigenFold0, " +
+        "list_transform(range(1, 65), i -> e.v[i] * u1.vv[i])), " +
+        "(x, y) -> x + y), 6) AS pc1, " +
+        s"round(list_reduce(list_prepend($EigenFold0, " +
+        "list_transform(range(1, 65), i -> e.v[i] * ub.vv[i])), " +
+        "(x, y) -> x + y), 6) AS pc2 " +
+        "FROM e CROSS JOIN vv4 u1 CROSS JOIN vvb4 ub " +
+        "JOIN embeddings emb ON emb.vec_id = e.vec_id " +
+        "ORDER BY e.vec_id"),
     // same three-iteration u, per-row ordered-fold projection, the
     // identical x − p·u tree per dimension — unrounded doubles
     "embed_abtt" ->
@@ -703,23 +767,27 @@ object Vector {
   // init, and a forward-referenced plain val would still be null there
   private def EigenFold0 = "CAST(0.0 AS DOUBLE)"
 
-  /** One eigen power-iteration round as a CTE chunk (vv{r} → vv{r+1}),
-    * verbatim from the proven embed_top_eigen replay — shared with
-    * embed_abtt so the two keys replay the SAME direction. */
-  private def eigenIterCte(r: Int): String =
-    s"q$r AS (SELECT vec_id, v, CAST(round(list_reduce(list_prepend(" +
+  /** One eigen power-iteration round as a CTE chunk (vv{tag}{r} →
+    * vv{tag}{r+1}) over source relation `src(vec_id, v)`, verbatim from
+    * the proven embed_top_eigen replay — shared with embed_abtt (same
+    * direction) and embed_pca2 (a SECOND chain, tag "b", over the
+    * deflated rows). */
+  private def eigenIterCteFrom(src: String, tag: String, r: Int): String =
+    s"q$tag$r AS (SELECT vec_id, v, CAST(round(list_reduce(list_prepend(" +
       s"$EigenFold0, list_transform(range(1, 65), i -> v[i] * w.vv[i])), " +
       s"(x, y) -> x + y) * 1e6) AS BIGINT) AS q " +
-      s"FROM e CROSS JOIN vv$r w), " +
-      s"s$r AS MATERIALIZED (SELECT d, " +
+      s"FROM $src CROSS JOIN vv$tag$r w), " +
+      s"s$tag$r AS MATERIALIZED (SELECT d, " +
       s"sum(CAST(CAST(round(x * 1e6) AS BIGINT) AS HUGEINT) * q) AS sd " +
       s"FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS d, q " +
-      s"FROM q$r) GROUP BY d), " +
-      s"n$r AS (SELECT sqrt(list_reduce(list_prepend($EigenFold0, " +
+      s"FROM q$tag$r) GROUP BY d), " +
+      s"n$tag$r AS (SELECT sqrt(list_reduce(list_prepend($EigenFold0, " +
       s"list_transform(list(CAST(sd AS DOUBLE) ORDER BY d), " +
-      s"t -> t * t)), (x, y) -> x + y)) AS nrm FROM s$r), " +
-      s"vv${r + 1} AS (SELECT list(CAST(s.sd AS DOUBLE) / n.nrm " +
-      s"ORDER BY s.d) AS vv FROM s$r s CROSS JOIN n$r n)"
+      s"t -> t * t)), (x, y) -> x + y)) AS nrm FROM s$tag$r), " +
+      s"vv$tag${r + 1} AS (SELECT list(CAST(s.sd AS DOUBLE) / n.nrm " +
+      s"ORDER BY s.d) AS vv FROM s$tag$r s CROSS JOIN n$tag$r n)"
+
+  private def eigenIterCte(r: Int): String = eigenIterCteFrom("e", "", r)
 
   /** `WITH e, vv1, 3 iterations ` — the shared eigen replay prefix
     * (trailing space; ends ready for a SELECT, vv4 = the unit top
