@@ -392,6 +392,37 @@ object Windows {
         .orderBy("event_type")
     }),
 
+    // Period-over-period growth (round 19) — the WoW readout every ops
+    // dashboard leads with (ewma/seasonal/forecast model the series;
+    // this is the comparison REPORT): ISO-week volumes per type, each
+    // week vs the previous via lag(1) over the per-type order. Growth =
+    // one IEEE division of exact longs (engine-identical), NULL-gated
+    // on the first week; flags at the 6dp-rounded value. One hash
+    // aggregate + one per-type window (weeks × types rows — calendar-
+    // bounded, the win_trend_theil_sen scale argument).
+    "win_wow_growth" -> ((s, dir) => {
+      val wk = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).as("wk"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("wk")
+      wk.withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("prev_c", lag(col("cents"), 1).over(w))
+        .select(col("event_type"), col("wk"), col("n"), col("prev_n"),
+          round(when(col("prev_n").isNotNull,
+            (col("n") - col("prev_n")).cast("double") /
+              col("prev_n").cast("double")), 6).as("n_growth"),
+          round(when(col("prev_c").isNotNull,
+            (col("cents") - col("prev_c")).cast("double") /
+              col("prev_c").cast("double")), 6).as("value_growth"))
+        .withColumn("flag",
+          when(col("n_growth").isNull, "first")
+            .when(abs(col("n_growth")) >= 0.2, "swing")
+            .otherwise("steady"))
+        .orderBy("event_type", "wk")
+    }),
+
     // Theil–Sen robust trend (round 17) — the median-of-pairwise-slopes
     // estimator (29% breakdown) for "is this metric drifting", immune to
     // the spikes an OLS slope chases: slope = median over all day pairs
@@ -940,6 +971,28 @@ object Windows {
       "round(st[1] + st[2] + st[3], 6) AS forecast_next " +
       "FROM f ORDER BY event_type"
     },
+    // Same ISO-week rollup (date_trunc('week') is Monday-start on both
+    // engines), same lag pair, the identical exact-int growth division.
+    "win_wow_growth" ->
+      ("WITH wk AS (SELECT event_type, date_trunc('week', ts) AS wk, " +
+       "count(*) AS n, " +
+       "sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents " +
+       "FROM events GROUP BY 1, 2), " +
+       "g AS (SELECT event_type, wk, n, cents, " +
+       "lag(n, 1) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n, " +
+       "lag(cents, 1) OVER (PARTITION BY event_type ORDER BY wk) AS prev_c " +
+       "FROM wk) " +
+       "SELECT event_type, wk, CAST(n AS BIGINT) AS n, " +
+       "CAST(prev_n AS BIGINT) AS prev_n, " +
+       "round(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6) " +
+       "AS n_growth, " +
+       "round(CAST(cents - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE), 6) " +
+       "AS value_growth, " +
+       "CASE WHEN prev_n IS NULL THEN 'first' " +
+       "WHEN abs(round(CAST(n - prev_n AS DOUBLE) / " +
+       "CAST(prev_n AS DOUBLE), 6)) >= 0.2 THEN 'swing' " +
+       "ELSE 'steady' END AS flag " +
+       "FROM g ORDER BY event_type, wk"),
     // same densified spine, same (type, hour-of-day) slot windows over
     // exact ints, same single division/subtraction
     "win_seasonal_baseline" ->
