@@ -38,6 +38,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipeline_incremental_clean_pack", // same boundary broadcast, composed
     "embed_ann_incremental",          // 1-row broadcast max(vec_id) boundary
     "embed_ann_sq8",                  // broadcast probes vs decoded corpus
+    "embed_ann_recall_audit",         // exact side = embed_cosine_topk's
+                                      // broadcast probe set vs corpus
     "dedup_semantic",                 // broadcast √N centroid set vs corpus (assignCells)
     "dedup_semantic_mp",              // same broadcast centroid set, two argmin passes
     "dedup_semantic_2l",              // broadcast N^¼ coarse seeds, then bucket-joined fine
@@ -747,11 +749,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plans("win_interpolate_linear")
     val w = "Window \\[".r.findAllIn(p).length
     assert(w == 1, s"expected one shared Window operator, got $w")
-    // every shuffle in the plan is over the HOURLY relation (hash on
-    // event_type[, hr]); the fact-table scan feeds exactly one partial
-    // aggregate before its exchange
-    assert(p.contains("partial_sum"),
-      "hourly aggregate lost its map-side partial")
+    // Since r19 the hourly aggregate sits behind a lazy localCheckpoint
+    // barrier (spine bounds + spine join both consume it — events×2
+    // without it, PlanSweep r19), so the audited plan must read the
+    // materialized relation and contain NO events parquet scan at all;
+    // the aggregate's map-side partial runs once, at materialization.
+    assert(!p.contains("events.parquet"),
+      "interpolate spine re-scans events — the hourly barrier is gone")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      "expected the checkpointed hourly relation as the plan's source")
   }
 
   test("dq_drift_psi: psi rejoin broadcasts; aggregates two-phase") {
