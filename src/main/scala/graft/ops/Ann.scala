@@ -765,7 +765,6 @@ object Ann {
 
   private val NumPlanes = 6
 
-  /** embeddings with the float vector widened to array<double> once. */
   /** The IVF top-5 neighbor relation (q_id, rnk, vec_id, sim) for the
     * standard vec_id<10 probe set — the embed_ann_ivf plan, factored so
     * `embed_ann_recall_audit` scores the IDENTICAL route (a drifted
@@ -786,6 +785,7 @@ object Ann {
       Seq(col("sim").desc, col("vec_id")), 5, "rnk")
   }
 
+  /** embeddings with the float vector widened to array<double> once. */
   private[graft] def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -619,8 +619,16 @@ object Pipeline {
       val pairs = Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
       val mxdf = Tables.table(s, dir, "documents")
         .agg(max("doc_id").as("mx"))
+      // The old-labels artifact name mirrors ccLabels' cap-awareness
+      // (r19 review): the pair graph depends on the LOSSY
+      // graft.ngram.hotGramCap conf, and a fixed name would serve a
+      // capped session's labels to an uncapped one (the aliasing bug
+      // ccLabels' naming exists to prevent).
+      val cap = graft.QueryDefs.longConf(s, "graft.ngram.hotGramCap")
+      val oldName = if (cap.isEmpty) "cc_labels08_old90_v1"
+                    else s"cc_labels08_old90_cap${cap.get}_v1"
       val oldLabels = stagedComponents(
-        s, Tables.path(dir, "documents"), "cc_labels08_old90_v1") {
+        s, Tables.path(dir, "documents"), oldName) {
         pairs.crossJoin(broadcast(mxdf))
           .where(col("doc_a") * 10 < col("mx") * 9 &&
                  col("doc_b") * 10 < col("mx") * 9)
@@ -665,7 +673,13 @@ object Pipeline {
         (sum(col("q2i")).cast("double") / count(lit(1)) / 100.0)
           .as("avg_q_raw"),
         expr("percentile(n_toks, 0.5)").as("p50_toks"))
-      val topLang = d.groupBy("source", "lang")
+      // Modal lang reads the RAW table with a 2-column pruned scan —
+      // deriving it from `d` would re-run the quality map and the label
+      // join a second time (static planning never reuses the shared
+      // subtree — the q21 rescan class; r19 review), while a corpus-
+      // sized checkpoint of `d` is the wrong trade at 100 TB.
+      val topLang = Tables.table(s, dir, "documents")
+        .groupBy("source", "lang")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("source")
@@ -1021,11 +1035,9 @@ object Pipeline {
     val name =
       if (cap.isEmpty) "cc_labels08_v1"
       else s"cc_labels08_cap${cap.get}${if (groupExact) "_ge" else ""}_v1"
-    lastCcNamespace.set(null)
-    val (labels, staged) = graft.Staging
-      .materializeWithStatus(s, Tables.path(dir, "documents"), name) {
+    stagedComponents(s, Tables.path(dir, "documents"), name) {
       if (!groupExact)
-        connectedComponents(Dedup.ngramPairs(s, dir).select("doc_a", "doc_b"))
+        Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
       else {
         // Duplicate-heavy-corpus posture (`graft.dedup.groupExact=true`,
         // LOSSLESS): B exact copies of one text share every trigram, so
@@ -1057,26 +1069,9 @@ object Pipeline {
           dfOrderedPrefix = cap.isDefined || s.conf
             .getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean),
           hotGramCap = cap)
-        connectedComponents(
-          star.union(repPairs.select("doc_a", "doc_b")))
+        star.union(repPairs.select("doc_a", "doc_b"))
       }
     }
-    // When the returned frame READS the staged artifact, the fixpoint's
-    // final reliable checkpoint (if one was taken) no longer backs
-    // anything and can be reclaimed; without this, every ccLabels call on
-    // a long-lived session leaks one cc-* namespace in the checkpoint
-    // dir. The `staged` status — not the artifact's mere existence on
-    // disk — is the gate: with staging disabled or on any degraded
-    // materialize exit the returned frame is still checkpoint-backed
-    // (even while a stale or foreign-JVM artifact sits in the tmpdir),
-    // and deleting the namespace would be a use-after-free.
-    val ns = lastCcNamespace.get()
-    lastCcNamespace.set(null)
-    if (ns != null && staged) {
-      val p = new org.apache.hadoop.fs.Path(ns)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    labels
   }
 
   /** Keys whose invocation RUNS Spark jobs (the CC fixpoint loop executes
@@ -1320,12 +1315,20 @@ object Pipeline {
     * connectedComponents — but the handoff itself is now race-free.) */
   val lastCcNamespace = new ThreadLocal[String]
 
-  /** Stage CC labels for an edge relation, reclaiming the fixpoint's
-    * reliable-checkpoint namespace once the labels are safely STAGED
-    * (the ccLabels contract, factored for the other CC-staging keys:
-    * graph_components' kNN labels, dedup_cluster_incremental's
-    * old-corpus labels). A live (unstaged) result keeps its namespace —
-    * the returned frame is backed by it. */
+  /** Stage CC labels for an edge relation — the ONE home of the
+    * namespace-reclaim dance (ccLabels, graph_components' kNN labels,
+    * dedup_cluster_incremental's old-corpus labels all route here; r19
+    * review removed ccLabels' verbatim copy).
+    *
+    * When the returned frame READS the staged artifact, the fixpoint's
+    * final reliable checkpoint (if one was taken) no longer backs
+    * anything and can be reclaimed; without this, every call on a
+    * long-lived session leaks one cc-* namespace in the checkpoint dir.
+    * The `staged` status — not the artifact's mere existence on disk —
+    * is the gate: with staging disabled or on any degraded materialize
+    * exit the returned frame is still checkpoint-backed (even while a
+    * stale or foreign-JVM artifact sits in the tmpdir), and deleting
+    * the namespace would be a use-after-free. */
   private[graft] def stagedComponents(
       s: SparkSession, sourcePath: String, name: String)(
       pairs: => DataFrame): DataFrame = {

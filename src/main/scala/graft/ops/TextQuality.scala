@@ -140,17 +140,27 @@ object TextQuality {
     // word-keyed shuffles, nothing corpus-quadratic.
     "text_keywords_rake" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = Tables.table(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(lower(col("text")), " ")))
-        .withColumnRenamed("col", "w")
-      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val seg = toks
-        .withColumn("is_stop", col("w").isin(RakeStops: _*))
-        .withColumn("pid", sum(col("is_stop").cast("long")).over(wDoc))
-        .where(!col("is_stop"))
-      val members = seg.withColumn("plen",
-        count(lit(1)).over(Window.partitionBy("doc_id", "pid")))
+      // The phrase-member relation feeds BOTH the word-stats aggregate
+      // and the score rejoin — a double reference of the full tokenize +
+      // two-window pipeline under static planning (the q21 rescan
+      // class; r19 review). It is a pure function of the corpus, so it
+      // stages per corpus version like the sorted-trigram relation the
+      // dedup family shares.
+      val members = graft.Staging.materialize(
+        s, Tables.path(dir, "documents"), "rake_members_v1") {
+        val toks = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")))
+          .withColumnRenamed("col", "w")
+        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+        toks
+          .withColumn("is_stop", col("w").isin(RakeStops: _*))
+          .withColumn("pid", sum(col("is_stop").cast("long")).over(wDoc))
+          .where(!col("is_stop"))
+          .withColumn("plen",
+            count(lit(1)).over(Window.partitionBy("doc_id", "pid")))
+          .drop("is_stop")
+      }
       val wscore = members.groupBy("w")
         .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
         .select(col("w"),

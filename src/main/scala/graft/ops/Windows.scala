@@ -413,7 +413,11 @@ object Windows {
           round(when(col("prev_n").isNotNull,
             (col("n") - col("prev_n")).cast("double") /
               col("prev_n").cast("double")), 6).as("n_growth"),
-          round(when(col("prev_c").isNotNull,
+          // prev_c = 0 is possible (a week whose values all round to 0
+          // cents) and Spark's non-ANSI Divide yields NULL there while
+          // DuckDB's IEEE division yields ±inf — gate to NULL on BOTH
+          // engines (r19 review). prev_n needs no gate (count ≥ 1).
+          round(when(col("prev_c").isNotNull && col("prev_c") =!= 0,
             (col("cents") - col("prev_c")).cast("double") /
               col("prev_c").cast("double")), 6).as("value_growth"))
         .withColumn("flag",
@@ -825,7 +829,11 @@ object Windows {
        "SELECT s.event_type, b2.bs AS base_24h, s.na AS n_alarms, " +
        "s.alarms, s.mu AS max_up, s.md AS max_dn " +
        "FROM st s JOIN tm ON tm.event_type = s.event_type " +
-       "AND s.t = tm.tmax " +
+       // greatest(tmax, 24): a type whose dense span is under 24 hours
+       // never recurses past the anchor (t=24) — pick the anchor so the
+       // type still emits its warm-up-only row like the Spark fold does
+       // (empty seq → init state), instead of vanishing (r19 review).
+       "AND s.t = greatest(tm.tmax, 24) " +
        "JOIN bs24 b2 ON b2.event_type = s.event_type " +
        "ORDER BY s.event_type"),
     // same daily rollup, same within-type pair join; quantile_cont on
@@ -986,8 +994,9 @@ object Windows {
        "CAST(prev_n AS BIGINT) AS prev_n, " +
        "round(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6) " +
        "AS n_growth, " +
-       "round(CAST(cents - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE), 6) " +
-       "AS value_growth, " +
+       "round(CASE WHEN prev_c = 0 THEN NULL " +
+       "ELSE CAST(cents - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE) " +
+       "END, 6) AS value_growth, " +
        "CASE WHEN prev_n IS NULL THEN 'first' " +
        "WHEN abs(round(CAST(n - prev_n AS DOUBLE) / " +
        "CAST(prev_n AS DOUBLE), 6)) >= 0.2 THEN 'swing' " +
