@@ -227,6 +227,48 @@ object Dedup {
       * `bloom_flag`; no-false-negative (exact ⇒ flagged) is asserted at
       * runtime in the plan itself via the output's `miss` column, which
       * the spec pins to all-false. */
+    // Directional CONTAINMENT near-dup pairs (round 19) — the
+    // asymmetric member of the family: C(A→B) = |A∩B|/|A| ≥ 0.9 finds
+    // a small doc embedded in a larger one (quotes, excerpts, wrapped
+    // reposts), which symmetric Jaccard ≥ 0.8 misses whenever the
+    // container is much bigger (jac = inter/union shrinks with |B|).
+    // Scale shape — never all-pairs: the threshold bounds only the
+    // CONTAINED side, so the prefix filter is one-sided: A is probed by
+    // its first |A| − ⌈0.9|A|⌉ + 1 grams under the shared lexicographic
+    // order (the PPJoin losslessness proof needs nothing from B), the
+    // container side is the full inverted index, candidate mass =
+    // Σ_{A-prefix grams} df(gram) ≈ 10% of the naive inverted join.
+    // Verification attaches both gram arrays candidate-bounded (the
+    // verifyCandidates posture); the ≥ 0.9 test is EXACT integer
+    // (10·inter ≥ 9·|A|); containment is one rounded division. Reads
+    // the same staged trigram artifact as the jaccard family.
+    "dedup_containment" -> ((s, dir) => {
+      val grams = stagedGrams(s, dir)
+      val a = grams.select(col("doc_id").as("a_id"), col("g").as("ga"),
+        size(col("g")).as("sa"))
+      val prefA = a.select(col("a_id"),
+        explode(slice(col("ga"), lit(1),
+          col("sa") - ((col("sa") * 9 + 9) / 10).cast("int") + 1))
+          .as("gram"))
+      val invB = grams.select(col("doc_id").as("b_id"),
+        explode(col("g")).as("gram"))
+      val cand = prefA.join(invB, "gram")
+        .where(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id").distinct()
+      cand.join(a, "a_id")
+        .join(grams.select(col("doc_id").as("b_id"), col("g").as("gb")),
+          "b_id")
+        .select(col("a_id"), col("b_id"), col("sa"),
+          size(array_intersect(col("ga"), col("gb"))).as("inter"))
+        .where(col("inter") * 10 >= col("sa") * 9)
+        .select(col("a_id").as("doc_id"), col("b_id").as("container_id"),
+          col("inter").cast("long").as("inter"),
+          col("sa").cast("long").as("n_grams"),
+          round(col("inter").cast("double") / col("sa").cast("double"), 6)
+            .as("containment"))
+        .orderBy("doc_id", "container_id")
+    }),
+
     // Declared output is the CONTRACT-ORACLE projection (r18 verdict
     // item 4 — the agg_approx_distinct pattern): the exact membership
     // decision, which DuckDB replays from raw text equality, plus the
@@ -356,14 +398,20 @@ object Dedup {
     val dfOrdered = cap.isDefined ||
       s.conf.getOption("graft.ngram.dfOrderedPrefix").exists(_.toBoolean)
     graft.Staging.materialize(
-      ngramJaccardFromGrams(graft.Staging.materialize(
-        ngramGrams(
-          Tables.table(s, dir, "documents").repartition(col("doc_id"))),
-        Tables.path(dir, "documents"), "trigrams_sorted_v1"),
+      ngramJaccardFromGrams(stagedGrams(s, dir),
         dfOrderedPrefix = dfOrdered, hotGramCap = cap),
       Tables.path(dir, "documents"),
       cap.fold("ngram_pairs08_v1")(c => s"ngram_pairs08_cap${c}_v1"))
   }
+
+  /** The corpus's sorted-distinct-trigram relation, staged per corpus
+    * version — the one artifact the jaccard PPJoin (4 plan references)
+    * and the containment prefix join both read. */
+  private[ops] def stagedGrams(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.materialize(
+      ngramGrams(
+        Tables.table(s, dir, "documents").repartition(col("doc_id"))),
+      Tables.path(dir, "documents"), "trigrams_sorted_v1")
 
   /** Exact word-trigram Jaccard ≥ 0.8 pairs over any (doc_id, text)
     * relation — the body of `dedup_ngram_jaccard`, factored out so the
@@ -545,6 +593,21 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // Full (directional) inverted join — the oracle affords the naive
+    // exact pair enumeration the Spark side prefix-filters; same grams
+    // prefix constant as the jaccard family, sans the a<b pair tail.
+    "dedup_containment" ->
+      ("WITH " + Pipeline.NearDupGramsCte + ", " +
+       "prc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+       "count(*) AS inter FROM inv a JOIN inv b ON a.gram = b.gram " +
+       "AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+       "SELECT p.a_id AS doc_id, p.b_id AS container_id, " +
+       "CAST(p.inter AS BIGINT) AS inter, " +
+       "CAST(sa.sz AS BIGINT) AS n_grams, " +
+       "round(CAST(p.inter AS DOUBLE) / sa.sz, 6) AS containment " +
+       "FROM prc p JOIN sizes sa ON sa.doc_id = p.a_id " +
+       "WHERE p.inter * 10 >= sa.sz * 9 " +
+       "ORDER BY doc_id, container_id"),
     // Contract-flag replay (r19): exact membership from raw text
     // equality across the same 90% ingest boundary; the sketch law
     // column is the literal TRUE the one-sided-error guarantee promises.

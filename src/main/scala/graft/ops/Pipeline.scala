@@ -1352,12 +1352,19 @@ object Pipeline {
     * threshold or tokenization change can never update two of the three
     * replays and leave the third silently describing a different graph
     * (r15 review finding). */
-  private val NearDupEdgesCte =
+  /** The tokenize → distinct-trigram → sizes → inverted-index prefix
+    * alone (no pair predicate) — shared by [[NearDupEdgesCte]] and the
+    * directional dedup_containment oracle, whose pair relation must NOT
+    * carry the symmetric a<b constraint. */
+  private[ops] val NearDupGramsCte =
     "toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
     "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
     "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 3), " +
     "sizes AS (SELECT doc_id, len(g) AS sz FROM grams), " +
-    "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
+    "inv AS (SELECT doc_id, unnest(g) AS gram FROM grams)"
+
+  private val NearDupEdgesCte =
+    NearDupGramsCte + ", " +
     "prc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
     "FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
     "pairs AS (SELECT doc_a, doc_b FROM prc " +
