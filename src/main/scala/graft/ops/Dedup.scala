@@ -407,7 +407,7 @@ object Dedup {
   /** The corpus's sorted-distinct-trigram relation, staged per corpus
     * version — the one artifact the jaccard PPJoin (4 plan references)
     * and the containment prefix join both read. */
-  private[ops] def stagedGrams(s: SparkSession, dir: String): DataFrame =
+  private[graft] def stagedGrams(s: SparkSession, dir: String): DataFrame =
     graft.Staging.materialize(
       ngramGrams(
         Tables.table(s, dir, "documents").repartition(col("doc_id"))),
