@@ -298,6 +298,47 @@ object TextQuality {
     // oracle concatenates strings unconditionally — sanitizing on BOTH
     // sides removes the silent data-dependent divergence if source
     // naming ever changes.
+    // URL canonicalization dedup (round 19) — the web-corpus ingest step
+    // ahead of any content dedup: the same page arrives under case-mixed
+    // hosts, explicit default ports, trailing slashes, tracking params
+    // (utm_*) and fragments, and a crawler that doesn't canonicalize
+    // stores every variant. Raw URLs are synthesized DETERMINISTICALLY
+    // from doc attributes with all five mess classes (the text_url_domain
+    // construction, messied); canonical form = scheme + lowercased
+    // parse_url HOST (port drops with it) + PATH with the trailing slash
+    // stripped, query+fragment dropped as tracking. Groups by canonical
+    // URL with the collapse factor (distinct raw forms). Pure map work +
+    // one hash aggregate; the oracle CONSTRUCTS the canonical form
+    // directly from the same attributes (DuckDB has no parse_url), so
+    // the gate proves Spark's parse-based canonicalization recovers the
+    // constructive ground truth exactly.
+    "dedup_url_canonical" -> ((s, dir) => {
+      val hostSan = coalesce(nullif(regexp_replace(
+        regexp_replace(lower(col("source")), "[^a-z0-9-]", "-"),
+        "^-+|-+$", ""), lit("")), lit("x"))
+      val host = concat(hostSan, lit(".example.com"))
+      val raw = concat(lit("https://"),
+        when(col("doc_id") % 2 === 0, host).otherwise(upper(host)),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed"))
+          .otherwise(lit("?utm_campaign=x")),
+        when(col("doc_id") % 5 === 0, lit("#sec2")).otherwise(lit("")))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), raw.as("url"))
+        .select(col("doc_id"), col("url"),
+          concat(lit("https://"),
+            lower(parse_url(col("url"), lit("HOST"))),
+            regexp_replace(parse_url(col("url"), lit("PATH")), "/+$", ""))
+            .as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_forms"),
+          min(col("doc_id")).as("rep_doc"))
+        .orderBy("canon")
+    }),
+
     "text_url_domain" -> ((s, dir) =>
       Tables.table(s, dir, "documents")
         .select(col("doc_id"),
@@ -558,6 +599,31 @@ object TextQuality {
        "max(CASE WHEN rp = 1 THEN doc_id END) AS top_pos_doc, " +
        "max(CASE WHEN rn = 1 THEN doc_id END) AS top_neg_doc " +
        "FROM ranked GROUP BY lang, source ORDER BY lang, source"),
+    // The canonical form constructed directly from the same attributes
+    // (ground truth — Spark must RECOVER it by parsing the messy raw);
+    // raw forms rebuilt verbatim for the collapse-factor count.
+    "dedup_url_canonical" -> {
+      val hostSql = "coalesce(nullif(regexp_replace(" +
+        "regexp_replace(lower(source), '[^a-z0-9-]', '-', 'g'), " +
+        "'^-+|-+$', '', 'g'), ''), 'x') || '.example.com'"
+      ("WITH u AS (SELECT doc_id, " +
+       s"'https://' || $hostSql || '/docs/' || " +
+       "CAST(doc_id % 50 AS VARCHAR) AS canon, " +
+       "'https://' || " +
+       s"(CASE WHEN doc_id % 2 = 0 THEN $hostSql " +
+       s"ELSE upper($hostSql) END) || " +
+       "(CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || " +
+       "'/docs/' || CAST(doc_id % 50 AS VARCHAR) || " +
+       "(CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || " +
+       "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' " +
+       "ELSE '?utm_campaign=x' END) || " +
+       "(CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url " +
+       "FROM documents) " +
+       "SELECT canon, count(*) AS n_docs, " +
+       "count(DISTINCT url) AS n_raw_forms, " +
+       "CAST(min(doc_id) AS BIGINT) AS rep_doc " +
+       "FROM u GROUP BY canon ORDER BY canon")
+    },
     "text_url_domain" ->
       // DuckDB has no parse_url; the oracle rebuilds the three parts from
       // the same deterministic construction, with the SAME hostname
