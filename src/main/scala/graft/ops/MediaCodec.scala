@@ -10,11 +10,24 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   * dependencies — both ship with Java 17 and run headless.
   *
   * The ENCODE side is the test fixture: it synthesizes deterministic media
-  * bytes from (doc_id, geometry) so the corpus can carry genuine
-  * decodable payloads without external data. The DECODE side is the
-  * product path: it sees only the bytes, exactly as it would for media
-  * ingested from a lakehouse table, and recovers geometry + pixel/sample
-  * statistics by actually decoding them.
+  * bytes from (key, geometry) so the corpus can carry genuine decodable
+  * payloads without external data. The DECODE side is the product path: it
+  * sees only the bytes, exactly as it would for media ingested from a
+  * lakehouse table, and recovers geometry + pixel/sample statistics by
+  * actually decoding them.
+  *
+  * CONTRACT-ORACLE DESIGN (round 20): the synthetic content functions
+  * [[grayValue]] / [[sample]] are pure modular-integer formulas chosen to
+  * be replayable in ANSI SQL without 64-bit wraparound (every intermediate
+  * product < 2^63), and the decoder accumulates EXACT INTEGER statistics
+  * (quantized 8-bit luma sums, 8-bucket histograms, grid-cell sums). The
+  * DuckDB oracle replays the same formulas from the raw `documents` table,
+  * so the whole decode(encode(x)) round trip — container parse included —
+  * is hash-gated: a decoder that misreads even one pixel/sample produces a
+  * different integer sum and fails the driver gate. Only the deflate length
+  * of the PNG container remains outside the oracle (it depends on the JDK's
+  * zlib); WAV (44-byte RIFF header + 2 bytes/frame) and BMP (54-byte header
+  * + rows padded to 4 bytes) byte lengths are exact laws and ARE gated.
   *
   * Codecs are stateless JDK singletons, so there is no per-partition
   * constructor to amortize — but the call sites keep the
@@ -28,25 +41,32 @@ object MediaCodec {
   // memory-only streams are ~an order of magnitude faster per call.
   ImageIO.setUseCache(false)
 
-  /** SplitMix64 finalizer — deterministic, well-mixed synthetic content. */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+  /** Deterministic 8-bit gray value for pixel (x, y) of content key `k`.
+    * SQL replay (DuckDB): `t = ((k % 65536)*2654435761 + x*40503 +
+    * y*12289) % 65536; v = ((t*(t+3)) // 7) % 256`. The key is bounded to
+    * 16 bits FIRST so the largest product (65535 × 2654435761 ≈ 1.7e14)
+    * stays far under 2^63 in both engines at any corpus size; the
+    * quadratic term gives enough mixing that luma histograms spread over
+    * all 8 buckets. */
+  def grayValue(k: Long, x: Int, y: Int): Int = {
+    val t = ((k % 65536L) * 2654435761L + x.toLong * 40503L +
+      y.toLong * 12289L) % 65536L
+    (((t * (t + 3L)) / 7L) % 256L).toInt
   }
 
-  /** Deterministic RGB value for pixel (x, y) of document `docId`. */
-  def pixel(docId: Long, x: Int, y: Int): Int =
-    (mix(docId * 131071L + y.toLong * 8191L + x.toLong) & 0xFFFFFF).toInt
+  /** Deterministic RGB value for pixel (x, y): the gray value replicated
+    * across channels, so 8-bit luma quantization recovers it EXACTLY
+    * (rint(0.299v + 0.587v + 0.114v) == v for all v in 0..255 — verified
+    * exhaustively; see MultimodalSpec's round-trip test). */
+  def pixel(k: Long, x: Int, y: Int): Int = grayValue(k, x, y) * 0x010101
 
-  /** Encode a deterministic w×h RGB image as `fmt` ("png" | "bmp"). */
-  def encodeImage(fmt: String, docId: Long, w: Int, h: Int): Array[Byte] = {
+  /** Encode a deterministic w×h gray image as `fmt` ("png" | "bmp"). */
+  def encodeImage(fmt: String, k: Long, w: Int, h: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, pixel(docId, x, y)); x += 1 }
+      while (x < w) { img.setRGB(x, y, pixel(k, x, y)); x += 1 }
       y += 1
     }
     val bos = new ByteArrayOutputStream()
@@ -54,17 +74,18 @@ object MediaCodec {
     bos.toByteArray
   }
 
-  /** Deterministic PCM16 sample i of document `docId`, full-range. */
-  def sample(docId: Long, i: Int): Short =
-    (mix(docId * 524287L + i) % 32768).toShort
+  /** Deterministic PCM16 sample i of content key `k`, full 16-bit range.
+    * SQL replay: `((k % 65536)*48271 + i*16807) % 65536 - 32768`. */
+  def sample(k: Long, i: Int): Short =
+    ((((k % 65536L) * 48271L + i.toLong * 16807L) % 65536L) - 32768L).toShort
 
   /** Encode `nFrames` deterministic PCM16 mono 8 kHz frames as a WAV
     * container (RIFF header written by the JDK, not by hand). */
-  def encodeWav(docId: Long, nFrames: Int): Array[Byte] = {
+  def encodeWav(k: Long, nFrames: Int): Array[Byte] = {
     val data = new Array[Byte](nFrames * 2)
     var i = 0
     while (i < nFrames) { // little-endian PCM16
-      val s = sample(docId, i)
+      val s = sample(k, i)
       data(2 * i) = (s & 0xFF).toByte
       data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
@@ -76,104 +97,138 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Quantized 8-bit luma of an ARGB pixel: ITU-R BT.601 weights, rounded
+    * to the nearest integer (half-even, like every 8-bit luma plane). For
+    * gray pixels this recovers the channel value exactly. */
+  @inline private def luma8(rgb: Int): Int = {
+    val l = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+      0.114 * (rgb & 0xFF)
+    math.rint(l).toInt
+  }
+
+  /** Integer amplitude (0..255) of a PCM16 sample: |s| scaled to the byte
+    * range with INTEGER division, so sums over samples are exact in both
+    * engines. SQL replay: `least(255, abs(s) * 255 // 32767)`. */
+  @inline private def amp8(s: Short): Int =
+    math.min(255L, math.abs(s.toLong) * 255L / 32767L).toInt
+
+  /** Shannon entropy (NATS) of an 8-bucket histogram, folded bucket
+    * 0→7 with 0.0 for empty buckets — the exact term order the oracle's
+    * `t0+t1+…+t7` chain adds, so both engines add identical doubles in
+    * identical order (`x + 0.0 == x` in IEEE for x ≥ 0). NATS because
+    * Spark/Java `log` ≡ DuckDB `ln` is the proven cross-engine libm pair
+    * (text_entropy, green since r6); a log2 variant would divide by an
+    * unproven constant. */
+  private def entropyNats(hist: Array[Long], n: Long): Double = {
+    var acc = 0.0
+    var b = 0
+    while (b < 8) {
+      if (hist(b) > 0) {
+        val p = hist(b).toDouble / n
+        acc += -(p * math.log(p))
+      } else acc += 0.0
+      b += 1
+    }
+    acc
+  }
+
   /** Decode media bytes and extract features. Images: real pixel decode
-    * (ImageIO), luma brightness (ITU-R BT.601), 8-bucket luma entropy,
-    * decoded-geometry fit-within-224 resize. WAV: real container parse
-    * (AudioSystem), amplitude mean/entropy over |sample| normalized to the
-    * byte range, geometry = (frames, 1).
+    * (ImageIO), per-pixel 8-bit luma quantization, exact integer luma sum
+    * + 8-bucket histogram, decoded-geometry fit-within-224 resize. WAV:
+    * real container parse (AudioSystem), integer amplitude sum/histogram,
+    * geometry = (frames, 1).
     *
-    * Only the bytes in `r.payload` are trusted — metadata width/height are
-    * NOT read here, so a decoded-vs-declared geometry mismatch is
-    * detectable downstream (MultimodalSpec asserts they agree for this
-    * fixture corpus). */
+    * Only the bytes in `r.payload` are trusted for the statistics — the
+    * metadata width/height are read ONLY to emit the `geom_ok` law column
+    * (decoded geometry == declared metadata), which the declared query
+    * pins constant-TRUE so a decode/metadata divergence fails the driver
+    * gate. brightness = exact-integer sum / count (ONE IEEE division —
+    * bitwise replayable); entropy is the NATS fold above. */
   def decodeFeatures(r: MediaRec): MediaFeat = {
-    val (w, h, brightness, entropy) = r.fmt match {
+    val hist = new Array[Long](8)
+    var sum = 0L
+    val (w, h) = r.fmt match {
       case "wav" =>
         val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
         val raw = in.readAllBytes()
         in.close()
         val n = raw.length / 2
-        val hist = new Array[Long](8)
-        var sum = 0.0
         var i = 0
-        while (i < n) { // little-endian PCM16 |amplitude| → 0..255
+        while (i < n) { // little-endian PCM16
           val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort
-          val a = math.min(255.0, math.abs(s.toDouble) / 32767.0 * 255.0)
+          val a = amp8(s)
           sum += a
-          hist(a.toInt >> 5) += 1
+          hist(a >> 5) += 1
           i += 1
         }
-        (n, 1, if (n == 0) 0.0 else sum / n, entropy8(hist, n))
+        (n, 1)
       case _ =>
         val img = ImageIO.read(new ByteArrayInputStream(r.payload))
         require(img != null, s"undecodable ${r.fmt} payload for doc ${r.doc_id}")
         val (iw, ih) = (img.getWidth, img.getHeight)
-        val hist = new Array[Long](8)
-        var sum = 0.0
         var y = 0
         while (y < ih) {
           var x = 0
           while (x < iw) {
-            val rgb = img.getRGB(x, y)
-            val luma = 0.299 * ((rgb >> 16) & 0xFF) +
-              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
-            sum += luma
-            hist(math.min(255, luma.toInt) >> 5) += 1
+            val l = luma8(img.getRGB(x, y))
+            sum += l
+            hist(math.min(255, l) >> 5) += 1
             x += 1
           }
           y += 1
         }
-        val n = iw.toLong * ih
-        (iw, ih, if (n == 0) 0.0 else sum / n, entropy8(hist, n))
+        (iw, ih)
     }
+    val n = w.toLong * h
     val scale = math.min(1.0, 224.0 / math.max(1, math.max(w, h)))
-    MediaFeat(r.doc_id, r.fmt, r.payload.length,
-      math.rint(brightness * 1e6) / 1e6, math.rint(entropy * 1e6) / 1e6,
+    MediaFeat(r.doc_id, r.fmt, r.payload.length, n,
+      if (n == 0) 0.0 else sum.toDouble / n,
+      entropyNats(hist, n),
       math.max(1, math.rint(w * scale).toInt),
-      math.max(1, math.rint(h * scale).toInt))
+      math.max(1, math.rint(h * scale).toInt),
+      w == r.width && h == r.height)
   }
 
-  /** 64-bit average-hash (aHash) of an image payload: real decode, luma
-    * plane average-pooled onto an 8×8 grid, bit (gy·8+gx) set when the
-    * cell mean exceeds the global mean of cell means. Format-invariant
-    * for lossless codecs — the same pixels encoded as PNG or BMP decode
-    * to the same ARGB values and hash identically, which is the entire
-    * point of perceptual dedup (byte-level md5 can't see through a
-    * re-encode). Deterministic: plain double sums over a fixed pixel
-    * walk. Requires ≥8×8 geometry so every grid cell is populated. */
-  def aHash(payload: Array[Byte]): Long = {
+  /** 64-bit average-hash (aHash) of an image payload as a 64-char '0'/'1'
+    * bitstring: real decode, quantized 8-bit luma plane average-pooled
+    * onto an 8×8 grid, bit (gy·8+gx) set when the cell's mean luma
+    * exceeds the GLOBAL pixel mean — compared by integer
+    * cross-multiplication (cellSum·nTotal > totalSum·cellCount), so the
+    * hash involves no floating point at all and replays bit-exactly in
+    * SQL. Format-invariant for lossless codecs — the same pixels encoded
+    * as PNG or BMP decode to the same ARGB values and hash identically,
+    * which is the entire point of perceptual dedup (byte-level md5 can't
+    * see through a re-encode). Requires ≥8×8 geometry so every grid cell
+    * is populated. Bit order: index g ascending, left to right. */
+  def aHashBits(payload: Array[Byte]): String = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
     val (iw, ih) = (img.getWidth, img.getHeight)
     require(iw >= 8 && ih >= 8, s"aHash needs >=8x8, got ${iw}x$ih")
-    val sums = new Array[Double](64)
+    val sums = new Array[Long](64)
     val cnts = new Array[Long](64)
+    var total = 0L
     var y = 0
     while (y < ih) {
       val gy = y * 8 / ih
       var x = 0
       while (x < iw) {
         val gx = x * 8 / iw
-        val rgb = img.getRGB(x, y)
-        val luma = 0.299 * ((rgb >> 16) & 0xFF) +
-          0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
-        sums(gy * 8 + gx) += luma
+        val l = luma8(img.getRGB(x, y))
+        sums(gy * 8 + gx) += l
         cnts(gy * 8 + gx) += 1
+        total += l
         x += 1
       }
       y += 1
     }
-    val means = Array.tabulate(64)(g => sums(g) / cnts(g))
-    val mean = means.sum / 64
-    var bits = 0L
+    val n = iw.toLong * ih
+    val sb = new java.lang.StringBuilder(64)
     var g = 0
-    while (g < 64) { if (means(g) > mean) bits |= (1L << g); g += 1 }
-    bits
+    while (g < 64) {
+      sb.append(if (sums(g) * n > total * cnts(g)) '1' else '0')
+      g += 1
+    }
+    sb.toString
   }
-
-  private def entropy8(hist: Array[Long], n: Long): Double =
-    if (n == 0) 0.0
-    else -hist.filter(_ > 0).map { c =>
-      val p = c.toDouble / n; p * math.log(p) / math.log(2)
-    }.sum
 }

@@ -17,11 +17,13 @@ case class MediaRec(doc_id: Long, fmt: String, width: Int, height: Int,
   * private) because Encoder codegen must instantiate it. */
 case class MediaMeta(doc_id: Long, fmt: String, width: Int, height: Int)
 
-/** Decoded features for one media item, including the resize-to-fit-224
-  * output geometry. */
-case class MediaFeat(doc_id: Long, fmt: String, n_bytes: Int,
-                     brightness: Double, entropy8: Double,
-                     out_w: Int, out_h: Int)
+/** Decoded features for one media item: exact-integer unit count,
+  * brightness (= exact luma/amplitude sum ÷ count, one IEEE division),
+  * 8-bucket Shannon entropy in nats, the resize-to-fit-224 output
+  * geometry, and the decoded-geometry-equals-metadata law flag. */
+case class MediaFeat(doc_id: Long, fmt: String, n_bytes: Int, n_units: Long,
+                     brightness: Double, entropy_nats: Double,
+                     out_w: Int, out_h: Int, geom_ok: Boolean)
 
 /** Pre-encode metadata for the image-dedup fixture: `ck` is the content
   * key — documents sharing a ck carry the SAME pixels (possibly in
@@ -29,8 +31,9 @@ case class MediaFeat(doc_id: Long, fmt: String, n_bytes: Int,
 case class ImageDupMeta(doc_id: Long, fmt: String, ck: Long,
                         width: Int, height: Int)
 
-/** One perceptually-hashed image: the 64-bit aHash alongside identity. */
-case class ImageHash(doc_id: Long, fmt: String, ahash: Long)
+/** One perceptually-hashed image: the 64-bit aHash (as a 64-char
+  * bitstring — integer-exact and SQL-replayable) alongside identity. */
+case class ImageHash(doc_id: Long, fmt: String, ahash: String)
 
 /** Multimodal-column plumbing (training-data-pipeline surface): treat
   * image/audio/video as opaque `binary` columns with typed metadata, and
@@ -112,24 +115,28 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = Map(
-    /** no-oracle: perceptual-hash (aHash) image dedup — the multimodal
-      * twin of dedup_exact, robust to container re-encoding: decode each
-      * payload (REAL ImageIO), 8×8 average-hash the luma plane, group by
-      * the 64-bit hash. Clusters with n ≥ 2 are duplicate sets; n_fmts
-      * proves members span BOTH container formats, i.e. byte-level
-      * hashing could not have found them. Scale shape: decode + hash are
-      * map-side (8 B/image crosses the shuffle — the same posture as the
-      * text fingerprints), grouping is a plain two-phase hash agg, never
-      * pairwise; a Hamming near-dup variant would band the 64 bits
-      * 4×16 exactly like dedup_simhash. MultimodalSpec replays the
-      * clustering driver-side from the shared codec. */
+    /** Perceptual-hash (aHash) image dedup — the multimodal twin of
+      * dedup_exact, robust to container re-encoding: decode each payload
+      * (REAL ImageIO), 8×8 average-pool the quantized luma plane, group
+      * by the 64-bit hash (emitted as a bitstring — the hash is pure
+      * integer arithmetic, see MediaCodec.aHashBits). Clusters with
+      * n ≥ 2 are duplicate sets; n_fmts proves members span BOTH
+      * container formats, i.e. byte-level hashing could not have found
+      * them. HASH-ORACLED (round 20): the DuckDB oracle replays the
+      * synthetic pixel formula + the integer pooling/compare from the
+      * raw table, so the real decode is gated pixel-exactly — a decoder
+      * that misreads one pixel flips a cell sum and fails the gate.
+      * Scale shape: decode + hash are map-side (8 B/image crosses the
+      * shuffle — the same posture as the text fingerprints), grouping is
+      * a plain two-phase hash agg, never pairwise; a Hamming near-dup
+      * variant would band the 64 bits 4×16 exactly like dedup_simhash. */
     "mm_phash_dedup" -> ((s, dir) => {
       import s.implicits._
       imageDupTable(s, dir).repartition(col("doc_id")).as[MediaRec]
         .mapPartitions(_.map(r =>
-          ImageHash(r.doc_id, r.fmt, MediaCodec.aHash(r.payload))))
+          ImageHash(r.doc_id, r.fmt, MediaCodec.aHashBits(r.payload))))
         .toDF()
-        .groupBy(format_string("%016x", col("ahash")).as("ahash_hex"))
+        .groupBy(col("ahash").as("ahash_bits"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fmt")).as("n_fmts"),
           min("doc_id").as("rep"))
@@ -137,10 +144,18 @@ object Multimodal {
         .orderBy("rep")
     }),
 
-    /** no-oracle: REAL decode (ImageIO / AudioSystem) + featurize of the
-      * media batch, then per-format stats. Internally tested (known-image
-      * and known-audio feature values, decoded-vs-declared geometry,
-      * determinism, entropy bounds). */
+    /** REAL decode (ImageIO / AudioSystem) + featurize of the media
+      * batch, then per-format stats. HASH-ORACLED (round 20): every
+      * declared column is either replayed by DuckDB from the synthetic
+      * content formulas (n, sum_px, avg_brightness, avg_entropy,
+      * avg_out_w/h — exact integer stats per item, so the decode is
+      * pixel/sample-gated), an exact container-size law (sum_bytes:
+      * WAV = 44 + 2·frames, BMP = 54 + h·rowpad — NULL for PNG, whose
+      * deflate length is the one JDK-stack-dependent value and is
+      * excluded by contract, the dedup_bloom_incremental pattern), or a
+      * constant-TRUE law column (geometry_ok: decoded == declared
+      * geometry; bytes_ok: every payload non-empty). Known-content
+      * decode values remain spec-tested (MultimodalSpec). */
     "mm_media_features" -> ((s, dir) => {
       import s.implicits._
       // Repartition by doc_id before the decode stage only: balanced
@@ -151,11 +166,14 @@ object Multimodal {
         .toDF()
         .groupBy("fmt")
         .agg(count(lit(1)).as("n"),
-          sum("n_bytes").as("sum_bytes"),
+          sum("n_units").as("sum_px"),
+          sum(when(col("fmt") =!= "png", col("n_bytes"))).as("sum_bytes"),
           D.r6(avg("brightness")).as("avg_brightness"),
-          D.r6(avg("entropy8")).as("avg_entropy"),
+          D.r6(avg("entropy_nats")).as("avg_entropy"),
           D.r2(avg("out_w")).as("avg_out_w"),
-          D.r2(avg("out_h")).as("avg_out_h"))
+          D.r2(avg("out_h")).as("avg_out_h"),
+          bool_and(col("geom_ok")).as("geometry_ok"),
+          bool_and(col("n_bytes") > 0).as("bytes_ok"))
         .orderBy("fmt")
     }),
 
@@ -199,7 +217,100 @@ object Multimodal {
         .orderBy("fmt"))
   )
 
+  /** Entropy-in-nats replay for bucket `b`: the CASE-guarded term the
+    * decoder's bucket-ordered fold adds (0.0 for empty buckets — IEEE
+    * identity, so the `t0+…+t7` chain is bitwise the Scala loop). */
+  private def entTerm(b: Int): String =
+    s"(CASE WHEN h$b > 0 THEN -((CAST(h$b AS DOUBLE) / nu) * " +
+      s"ln(CAST(h$b AS DOUBLE) / nu)) ELSE 0.0 END)"
+
+  /** fit-within-224 resize replay (d = w or h): same two IEEE ops as the
+    * decoder (divide, multiply), same max(1, ·) floor. Java rint is
+    * half-even vs DuckDB round half-away, but the only reachable exact-.5
+    * product is h·0.5 at w=448,h=1 where GREATEST(1, ·) equalizes both. */
+  private def outDim(d: String): String =
+    s"GREATEST(1, CAST(round($d * LEAST(1.0, 224.0 / " +
+      s"GREATEST(1, GREATEST(w, h)))) AS INT))"
+
   val oracles: Map[String, String] = Map(
+    // Replays MediaCodec's synthetic content formulas (grayValue/sample —
+    // pure modular-integer math, every product < 2^63) per pixel/sample
+    // from the raw table, then the decoder's exact-integer statistics:
+    // brightness = one double division of exact integers, entropy = the
+    // bucket-ordered nats fold, resize = the same IEEE op pair. sum_bytes
+    // pins the container sizes the JDK actually writes (WAV 44+2n, BMP
+    // 54 + h·rowpad(3w)); PNG's deflate length is excluded by contract
+    // (NULL — the dedup_bloom_incremental pattern for the one
+    // stack-dependent value). geometry_ok/bytes_ok are constant-TRUE
+    // law columns: the oracle emits the literal, the engine must PROVE it.
+    "mm_media_features" ->
+      ("WITH meta AS (SELECT doc_id, " +
+        "['png','bmp','wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt, " +
+        "CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 500 + 32 AS INT) " +
+        "ELSE CAST(doc_id % 24 + 8 AS INT) END AS w, " +
+        "CASE WHEN doc_id % 3 = 2 THEN 1 " +
+        "ELSE CAST(doc_id % 16 + 8 AS INT) END AS h FROM documents), " +
+        "u AS (SELECT doc_id, fmt, w, h, " +
+        "unnest(range(0, CASE WHEN fmt = 'wav' THEN w ELSE w * h END)) AS i " +
+        "FROM meta), " +
+        "tv AS (SELECT doc_id, fmt, w, h, " +
+        "((doc_id % 65536) * 2654435761 + (i % w) * 40503 + " +
+        "(i // w) * 12289) % 65536 AS tt, " +
+        "abs(((doc_id % 65536) * 48271 + i * 16807) % 65536 - 32768) AS sa " +
+        "FROM u), " +
+        "a AS (SELECT doc_id, fmt, w, h, " +
+        "CASE WHEN fmt = 'wav' THEN least(255, sa * 255 // 32767) " +
+        "ELSE ((tt * (tt + 3)) // 7) % 256 END AS v FROM tv), " +
+        "per AS (SELECT doc_id, fmt, w, h, count(*) AS nu, sum(v) AS sv, " +
+        (0 to 7).map(b =>
+          s"sum(CASE WHEN v >> 5 = $b THEN 1 ELSE 0 END) AS h$b")
+          .mkString(", ") +
+        " FROM a GROUP BY 1, 2, 3, 4), " +
+        "f AS (SELECT doc_id, fmt, nu, CAST(sv AS DOUBLE) / nu AS bright, " +
+        (0 to 7).map(entTerm).mkString(" + ") + " AS ent, " +
+        outDim("w") + " AS ow, " + outDim("h") + " AS oh, " +
+        "CASE WHEN fmt = 'wav' THEN 44 + 2 * w " +
+        "WHEN fmt = 'bmp' THEN 54 + h * (((3 * w + 3) // 4) * 4) " +
+        "ELSE NULL END AS nb FROM per) " +
+        "SELECT fmt, count(*) AS n, CAST(sum(nu) AS BIGINT) AS sum_px, " +
+        "CAST(sum(nb) AS BIGINT) AS sum_bytes, " +
+        "round(avg(bright), 6) AS avg_brightness, " +
+        "round(avg(ent), 6) AS avg_entropy, " +
+        "round(avg(ow), 2) AS avg_out_w, round(avg(oh), 2) AS avg_out_h, " +
+        "true AS geometry_ok, true AS bytes_ok " +
+        "FROM f GROUP BY fmt ORDER BY fmt"),
+
+    // Replays the aHash end-to-end from the content formula: per-pixel
+    // gray value → 8×8 grid cell (integer index math) → exact integer
+    // cell/total sums → bit = cellSum·nTotal > totalSum·cellCount →
+    // bitstring in cell order. The Spark side computes the same integers
+    // from the DECODED pixels, so a one-pixel decode error fails the
+    // hash gate. Content key = doc_id % 49, container by parity.
+    "mm_phash_dedup" ->
+      ("WITH meta AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt, " +
+        "doc_id % 49 AS ck, " +
+        "CAST((doc_id % 49) % 17 + 8 AS INT) AS w, " +
+        "CAST((doc_id % 49) % 13 + 8 AS INT) AS h FROM documents), " +
+        "px AS (SELECT doc_id, fmt, ck, w, h, " +
+        "unnest(range(0, w * h)) AS i FROM meta), " +
+        "g AS (SELECT doc_id, fmt, " +
+        "(((i // w) * 8) // h) * 8 + (((i % w) * 8) // w) AS cell, " +
+        "((tt * (tt + 3)) // 7) % 256 AS v " +
+        "FROM (SELECT *, ((ck % 65536) * 2654435761 + (i % w) * 40503 + " +
+        "(i // w) * 12289) % 65536 AS tt FROM px)), " +
+        "c AS (SELECT doc_id, fmt, cell, sum(v) AS sg, count(*) AS cg " +
+        "FROM g GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT doc_id, sum(sg) AS st, sum(cg) AS nt " +
+        "FROM c GROUP BY 1), " +
+        "bits AS (SELECT c.doc_id, c.fmt, " +
+        "string_agg(CASE WHEN c.sg * t.nt > t.st * c.cg THEN '1' ELSE '0' " +
+        "END, '' ORDER BY c.cell) AS ahash_bits " +
+        "FROM c JOIN tot t ON t.doc_id = c.doc_id GROUP BY 1, 2) " +
+        "SELECT ahash_bits, count(*) AS n_docs, " +
+        "count(DISTINCT fmt) AS n_fmts, min(doc_id) AS rep " +
+        "FROM bits GROUP BY 1 HAVING count(*) >= 2 ORDER BY rep"),
+
     // The oracle frames the VARCHAR, Spark frames the BINARY payload —
     // identical bytes because this corpus is pure ASCII (verified: 0 docs
     // where octet_length(encode(text)) <> length(text) at every SF) and

@@ -65,6 +65,23 @@ class DocSyncSpec extends AnyFunSuite {
         s"SparkEntry has ${declared - oracled}")
   }
 
+  test("README.md TPC-H shape count matches the declared q-keys") {
+    // r19 shipped the five supply-analog keys but README kept claiming
+    // "17 composites" (r19 verdict item 2) — pin the sentence the same
+    // way the inventory counts are pinned. Shapes = the q<N>_ keys plus
+    // Q1, which is declared as agg_pricing_summary.
+    val text = read("README.md")
+    val m = """All (\d+) TPC-H query shapes are declared keys""".r
+      .findFirstMatchIn(text).getOrElse(fail(
+        "README.md TPC-H line not found — keep the " +
+          "'All N TPC-H query shapes are declared keys' phrasing"))
+    val qKeys = SparkEntry.queries.keySet.count(_.matches("q\\d+_.*"))
+    assert(SparkEntry.queries.contains("agg_pricing_summary"))
+    assert(m.group(1).toInt === qKeys + 1,
+      s"README.md says ${m.group(1)} TPC-H shapes; " +
+        s"SparkEntry has $qKeys q-keys + agg_pricing_summary")
+  }
+
   test("every oracle key is a declared query (no orphan oracles)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")

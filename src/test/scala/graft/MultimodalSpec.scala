@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * ops/MediaCodec.scala): real JDK codecs (ImageIO for PNG/BMP,
   * AudioSystem for WAV) behind the distributed mapPartitions batch shape.
   * Known-content tests pin exact feature values; corpus tests pin the
-  * schema, partition-of-corpus property, and determinism.
+  * schema, partition-of-corpus property, and determinism. Since round 20
+  * the corpus-level outputs are ALSO hash-gated against the DuckDB
+  * oracle's formula replay (see Multimodal.oracles) — these specs keep
+  * the known-content decode values pinned independently of the fixture.
   */
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
@@ -30,9 +33,11 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("decoded geometry equals declared metadata across the corpus") {
-    // The decoder reads ONLY the payload bytes; agreement with the table's
-    // width/height columns proves the codec round-trip is lossless on
-    // geometry for every row (images: pixel dims; wav: frame count).
+    // The decoder reads ONLY the payload bytes for its statistics;
+    // agreement with the table's width/height columns (the geom_ok law
+    // flag) proves the codec round-trip is lossless on geometry for
+    // every row (images: pixel dims; wav: frame count) — and the
+    // declared geometry_ok column must pin it corpus-wide.
     import spark.implicits._
     val bad = ops.Multimodal.mediaBytesTable(spark, sf)
       .map { r =>
@@ -40,22 +45,35 @@ class MultimodalSpec extends AnyFunSuite {
         val scale = math.min(1.0, 224.0 / math.max(1, math.max(r.width, r.height)))
         val expW = math.max(1, math.rint(r.width * scale).toInt)
         val expH = math.max(1, math.rint(r.height * scale).toInt)
-        if (f.out_w == expW && f.out_h == expH) 0 else 1
+        if (f.geom_ok && f.out_w == expW && f.out_h == expH) 0 else 1
       }.reduce(_ + _)
     assert(bad === 0, "decoded geometry diverged from declared metadata")
+    assert(feats.where(!col("geometry_ok") || !col("bytes_ok")).count() === 0)
   }
 
   test("features are deterministic and in-range") {
     assert(rowSet(feats.toDF()) ===
       rowSet(SparkEntry.queries("mm_media_features")(spark, sf)))
+    // brightness is an 8-bit luma/amplitude mean; entropy is 8-bucket
+    // Shannon entropy in NATS, bounded by ln 8 ≈ 2.0794.
     val bad = feats.where(
       col("avg_brightness") < 0 || col("avg_brightness") > 255 ||
-        col("avg_entropy") < 0 || col("avg_entropy") > 3.0).count()
-    assert(bad === 0, "brightness must be a luma mean, entropy8 in [0,3]")
+        col("avg_entropy") < 0 || col("avg_entropy") > 2.0795).count()
+    assert(bad === 0, "brightness must be a luma mean, entropy8 in [0, ln 8]")
   }
 
-  test("solid-color PNG decodes to its exact luma, zero entropy") {
+  test("8-bit luma quantization recovers gray channel values exactly") {
+    // The contract-oracle replay relies on rint(.299v+.587v+.114v) == v
+    // for every 8-bit v — pinned exhaustively here.
+    for (v <- 0 to 255) {
+      val l = 0.299 * v + 0.587 * v + 0.114 * v
+      assert(math.rint(l).toInt === v, s"luma quantization broke at $v")
+    }
+  }
+
+  test("solid-color PNG decodes to its exact quantized luma, zero entropy") {
     // 3×2 all-(200,100,50): luma = .299*200 + .587*100 + .114*50 = 124.2
+    // → quantized 124; one occupied bucket → entropy 0.
     val img = new java.awt.image.BufferedImage(3, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
@@ -63,12 +81,13 @@ class MultimodalSpec extends AnyFunSuite {
     javax.imageio.ImageIO.write(img, "png", bos)
     val f = ops.MediaCodec.decodeFeatures(
       ops.MediaRec(1L, "png", 3, 2, bos.toByteArray))
-    assert(f.brightness === 124.2)
-    assert(f.entropy8 === 0.0)
+    assert(f.brightness === 124.0)
+    assert(f.entropy_nats === 0.0)
+    assert(f.n_units === 6L)
     assert(f.out_w === 3 && f.out_h === 2, "no upscale below 224")
   }
 
-  test("two-luma-bucket checkerboard BMP has exactly 1 bit of entropy") {
+  test("two-luma-bucket checkerboard BMP has exactly ln 2 nats of entropy") {
     // Half the pixels black (bucket 0), half white (bucket 7) → p=.5/.5.
     val img = new java.awt.image.BufferedImage(4, 4,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -78,12 +97,12 @@ class MultimodalSpec extends AnyFunSuite {
     javax.imageio.ImageIO.write(img, "bmp", bos)
     val f = ops.MediaCodec.decodeFeatures(
       ops.MediaRec(2L, "bmp", 4, 4, bos.toByteArray))
-    assert(f.entropy8 === 1.0)
+    assert(f.entropy_nats === math.log(2.0))
     assert(f.brightness === 127.5)
   }
 
-  test("constant-amplitude WAV decodes to that amplitude, zero entropy") {
-    // 100 frames of PCM16 value 16384 → |a| = 16384/32767*255 ≈ 127.503...
+  test("constant-amplitude WAV decodes to that integer amplitude, zero entropy") {
+    // 100 frames of PCM16 value 16384 → amp8 = 16384*255/32767 = 127 (int div).
     val data = new Array[Byte](200)
     for (i <- 0 until 100) { data(2 * i) = 0x00; data(2 * i + 1) = 0x40 }
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
@@ -94,10 +113,17 @@ class MultimodalSpec extends AnyFunSuite {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     val f = ops.MediaCodec.decodeFeatures(
       ops.MediaRec(3L, "wav", 100, 1, bos.toByteArray))
-    val exp = math.rint(16384.0 / 32767.0 * 255.0 * 1e6) / 1e6
-    assert(f.brightness === exp)
-    assert(f.entropy8 === 0.0)
+    assert(f.brightness === 127.0)
+    assert(f.entropy_nats === 0.0)
     assert(f.out_w === 100 && f.out_h === 1)
+  }
+
+  test("container byte-size laws: WAV = 44 + 2n, BMP = 54 + h*rowpad") {
+    // The sum_bytes oracle column replays exactly these.
+    val wav = ops.MediaCodec.encodeWav(7L, 333)
+    assert(wav.length === 44 + 2 * 333)
+    val bmp = ops.MediaCodec.encodeImage("bmp", 7L, 21, 9)
+    assert(bmp.length === 54 + 9 * (((3 * 21 + 3) / 4) * 4))
   }
 
   test("resize geometry: fit-within-224 preserves aspect ratio") {
@@ -119,9 +145,10 @@ class MultimodalSpec extends AnyFunSuite {
     // content keys → (for this corpus) distinct hashes.
     val hashes = (0L until 8L).map { ck =>
       val w = (ck % 17 + 8).toInt; val h = (ck % 13 + 8).toInt
-      val hp = ops.MediaCodec.aHash(ops.MediaCodec.encodeImage("png", ck, w, h))
-      val hb = ops.MediaCodec.aHash(ops.MediaCodec.encodeImage("bmp", ck, w, h))
+      val hp = ops.MediaCodec.aHashBits(ops.MediaCodec.encodeImage("png", ck, w, h))
+      val hb = ops.MediaCodec.aHashBits(ops.MediaCodec.encodeImage("bmp", ck, w, h))
       assert(hp === hb, s"ck $ck: png/bmp aHash diverged")
+      assert(hp.length === 64 && hp.forall(c => c == '0' || c == '1'))
       hp
     }
     assert(hashes.distinct.size === hashes.size, "content collision")
@@ -137,11 +164,10 @@ class MultimodalSpec extends AnyFunSuite {
     val byHash = ids.groupBy { id =>
       val ck = id % 49
       val w = (ck % 17 + 8).toInt; val h = (ck % 13 + 8).toInt
-      ops.MediaCodec.aHash(ops.MediaCodec.encodeImage("png", ck, w, h))
+      ops.MediaCodec.aHashBits(ops.MediaCodec.encodeImage("png", ck, w, h))
     }
     val want = byHash.collect { case (hash, ds) if ds.length >= 2 =>
-      ("%016x".format(hash), ds.length.toLong,
-        ds.map(_ % 2).distinct.length.toLong, ds.min)
+      (hash, ds.length.toLong, ds.map(_ % 2).distinct.length.toLong, ds.min)
     }.toSet
     val got = SparkEntry.queries("mm_phash_dedup")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
