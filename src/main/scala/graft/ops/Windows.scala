@@ -29,27 +29,36 @@ object Windows {
     * type first existed) and stays |days|·24·|types| rows — calendar-
     * bounded, never event-bounded. */
   private def denseHourly(s: org.apache.spark.sql.SparkSession,
-                          dir: String): org.apache.spark.sql.DataFrame = {
-    // LAZY barrier (the q15/join_fuzzy_blocked pattern): the hourly
-    // aggregate feeds BOTH the per-type [min,max] spine bounds and the
-    // spine join — without it every denseHourly consumer scanned events
-    // TWICE (PlanSweep r19: events×2 across the whole family — win_acf,
-    // seasonal_baseline, forecast_des/hw, changepoint, interpolate).
-    // The materialized relation is calendar-bounded (types × hours), so
-    // the lineage trade is the standard dim-sized one.
-    val hourly = Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("hw"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
-    hourly.groupBy("event_type")
-      .agg(min(col("hw")).as("h0"), max(col("hw")).as("h1"))
-      .select(col("event_type"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
-          .as("hw"))
-      .join(hourly, Seq("event_type", "hw"), "left")
-      .select(col("event_type"), col("hw"),
-        coalesce(col("n"), lit(0L)).as("n"))
-  }
+                          dir: String): org.apache.spark.sql.DataFrame =
+    // STAGED per corpus version (round 20 — r19 verdict item 4: the r19
+    // localCheckpoint barrier removed the double events scan but paid
+    // one materialization job PER INVOCATION, +0.2 s × 7 consumers at
+    // bench SF). The densified series is a deterministic, calendar-
+    // bounded derived relation (types × hours — dim-sized), exactly
+    // what the Staging contract is for: built once per corpus
+    // fingerprint, every consumer (win_acf, win_seasonal_baseline,
+    // win_forecast_des/hw, win_changepoint, win_interpolate_linear,
+    // win_fill_forward) reads the columnar artifact.
+    graft.Staging.materialize(s, Tables.path(dir, "events"),
+      "dense_hourly_v1") {
+      // LAZY barrier inside the one-time build (the q15 pattern): the
+      // hourly aggregate feeds BOTH the per-type [min,max] spine bounds
+      // and the spine join — without it the build scans events TWICE
+      // (PlanSweep r19). Also the plan-audit shape when staging is
+      // disabled (-Dgraft.staging=false).
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hw"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      hourly.groupBy("event_type")
+        .agg(min(col("hw")).as("h0"), max(col("hw")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("hw"))
+        .join(hourly, Seq("event_type", "hw"), "left")
+        .select(col("event_type"), col("hw"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }
 
   /** Two-sided CUSUM DECISION rule with alarm-reset (the Page–Hinkley
     * readout `win_cusum` stops short of), factored so DataQualitySpec

@@ -97,4 +97,19 @@ class AqeSkewSpec extends AnyFunSuite {
     assert(rOn === rOff, "skew split changed the join result")
     assert(rOn.nonEmpty)
   }
+
+  test("the declared join_skew_aqe key fires the skew split in ITS plan") {
+    // The key's own scoped session carries the scoped-down thresholds;
+    // the driver gate pins its rows — this pins the WITNESS, so the key
+    // can never silently degrade into a plain SMJ that no longer
+    // exercises OptimizeSkewedJoin.
+    val df = SparkEntry.queries("join_skew_aqe")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 1 && rows(0).getLong(0) > 0)
+    val fin = df.queryExecution.executedPlan.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+    }.getOrElse(df.queryExecution.executedPlan.toString)
+    assert(fin.contains("skew=true"),
+      s"declared key lost its skew split; final plan:\n${fin.take(2000)}")
+  }
 }

@@ -40,6 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_ann_sq8",                  // broadcast probes vs decoded corpus
     "embed_ann_recall_audit",         // exact side = embed_cosine_topk's
                                       // broadcast probe set vs corpus
+    "embed_ann_recall_lsh",           // same exact-side broadcast scan
+    "embed_ann_recall_nsw",           // same, over the held-out corpus
     "dedup_semantic",                 // broadcast √N centroid set vs corpus (assignCells)
     "dedup_semantic_mp",              // same broadcast centroid set, two argmin passes
     "dedup_semantic_2l",              // broadcast N^¼ coarse seeds, then bucket-joined fine
@@ -221,7 +223,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // per outer row (quadratic at scale). The rewritten form is the
     // min-aggregate leg (partial+final) joined to the outer supply leg.
     val q2 = plans("q2_min_cost_supplier")
-    assert(!q2.contains("scalar-subquery") && !q2.contains("Subquery"),
+    // assert on the CORRELATED markers only (r19 ADVICE): a bare
+    // "Subquery" match would also reject benign future nodes like
+    // SubqueryBroadcast (DPP) / ReusedSubquery that coexist with a
+    // fully decorrelated plan
+    assert(!q2.contains("scalar-subquery") &&
+        !q2.contains("CorrelatedScalarSubquery"),
       "q2 correlated min subquery did not decorrelate")
     assert("HashAggregate".r.findAllIn(q2).length >= 4,
       "q2 lost a two-phase aggregate leg (outer supply / min-per-part)")

@@ -105,6 +105,40 @@ class StagingSpec extends AnyFunSuite {
     }
   }
 
+  test("superseded name-siblings (embedded inner fingerprint) are reclaimed") {
+    // agg_gini folds the CUSTOMER fingerprint into an orders-keyed name:
+    // when customer regenerates, the old name strands with a live outer
+    // fingerprint + current format tag — only retireSiblings can take it
+    // (r19 ADVICE). Fresh siblings and other names must survive.
+    val src = Tables.path(sf, "region")
+    val keep = "stagingspec_sib_cNEW_v1"
+    val parent = Staging.derivedDir(src, keep).getParent
+    java.nio.file.Files.createDirectories(parent)
+    val fp = Tables.sourceFingerprint(src)
+    def mk(name: String, old: Boolean): java.nio.file.Path = {
+      val p = parent.resolve(s"${fp}_${name}_v" + Staging.formatVersion)
+      java.nio.file.Files.createDirectories(p)
+      if (old) java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L))
+      p
+    }
+    val keepDir  = mk(keep, old = true)             // the current name
+    val staleSib = mk("stagingspec_sib_cOLD_v1", old = true)  // superseded
+    val freshSib = mk("stagingspec_sib_cMID_v1", old = false) // < 1h guard
+    val other    = mk("stagingspec_other_v1", old = true)     // ≠ prefix
+    try {
+      Staging.retireSiblings(src, "stagingspec_sib_c", keep)
+      assert(java.nio.file.Files.isDirectory(keepDir), "current name swept")
+      assert(!java.nio.file.Files.exists(staleSib),
+        "superseded sibling survived retireSiblings")
+      assert(java.nio.file.Files.isDirectory(freshSib),
+        "age guard ignored — a possibly-concurrent publish was raced")
+      assert(java.nio.file.Files.isDirectory(other), "non-prefix name swept")
+    } finally Seq(keepDir, staleSib, freshSib, other)
+      .foreach(Staging.deleteRecursively)
+  }
+
   test("retired-SOURCE artifacts are reclaimed; live and unestablishable " +
        "cases are left alone") {
     import java.nio.file.Files
