@@ -51,7 +51,11 @@ object Bench {
     "sink_change_feed_upsert", // r16: stages the v2 upserted store
     "embed_ann_nsw", // r16: stages the k=12 kNN edge artifact
     "embed_mips_ivf", // r16: stages the augmented-space IVF pair
-    "text_bpe_tokenize", "pack_sequences_bpe") // r17: staged BPE vocab
+    "text_bpe_tokenize", "pack_sequences_bpe", // r17: staged BPE vocab
+    "win_acf",                 // r20: staged dense_hourly_v1 (count spine)
+    "win_interpolate_linear",  // r20: staged dense_hourly_cents_v1
+    "embed_ann_recall_lsh", "embed_ann_recall_nsw", // r20: route artifacts
+    "agg_gini")                // r20: staged spend histogram
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -675,17 +675,25 @@ object Windows {
     // event_type, per-task state bounded by the series length.
     "win_interpolate_linear" -> ((s, dir) => {
       // Own cents-valued hourly relation (denseHourly carries counts),
-      // same spine-vs-join double reference → same lazy barrier
-      // (PlanSweep r19: events×2 without it).
-      val hourly = Tables.events(s, dir)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-        .localCheckpoint(false)
-      val spine = hourly.groupBy("event_type")
-        .agg(min("hr").as("h0"), max("hr").as("h1"))
-        .select(col("event_type"),
-          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
-      val m = spine.join(hourly, Seq("event_type", "hr"), "left")
+      // same spine-vs-join double reference → same treatment (round 20):
+      // STAGED per corpus version, with the lazy barrier only inside the
+      // one-time build (PlanSweep r19: events×2 without the barrier;
+      // r19's per-invocation localCheckpoint paid a materialization job
+      // per run — the r20 verdict-item-4 trade, applied here too).
+      val dense = graft.Staging.materialize(s, Tables.path(dir, "events"),
+        "dense_hourly_cents_v1") {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+          .localCheckpoint(false)
+        hourly.groupBy("event_type")
+          .agg(min("hr").as("h0"), max("hr").as("h1"))
+          .select(col("event_type"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+          .join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), col("hr"), col("cents"))
+      }
+      val m = dense
         .withColumn("is_masked", hour(col("hr")) % 5 === 2)
         .withColumn("v", when(!col("is_masked"), col("cents")))
         .withColumn("t", (unix_timestamp(col("hr")) / 3600L).cast("long"))
