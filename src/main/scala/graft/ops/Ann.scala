@@ -223,49 +223,28 @@ object Ann {
       * fixed-point Lloyd round), so the DuckDB CTE rebuilds codebook,
       * codes, LUTs, the ADC left-fold, and the re-rank end-to-end the
       * same way the IVF oracles rebuild their centroids. */
-    "embed_ann_pq" -> ((s, dir) => {
-      val e = embDouble(s, dir)
-      val (_, codebook, encoded) = pqIndex(s, dir, e)
-      def sub(v: Column, j: Int): Column = slice(v, j * PqDim + 1, PqDim)
-      // per-probe ADC lookup table: lut(j)(c) = d(q_subvec_j, codeword_jc)
-      val lut = array((0 until PqSub).map { j =>
-        array(codebook(j).map(cw =>
-          round(l2sq(sub(col("v"), j), cw), 6)): _*)
-      }: _*)
-      val probes = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("q"), lut.as("lut"))
-      // Stage 1 — ADC scan: every corpus vector scored from its 8 codes
-      // (8 table lookups, no full vectors touched), top-R survivors kept
-      // per probe by (rounded ADC distance, vec_id). The ADC scan touches
-      // the WHOLE code table per probe, so this ranking is corpus-sized
-      // and runs the sharded two-stage shape by default.
-      // Projected narrow before ranking: codes (8 B) and the 8×16 LUT
-      // (~1 KB) are consumed by the map-side ADC sum and must not ride
-      // the two ranking shuffles.
-      val cands = Vector.rankPerProbe(
-        encoded.crossJoin(broadcast(probes.select("q_id", "lut")))
-          .where(col("vec_id") =!= col("q_id"))
-          .withColumn("adist", round(adcSum(col("codes"), col("lut")), 6))
-          .select("q_id", "vec_id", "adist"),
-        Seq(col("adist"), col("vec_id")), PqRerank, "cr", corpusSized = true)
-        .select("q_id", "vec_id")
-      // Stage 2 — exact re-rank (IVFADC+R): fetch ONLY the R survivors'
-      // full vectors (R·|probes| rows — broadcast side of both joins)
-      // and rank by exact L2. At 100 TB the full-vector fetch touches
-      // R rows per query instead of the corpus; the quantization error
-      // left in the ADC ordering affects WHICH R survive, not the final
-      // ranking — recall jumps accordingly (AnnSpec: 0.22 ADC-only →
-      // measured with re-rank below).
-      val wEx = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
-      e.join(broadcast(cands), "vec_id")
-        .join(broadcast(probes.select("q_id", "q")), "q_id")
-        .withColumn("dist", round(l2sq(col("q"), col("v")), 6))
-        .withColumn("rnk", row_number().over(wEx))
-        .where(col("rnk") <= 5)
+    "embed_ann_pq" -> ((s, dir) =>
+      pqTop5(s, dir)
         .select(col("q_id"), col("rnk"), col("vec_id"), col("dist"))
-        .orderBy("q_id", "rnk")
-    }),
+        .orderBy("q_id", "rnk")),
 
+    /** PQ recall audit (round 20) — the fourth route family's readout,
+      * completing the per-route set (IVF r19, LSH/NSW above): exact
+      * side = brute-force L2 (PQ approximates EUCLIDEAN distance, so
+      * its reference must be L2, not cosine — the AnnSpec exactL2
+      * precedent), approx side = the factored pqTop5. */
+    "embed_ann_recall_pq" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))
+      val exact = Vector.rankPerProbe(
+        e.crossJoin(broadcast(probes))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("dist", round(l2sq(col("q"), col("v")), 6))
+          .select("q_id", "vec_id", "dist"),
+        Seq(col("dist"), col("vec_id")), 5, "rnk", corpusSized = true)
+      recallAudit(exact, pqTop5(s, dir))
+    }),
     // IVF ANN: centroids = the 16 lowest vec_ids refined by ONE
     // distributed Lloyd round (see ivfCentroids — deterministic
     // fixed-point arithmetic, so the oracle CTE replays the refinement
@@ -760,6 +739,51 @@ object Ann {
         .withColumn("sim", round(Vector.cosine(col("q"), col("v")), 6))
         .select("q_id", "vec_id", "sim"), // vectors stay out of the window shuffle
       Seq(col("sim").desc, col("vec_id")), 5, "rnk")
+  }
+
+  /** The PQ top-5 neighbor relation (q_id, rnk, vec_id, dist) — the
+    * embed_ann_pq plan, factored so `embed_ann_recall_pq` scores the
+    * IDENTICAL route. See the embed_ann_pq scaladoc for the ADC scan +
+    * IVFADC+R exact re-rank contract. */
+  private[graft] def pqTop5(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val (_, codebook, encoded) = pqIndex(s, dir, e)
+    def sub(v: Column, j: Int): Column = slice(v, j * PqDim + 1, PqDim)
+    // per-probe ADC lookup table: lut(j)(c) = d(q_subvec_j, codeword_jc)
+    val lut = array((0 until PqSub).map { j =>
+      array(codebook(j).map(cw =>
+        round(l2sq(sub(col("v"), j), cw), 6)): _*)
+    }: _*)
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q"), lut.as("lut"))
+    // Stage 1 — ADC scan: every corpus vector scored from its 8 codes
+    // (8 table lookups, no full vectors touched), top-R survivors kept
+    // per probe by (rounded ADC distance, vec_id). The ADC scan touches
+    // the WHOLE code table per probe, so this ranking is corpus-sized
+    // and runs the sharded two-stage shape by default.
+    // Projected narrow before ranking: codes (8 B) and the 8×16 LUT
+    // (~1 KB) are consumed by the map-side ADC sum and must not ride
+    // the two ranking shuffles.
+    val cands = Vector.rankPerProbe(
+      encoded.crossJoin(broadcast(probes.select("q_id", "lut")))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", round(adcSum(col("codes"), col("lut")), 6))
+        .select("q_id", "vec_id", "adist"),
+      Seq(col("adist"), col("vec_id")), PqRerank, "cr", corpusSized = true)
+      .select("q_id", "vec_id")
+    // Stage 2 — exact re-rank (IVFADC+R): fetch ONLY the R survivors'
+    // full vectors (R·|probes| rows — broadcast side of both joins)
+    // and rank by exact L2. At 100 TB the full-vector fetch touches
+    // R rows per query instead of the corpus; the quantization error
+    // left in the ADC ordering affects WHICH R survive, not the final
+    // ranking — recall jumps accordingly (AnnSpec: 0.22 ADC-only →
+    // measured with re-rank).
+    val wEx = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    e.join(broadcast(cands), "vec_id")
+      .join(broadcast(probes.select("q_id", "q")), "q_id")
+      .withColumn("dist", round(l2sq(col("q"), col("v")), 6))
+      .withColumn("rnk", row_number().over(wEx))
+      .where(col("rnk") <= 5)
   }
 
   /** The NSW top-5 neighbor relation (q_id, rnk, vec_id, sim) — the
@@ -1475,36 +1499,29 @@ object Ann {
       * NOT a literal — it derives deterministically from the raw table,
       * so SQL can rebuild it the same way the IVF oracles rebuild their
       * centroids. */
-    "embed_ann_pq" -> {
-      val sub = sqlSub _
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        pqReplayCte("") +
-        // per-probe ADC lookup table, assembled ORDERED (c within j, j
-        // within the outer list) so positions mirror Spark's arrays
-        "probes AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 10), " +
-        "lutd AS (SELECT p.q_id, cw.j, cw.c, " +
-        s"round(${sqlL2sq(sub("p.q", "cw.j"), "cw.cw", 8)}, 6) AS d " +
-        "FROM probes p CROSS JOIN cw), " +
-        "lutj AS (SELECT q_id, j, list(d ORDER BY c) AS lrow FROM lutd GROUP BY q_id, j), " +
-        "lut AS (SELECT q_id, list(lrow ORDER BY j) AS lut FROM lutj GROUP BY q_id), " +
-        // ADC scan: left-fold the 8 table lookups in j order (≡ Spark's
-        // aggregate(zip_with(codes, lut, element_at)))
-        "scored AS (SELECT l.q_id, cs.vec_id, round(list_reduce(" +
-        "list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), " +
-        "jj -> l.lut[jj][cs.codes[jj] + 1])), (x, y) -> x + y), 6) AS adist " +
-        "FROM lut l CROSS JOIN codes cs WHERE cs.vec_id <> l.q_id), " +
-        "cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rr " +
-        "FROM scored) WHERE rr <= 50), " +
-        // exact-L2 re-rank of ONLY the R survivors
-        "rer AS (SELECT c.q_id, c.vec_id, " +
-        s"round(${sqlL2sq("p.q", "e.v", 64)}, 6) AS dist " +
-        "FROM cand c JOIN e ON c.vec_id = e.vec_id " +
-        "JOIN probes p ON c.q_id = p.q_id), " +
-        "ranked AS (SELECT q_id, vec_id, dist, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM rer) " +
-        "SELECT q_id, rnk, vec_id, dist FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"
-    },
+    "embed_ann_pq" ->
+      (PqRankedCte +
+        " SELECT q_id, rnk, vec_id, dist FROM ranked WHERE rnk <= 5 " +
+        "ORDER BY q_id, rnk"),
+    // PQ recall audit: identical route replay prefix; exact side = the
+    // brute-force L2 scan (PQ approximates Euclidean distance, so its
+    // reference is L2, not cosine).
+    "embed_ann_recall_pq" ->
+      (PqRankedCte +
+        ", approx AS (SELECT q_id, vec_id FROM ranked WHERE rnk <= 5), " +
+        "xsims AS (SELECT p.q_id, c.vec_id, " +
+        s"round(${sqlL2sq("p.q", "c.v", 64)}, 6) AS dist " +
+        "FROM probes p CROSS JOIN e c WHERE c.vec_id <> p.q_id), " +
+        "xr AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY dist, vec_id) AS rnk FROM xsims), " +
+        "exact AS (SELECT q_id, vec_id FROM xr WHERE rnk <= 5) " +
+        "SELECT x.q_id, count(*) AS n_exact, " +
+        "count(a.vec_id) AS n_hit, " +
+        "round(CAST(count(a.vec_id) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 4) AS recall_at_5 " +
+        "FROM exact x LEFT JOIN approx a " +
+        "ON a.q_id = x.q_id AND a.vec_id = x.vec_id " +
+        "GROUP BY x.q_id ORDER BY x.q_id"),
     /** IVFADC composition: the shared IVF index-replay prefix (cells +
       * refined cent) + the p-prefixed PQ replay (codebook → codes), then
       * per-probe LUT, nprobe=4 cell routing, cell-filtered ADC left-fold,
@@ -1771,6 +1788,46 @@ object Ann {
     // left join + per-probe counting.
     "embed_ann_recall_audit" -> (IvfRankedCte + auditTailSql("e"))
   )
+
+  /** The embed_ann_pq replay up to `ranked(q_id, vec_id, dist, rnk)` —
+    * shared by the route key and its recall audit so the two replays
+    * can never drift. Full end-to-end PQ replay (see pqReplayCte) +
+    * per-probe 8×16 ADC LUT assembled as an ORDERED list-of-lists so
+    * the ADC score is the identical left fold (sum() would re-order the
+    * additions), top-R=50 by (adist, vec_id), exact-L2 re-rank. This
+    * retired embed_ann_pq's no-oracle status (r13): the codebook is NOT
+    * a literal — it derives deterministically from the raw table, so
+    * SQL can rebuild it the same way the IVF oracles rebuild their
+    * centroids. Leaves `e` and `probes` in scope for the audit. */
+  private lazy val PqRankedCte: String = {
+    val sub = sqlSub _
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      pqReplayCte("") +
+      // per-probe ADC lookup table, assembled ORDERED (c within j, j
+      // within the outer list) so positions mirror Spark's arrays
+      "probes AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 10), " +
+      "lutd AS (SELECT p.q_id, cw.j, cw.c, " +
+      s"round(${sqlL2sq(sub("p.q", "cw.j"), "cw.cw", 8)}, 6) AS d " +
+      "FROM probes p CROSS JOIN cw), " +
+      "lutj AS (SELECT q_id, j, list(d ORDER BY c) AS lrow FROM lutd GROUP BY q_id, j), " +
+      "lut AS (SELECT q_id, list(lrow ORDER BY j) AS lut FROM lutj GROUP BY q_id), " +
+      // ADC scan: left-fold the 8 table lookups in j order (≡ Spark's
+      // aggregate(zip_with(codes, lut, element_at)))
+      "scored AS (SELECT l.q_id, cs.vec_id, round(list_reduce(" +
+      "list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), " +
+      "jj -> l.lut[jj][cs.codes[jj] + 1])), (x, y) -> x + y), 6) AS adist " +
+      "FROM lut l CROSS JOIN codes cs WHERE cs.vec_id <> l.q_id), " +
+      "cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rr " +
+      "FROM scored) WHERE rr <= 50), " +
+      // exact-L2 re-rank of ONLY the R survivors
+      "rer AS (SELECT c.q_id, c.vec_id, " +
+      s"round(${sqlL2sq("p.q", "e.v", 64)}, 6) AS dist " +
+      "FROM cand c JOIN e ON c.vec_id = e.vec_id " +
+      "JOIN probes p ON c.q_id = p.q_id), " +
+      "ranked AS (SELECT q_id, vec_id, dist, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM rer)"
+  }
 
   /** The embed_ann_lsh replay up to `ranked(q_id, vec_id, sim, rnk)` —
     * shared by the route key and its recall audit so the two replays

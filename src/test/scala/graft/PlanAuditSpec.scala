@@ -42,6 +42,7 @@ class PlanAuditSpec extends AnyFunSuite {
                                       // broadcast probe set vs corpus
     "embed_ann_recall_lsh",           // same exact-side broadcast scan
     "embed_ann_recall_nsw",           // same, over the held-out corpus
+    "embed_ann_recall_pq",            // same, exact-L2 reference scan
     "dedup_semantic",                 // broadcast √N centroid set vs corpus (assignCells)
     "dedup_semantic_mp",              // same broadcast centroid set, two argmin passes
     "dedup_semantic_2l",              // broadcast N^¼ coarse seeds, then bucket-joined fine
