@@ -61,12 +61,32 @@ object MediaCodec {
   def pixel(k: Long, x: Int, y: Int): Int = grayValue(k, x, y) * 0x010101
 
   /** Encode a deterministic w×h gray image as `fmt` ("png" | "bmp"). */
-  def encodeImage(fmt: String, k: Long, w: Int, h: Int): Array[Byte] = {
+  def encodeImage(fmt: String, k: Long, w: Int, h: Int): Array[Byte] =
+    encodeImageNear(fmt, k, w, h, 0)
+
+  /** Encode the NEAR-DUPLICATE variant of content key `k`: identical
+    * pixels except the top-left 8×8-grid cell, whose gray values get a
+    * saturating +`delta` (SQL replay: `least(255, v + delta)` where
+    * `gy = 0 AND gx = 0`). The edit perturbs one pooled cell plus the
+    * global mean slightly, so the variant's aHash sits a FEW bits from
+    * the base's (measured 0–4 at delta=96 over the fixture's 49 content
+    * classes) — exactly the near-miss a Hamming-banded perceptual dedup
+    * exists to catch and exact-hash grouping misses. */
+  def encodeImageNear(fmt: String, k: Long, w: Int, h: Int,
+                      delta: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
+      val gy = y * 8 / h
       var x = 0
-      while (x < w) { img.setRGB(x, y, pixel(k, x, y)); x += 1 }
+      while (x < w) {
+        val gx = x * 8 / w
+        val v =
+          if (gy == 0 && gx == 0) math.min(255, grayValue(k, x, y) + delta)
+          else grayValue(k, x, y)
+        img.setRGB(x, y, v * 0x010101)
+        x += 1
+      }
       y += 1
     }
     val bos = new ByteArrayOutputStream()

@@ -114,7 +114,78 @@ object Multimodal {
       })
   }
 
+  /** Near-dup image fixture: same content classes as [[imageDupTable]]
+    * (ck = doc_id % 49), but ODD docs carry the NEAR variant — the
+    * top-left pooled cell's gray values saturating-shifted by +96
+    * (MediaCodec.encodeImageNear) — so each class holds two hash groups
+    * a few aHash bits apart (measured 0–4), the case exact-hash
+    * grouping misses and Hamming banding exists for. Containers still
+    * alternate by parity (base = png, near = bmp), so every near-pair
+    * is ALSO cross-format. */
+  def imageNearDupTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaRec] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("png")).otherwise(lit("bmp"))
+          .as("fmt"),
+        (col("doc_id") % 49).as("ck"),
+        ((col("doc_id") % 49) % 17 + 8).cast("int").as("width"),
+        ((col("doc_id") % 49) % 13 + 8).cast("int").as("height"))
+      .as[ImageDupMeta]
+      .mapPartitions(_.map { m =>
+        MediaRec(m.doc_id, m.fmt, m.width, m.height,
+          MediaCodec.encodeImageNear(m.fmt, m.ck, m.width, m.height,
+            if (m.doc_id % 2 == 1) 96 else 0))
+      })
+  }
+
   val queries: Map[String, Q] = Map(
+    /** Hamming-banded perceptual NEAR-dedup (round 20) — the variant
+      * mm_phash_dedup's scaladoc promised: re-encoded OR slightly-edited
+      * images (resize artifacts, watermarks, one-cell edits) land a few
+      * aHash bits apart, invisible to exact-hash grouping. Exactly the
+      * dedup_simhash posture on the 64-bit aHash: 4 × 16-bit bands
+      * (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), the
+      * band self-join runs over the DISTINCT-hash relation (corpus-size
+      * independent — duplicates already collapsed by the exact group),
+      * and the full Hamming distance is computed only on band-bucket
+      * candidates, never all pairs. The fixture's 49 planted
+      * base/near class pairs measure 0–4 bits apart; the ≤3 gate finds
+      * 48 and forfeits the hamming-4 class BY CONTRACT (the pigeonhole
+      * trade — widen bands to catch it). HASH-ORACLED end to end: the
+      * oracle replays pixels → saturating cell edit → integer aHash →
+      * banding → DuckDB `hamming()`; Spark computes the same distance
+      * as a zip_with fold over the REAL decoded payloads' hashes. */
+    "mm_phash_near" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = imageNearDupTable(s, dir).repartition(col("doc_id"))
+        .as[MediaRec]
+        .mapPartitions(_.map(r =>
+          ImageHash(r.doc_id, r.fmt, MediaCodec.aHashBits(r.payload))))
+        .toDF()
+        .groupBy(col("ahash").as("bits"))
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("n_docs"))
+      val banded = hashes.select(col("bits"), col("rep"), col("n_docs"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("band", expr("substring(bits, b * 16 + 1, 16)"))
+      val a = banded.select(col("b"), col("band"), col("bits").as("bits_a"),
+        col("rep").as("rep_a"), col("n_docs").as("n_a"))
+      val bb = banded.select(col("b"), col("band"), col("bits").as("bits_b"),
+        col("rep").as("rep_b"), col("n_docs").as("n_b"))
+      // trailing "" from split(limit -1) zips "" == "" → 0, harmless
+      val ham = expr("aggregate(zip_with(split(bits_a, ''), " +
+        "split(bits_b, ''), (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), " +
+        "0, (acc, v) -> acc + v)")
+      a.join(bb, Seq("b", "band"))
+        .where(col("bits_a") < col("bits_b"))
+        .select("bits_a", "bits_b", "rep_a", "rep_b", "n_a", "n_b")
+        .distinct() // a pair agreeing in several bands matches once
+        .withColumn("hamming", ham.cast("long"))
+        .where(col("hamming") <= 3)
+        .select(col("rep_a"), col("rep_b"), col("hamming"),
+          col("n_a"), col("n_b"))
+        .orderBy("rep_a", "rep_b")
+    }),
     /** Perceptual-hash (aHash) image dedup — the multimodal twin of
       * dedup_exact, robust to container re-encoding: decode each payload
       * (REAL ImageIO), 8×8 average-pool the quantized luma plane, group
@@ -279,6 +350,46 @@ object Multimodal {
         "round(avg(ow), 2) AS avg_out_w, round(avg(oh), 2) AS avg_out_h, " +
         "true AS geometry_ok, true AS bytes_ok " +
         "FROM f GROUP BY fmt ORDER BY fmt"),
+
+    // Near-dedup replay: pixel formula + the saturating cell-0 edit for
+    // odd-parity (delta=96) variants, integer aHash, 4×16 banding over
+    // the distinct-hash relation, DuckDB hamming() on candidates.
+    "mm_phash_near" ->
+      ("WITH meta AS (SELECT doc_id, " +
+        "doc_id % 49 AS ck, " +
+        "CAST((doc_id % 49) % 17 + 8 AS INT) AS w, " +
+        "CAST((doc_id % 49) % 13 + 8 AS INT) AS h, " +
+        "CASE WHEN doc_id % 2 = 1 THEN 96 ELSE 0 END AS delta " +
+        "FROM documents), " +
+        "px AS (SELECT doc_id, ck, w, h, delta, " +
+        "unnest(range(0, w * h)) AS i FROM meta), " +
+        "g AS (SELECT doc_id, " +
+        "(((i // w) * 8) // h) * 8 + (((i % w) * 8) // w) AS cell, " +
+        "CASE WHEN (((i // w) * 8) // h) = 0 AND (((i % w) * 8) // w) = 0 " +
+        "THEN least(255, ((tt * (tt + 3)) // 7) % 256 + delta) " +
+        "ELSE ((tt * (tt + 3)) // 7) % 256 END AS v " +
+        "FROM (SELECT *, ((ck % 65536) * 2654435761 + (i % w) * 40503 + " +
+        "(i // w) * 12289) % 65536 AS tt FROM px)), " +
+        "c AS (SELECT doc_id, cell, sum(v) AS sg, count(*) AS cg " +
+        "FROM g GROUP BY 1, 2), " +
+        "tot AS (SELECT doc_id, sum(sg) AS st, sum(cg) AS nt " +
+        "FROM c GROUP BY 1), " +
+        "hs AS (SELECT c.doc_id, " +
+        "string_agg(CASE WHEN c.sg * t.nt > t.st * c.cg THEN '1' ELSE '0' " +
+        "END, '' ORDER BY c.cell) AS bits " +
+        "FROM c JOIN tot t ON t.doc_id = c.doc_id GROUP BY 1), " +
+        "hg AS (SELECT bits, min(doc_id) AS rep, count(*) AS n_docs " +
+        "FROM hs GROUP BY 1), " +
+        "bd AS (SELECT bits, rep, n_docs, b, " +
+        "substring(bits, b * 16 + 1, 16) AS band " +
+        "FROM hg, (SELECT unnest(range(0, 4)) AS b)), " +
+        "cand AS (SELECT DISTINCT a.bits AS bits_a, a.rep AS rep_a, " +
+        "a.n_docs AS n_a, x.bits AS bits_b, x.rep AS rep_b, " +
+        "x.n_docs AS n_b FROM bd a JOIN bd x " +
+        "ON a.b = x.b AND a.band = x.band AND a.bits < x.bits) " +
+        "SELECT rep_a, rep_b, hamming(bits_a, bits_b) AS hamming, " +
+        "n_a, n_b FROM cand WHERE hamming(bits_a, bits_b) <= 3 " +
+        "ORDER BY rep_a, rep_b"),
 
     // Replays the aHash end-to-end from the content formula: per-pixel
     // gray value → 8×8 grid cell (integer index math) → exact integer

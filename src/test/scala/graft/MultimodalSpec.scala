@@ -154,6 +154,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashes.distinct.size === hashes.size, "content collision")
   }
 
+  test("mm_phash_near equals a driver-side banded-Hamming replay") {
+    // Replay: hash every doc's variant (base for even ids, +96 cell edit
+    // for odd) from the codec, group to distinct hashes, band 4×16,
+    // pair on shared bands with hamming <= 3 — the exact key contract.
+    val ids = Tables.table(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val hash = ids.map { id =>
+      val ck = id % 49
+      val w = (ck % 17 + 8).toInt; val h = (ck % 13 + 8).toInt
+      val fmt = if (id % 2 == 0) "png" else "bmp"
+      val delta = if (id % 2 == 1) 96 else 0
+      id -> ops.MediaCodec.aHashBits(
+        ops.MediaCodec.encodeImageNear(fmt, ck, w, h, delta))
+    }
+    val groups = hash.groupBy(_._2).map { case (bits, ds) =>
+      (bits, ds.map(_._1).min, ds.length.toLong) }.toSeq
+    val want = (for {
+      (ba, ra, na) <- groups
+      (bb, rb, nb) <- groups
+      if ba < bb
+      if (0 until 4).exists(b => ba.substring(b * 16, b * 16 + 16) ==
+        bb.substring(b * 16, b * 16 + 16))
+      ham = ba.zip(bb).count { case (x, y) => x != y }
+      if ham <= 3
+    } yield (ra, rb, ham.toLong, na, nb)).toSet
+    val got = SparkEntry.queries("mm_phash_near")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === want)
+    assert(want.nonEmpty && want.forall(p => p._3 >= 1 && p._3 <= 3),
+      "near pairs must be a strict Hamming neighborhood, not exact dups")
+  }
+
   test("mm_phash_dedup equals a driver-side clustering replay") {
     // Replay: every doc with the same doc_id % 49 content key carries
     // identical pixels, so clusters are exactly the ≥2-member content
