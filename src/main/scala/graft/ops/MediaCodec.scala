@@ -209,6 +209,43 @@ object MediaCodec {
       w == r.width && h == r.height)
   }
 
+  /** Frame-windowed audio features from a WAV payload: REAL container
+    * parse, then per non-overlapping 256-sample window the EXACT integer
+    * statistics a voice-activity / energy-gating stage consumes —
+    * sample count, Σ|s|, Σs², and the zero-crossing count (adjacent
+    * pairs WITHIN the window where the sign bit flips; the window's
+    * first sample pairs with nothing, matching the oracle's
+    * lag-within-partition replay). Σs² ≤ 256·32768² ≈ 2.7e11 per
+    * window — exact in Long and in DuckDB's HUGEINT sum. */
+  def wavFrames(payload: Array[Byte], win: Int): Seq[AudioFrame] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val raw = in.readAllBytes()
+    in.close()
+    val n = raw.length / 2
+    val out = scala.collection.mutable.ArrayBuffer.empty[AudioFrame]
+    var w0 = 0
+    while (w0 < n) {
+      val end = math.min(n, w0 + win)
+      var i = w0
+      var sumAbs = 0L
+      var sumSq = 0L
+      var zcr = 0L
+      var prevNeg = false
+      while (i < end) {
+        val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort
+        val neg = s < 0
+        if (i > w0 && neg != prevNeg) zcr += 1
+        prevNeg = neg
+        sumAbs += math.abs(s.toLong)
+        sumSq += s.toLong * s.toLong
+        i += 1
+      }
+      out += AudioFrame(w0 / win, end - w0, sumAbs, sumSq, zcr)
+      w0 += win
+    }
+    out.toSeq
+  }
+
   /** 64-bit average-hash (aHash) of an image payload as a 64-char '0'/'1'
     * bitstring: real decode, quantized 8-bit luma plane average-pooled
     * onto an 8×8 grid, bit (gy·8+gx) set when the cell's mean luma

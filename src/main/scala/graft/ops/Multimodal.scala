@@ -35,6 +35,15 @@ case class ImageDupMeta(doc_id: Long, fmt: String, ck: Long,
   * bitstring — integer-exact and SQL-replayable) alongside identity. */
 case class ImageHash(doc_id: Long, fmt: String, ahash: String)
 
+/** One audio analysis window: exact integer statistics of a
+  * 256-sample frame (see MediaCodec.wavFrames). */
+case class AudioFrame(win_idx: Int, n_samples: Int, sum_abs: Long,
+                      sum_sq: Long, zcr: Long)
+
+/** An [[AudioFrame]] tagged with its document. */
+case class DocAudioFrame(doc_id: Long, win_idx: Int, n_samples: Int,
+                         sum_abs: Long, sum_sq: Long, zcr: Long)
+
 /** Multimodal-column plumbing (training-data-pipeline surface): treat
   * image/audio/video as opaque `binary` columns with typed metadata, and
   * run the decode / feature-extract step as a distributed per-partition
@@ -248,6 +257,46 @@ object Multimodal {
         .orderBy("fmt")
     }),
 
+    /** Frame-windowed audio features (round 20) — the per-window shape
+      * a voice-activity / energy-gating stage consumes, completing the
+      * audio side of the multimodal story (whole-file stats live in
+      * mm_media_features): REAL WAV container parse → non-overlapping
+      * 256-sample windows → RMS energy, mean |amplitude|, and the
+      * zero-crossing count per window, all from EXACT integer sums
+      * (Σ|s|, Σs², sign-flip count) so DuckDB replays them from the
+      * sample formula and the decode is sample-gated at window
+      * granularity. The metadata prune runs BEFORE the decode stage
+      * (only doc_id % 3 = 2 docs are audio — the "filter by metadata
+      * before decoding" posture of mm_metadata_stats). Scale shape:
+      * decode + window folds are map-side in one mapPartitions batch;
+      * output is windows-per-doc (≤ ⌈frames/256⌉), no shuffle until the
+      * final order. */
+    "mm_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      val Win = 256
+      Tables.table(s, dir, "documents")
+        .where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), lit("wav").as("fmt"),
+          (col("doc_id") % 500 + 32).cast("int").as("width"),
+          lit(1).as("height"))
+        .as[MediaMeta]
+        .repartition(col("doc_id"))
+        .mapPartitions(_.flatMap { m =>
+          val payload = MediaCodec.encodeWav(m.doc_id, m.width)
+          MediaCodec.wavFrames(payload, Win).map(f =>
+            DocAudioFrame(m.doc_id, f.win_idx, f.n_samples, f.sum_abs,
+              f.sum_sq, f.zcr))
+        })
+        .toDF()
+        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+          col("n_samples").cast("long").as("n_samples"), col("zcr"),
+          round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6)
+            .as("rms"),
+          round(col("sum_abs").cast("double") / col("n_samples"), 6)
+            .as("mean_abs"))
+        .orderBy("doc_id", "win_idx")
+    }),
+
     // Frame sampling — the video-shaped access pattern: slice the payload
     // into fixed 64-byte frames, keep every 2nd, fingerprint each sampled
     // frame (md5 over the raw bytes) and aggregate per format. All
@@ -350,6 +399,26 @@ object Multimodal {
         "round(avg(ow), 2) AS avg_out_w, round(avg(oh), 2) AS avg_out_h, " +
         "true AS geometry_ok, true AS bytes_ok " +
         "FROM f GROUP BY fmt ORDER BY fmt"),
+
+    // Window stats replayed from the sample formula: the zero-crossing
+    // lag partitions by (doc, window) so the window's first sample
+    // pairs with nothing — the decoder's within-window contract.
+    "mm_audio_frames" ->
+      ("WITH meta AS (SELECT doc_id, CAST(doc_id % 500 + 32 AS INT) AS w " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "smp AS (SELECT doc_id, i, i // 256 AS win_idx, " +
+        "((doc_id % 65536) * 48271 + i * 16807) % 65536 - 32768 AS s " +
+        "FROM (SELECT doc_id, unnest(range(0, w)) AS i FROM meta)), " +
+        "z AS (SELECT doc_id, win_idx, s, " +
+        "CASE WHEN lag(s) OVER (PARTITION BY doc_id, win_idx ORDER BY i) " +
+        "IS NULL THEN 0 WHEN (s < 0) <> " +
+        "(lag(s) OVER (PARTITION BY doc_id, win_idx ORDER BY i) < 0) " +
+        "THEN 1 ELSE 0 END AS zc FROM smp) " +
+        "SELECT doc_id, win_idx, count(*) AS n_samples, " +
+        "CAST(sum(zc) AS BIGINT) AS zcr, " +
+        "round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms, " +
+        "round(CAST(sum(abs(s)) AS DOUBLE) / count(*), 6) AS mean_abs " +
+        "FROM z GROUP BY 1, 2 ORDER BY doc_id, win_idx"),
 
     // Near-dedup replay: pixel formula + the saturating cell-0 edit for
     // odd-parity (delta=96) variants, integer aHash, 4×16 banding over

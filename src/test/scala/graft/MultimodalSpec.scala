@@ -118,6 +118,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.out_w === 100 && f.out_h === 1)
   }
 
+  test("wavFrames: constant tone has rms = amplitude and zero crossings") {
+    // 300 frames of PCM16 value 12345 → two windows (256 + 44): every
+    // window's rms and mean_abs equal the amplitude exactly, zcr = 0.
+    val data = new Array[Byte](600)
+    for (i <- 0 until 300) {
+      data(2 * i) = (12345 & 0xFF).toByte
+      data(2 * i + 1) = ((12345 >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 300L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val fr = ops.MediaCodec.wavFrames(bos.toByteArray, 256)
+    assert(fr.map(f => (f.win_idx, f.n_samples)) === Seq((0, 256), (1, 44)))
+    assert(fr.forall(f => f.zcr === 0L))
+    assert(fr.forall(f => f.sum_abs === 12345L * f.n_samples))
+    assert(fr.forall(f => f.sum_sq === 12345L * 12345L * f.n_samples))
+  }
+
+  test("wavFrames: sign-alternating tone crosses zero at every step") {
+    // +1000/-1000 alternating: each window's crossings = n_samples - 1
+    // (the first sample pairs with nothing — the within-window law).
+    val data = new Array[Byte](520)
+    for (i <- 0 until 260) {
+      val s = if (i % 2 == 0) 1000 else -1000
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 260L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val fr = ops.MediaCodec.wavFrames(bos.toByteArray, 256)
+    assert(fr.map(f => (f.n_samples.toLong, f.zcr)) ===
+      Seq((256L, 255L), (4L, 3L)))
+  }
+
   test("container byte-size laws: WAV = 44 + 2n, BMP = 54 + h*rowpad") {
     // The sum_bytes oracle column replays exactly these.
     val wav = ops.MediaCodec.encodeWav(7L, 333)
