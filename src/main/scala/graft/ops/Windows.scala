@@ -620,6 +620,75 @@ object Windows {
     // integer cents (value has 2dp) so no float accumulation order can
     // perturb the hash. One shuffle on user_id; per-user sorted frames,
     // same bounded-task-state posture as every window here.
+    /** Marketing-touch attribution (round 20) — the revenue-credit
+      * readout every growth/marketing warehouse ships, and the one
+      * classic event-stream workload the surface still lacked next to
+      * funnel/sessionize/markov: each purchase's cents are credited to
+      * the click/view touches in its 7-day lookback, under BOTH standard
+      * models at once — last-touch (the whole purchase to the latest
+      * touch; ties at the same second break to click, NULL-safe) and
+      * linear (cents split pro-rata across the window's touch counts).
+      * The lookback frame is RANGE [−7 d, −1 s] over whole seconds —
+      * strictly-earlier touches only, so a purchase can never attribute
+      * to itself or to same-second noise, and the frame is replayable
+      * verbatim in DuckDB. Money stays in exact integer cents; the only
+      * FP is the linear split's one multiply + one divide per purchase
+      * (bitwise identical per term in both engines) summed under r2.
+      * Scale shape: ONE window pass per user (four aggregates share the
+      * same frame — one hash exchange on user_id, one per-user sort,
+      * frame state bounded by the 7-day touch count), then a global
+      * 1-row aggregate stacked into the 3-channel report — no joins, no
+      * second fact scan. */
+    "win_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t"))
+        .rangeBetween(-604800L, -1L)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("t"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val pu = e
+        .withColumn("n_click",
+          count(when(col("event_type") === "click", 1)).over(w))
+        .withColumn("n_view",
+          count(when(col("event_type") === "view", 1)).over(w))
+        .withColumn("lc",
+          max(when(col("event_type") === "click", col("t"))).over(w))
+        .withColumn("lv",
+          max(when(col("event_type") === "view", col("t"))).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("nt", col("n_click") + col("n_view"))
+        .withColumn("channel",
+          when(col("lc").isNull && col("lv").isNull, lit("unattributed"))
+            .when(col("lv").isNull ||
+              (col("lc").isNotNull && col("lc") >= col("lv")), lit("click"))
+            .otherwise(lit("view")))
+      def lt(ch: String) = (
+        count(when(col("channel") === ch, 1)),
+        sum(when(col("channel") === ch, col("cents"))))
+      val (nc, cc) = lt("click"); val (nv, cv) = lt("view")
+      val (nu, cu) = lt("unattributed")
+      def linShare(n: org.apache.spark.sql.Column) =
+        sum(when(col("nt") > 0, col("cents") * n / col("nt"))
+          .otherwise(lit(0.0)))
+      val g = pu.agg(
+        nc.as("n_c"), cc.as("c_c"), nv.as("n_v"), cv.as("c_v"),
+        nu.as("n_u"), cu.as("c_u"),
+        linShare(col("n_click")).as("l_c"),
+        linShare(col("n_view")).as("l_v"),
+        sum(when(col("nt") === 0, col("cents").cast("double"))
+          .otherwise(lit(0.0))).as("l_u"))
+      def row(ch: String, n: String, c: String, l: String) =
+        struct(lit(ch).as("channel"), col(n).as("n_last_touch"),
+          coalesce(col(c), lit(0L)).as("lt_cents"),
+          D.r2(col(l)).as("lin_cents"))
+      g.select(explode(array(
+          row("click", "n_c", "c_c", "l_c"),
+          row("unattributed", "n_u", "c_u", "l_u"),
+          row("view", "n_v", "c_v", "l_v"))).as("r"))
+        .select("r.*")
+        .orderBy("channel")
+    }),
+
     "win_time_range" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(
@@ -802,6 +871,44 @@ object Windows {
     "LEFT JOIN h ON sp.event_type = h.event_type AND sp.hw = h.hw)"
 
   val oracles: Map[String, String] = Map(
+    // Same strictly-earlier RANGE frame, same NULL-safe tie-to-click
+    // rule, same one-multiply-one-divide linear term; money in exact
+    // cents, linear sums rounded r2 on both sides.
+    "win_attribution" ->
+      ("WITH e AS (SELECT user_id, event_type, " +
+        "CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "p AS (SELECT *, " +
+        "count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_click, " +
+        "count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_view, " +
+        "max(CASE WHEN event_type = 'click' THEN t END) OVER w AS lc, " +
+        "max(CASE WHEN event_type = 'view' THEN t END) OVER w AS lv " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t " +
+        "RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)), " +
+        "pu AS (SELECT *, n_click + n_view AS nt, " +
+        "CASE WHEN lc IS NULL AND lv IS NULL THEN 'unattributed' " +
+        "WHEN lv IS NULL OR (lc IS NOT NULL AND lc >= lv) THEN 'click' " +
+        "ELSE 'view' END AS channel FROM p WHERE event_type = 'purchase'), " +
+        "g AS (SELECT " +
+        "count(CASE WHEN channel = 'click' THEN 1 END) AS n_c, " +
+        "sum(CASE WHEN channel = 'click' THEN cents END) AS c_c, " +
+        "count(CASE WHEN channel = 'view' THEN 1 END) AS n_v, " +
+        "sum(CASE WHEN channel = 'view' THEN cents END) AS c_v, " +
+        "count(CASE WHEN channel = 'unattributed' THEN 1 END) AS n_u, " +
+        "sum(CASE WHEN channel = 'unattributed' THEN cents END) AS c_u, " +
+        "sum(CASE WHEN nt > 0 THEN cents * n_click / nt ELSE 0.0 END) AS l_c, " +
+        "sum(CASE WHEN nt > 0 THEN cents * n_view / nt ELSE 0.0 END) AS l_v, " +
+        "sum(CASE WHEN nt = 0 THEN CAST(cents AS DOUBLE) ELSE 0.0 END) AS l_u " +
+        "FROM pu) " +
+        "SELECT 'click' AS channel, n_c AS n_last_touch, " +
+        "CAST(coalesce(c_c, 0) AS BIGINT) AS lt_cents, " +
+        "round(l_c, 2) AS lin_cents FROM g " +
+        "UNION ALL SELECT 'unattributed', n_u, " +
+        "CAST(coalesce(c_u, 0) AS BIGINT), round(l_u, 2) FROM g " +
+        "UNION ALL SELECT 'view', n_v, " +
+        "CAST(coalesce(c_v, 0) AS BIGINT), round(l_v, 2) FROM g " +
+        "ORDER BY channel"),
+
     // The identical integer recurrence replayed as a recursive CTE over
     // the same dense spine (depth = hours — calendar-bounded; the
     // dedup_cluster recursion precedent). Validated against an
