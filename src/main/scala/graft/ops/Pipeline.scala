@@ -186,6 +186,33 @@ object Pipeline {
     // The threshold renders as fixed-width lowercase hex, where
     // lexicographic compare = numeric compare; hex() of the same
     // integer prints identically in both engines (verified).
+    /** Deterministic weighted reservoir (round 20) — the EXACT-size
+      * weighted sample-without-replacement primitive
+      * (Efraimidis–Spirakis A-Res) the samplers above don't cover:
+      * sample_weighted keeps a per-source RATE (output size drifts with
+      * the corpus), this keeps EXACTLY k = 100 docs with inclusion
+      * probability ∝ n_chars. The ES key u^(1/w) is rank-equivalent to
+      * ln(u)/w, which is what both engines compute — ln is the proven
+      * cross-engine libm pair, pow is not. u derives from the doc's
+      * content hash ((md5 32-bit prefix + 1) / 2^32+1 ∈ (0,1) — one
+      * exact division), so the "randomness" is reproducible and the
+      * whole selection replays in SQL. Scale shape: key is map-side;
+      * the global top-k plans as TakeOrderedAndProject (per-partition
+      * partial top-k, k-row driver merge — no full sort, no shuffle of
+      * non-survivors). */
+    "sample_reservoir" -> ((s, dir) => {
+      val u = (conv(substring(md5(col("text").cast("binary")), 1, 8),
+        16, 10).cast("double") + 1.0) / 4294967297.0
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (log(u) / col("n_chars")).as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("k"), 6).as("res_key"))
+        .orderBy("doc_id")
+    }),
+
     "sample_weighted" -> ((s, dir) => {
       // k defaults to 0 for sources with NO trailing digits (regexp
       // gives '' → try_cast null — a plain cast THROWS under ANSI mode):
@@ -1408,6 +1435,18 @@ object Pipeline {
        "JOIN r USING (lang) " +
        "WHERE '0' || substring(md5(text), 1, 6) < r.thr7 " +
        "ORDER BY doc_id"),
+    "sample_reservoir" ->
+      // identical ES key: 32-bit md5 prefix via the proven '0x' hex
+      // parse, (v+1)/2^32+1 exact division, ln (the proven libm pair)
+      // over exact-int weight — keys bitwise identical, so the top-100
+      // cut is the same set in both engines.
+      ("WITH d AS (SELECT doc_id, source, n_chars, " +
+        "ln((CAST(CAST(concat('0x', substring(md5(text), 1, 8)) " +
+        "AS BIGINT) AS DOUBLE) + 1.0) / 4294967297.0) / n_chars AS k " +
+        "FROM documents) " +
+        "SELECT doc_id, source, n_chars, round(k, 6) AS res_key FROM " +
+        "(SELECT * FROM d ORDER BY k DESC, doc_id LIMIT 100) " +
+        "ORDER BY doc_id"),
     "sample_weighted" ->
       // mirrors the Spark side exactly: TRY_CAST + COALESCE(0) for
       // digitless sources, and the >=65536 full-keep guard against
