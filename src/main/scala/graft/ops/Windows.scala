@@ -689,6 +689,55 @@ object Windows {
         .orderBy("channel")
     }),
 
+    /** Rolling cross-series correlation (round 20) — the co-movement
+      * monitor ops dashboards run between two activity series (does
+      * purchase volume still track click volume this day?): trailing
+      * 24-hour Pearson between the click and purchase hourly counts.
+      * Series come from the SAME staged dense spine every other hourly
+      * key reads (absent type-hours are real zeros); all five window
+      * sums (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT integers
+      * (decimal(38,0) — the win_acf overflow posture), so the Pearson
+      * arithmetic is the identical double expression in both engines
+      * and the only rounding is the final r6. Degenerate windows (a
+      * constant series → zero variance) yield NULL by the d1>0∧d2>0
+      * guard, same as win_acf. Scale shape: the windows run over the
+      * HOURLY relation (calendar-bounded — ~9k rows/year), single
+      * ordered frame on one partition, exactly the win_range_frame
+      * contract; the fact-scale work is the staged pre-aggregate. */
+    "win_rolling_corr" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val xy = denseHourly(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .groupBy("hw")
+        .agg(
+          coalesce(sum(when(col("event_type") === "click", col("n"))),
+            lit(0L)).as("x"),
+          coalesce(sum(when(col("event_type") === "purchase", col("n"))),
+            lit(0L)).as("y"))
+      val w = Window.orderBy("hw").rowsBetween(-23, 0)
+      val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val g = xy.select(col("hw"), col("x"), col("y"),
+        count(lit(1)).over(w).as("np"),
+        sum(d38(col("x"))).over(w).as("sx"),
+        sum(d38(col("y"))).over(w).as("sy"),
+        sum(d38(col("x") * col("y"))).over(w).as("sxy"),
+        sum(d38(col("x") * col("x"))).over(w).as("sxx"),
+        sum(d38(col("y") * col("y"))).over(w).as("syy"))
+      g.select(col("hw"), col("x"), col("y"),
+          col("np").as("n_hours"),
+          (dd(col("np")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy")))
+            .as("num"),
+          (dd(col("np")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx")))
+            .as("d1"),
+          (dd(col("np")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy")))
+            .as("d2"))
+        .select(col("hw"), col("x"), col("y"), col("n_hours"),
+          when(col("d1") > 0 && col("d2") > 0,
+            round(col("num") / (sqrt(col("d1")) * sqrt(col("d2"))), 6))
+            .as("corr24"))
+        .orderBy("hw")
+    }),
+
     "win_time_range" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(
@@ -871,6 +920,34 @@ object Windows {
     "LEFT JOIN h ON sp.event_type = h.event_type AND sp.hw = h.hw)"
 
   val oracles: Map[String, String] = Map(
+    // Same dense spine, same exact-integer window sums (HUGEINT ↔
+    // decimal(38,0)), same double Pearson expression + d1/d2 guard.
+    "win_rolling_corr" ->
+      ("WITH " + DenseHourlyCte + ", " +
+        "xy AS (SELECT hw, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0) " +
+        "AS BIGINT) AS x, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN n END), 0) " +
+        "AS BIGINT) AS y " +
+        "FROM d WHERE event_type IN ('click', 'purchase') GROUP BY hw), " +
+        "g AS (SELECT hw, x, y, count(*) OVER w AS np, " +
+        "sum(CAST(x AS HUGEINT)) OVER w AS sx, " +
+        "sum(CAST(y AS HUGEINT)) OVER w AS sy, " +
+        "sum(CAST(x AS HUGEINT) * y) OVER w AS sxy, " +
+        "sum(CAST(x AS HUGEINT) * x) OVER w AS sxx, " +
+        "sum(CAST(y AS HUGEINT) * y) OVER w AS syy FROM xy " +
+        "WINDOW w AS (ORDER BY hw ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)), " +
+        "k AS (SELECT hw, x, y, np, " +
+        "CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num, " +
+        "CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS d1, " +
+        "CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS d2 FROM g) " +
+        "SELECT hw, x, y, CAST(np AS BIGINT) AS n_hours, " +
+        "CASE WHEN d1 > 0 AND d2 > 0 THEN " +
+        "round(num / (sqrt(d1) * sqrt(d2)), 6) END AS corr24 " +
+        "FROM k ORDER BY hw"),
     // Same strictly-earlier RANGE frame, same NULL-safe tie-to-click
     // rule, same one-multiply-one-divide linear term; money in exact
     // cents, linear sums rounded r2 on both sides.
