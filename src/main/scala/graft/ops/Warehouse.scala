@@ -682,6 +682,39 @@ object Warehouse {
     // bitwise across engines. Scale shape: one pass, one max-aggregate
     // per type + a distinct over (type, hour) — the 1-row corpus
     // watermark rides a broadcast join, the report is |types| rows.
+    /** Schema-drift audit (round 20) — the governance readout next to
+      * source_merge_schema's READ path: diff the actual parquet FOOTER
+      * schemas of two file generations (the evolved-orders store: gen2
+      * added o_orderstatus) into the added/removed/retyped/unchanged
+      * report a lake catalog surfaces on every ingest. The engine must
+      * PROVE the diff by reading the real footers — the oracle states
+      * the by-construction expectation as pinned literal rows (the
+      * constant-TRUE-law posture), so a Spark type-mapping change, a
+      * fixture drift, or a broken footer read all fail the gate. Scale:
+      * footer reads are metadata ops (no data scan — schema comes from
+      * the footer, not the rows); the diff relation is schema-sized. */
+    "dq_schema_drift" -> ((s, dir) => {
+      import s.implicits._
+      val root = Sinks.ensureEvolvedOrders(s, dir)
+      def cols(p: String): Map[String, String] =
+        s.read.parquet(p).schema.fields
+          .map(f => f.name -> f.dataType.typeName).toMap
+      val g1 = cols(s"$root/gen1")
+      val g2 = cols(s"$root/gen2")
+      (g1.keySet ++ g2.keySet).toSeq.sorted.map { n =>
+        val (t1, t2) = (g1.get(n), g2.get(n))
+        val change =
+          if (t1.isEmpty) "added"
+          else if (t2.isEmpty) "removed"
+          else if (t1 != t2) "retyped"
+          else "unchanged"
+        (n, t1.isDefined, t2.isDefined, t1.getOrElse(""), t2.getOrElse(""),
+          change)
+      }.toDF("column", "in_gen1", "in_gen2", "type_gen1", "type_gen2",
+        "change")
+        .orderBy("column")
+    }),
+
     "dq_freshness" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val wm = ev.agg(max(unix_timestamp(col("ts"))).as("wm_s"))
@@ -755,6 +788,16 @@ object Warehouse {
   }
 
   val oracles: Map[String, String] = Map(
+    // Pinned by-construction expectation (the constant-law posture):
+    // the engine proves the diff from real footers, the oracle states
+    // what the evolved store's generations carry by construction.
+    "dq_schema_drift" ->
+      ("SELECT * FROM (VALUES " +
+        "('o_orderkey', true, true, 'long', 'long', 'unchanged'), " +
+        "('o_orderstatus', false, true, '', 'string', 'added'), " +
+        "('o_totalprice', true, true, 'double', 'double', 'unchanged')) " +
+        "t(\"column\", in_gen1, in_gen2, type_gen1, type_gen2, change) " +
+        "ORDER BY \"column\""),
     // same exact-cents first digit, identical χ² expression, digit-
     // ordered list_reduce fold, same 8-dof critical value
     "dq_benford" ->
