@@ -28,37 +28,49 @@ object Windows {
     * precedent). The spine is per-type (no fabricated hours before a
     * type first existed) and stays |days|·24·|types| rows — calendar-
     * bounded, never event-bounded. */
-  private def denseHourly(s: org.apache.spark.sql.SparkSession,
-                          dir: String): org.apache.spark.sql.DataFrame =
-    // STAGED per corpus version (round 20 — r19 verdict item 4: the r19
-    // localCheckpoint barrier removed the double events scan but paid
-    // one materialization job PER INVOCATION, +0.2 s × 7 consumers at
-    // bench SF). The densified series is a deterministic, calendar-
-    // bounded derived relation (types × hours — dim-sized), exactly
-    // what the Staging contract is for: built once per corpus
-    // fingerprint, every consumer (win_acf, win_seasonal_baseline,
-    // win_forecast_des/hw, win_changepoint, win_interpolate_linear,
-    // win_fill_forward) reads the columnar artifact.
-    graft.Staging.materialize(s, Tables.path(dir, "events"),
-      "dense_hourly_v1") {
+  /** Build-or-load a densified per-type hourly spine over `events`:
+    * `aggExpr` per (event_type, hour), hours from each type's first to
+    * last observed hour, gaps carrying `fill` (or NULL when None — the
+    * interpolation keys treat missing hours as real gaps). STAGED per
+    * corpus version (round 20 — r19 verdict item 4: the r19
+    * localCheckpoint barrier removed the double events scan but paid
+    * one materialization job PER INVOCATION, +0.2 s × 7 consumers at
+    * bench SF); the densified series is a deterministic, calendar-
+    * bounded derived relation (types × hours — dim-sized), exactly what
+    * the Staging contract is for. ONE parameterized builder so the
+    * count and cents spines can never drift in barrier/staging/spine
+    * rules (r20 review). */
+  private def denseHourlySpine(s: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, hourCol: String,
+      aggExpr: org.apache.spark.sql.Column, aggName: String,
+      fill: Option[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame =
+    graft.Staging.materialize(s, Tables.path(dir, "events"), name) {
       // LAZY barrier inside the one-time build (the q15 pattern): the
       // hourly aggregate feeds BOTH the per-type [min,max] spine bounds
       // and the spine join — without it the build scans events TWICE
       // (PlanSweep r19). Also the plan-audit shape when staging is
       // disabled (-Dgraft.staging=false).
       val hourly = Tables.events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("hw"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
+        .groupBy(date_trunc("hour", col("ts")).as(hourCol),
+          col("event_type"))
+        .agg(aggExpr.as(aggName))
         .localCheckpoint(false)
       hourly.groupBy("event_type")
-        .agg(min(col("hw")).as("h0"), max(col("hw")).as("h1"))
+        .agg(min(col(hourCol)).as("h0"), max(col(hourCol)).as("h1"))
         .select(col("event_type"),
           explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
-            .as("hw"))
-        .join(hourly, Seq("event_type", "hw"), "left")
-        .select(col("event_type"), col("hw"),
-          coalesce(col("n"), lit(0L)).as("n"))
+            .as(hourCol))
+        .join(hourly, Seq("event_type", hourCol), "left")
+        .select(col("event_type"), col(hourCol),
+          fill.map(f => coalesce(col(aggName), f))
+            .getOrElse(col(aggName)).as(aggName))
     }
+
+  private def denseHourly(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    denseHourlySpine(s, dir, "dense_hourly_v1", "hw",
+      count(lit(1)), "n", Some(lit(0L)))
 
   /** Two-sided CUSUM DECISION rule with alarm-reset (the Page–Hinkley
     * readout `win_cusum` stops short of), factored so DataQualitySpec
@@ -501,9 +513,11 @@ object Windows {
       val g = lagged.groupBy("event_type", "lag_k").agg(
         count(lit(1)).as("np"),
         sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
-        sum(d38(col("x") * col("y"))).as("sxy"),
-        sum(d38(col("x") * col("x"))).as("sxx"),
-        sum(d38(col("y") * col("y"))).as("syy"))
+        // cast BEFORE multiplying (r20 review): a count past ~3e9 would
+        // wrap the Long product silently; the decimal product is exact
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"))
       val num = col("np").cast("double") * col("sxy").cast("double") -
         col("sx").cast("double") * col("sy").cast("double")
       val d1 = col("np").cast("double") * col("sxx").cast("double") -
@@ -720,9 +734,12 @@ object Windows {
         count(lit(1)).over(w).as("np"),
         sum(d38(col("x"))).over(w).as("sx"),
         sum(d38(col("y"))).over(w).as("sy"),
-        sum(d38(col("x") * col("y"))).over(w).as("sxy"),
-        sum(d38(col("x") * col("x"))).over(w).as("sxx"),
-        sum(d38(col("y") * col("y"))).over(w).as("syy"))
+        // cast BEFORE multiplying (matches the oracle's HUGEINT-first
+        // products): an hourly count past ~3e9 would overflow the Long
+        // product silently while the decimal product stays exact
+        sum(d38(col("x")) * d38(col("y"))).over(w).as("sxy"),
+        sum(d38(col("x")) * d38(col("x"))).over(w).as("sxx"),
+        sum(d38(col("y")) * d38(col("y"))).over(w).as("syy"))
       g.select(col("hw"), col("x"), col("y"),
           col("np").as("n_hours"),
           (dd(col("np")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy")))
@@ -792,26 +809,11 @@ object Windows {
     // (|types|·hours rows), never the fact table; one hash exchange on
     // event_type, per-task state bounded by the series length.
     "win_interpolate_linear" -> ((s, dir) => {
-      // Own cents-valued hourly relation (denseHourly carries counts),
-      // same spine-vs-join double reference → same treatment (round 20):
-      // STAGED per corpus version, with the lazy barrier only inside the
-      // one-time build (PlanSweep r19: events×2 without the barrier;
-      // r19's per-invocation localCheckpoint paid a materialization job
-      // per run — the r20 verdict-item-4 trade, applied here too).
-      val dense = graft.Staging.materialize(s, Tables.path(dir, "events"),
-        "dense_hourly_cents_v1") {
-        val hourly = Tables.events(s, dir)
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-          .localCheckpoint(false)
-        hourly.groupBy("event_type")
-          .agg(min("hr").as("h0"), max("hr").as("h1"))
-          .select(col("event_type"),
-            explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
-          .join(hourly, Seq("event_type", "hr"), "left")
-          .select(col("event_type"), col("hr"), col("cents"))
-      }
-      val m = dense
+      // Own cents-valued hourly spine (denseHourly carries counts),
+      // same staged shape via the shared builder; gaps stay NULL — they
+      // ARE the missing observations the interpolation exists to fill.
+      val m = denseHourlySpine(s, dir, "dense_hourly_cents_v1", "hr",
+        sum(round(col("value") * 100, 0).cast("long")), "cents", None)
         .withColumn("is_masked", hour(col("hr")) % 5 === 2)
         .withColumn("v", when(!col("is_masked"), col("cents")))
         .withColumn("t", (unix_timestamp(col("hr")) / 3600L).cast("long"))
@@ -1065,9 +1067,11 @@ object Windows {
       s"lg AS (SELECT * FROM ($blocks) WHERE y IS NOT NULL), " +
       "g AS (SELECT event_type, lag_k, count(*) AS np, " +
       "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy, " +
-      "CAST(sum(x * y) AS HUGEINT) AS sxy, " +
-      "CAST(sum(x * x) AS HUGEINT) AS sxx, " +
-      "CAST(sum(y * y) AS HUGEINT) AS syy " +
+      // HUGEINT-first products (r20 review, mirrors the Spark side's
+      // decimal-first cast): BIGINT x*y would overflow-THROW at scale
+      "sum(CAST(x AS HUGEINT) * y) AS sxy, " +
+      "sum(CAST(x AS HUGEINT) * x) AS sxx, " +
+      "sum(CAST(y AS HUGEINT) * y) AS syy " +
       "FROM lg GROUP BY 1, 2), " +
       "k AS (SELECT event_type, lag_k, np, " +
       "CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - " +

@@ -48,10 +48,14 @@ object R20Knee {
       println(f"[r20knee] $key decade ratios: " +
         ratios.map(r => f"$r%.2f").mkString(" , ") +
         "  (10.0 = linear in rows)")
-    } finally stagingWas match {
-      case Some(v) => sys.props("graft.staging") = v
-      case None    => sys.props -= "graft.staging"
+    } finally {
+      stagingWas match {
+        case Some(v) => sys.props("graft.staging") = v
+        case None    => sys.props -= "graft.staging"
+      }
+      // inside the finally: a failing key must not leak the local[32]
+      // session into a shared (sbt in-process) JVM
+      spark.stop()
     }
-    spark.stop()
   }
 }
