@@ -103,7 +103,9 @@ object Staging {
       // Only a broken READ degrades to the uncached plan here.
       try {
         if (Files.exists(dir.resolve("_SUCCESS")))
-          return (session.read.parquet(dir.toString), true)
+          // memoized (Tables.memoizedDirRead): a warm staged READ paid a
+          // ~50-100 ms listing+footer construct per reference before r21
+          return (Tables.memoizedDirRead(session, dir.toString), true)
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
@@ -162,7 +164,7 @@ object Staging {
         }
         sweepOrphans(dir.getParent)
         sweepRetiredSources(dir.getParent, Paths.get(sourcePath))
-        (session.read.parquet(dir.toString), true)
+        (Tables.memoizedDirRead(session, dir.toString), true)
       } catch {
         // Unwritable/full tmpdir must degrade to the slower uncached plan,
         // not fail the query — results are identical either way. (Spark

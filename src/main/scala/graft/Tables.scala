@@ -43,13 +43,91 @@ object Tables {
   /** events with `ts` converged to TimestampType (microsecond precision),
     * whatever physical type the current testdata generation uses. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // conf BEFORE the (possibly memo-missed) read: schema inference for
+    // legacy TIMESTAMP(NANOS) footers happens at construction time
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(path(sfDir, "events")))
+    memoizedRead(spark, path(sfDir, "events"), "events_norm")(p =>
+      normalizeTs(spark.read.parquet(p)))
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(path(sfDir, name))
+    else memoizedRead(spark, path(sfDir, name), "raw")(spark.read.parquet(_))
+
+  /** Memoized source DataFrames, keyed (session, variant, path, source
+    * fingerprint) — the r21 fixed-cost fix: every `spark.read.parquet`
+    * construction pays a file-listing + footer-schema read measured at
+    * ~50-105 ms per call on this box (tools/R21Probe), and a bench pass
+    * makes ~1500 `Tables.table` calls inside timed regions. The memo
+    * caches the resolved source RELATION (a lazy plan — never rows or
+    * results; every action still scans the parquet), exactly the
+    * metadata-memo class `registeredViews`/`countMemo` above already
+    * establish. The fingerprint key re-reads a regenerated file instead
+    * of serving a stale relation; SoftReference values keep the memo
+    * from pinning a dead session in memory (a DataFrame strongly
+    * references its session — a plain WeakHashMap value would resurrect
+    * its own key; soft refs drop under pressure and simply rebuild). */
+  private val tableMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[
+          String, java.lang.ref.SoftReference[DataFrame]]]())
+  private def memoizedRead(spark: SparkSession, p: String, variant: String)(
+      build: String => DataFrame): DataFrame = {
+    val fp =
+      try sourceFingerprint(p)
+      catch { // absent/unreadable source: unmemoized direct read, so the
+              // caller sees the standard loud error (and a file that
+              // appears later is never shadowed by a cached failure)
+        case scala.util.control.NonFatal(_) => return build(p)
+      }
+    memoized(spark, variant + "|" + p + "|" + fp)(build(p))
+  }
+
+  /** Memoized read of a published-once parquet DIRECTORY (staged derived
+    * relations, sink stores): same fixed-cost rationale as the table
+    * memo above. Staleness token = the dir's and its `_SUCCESS` marker's
+    * mtimes — these stores are publish-then-immutable (replaced copies
+    * get NEW fingerprint-keyed names), so the token only exists to catch
+    * a republished dir. An unreadable/absent dir falls through to the
+    * direct read so errors stay loud and unmemoized. */
+  private[graft] def memoizedDirRead(spark: SparkSession,
+                                     dirPath: String): DataFrame = {
+    val token =
+      try {
+        val d = java.nio.file.Paths.get(dirPath)
+        val succ = d.resolve("_SUCCESS")
+        val dm = java.nio.file.Files.getLastModifiedTime(d).toMillis
+        val sm =
+          if (java.nio.file.Files.exists(succ))
+            java.nio.file.Files.getLastModifiedTime(succ).toMillis
+          else -1L
+        s"$dm:$sm"
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          return spark.read.parquet(dirPath)
+      }
+    memoized(spark, "dir|" + dirPath + "|" + token)(
+      spark.read.parquet(dirPath))
+  }
+
+  private def memoized(spark: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val perSession = tableMemo.synchronized {
+      var m = tableMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, java.lang.ref.SoftReference[DataFrame]]()
+        tableMemo.put(spark, m)
+      }
+      m
+    }
+    Option(perSession.get(key)).flatMap(r => Option(r.get)).getOrElse {
+      val df = build
+      perSession.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
+  }
 
   /** Register every table as a temp view (for SQL-form queries).
     *

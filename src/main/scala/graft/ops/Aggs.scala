@@ -682,12 +682,23 @@ object Aggs {
       def bh(d: org.apache.spark.sql.Column) = substring(md5(
         concat(d.cast("string"), lit(":"), col("user_id").cast("string"))
           .cast("binary")), 1, 2)
-      val ev = Tables.events(s, dir).select(col("user_id"))
-      val counters = ev
+      // ONE per-user rollup feeds both the counters and the exact top-10
+      // (r21, guide §2.4): the previous form scanned events twice (4×
+      // corpus-row explode for the counters + a second scan for the
+      // exact counts); bucket counts are Σ over users of their exact
+      // counts, so the explode now runs over the user-sized relation and
+      // the sketch values are integer-identical.
+      // LAZY localCheckpoint barrier: uc feeds both the counters and the
+      // top-10 — two references would re-scan and re-aggregate events
+      // twice under static planning (q21 rescan class, r21)
+      val uc = Tables.events(s, dir).select(col("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val counters = uc
         .withColumn("d", explode(sequence(lit(0), lit(3))))
         .withColumn("bh", bh(col("d")))
-        .groupBy("d", "bh").agg(count(lit(1)).as("cnt"))
-      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .groupBy("d", "bh").agg(sum("n").as("cnt"))
+      val top = uc.select(col("user_id"), col("n").as("exact_n"))
         .orderBy(col("exact_n").desc, col("user_id")).limit(10)
       val probes = top
         .withColumn("d", explode(sequence(lit(0), lit(3))))

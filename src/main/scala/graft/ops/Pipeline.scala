@@ -851,7 +851,11 @@ object Pipeline {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val e2 = edges.join(deg, "src")
+      // LAZY barrier (the graph_shortest_path pattern, r21): e2 is
+      // referenced once per round — 5 plan references — and each
+      // re-derived the staged-pair scan + degree aggregate + join.
+      // Edge-scale relation; computed once at first action.
+      val e2 = edges.join(deg, "src").localCheckpoint(false)
       var r = deg.select(col("src").as("doc"), lit(1.0).as("pr"))
       for (_ <- 1 to 5) {
         r = e2.join(r, col("src") === col("doc"))
@@ -886,8 +890,12 @@ object Pipeline {
     // not be oracled).
     "graph_label_prop" -> ((s, dir) => {
       val pairs = Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
+      // LAZY barrier (the graph_shortest_path pattern, r21): edges is
+      // referenced once per round (4 rounds) plus the label init — each
+      // reference re-derived the staged-pair scan + union.
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(false)
       var lab = edges.select(col("src").as("doc")).distinct()
         .select(col("doc"), col("doc").as("lab"))
       for (_ <- 1 to 4) {
@@ -1013,8 +1021,16 @@ object Pipeline {
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("tok")),
       Tables.path(dir, "documents"), "unigram_toks_v1")
+    // LAZY localCheckpoint barrier: cnt feeds the token join AND the
+    // corpus total below; the two references re-aggregated the staged
+    // token relation twice under static planning (q21 rescan class, r21).
+    // cnt is vocab-sized — cheap to hold.
     val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
+      .localCheckpoint(false)
+    // exact-integer identity: Σ per-token counts ≡ corpus token count —
+    // summing the vocab-sized cnt relation replaces a second full pass
+    // over the corpus-sized staged toks (r21, guide §2.4)
+    val total = cnt.agg(sum("cnt").as("total"))
     // The token join is Zipf-hot at scale ("the" → one reducer). Two
     // defenses: AQE skew-split is armed session-wide and this is the
     // sort-merge shape it can split (PlanAuditSpec asserts both); and
@@ -1209,15 +1225,23 @@ object Pipeline {
       val ly = labels.select(col("doc").as("y_doc"), col("lbl").as("y_lbl"))
       val viaLabel = lx.join(ly, lx("x_lbl") === ly("y_doc"))
         .select(col("x_doc").as("doc"), col("y_lbl").as("lbl"))
-      val next = cut(labels.select("doc", "lbl").union(viaEdge).union(viaLabel)
-        .groupBy("doc").agg(min("lbl").as("lbl")), // cut per-round lineage growth
-        s"round-$iter")
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-        .where(col("lbl") =!= col("old")).count()
-      // The convergence count above was the last reader of round N-1's
-      // labels — retire its checkpoint now that round N is on disk.
+      // carry each doc's OLD label through the round's aggregate (every
+      // doc appears exactly once in the labels branch, so max(old) IS
+      // its previous label): the convergence check below then reads the
+      // just-checkpointed relation with a filter-count instead of
+      // re-joining two checkpoints — one less join job per round (r21,
+      // VERDICT item 5's fixed-cost profile)
+      val next = cut(labels.select(col("doc"), col("lbl"),
+          col("lbl").as("old"))
+        .union(viaEdge.withColumn("old", lit(null).cast("long")))
+        .union(viaLabel.withColumn("old", lit(null).cast("long")))
+        .groupBy("doc").agg(min("lbl").as("lbl"), max("old").as("old")),
+        s"round-$iter") // cut per-round lineage growth
+      changed = next.where(col("lbl") =!= col("old")).count()
+      // Round N-1's labels were last read by the union inside `next` —
+      // retire their checkpoint now that round N is on disk.
       if (iter > 0) rmCut(s"round-${iter - 1}")
-      labels = next
+      labels = next.select("doc", "lbl")
       iter += 1
     }
     rmCut("edges") // the returned labels scan their own checkpoint only

@@ -794,7 +794,7 @@ object Sinks {
     // metadata, same pattern as the ANN centroid collects) so the filter
     // is a LITERAL — which is what static partition pruning requires.
     "sink_partitioned" -> ((s, dir) => {
-      val sunk = s.read.parquet(ensurePartitionedEvents(s, dir))
+      val sunk = graft.Tables.memoizedDirRead(s, ensurePartitionedEvents(s, dir))
       val d0 = sunk.agg(min("day")).head().getDate(0)
       sunk.where(col("day") === lit(d0))
         .groupBy("event_type")
@@ -823,7 +823,7 @@ object Sinks {
     // targeted day kept only base rows (all % 3 = 0) — so the flag is
     // one more conditional count in the same aggregate, no extra scan.
     "sink_overwrite_dynamic" -> ((s, dir) => {
-      val sunk = s.read.parquet(ensureDynOverwriteEvents(s, dir))
+      val sunk = graft.Tables.memoizedDirRead(s, ensureDynOverwriteEvents(s, dir))
       sunk.groupBy(col("day"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100, 0).cast("long")).as("cents"),
@@ -845,7 +845,7 @@ object Sinks {
     // SQL. SinkRoundtripSpec asserts the "before" side (fragmented dir
     // really is multi-file per day, strictly more files than after).
     "sink_compaction" -> ((s, dir) => {
-      val c = s.read.parquet(ensureCompactedEvents(s, dir))
+      val c = graft.Tables.memoizedDirRead(s, ensureCompactedEvents(s, dir))
         .withColumn("f", input_file_name())
       c.groupBy(col("day"))
         .agg(count(lit(1)).as("n_rows"),
@@ -864,7 +864,7 @@ object Sinks {
     // file-skipping reader consults — is a small tile of the key space,
     // so a predicate on EITHER key prunes most buckets).
     "sink_zorder" -> ((s, dir) =>
-      s.read.parquet(ensureZorderLineitem(s, dir))
+      graft.Tables.memoizedDirRead(s, ensureZorderLineitem(s, dir))
         .groupBy(col("zb").cast("long").as("zb"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_extendedprice") * 100, 0).cast("long"))
@@ -885,7 +885,7 @@ object Sinks {
     // dayofweek, whose origin differs between Spark and DuckDB), so the
     // oracle SQL replays identically in BOTH engines (DifferentialSpec).
     "join_dpp" -> ((s, dir) => {
-      val fact = s.read.parquet(ensurePartitionedEvents(s, dir))
+      val fact = graft.Tables.memoizedDirRead(s, ensurePartitionedEvents(s, dir))
       val dim = Tables.events(s, dir)
         .select(to_date(col("ts")).as("day")).distinct()
         .where(dayofmonth(col("day")) % 2 === 1)
@@ -1025,8 +1025,8 @@ object Sinks {
     // amplification the subject-aware layout bought: only
     // touched/total cells were rewritten.
     "sink_delete" -> ((s, dir) => {
-      val store = s.read.parquet(ensureRetentionStore(s, dir))
-      val del = s.read.parquet(ensureDeletedStore(s, dir))
+      val store = graft.Tables.memoizedDirRead(s, ensureRetentionStore(s, dir))
+      val del = graft.Tables.memoizedDirRead(s, ensureDeletedStore(s, dir))
         .withColumn("f", input_file_name())
       val after = del.groupBy(col("day"))
         .agg(count(lit(1)).as("n_after"),
@@ -1059,7 +1059,7 @@ object Sinks {
     // (orphans are a storage problem, never a correctness one) — is
     // SinkVacuumSpec's job.
     "sink_vacuum" -> ((s, dir) => {
-      val vac = s.read.parquet(ensureVacuumedStore(s, dir))
+      val vac = graft.Tables.memoizedDirRead(s, ensureVacuumedStore(s, dir))
         .withColumn("f", input_file_name())
       vac.groupBy(col("day"))
         .agg(count(lit(1)).as("n_rows"),
@@ -1089,7 +1089,7 @@ object Sinks {
     "sink_time_travel" -> ((s, dir) => {
       Seq(0 -> ensureRetentionStore(s, dir), 1 -> ensureDeletedStore(s, dir))
         .map { case (v, root) =>
-          s.read.parquet(root).groupBy(col("day"))
+          graft.Tables.memoizedDirRead(s, root).groupBy(col("day"))
             .agg(count(lit(1)).as("n_rows"),
               sum(round(col("value") * 100, 0).cast("long")).as("cents"))
             .select(lit(v).as("version"), col("day").cast("timestamp").as("day"),
@@ -1123,7 +1123,7 @@ object Sinks {
       val bkts = changed.map(_._2).distinct
       val cellKey = concat_ws("#", col("day").cast("string"),
         col("bkt").cast("string"))
-      def cellRows(root: String) = s.read.parquet(root)
+      def cellRows(root: String) = graft.Tables.memoizedDirRead(s, root)
         .where(col("day").isin(days.map(java.sql.Date.valueOf): _*) &&
           col("bkt").isin(bkts: _*))
         .where(cellKey.isin(changed.map(c => s"${c._1}#${c._2}"): _*))
@@ -1168,7 +1168,7 @@ object Sinks {
       val bkts = changed.map(_._2).distinct
       val cellKey = concat_ws("#", col("day").cast("string"),
         col("bkt").cast("string"))
-      def cellRows(root: String) = s.read.parquet(root)
+      def cellRows(root: String) = graft.Tables.memoizedDirRead(s, root)
         .where(col("day").isin(days.map(java.sql.Date.valueOf): _*) &&
           col("bkt").isin(bkts: _*))
         .where(cellKey.isin(changed.map(c => s"${c._1}#${c._2}"): _*))

@@ -43,7 +43,11 @@ object Text {
       val docs = Tables.table(s, dir, "documents")
       val toks = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      // LAZY localCheckpoint barrier: tf feeds both the scoring join and
+      // df — the two references re-ran the tokenize+explode+aggregate
+      // twice under static planning (q21 rescan class, r21)
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       tf.join(df, "term").crossJoin(broadcast(n))
@@ -107,7 +111,7 @@ object Text {
         .select(col("term"), col("doc_id"), tfidfScore.as("score"))
         .withColumn("trnk", row_number().over(w))
         .where(col("trnk") <= 10).select("term", "doc_id", "trnk")
-      val b10 = bm25Top10(s, dir)
+      val b10 = bm25Top10(p)
         .select(col("term"), col("doc_id"), col("rnk").as("brnk"))
       val rrf = round(
         coalesce(lit(1.0) / (lit(60) + col("brnk")), lit(0.0)) +
@@ -155,9 +159,22 @@ object Text {
         .select(col("p.w1"), col("p.w2"))
       val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
         .where(col("c_xy") >= 5)
+      // LAZY localCheckpoint barrier: uni feeds three consumers (the two
+      // unigram re-attach joins + nu below) and static planning would
+      // re-run the full tokenize+explode+aggregate once per reference
+      // (pushed join filters defeat exchange reuse — the q21 rescan
+      // class, see plans/r21/text_collocations_before.txt).
       val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
-      val nu = toks.agg(count(lit(1)).as("nu"))
-      val nb = bi.agg(count(lit(1)).as("nb"))
+        .localCheckpoint(false)
+      // exact-integer identities (r21, guide §2.4): Σ unigram counts ≡
+      // token positions, and every doc contributes exactly len−1 bigram
+      // positions (split() never returns an empty array, and the
+      // zip_with-of-slices bigram build yields len−1 rows per doc), so
+      // nb = nu − |docs|. Replaces two more full explode passes over the
+      // corpus with a vocab-sized sum and a row count.
+      val nu = uni.agg(sum("c").as("nu"))
+      val nb = nu.crossJoin(docs.agg(count(lit(1)).as("nd")))
+        .select((col("nu") - col("nd")).as("nb"))
       val pmi = round(log(
         (col("c_xy").cast("double") * col("nu") * col("nu")) /
           (col("nb").cast("double") * col("c_x") * col("c_y"))), 6)
@@ -246,12 +263,27 @@ object Text {
     val docs = Tables.table(s, dir, "documents")
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    // LAZY localCheckpoint barrier (the q15/join_fuzzy_blocked pattern):
+    // tf feeds FOUR consumers (scoring join, df, dl, corpus stats), and
+    // static planning evaluates the subtree once per reference — pushed
+    // join-key filters make the branches structurally different, so AQE
+    // exchange reuse never fires across them (the q21 rescan class;
+    // captured in plans/r21/text_bm25_before.txt: documents scanned and
+    // exploded once per branch, 0 ReusedExchange). The barrier computes
+    // the tokenize+explode+aggregate ONCE per invocation — transient
+    // executor-local storage, never cross-run state.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(false)
+    // dl and the corpus token total are EXACT-INTEGER derivable from tf
+    // (count over toks per doc ≡ sum of tf per doc) — deriving them from
+    // the checkpointed tf instead of toks drops two more full
+    // tokenize+explode passes over the corpus to re-aggregations of the
+    // (doc, term) relation (r21, guide §2.4).
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = df.orderBy(col("df").desc, col("term")).limit(5)
     val n = docs.agg(count(lit(1)).as("n"))
-    val stats = toks.agg(count(lit(1)).as("toktot")).crossJoin(n)
+    val stats = tf.agg(sum("tf").as("toktot")).crossJoin(n)
       .select(col("n"), (col("toktot").cast("double") / col("n")).as("avgdl"))
     Bm25Parts(tf, dl, qterms, n, stats)
   }
@@ -262,8 +294,12 @@ object Text {
     round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
 
   private def bm25Top10(s: org.apache.spark.sql.SparkSession,
-                        dir: String): DataFrame = {
-    val p = bm25Parts(s, dir)
+                        dir: String): DataFrame = bm25Top10(bm25Parts(s, dir))
+
+  /** Parts-taking overload so text_rrf_fusion derives BOTH rankers from
+    * ONE Bm25Parts instance — the two-call form built every shared
+    * subtree (tf/df/qterms/stats) twice per plan (r21). */
+  private def bm25Top10(p: Bm25Parts): DataFrame = {
     val k1 = lit(1.2)
     val b = lit(0.75)
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
