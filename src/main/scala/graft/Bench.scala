@@ -63,6 +63,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Whole-stage-codegen compile cache (static conf, default 100
+      // entries): a 293-query pass generates far more codegen units than
+      // 100, so every entry is evicted before the second timed pass and
+      // Janino re-compiles each stage (~10-30 ms per unit) on EVERY
+      // pass. 4096 entries holds the suite (bounded: entries are
+      // compiled classes + source text, well under the 8g heap). This is
+      // query-COUNT-dependent, not scale- or core-count-dependent — a
+      // production driver running a large query suite sets it the same
+      // way — so the low-core bench comparison is unaffected. (r21,
+      // guide §1.2 step 3.)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

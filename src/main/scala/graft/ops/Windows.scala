@@ -252,9 +252,15 @@ object Windows {
     // + count; cohort sizes are a CALENDAR-bounded relation broadcast
     // back. Exact integers throughout, one rounded division per cell.
     "win_retention_cohort" -> ((s, dir) => {
+      // LAZY barriers (q15/q21-rescan class, r21): act feeds first AND
+      // the offset join; first feeds the offset join AND cohort sizes —
+      // without the barriers the events scan + distinct re-ran once per
+      // reference (3× total) under static planning.
       val act = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint(false)
       val first = act.groupBy("user_id").agg(min(col("day")).as("f"))
+        .localCheckpoint(false)
       val off = act.join(first, "user_id")
         .select(date_trunc("week", col("f")).as("cohort"),
           col("user_id"),
@@ -291,7 +297,10 @@ object Windows {
         .select(col("user_id"), to_date(col("ts")).as("day"),
           col("event_type"),
           round(col("value") * 100, 0).cast("long").as("c"))
+      // LAZY barrier: first feeds the revenue join AND cohort sizes —
+      // each reference re-ran the full events scan + per-user min (r21)
       val first = ev.groupBy("user_id").agg(min(col("day")).as("f"))
+        .localCheckpoint(false)
       val rev = ev.where(col("event_type") === "purchase")
         .join(first, "user_id")
         .groupBy(date_trunc("week", col("f")).as("cohort"),
