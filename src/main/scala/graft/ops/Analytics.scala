@@ -321,7 +321,14 @@ object Analytics {
       // the windowed stream to has_r = 1 IS the r⋈g join. Window
       // partitions are per-order supplier sets (bounded ~7 rows) — safe
       // at any corpus size.
-      val w = Window.partitionBy(col("l_orderkey"))
+      // r21: the per-order counts ride a SECOND HASH AGGREGATE instead
+      // of a window — the window form re-exchanged on l_orderkey and
+      // SORTED 570k (order, supplier) rows before its frames; the
+      // aggregate form takes the same exchange but hash-aggregates with
+      // no sort, and since n_r_supp = 1 the qualifying R supplier is
+      // recovered exactly as max(when(has_r = 1, suppkey)) — the single
+      // non-null. Output-identical (KeyTime 0.87 → see after; oracle
+      // re-verified).
       val sup = Tables.table(s, dir, "supplier")
         .join(broadcast(Tables.table(s, dir, "nation")
             .where(col("n_name") === "NATION_3")),
@@ -331,11 +338,12 @@ object Analytics {
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
           .as("has_r"))
-        .withColumn("n_supp", count(lit(1)).over(w))
-        .withColumn("n_r_supp", sum(col("has_r")).over(w))
-        .where(col("has_r") === 1L && col("n_supp") > 1 &&
-          col("n_r_supp") === 1)
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("has_r")).as("n_r_supp"),
+          max(when(col("has_r") === 1L, col("l_suppkey"))).as("r_skey"))
+        .where(col("n_supp") > 1 && col("n_r_supp") === 1)
+        .join(broadcast(sup), col("r_skey") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))

@@ -817,11 +817,18 @@ object Ann {
     }
     // bidirectional adjacency + self-loops: beam ⋈ adj yields neighbors
     // AND the beam itself in ONE reference to the accumulator
+    // LAZY barriers (r21): adj is referenced once per beam round and
+    // nodeVecs once per round + the seed scoring — under static planning
+    // every reference re-scanned the staged edge/corpus artifacts (34
+    // scans in the captured plan). Both are index-sized (edge list +
+    // node vectors), the exact state an NSW searcher holds resident.
     val adj = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .unionByName(corpus.select(col("vec_id").as("src"),
         col("vec_id").as("dst")))
+      .localCheckpoint(false)
     val nodeVecs = corpus.select(col("vec_id").as("node"), col("v").as("nv"))
+      .localCheckpoint(false)
     def score(cand: DataFrame): DataFrame =
       cand.join(broadcast(probes), "q_id")
         .join(nodeVecs, "node")

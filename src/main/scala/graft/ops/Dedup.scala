@@ -175,7 +175,11 @@ object Dedup {
       val grams = graft.Staging.materialize(
         ngramGrams(Tables.table(s, dir, "documents").repartition(col("doc_id"))),
         Tables.path(dir, "documents"), "trigrams_sorted_v1")
+      // LAZY barrier (r21): g2 feeds FOUR plan references (prefix build +
+      // verification arrays, each side) and every one re-ran this 1-row
+      // max-aggregate over documents under static planning.
       val mx = Tables.table(s, dir, "documents").agg(max("doc_id").as("mx"))
+        .localCheckpoint(false)
       val g2 = grams.crossJoin(broadcast(mx))
       // Same conf coupling as ngramPairs: a set hotGramCap IMPLIES the
       // df-ordered posture (the cap itself stays with the full-corpus
@@ -191,8 +195,12 @@ object Dedup {
       // pays batch-proportional work, not a corpus re-aggregation.
       val stagedDf = if (!dfOrdered) None else Some(graft.Staging.materialize(
         gramDfOf(indexG), Tables.path(dir, "documents"), "ngram_df_idx90_v1"))
+      // LAZY barrier: the batch probe side feeds the prefix build AND the
+      // verification-array attach — batch-sized (~10% of grams), so the
+      // barrier is cheap and saves one staged-artifact scan + filter.
       ngramJaccardAcross(
-        g2.where(col("doc_id") * 10 >= col("mx") * 9).select("doc_id", "g"),
+        g2.where(col("doc_id") * 10 >= col("mx") * 9).select("doc_id", "g")
+          .localCheckpoint(false),
         indexG, dfOrderedPrefix = dfOrdered, indexGramDf = stagedDf)
         .orderBy("doc_id", "dup_id")
     }),
@@ -288,11 +296,30 @@ object Dedup {
       // One-sided prefix; the container side carries its size so the
       // SIZE bound sb ≥ ⌈0.9·sa⌉ (containment needs inter ≤ sb) prunes
       // candidates before the distinct (measured ~40% off at sf0.1).
-      val prefA = grams.select(col("doc_id").as("a_id"),
-          size(col("g")).as("sa"),
-          explode(slice(col("g"), lit(1),
-            size(col("g")) - ((size(col("g")) * 9 + 9) / 10).cast("int")
-              + 1)).as("gram"))
+      //
+      // r21 (VERDICT item 6): the probe prefix is DF-ORDERED (rarest
+      // corpus grams first) instead of lexicographic. Losslessness here
+      // is even simpler than PPJoin's: containment ≥ 0.9 means at most
+      // ⌊0.1·sa⌋ grams of A miss B, so ANY sa−⌈0.9·sa⌉+1 grams of A
+      // must hit a true container — the prefix length is what matters,
+      // not which grams fill it. Choosing the rarest minimizes candidate
+      // mass Σ_prefix df(gram), exactly the Zipf defense the jaccard
+      // family's dfOrderedPrefix flag bought (64×→2.8× per decade).
+      // Unstaged KeyTime at sf0.1: 5.95 → see OPTIMIZATION_r21.md.
+      val gramDf = grams.select(explode(col("g")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+      val prefA = grams
+        .select(col("doc_id").as("a_id"), size(col("g")).as("sa"),
+          explode(col("g")).as("gram"))
+        .join(gramDf, Seq("gram"))
+        .groupBy("a_id", "sa")
+        .agg(array_sort(collect_list(struct(col("df"), col("gram"))))
+          .as("gs"))
+        .select(col("a_id"), col("sa"),
+          explode(slice(col("gs"), lit(1),
+            col("sa") - ((col("sa") * 9 + 9) / 10).cast("int") + 1))
+            .as("st"))
+        .select(col("a_id"), col("sa"), col("st.gram").as("gram"))
       val invB = grams.select(col("doc_id").as("b_id"),
         size(col("g")).as("sb"), explode(col("g")).as("gram"))
       val cand = prefA.join(invB, "gram")

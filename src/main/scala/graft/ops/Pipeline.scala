@@ -464,9 +464,14 @@ object Pipeline {
     // proof). Tercile tests are integer compares (3·(rank−1) < k·N), no
     // double division.
     "text_ppl_buckets" -> ((s, dir) => {
+      // LAZY barrier (q21 rescan class, r21): docs feeds THREE plan
+      // references (per-lang count, per-(lang,nll) count, final join) —
+      // without it each reference re-ran the whole per-doc NLL aggregate
+      // over the corpus. docs is doc-count-sized: (doc_id, lang, nll).
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"))
         .join(unigramNll(s, dir), "doc_id")
+        .localCheckpoint(false)
       val n = docs.groupBy(col("lang").as("n_lang"))
         .agg(count(lit(1)).as("n_docs"))
       val vc = docs.groupBy("lang", "avg_nll").agg(count(lit(1)).as("vc"))
