@@ -174,6 +174,10 @@ object Multimodal {
         .toDF()
         .groupBy(col("ahash").as("bits"))
         .agg(min("doc_id").as("rep"), count(lit(1)).as("n_docs"))
+        // LAZY barrier (r21, q21 rescan class): hashes feeds BOTH band
+        // legs below — without it each leg re-ran the full image decode
+        // + aHash over every payload. Distinct-hash-sized (tiny).
+        .localCheckpoint(false)
       val banded = hashes.select(col("bits"), col("rep"), col("n_docs"),
           explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("band", expr("substring(bits, b * 16 + 1, 16)"))
