@@ -81,6 +81,15 @@ object Aggs {
 
     // DataFrame groupingSets API (Spark 4) — no temp-view registration, and
     // the two dimension joins stay broadcast-eligible at any fact-side scale.
+    // r21 wave 5: the Expand ran over every joined FACT row (3 copies of
+    // 600k rows at sf0.1 into the grouping-sets aggregate —
+    // plans/r21/agg_grouping_sets_w5_before.txt Expand(13)). sum() is
+    // reaggregable, so the fact is first folded to the FINEST grain
+    // (n_name, yr — ~200 groups, one plain hash aggregate with map-side
+    // partials) and Expand + the grouping-sets aggregate run over those
+    // partial sums instead of the corpus. The finest set re-emits the
+    // partials themselves; the coarser sets sum them — the one rounding
+    // still happens once, at the end.
     "agg_grouping_sets" -> ((s, dir) => {
       val li = Tables.table(s, dir, "lineitem")
       val sup = Tables.table(s, dir, "supplier")
@@ -90,6 +99,8 @@ object Aggs {
         .select(col("n_name"), year(col("l_shipdate")).cast("int").as("yr"),
                 (col("l_extendedprice") * (lit(1) - col("l_discount")))
                   .as("rev"))
+        .groupBy(col("n_name"), col("yr"))
+        .agg(sum(col("rev")).as("rev"))
         .groupingSets(
           Seq(Seq(col("n_name"), col("yr")), Seq(col("n_name")), Seq()),
           col("n_name"), col("yr"))

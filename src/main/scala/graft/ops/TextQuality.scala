@@ -391,18 +391,28 @@ object TextQuality {
     // the top word break to the lexicographically smallest, so the
     // emitted word is deterministic. All fractions are ratios of exact
     // integer counts (bit-identical double division in both engines,
-    // same posture as win_distribution) rounded 6dp. Scale shape: one
-    // posexplode, then every shuffle hashes on doc_id (window + aggs) —
-    // per-task state is bounded by document length, and the bigram
-    // window reuses the tokens relation, not the corpus. Single-word
-    // documents have no bigram and drop out via the inner join —
-    // identically in the oracle (its bigram CTE is empty for them).
+    // same posture as win_distribution) rounded 6dp. Scale shape: two
+    // map-side explodes of the per-doc token array (words + zipped
+    // adjacent bigrams), then every shuffle hashes on doc_id (the
+    // top-word window + the count aggregates) — per-task state is
+    // bounded by document length. Single-word documents have no bigram
+    // and drop out via the inner join — identically in the oracle (its
+    // bigram CTE is empty for them).
     "text_repetition" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val tok = Tables.table(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
-      val wc = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      // r21 wave 5: the bigram branch rode lead() over a (doc_id, pos)
+      // window — a full token-relation exchange + per-doc sort just to
+      // see the next token. Adjacency is a property of the token ARRAY,
+      // so the bigrams are built map-side by zipping the array with its
+      // own tail (the text_collocations idiom; len−1 bigrams per doc ≡
+      // the non-null lead pairs, and single-word docs still vanish via
+      // the inner join). The word-count branch never used positions, so
+      // it explodes without them. One Exchange (tokens by doc_id for the
+      // lead sort) removed outright — guide §2.4.
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      val wc = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       // totals, max count, AND the tie-broken top word all ride ONE
       // window pass over the word counts (same doc_id exchange serves
       // every frame): the three-consumer form (tot + mx + topw join)
@@ -419,12 +429,11 @@ object TextQuality {
         .where(col("rk") === 1)
         .select(col("doc_id"), col("w").as("top_word"), col("c").as("mc"),
           col("n_words"), col("n_distinct"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      // concat (not concat_ws): NULL lead at document end must null the
-      // bigram out, matching the oracle's `||` null propagation
-      val bc = tok
-        .withColumn("bg", concat(col("w"), lit(" "), lead("w", 1).over(w)))
-        .where(col("bg").isNotNull)
+      val bc = docs
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       val bmx = bc.groupBy("doc_id").agg(max("c").as("bc"))
       topw.join(bmx, "doc_id")
