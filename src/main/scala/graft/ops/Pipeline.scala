@@ -1232,21 +1232,29 @@ object Pipeline {
         .select(col("x_doc").as("doc"), col("y_lbl").as("lbl"))
       // carry each doc's OLD label through the round's aggregate (every
       // doc appears exactly once in the labels branch, so max(old) IS
-      // its previous label): the convergence check below then reads the
-      // just-checkpointed relation with a filter-count instead of
-      // re-joining two checkpoints — one less join job per round (r21,
-      // VERDICT item 5's fixed-cost profile)
+      // its previous label); the convergence count then rides the
+      // checkpoint job itself as an observed metric (CollectMetrics →
+      // Observation — exact, delivered by the cut's eager action on
+      // both checkpoint paths, tools/ObsProbe) instead of paying a
+      // second count job per round, and the checkpointed relation
+      // narrows to (doc, lbl) because `old` is consumed by the metric
+      // BEFORE the cut (r21 wave 6; guide §5 driver-roundtrip cut —
+      // at corpus scale each round saves one full-relation pass)
+      val obs = org.apache.spark.sql.Observation()
       val next = cut(labels.select(col("doc"), col("lbl"),
           col("lbl").as("old"))
         .union(viaEdge.withColumn("old", lit(null).cast("long")))
         .union(viaLabel.withColumn("old", lit(null).cast("long")))
-        .groupBy("doc").agg(min("lbl").as("lbl"), max("old").as("old")),
+        .groupBy("doc").agg(min("lbl").as("lbl"), max("old").as("old"))
+        .observe(obs,
+          count(when(col("lbl") =!= col("old"), 1)).as("changed"))
+        .select("doc", "lbl"),
         s"round-$iter") // cut per-round lineage growth
-      changed = next.where(col("lbl") =!= col("old")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       // Round N-1's labels were last read by the union inside `next` —
       // retire their checkpoint now that round N is on disk.
       if (iter > 0) rmCut(s"round-${iter - 1}")
-      labels = next.select("doc", "lbl")
+      labels = next
       iter += 1
     }
     rmCut("edges") // the returned labels scan their own checkpoint only
